@@ -1,0 +1,660 @@
+package graft
+
+import graft.api.Pipeline
+import graft.core._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's query battery: one entry per operator family from
+  * SURVEY.md §2 plus the training-data-pipeline extensions.
+  *
+  * Every oracle-checked query follows the determinism conventions:
+  *  - money/quantity sums go through DECIMAL (exact) then cast to DOUBLE;
+  *  - free-double sums are ROUND()ed to 4-6 digits (both engines compute the
+  *    same per-element doubles; only the summation order differs, err ~1e-13);
+  *  - counts/ranks are BIGINT on both sides;
+  *  - event time is epoch-millis BIGINT (ns parquet → Spark `ts DIV 1e6`,
+  *    DuckDB `epoch_ms`, both floor);
+  *  - every computed column carries the same alias in Spark and SQL.
+  */
+object Queries {
+
+  private object Combines {
+    val sumCount: CombineFn[Double, (Double, Long), (Double, Long)] =
+      new CombineFn[Double, (Double, Long), (Double, Long)] {
+        def createAccumulator(): (Double, Long) = (0.0, 0L)
+        def addInput(a: (Double, Long), v: Double): (Double, Long) = (a._1 + v, a._2 + 1)
+        def mergeAccumulators(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+          (a._1 + b._1, a._2 + b._2)
+        def extractOutput(a: (Double, Long)): (Double, Long) = a
+      }
+    /** Mirrors the reference's MeanCombineFn test (ray_runner_test.py:857-864). */
+    val mean: CombineFn[Double, (Double, Long), Double] =
+      new CombineFn[Double, (Double, Long), Double] {
+        def createAccumulator(): (Double, Long) = (0.0, 0L)
+        def addInput(a: (Double, Long), v: Double): (Double, Long) = (a._1 + v, a._2 + 1)
+        def mergeAccumulators(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+          (a._1 + b._1, a._2 + b._2)
+        def extractOutput(a: (Double, Long)): Double =
+          if (a._2 == 0) 0.0 else a._1 / a._2
+      }
+  }
+
+  // =========================================================================
+  // Relational layer (DataFrame/Catalyst; scans, joins, aggregates, windows)
+  // =========================================================================
+
+  /** TPC-H Q1-style pricing summary: hash aggregate with partial+final. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_base_price"),
+        expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)").as("sum_disc_price"),
+        expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)").as("sum_charge"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").as("avg_qty"),
+        expr("CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").as("avg_disc"),
+        expr("CAST(COUNT(*) AS BIGINT)").as("count_order"))
+
+  /** Predicate + projection pushdown to the parquet scan. */
+  def q02FilterPushdown(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_quantity < 25"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("CAST(COUNT(*) AS BIGINT)").as("n"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"))
+
+  /** Star join: fact orders ⋈ customer, broadcast dims nation/region. */
+  def q03JoinRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("revenue"),
+        expr("CAST(COUNT(*) AS BIGINT)").as("n_orders"))
+
+  /** Left-semi join (EXISTS). */
+  def q04SemiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(expr("o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'"))
+      .join(Tables.lineitem(s, d).filter(col("l_quantity") > 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n"))
+
+  /** Global top-k (TakeOrderedAndProject — no full sort at scale). */
+  def q05TopkOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Distinct (shuffle dedup). */
+  def q06Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_mktsegment", "c_nationkey").distinct()
+
+  /** Flatten/union of two aggregate branches. */
+  def q07UnionBuckets(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val high = li.filter(col("l_quantity") >= 40)
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n")).select(lit("high").as("bucket"), col("n"))
+    val low = li.filter(col("l_quantity") < 10)
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n")).select(lit("low").as("bucket"), col("n"))
+    high.union(low)
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  def q08AntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** Window function: top-3 orders per customer. */
+  def q09WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+  }
+
+  /** Grouping sets (engine extension; free from Catalyst — SURVEY.md §2.3). */
+  def q10Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n"))
+
+  /** Two aggregation branches full-outer-merged onto a dimension. */
+  def q11NationProfile(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("cnk"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_cust"),
+        expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").as("sum_bal"))
+    val sup = Tables.supplier(s, d).groupBy(col("s_nationkey").as("snk"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_supp"))
+    Tables.nation(s, d)
+      .join(c, col("n_nationkey") === col("cnk"), "left")
+      .join(sup, col("n_nationkey") === col("snk"), "left")
+      .select(col("n_name"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("sum_bal"), lit(0.0)).as("sum_bal"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  // =========================================================================
+  // Dataflow layer (Beam-semantics: ParDo/GBK/Combine/side inputs/windows/state)
+  // =========================================================================
+
+  /** ParDo flatMap + countPerKey — the reference's canonical word count
+    * (examples/word_count_metrics.py:109-137).
+    */
+  def q12Wordcount(s: SparkSession, d: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val p = Pipeline(s)
+    val texts = Tables.documents(s, d).select("text").as[String]
+    p.fromDataset(texts)
+      .flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .map(w => (w, ()))
+      .countPerKey[String, Unit]
+      .toDataset.toDF("word", "n")
+  }
+
+  /** CombinePerKey with a user CombineFn (partial+final via Aggregator). */
+  def q13MeanCombine(s: SparkSession, d: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val p = Pipeline(s)
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      .as[(String, Double)]
+    p.fromDataset(ev)
+      .combinePerKey[String, Double, (Double, Long), Double](Combines.mean)
+      .toDataset.toDF("event_type", "mean_value")
+      .withColumn("mean_value", round(col("mean_value"), 4))
+  }
+
+  /** ParDo with an AsDict side input (broadcast map lookup). */
+  def q14SideInputDict(s: SparkSession, d: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val p = Pipeline(s)
+    val nations = p.fromDataset(
+      Tables.nation(s, d).select(col("n_nationkey"), col("n_name")).as[(Int, String)])
+    val dict = nations.asDict[Int, String]
+    val custs = p.fromDataset(
+      Tables.customer(s, d).select(col("c_nationkey")).as[Int])
+    custs.parDo(new DoFn[Int, (String, Unit)] {
+      def process(nk: Int, ctx: ProcessContext[(String, Unit)]): Unit =
+        ctx.output((ctx.sideInput(dict).getOrElse(nk, "UNKNOWN"), ()))
+    })
+      .countPerKey[String, Unit]
+      .toDataset.toDF("n_name", "n_cust")
+  }
+
+  /** Multi-output (tagged) ParDo: purchases to main, errors to a tag. */
+  def q15TaggedOutputs(s: SparkSession, d: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val p = Pipeline(s)
+    val errTag = Tag[Double]("errors")
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      .as[(String, Double)]
+    val (purchases, tagged) = p.fromDataset(ev).parDoTagged(
+      new DoFn[(String, Double), Double] {
+        def process(e: (String, Double), ctx: ProcessContext[Double]): Unit = e match {
+          case ("purchase", v) => ctx.output(v)
+          case ("error", v) => ctx.outputTagged(errTag, v)
+          case _ => ()
+        }
+      }, Seq(errTag))
+    def summarize(pc: graft.api.PCollection[Double], label: String): DataFrame =
+      pc.map(v => (label, v))
+        .combinePerKey[String, Double, (Double, Long), (Double, Long)](Combines.sumCount)
+        .map { case (l, (sum, n)) => (l, n, sum) }
+        .toDataset.toDF("label", "n", "sum_value")
+        .withColumn("sum_value", round(col("sum_value"), 4))
+    summarize(purchases, "purchase")
+      .union(summarize(tagged("errors").asInstanceOf[graft.api.PCollection[Double]], "error"))
+  }
+
+  /** CoGroupByKey (tag + flatten + GBK composite, translator.py:446). */
+  def q16Cogroup(s: SparkSession, d: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val p = Pipeline(s)
+    val custs = p.fromDataset(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")).as[(Long, Double)])
+    val ords = p.fromDataset(
+      Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)])
+    custs.coGroupByKey[Long, Double, Double](ords)
+      .flatMap { case (k, (bals, prices)) =>
+        bals.headOption.map(bal => (k, prices.size.toLong, bal))
+      }
+      .toDataset.toDF("c_custkey", "n_orders", "acctbal")
+  }
+
+  /** Fixed event-time windows through windowInto + windowed GBK. */
+  def q17FixedWindows(s: SparkSession, d: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val p = Pipeline(s)
+    val ev = Tables.events(s, d).select(col("ts_ms"), col("event_type"), col("value"))
+      .as[(Long, String, Double)]
+    p.fromDataset(ev)
+      .withTimestamps(_._1)
+      .map(e => (e._2, e._3))
+      .windowInto(FixedWindows(3600000L))
+      .groupByKey[String, Double]
+      .mapWindowed { wv =>
+        val (k, vs) = wv.value
+        val start = wv.windows.head.asInstanceOf[IntervalWindow].start
+        (k, start, vs.size.toLong, vs.sum)
+      }
+      .toDataset.toDF("event_type", "window_start", "n", "sum_value")
+      .withColumn("sum_value", round(col("sum_value"), 4))
+  }
+
+  /** Session windows (merging WindowFn) per user. */
+  def q18SessionWindows(s: SparkSession, d: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val p = Pipeline(s)
+    val ev = Tables.events(s, d).select(col("ts_ms"), col("user_id"), col("value"))
+      .as[(Long, Long, Double)]
+    p.fromDataset(ev)
+      .withTimestamps(_._1)
+      .map(e => (e._2, e._3))
+      .windowInto(Sessions(1800000L))
+      .groupByKey[Long, Double]
+      .mapWindowed { wv =>
+        val (k, vs) = wv.value
+        val start = wv.windows.head.asInstanceOf[IntervalWindow].start
+        (k, start, vs.size.toLong, vs.sum)
+      }
+      .toDataset.toDF("user_id", "session_start", "n_events", "sum_value")
+      .withColumn("sum_value", round(col("sum_value"), 4))
+  }
+
+  /** Sliding windows (multi-window assignment, translator.py:64-66). */
+  def q19SlidingWindows(s: SparkSession, d: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val p = Pipeline(s)
+    val ev = Tables.events(s, d).select(col("ts_ms"), col("event_type"))
+      .as[(Long, String)]
+    p.fromDataset(ev)
+      .withTimestamps(_._1)
+      .map(e => (e._2, ()))
+      .windowInto(SlidingWindows(7200000L, 3600000L))
+      .groupByKey[String, Unit]
+      .mapWindowed { wv =>
+        val (k, vs) = wv.value
+        val start = wv.windows.head.asInstanceOf[IntervalWindow].start
+        (k, start, vs.size.toLong)
+      }
+      .toDataset.toDF("event_type", "window_start", "n")
+  }
+
+  /** Stateful ParDo: bag-free running aggregate with combining state, a
+    * value-state max, and an end-of-window event-time timer that emits the
+    * per-key summary (state + timer surface of SURVEY.md §2.6).
+    */
+  def q20StatefulPardo(s: SparkSession, d: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val p = Pipeline(s)
+    val countSpec = CombiningStateSpec[Double, (Double, Long), (Double, Long)]("sumCount", Combines.sumCount)
+    val lastSpec = ValueStateSpec[Long]("lastTs")
+    val flushTimer = TimerSpec("flush")
+    val ev = Tables.events(s, d).select(col("ts_ms"), col("user_id"), col("value"))
+      .as[(Long, Long, Double)]
+    p.fromDataset(ev)
+      .withTimestamps(_._1)
+      .map(e => (e._2, e._3))
+      .statefulParDo[Long, Double, (Long, Long, Double, Long)](
+        new StatefulDoFn[Long, Double, (Long, Long, Double, Long)] {
+          def process(key: Long, v: Double, ctx: StatefulContext[(Long, Long, Double, Long)]): Unit = {
+            ctx.combining(countSpec).add(v)
+            val last = ctx.value(lastSpec)
+            if (last.read().forall(_ < ctx.timestamp)) last.write(ctx.timestamp)
+            ctx.timer(flushTimer).set(ctx.window.maxTimestamp)
+          }
+          override def onTimer(key: Long, spec: TimerSpec, tag: String, fireTs: Long,
+              ctx: StatefulContext[(Long, Long, Double, Long)]): Unit = {
+            val (sum, n) = ctx.combining(countSpec).read()
+            ctx.output((key, n, sum, ctx.value(lastSpec).read().getOrElse(0L)))
+          }
+        })
+      .toDataset.toDF("user_id", "n_events", "sum_value", "last_ms")
+      .withColumn("sum_value", round(col("sum_value"), 4))
+  }
+
+  // =========================================================================
+  // Extensions: dedup / similarity / text analysis / multimodal
+  // =========================================================================
+
+  /** Exact dedup census: groups by key, representative = min id. */
+  def d21DedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).groupBy(col("lang"), col("n_chars"))
+      .agg(expr("CAST(MIN(doc_id) AS BIGINT)").as("rep_id"),
+        expr("CAST(COUNT(*) AS BIGINT)").as("n_dups"))
+
+  /** Exact dedup survivors (window row_number policy) counted per lang. */
+  def d22DedupSurvivors(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), Seq("lang", "n_chars"), "doc_id")
+      .groupBy(col("lang"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_survivors"))
+
+  /** MinHash-LSH near-dup candidate pairs (no SQL oracle: xxhash-based). */
+  def d23MinhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
+
+  /** SimHash near-dup pairs via Hamming block probing (no SQL oracle). */
+  def d24SimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
+
+  /** Exact token-set Jaccard over blocked candidate pairs. */
+  def d25NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val t = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      array_distinct(TextFunctions.tokens(lower(col("text")))).as("toks"))
+    t.as("a").join(t.as("b"),
+        col("a.lang") === col("b.lang") && col("a.n_chars") === col("b.n_chars") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        round(size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          size(array_union(col("a.toks"), col("b.toks"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.1)
+  }
+
+  /** Brute-force cosine top-k (exact ANN baseline + oracle). */
+  def d26EmbedTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      "q_id", "q_vec", k = 10)
+  }
+
+  /** Embedding near-dup pairs via hyperplane-LSH blocking (no SQL oracle:
+    * approximate by construction).
+    */
+  def d27EmbedNeardup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+      lshBits = 6, threshold = 0.3)
+
+  /** LSH-bucketed ANN (approximate scale path; no SQL oracle). */
+  def d28LshTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      "q_id", "q_vec", k = 5, bits = 6, probes = 2)
+  }
+
+  /** Token statistics per language. */
+  def d29TextStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), TextFunctions.tokenCount(col("text")).as("nt"))
+      .groupBy(col("lang"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_docs"),
+        expr("CAST(SUM(nt) AS BIGINT)").as("total_tokens"),
+        expr("CAST(CAST(SUM(nt) AS BIGINT) AS DOUBLE) / COUNT(*)").as("avg_tokens"))
+
+  /** Heuristic language-ID vs labeled lang. */
+  def d30LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n"))
+
+  /** Quality-score aggregates per language. */
+  def d31Quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.punctRatio(col("text")).as("pr"),
+        TextFunctions.stopwordRatio(col("text")).as("sr"))
+      .groupBy(col("lang"))
+      .agg(round(sum(col("q")) / count(lit(1)), 4).as("avg_quality"),
+        round(sum(col("pr")) / count(lit(1)), 4).as("avg_punct"),
+        round(sum(col("sr")) / count(lit(1)), 4).as("avg_stopword"))
+
+  /** Rolling-hash fingerprint census (no SQL oracle: xxhash-based). */
+  def d32Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("fp")).as("n_distinct_fp"))
+
+  /** Multimodal plumbing: synthetic media + stubbed batch feature extraction
+    * (no SQL oracle: payloads are xxhash-derived).
+    */
+  def d33MultimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(s, Tables.embeddings(s, d), "vec_id")
+    Multimodal.extractFeatures(s, media)
+      .groupBy(col("media_type"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n"),
+        round(sum(element_at(col("features"), 1)), 4).as("sum_f0"))
+  }
+
+  /** Video frame-sampling plan (no SQL oracle: metadata is xxhash-derived). */
+  def d34FrameSampling(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(s, Tables.embeddings(s, d), "vec_id")
+    Multimodal.sampleFrameIndices(media, 10)
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_sampled"),
+        expr("CAST(SUM(frame_idx) AS BIGINT)").as("sum_idx"))
+  }
+
+  // =========================================================================
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_pushdown" -> (q02FilterPushdown _),
+    "q03_join_revenue" -> (q03JoinRevenue _),
+    "q04_semi_join" -> (q04SemiJoin _),
+    "q05_topk_orders" -> (q05TopkOrders _),
+    "q06_distinct" -> (q06Distinct _),
+    "q07_union_buckets" -> (q07UnionBuckets _),
+    "q08_anti_join" -> (q08AntiJoin _),
+    "q09_window_rank" -> (q09WindowRank _),
+    "q10_rollup" -> (q10Rollup _),
+    "q11_nation_profile" -> (q11NationProfile _),
+    "q12_wordcount" -> (q12Wordcount _),
+    "q13_mean_combine" -> (q13MeanCombine _),
+    "q14_side_input_dict" -> (q14SideInputDict _),
+    "q15_tagged_outputs" -> (q15TaggedOutputs _),
+    "q16_cogroup" -> (q16Cogroup _),
+    "q17_fixed_windows" -> (q17FixedWindows _),
+    "q18_session_windows" -> (q18SessionWindows _),
+    "q19_sliding_windows" -> (q19SlidingWindows _),
+    "q20_stateful_pardo" -> (q20StatefulPardo _),
+    "d21_dedup_exact" -> (d21DedupExact _),
+    "d22_dedup_survivors" -> (d22DedupSurvivors _),
+    "d23_minhash_pairs" -> (d23MinhashPairs _),
+    "d24_simhash_pairs" -> (d24SimhashPairs _),
+    "d25_ngram_jaccard" -> (d25NgramJaccard _),
+    "d26_embed_topk" -> (d26EmbedTopk _),
+    "d27_embed_neardup" -> (d27EmbedNeardup _),
+    "d28_lsh_topk" -> (d28LshTopk _),
+    "d29_text_stats" -> (d29TextStats _),
+    "d30_langid" -> (d30LangId _),
+    "d31_quality" -> (d31Quality _),
+    "d32_fingerprint" -> (d32Fingerprint _),
+    "d33_multimodal_features" -> (d33MultimodalFeatures _),
+    "d34_frame_sampling" -> (d34FrameSampling _),
+  )
+
+  private val toksSql =
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+  private val toksLowerSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+  private val stopwordsSql =
+    "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are']"
+  private val punctReSql = "'[!-/:-@\\[-`{-~]'"
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        | CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_quantity < 25
+        |GROUP BY l_returnflag""".stripMargin,
+    "q03_join_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        | AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q05_topk_orders" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q06_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q07_union_buckets" ->
+      """SELECT 'high' AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_quantity >= 40
+        |UNION ALL
+        |SELECT 'low' AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_quantity < 10""".stripMargin,
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "q09_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) WHERE rnk <= 3""".stripMargin,
+    "q10_rollup" ->
+      "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    "q11_nation_profile" ->
+      """WITH c AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal FROM customer GROUP BY 1),
+        | s AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT n_name, COALESCE(n_cust, 0) AS n_cust, COALESCE(sum_bal, 0.0) AS sum_bal,
+        | COALESCE(n_supp, 0) AS n_supp
+        |FROM nation LEFT JOIN c ON n_nationkey = c.nk LEFT JOIN s ON n_nationkey = s.nk""".stripMargin,
+    "q12_wordcount" ->
+      s"""SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM (SELECT unnest($toksSql) AS t FROM documents) GROUP BY t""".stripMargin,
+    "q13_mean_combine" ->
+      "SELECT event_type, ROUND(SUM(value) / COUNT(*), 4) AS mean_value FROM events GROUP BY event_type",
+    "q14_side_input_dict" ->
+      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+    "q15_tagged_outputs" ->
+      """SELECT 'purchase' AS label, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT 'error' AS label, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events WHERE event_type = 'error'""".stripMargin,
+    "q16_cogroup" ->
+      """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders, c_acctbal AS acctbal
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_acctbal""".stripMargin,
+    "q17_fixed_windows" ->
+      """SELECT event_type, CAST((epoch_ms(ts) // 3600000) * 3600000 AS BIGINT) AS window_start,
+        | CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q18_session_windows" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+        | m AS (SELECT user_id, ms, value,
+        |   CASE WHEN LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |     OR ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 1800000
+        |   THEN 1 ELSE 0 END AS ns FROM e),
+        | s AS (SELECT user_id, ms, value,
+        |   SUM(ns) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, CAST(MIN(ms) AS BIGINT) AS session_start,
+        | CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q19_sliding_windows" ->
+      """WITH x AS (SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS w1 FROM events)
+        |SELECT event_type, CAST(ws AS BIGINT) AS window_start, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT event_type, unnest([w1 - 3600000, w1]) AS ws FROM x) GROUP BY 1, 2""".stripMargin,
+    "q20_stateful_pardo" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 4) AS sum_value,
+        | CAST(MAX(epoch_ms(ts)) AS BIGINT) AS last_ms
+        |FROM events GROUP BY user_id""".stripMargin,
+    "d21_dedup_exact" ->
+      """SELECT lang, n_chars, CAST(MIN(doc_id) AS BIGINT) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY lang, n_chars""".stripMargin,
+    "d22_dedup_survivors" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_survivors FROM (
+        | SELECT lang, ROW_NUMBER() OVER (PARTITION BY lang, n_chars ORDER BY doc_id) AS rn
+        | FROM documents) WHERE rn = 1 GROUP BY lang""".stripMargin,
+    "d25_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, lang, n_chars,
+         |  list_distinct(${toksLowerSql}) AS toks FROM documents)
+         |SELECT id1, id2, jaccard FROM (
+         | SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+         | FROM t a JOIN t b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.1""".stripMargin,
+    "d26_embed_topk" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        | c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings)
+        |SELECT query_id, corpus_id, score, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  ROUND(list_cosine_similarity(c.cv, q.qv), 6) AS score,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.vec_id) AS BIGINT) AS rnk
+        | FROM c, q) WHERE rnk <= 10""".stripMargin,
+    "d29_text_stats" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(len($toksSql)) AS BIGINT) AS total_tokens,
+         | CAST(CAST(SUM(len($toksSql)) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_tokens
+         |FROM documents GROUP BY lang""".stripMargin,
+    "d30_langid" ->
+      s"""WITH t AS (SELECT lang, $toksLowerSql AS toks FROM documents),
+         | s AS (SELECT lang,
+         |  len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','that','it','for','with'], t))) AS s_en,
+         |  len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','los','del','las','por'], t))) AS s_es,
+         |  len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des','un','une','du','est'], t))) AS s_fr,
+         |  len(list_filter(toks, t -> list_contains(['der','die','und','das','von','den','des','ein','mit','ist'], t))) AS s_de,
+         |  len(list_filter(toks, t -> list_contains(['的','了','是','在','我','有','和','就','不','人'], t))) AS s_zh
+         | FROM t)
+         |SELECT lang,
+         | CASE WHEN s_zh > s_de AND s_zh > s_fr AND s_zh > s_es AND s_zh > s_en AND s_zh > 0 THEN 'zh'
+         |  WHEN s_de > s_fr AND s_de > s_es AND s_de > s_en AND s_de > 0 THEN 'de'
+         |  WHEN s_fr > s_es AND s_fr > s_en AND s_fr > 0 THEN 'fr'
+         |  WHEN s_es > s_en AND s_es > 0 THEN 'es'
+         |  WHEN s_en > 0 THEN 'en' ELSE 'und' END AS lang_pred,
+         | CAST(COUNT(*) AS BIGINT) AS n
+         |FROM s GROUP BY 1, 2""".stripMargin,
+    "d31_quality" ->
+      s"""WITH m AS (SELECT lang,
+         |  len($toksSql) AS nt,
+         |  CAST(length(text) - length(regexp_replace(text, $punctReSql, '', 'g')) AS DOUBLE)
+         |    / GREATEST(length(text), 1) AS pr,
+         |  CASE WHEN len($toksSql) > 0 THEN
+         |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, lower(t)))) AS DOUBLE)
+         |      / len($toksSql)
+         |  ELSE 0.0 END AS sr
+         | FROM documents),
+         | q AS (SELECT lang, pr, sr,
+         |  ROUND(LEAST(CAST(nt AS DOUBLE) / 50.0, 1.0) * 0.4 + LEAST(sr * 4.0, 1.0) * 0.4 +
+         |    GREATEST(1.0 - pr * 5.0, 0.0) * 0.2, 6) AS quality
+         | FROM m)
+         |SELECT lang, ROUND(SUM(quality) / COUNT(*), 4) AS avg_quality,
+         | ROUND(SUM(pr) / COUNT(*), 4) AS avg_punct,
+         | ROUND(SUM(sr) / COUNT(*), 4) AS avg_stopword
+         |FROM q GROUP BY lang""".stripMargin,
+  )
+}

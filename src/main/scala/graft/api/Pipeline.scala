@@ -1,0 +1,85 @@
+package graft.api
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import scala.reflect.ClassTag
+
+/** Entry point for the dataflow (Beam-semantics) layer.
+  *
+  * The reference is a Beam runner (SURVEY.md §0): users compose
+  * `p | Create | ParDo | GroupByKey | ...`. Here the pipeline is a thin
+  * factory over Spark `Dataset`s — Spark's lazy logical plan replaces the
+  * reference's CollectionMap / PcollectionBufferManager registries
+  * (collection.py:24-35, execution.py:360-371): each PCollection IS a lazy
+  * `Dataset[WindowedValue[T]]` and Catalyst/DAGScheduler replace the
+  * hand-rolled stage executor (SURVEY.md §3).
+  */
+final class Pipeline(val spark: SparkSession) {
+  val metrics = new MetricsRegistry(spark.sparkContext)
+
+  private[graft] implicit def wvEncoder[T]: Encoder[WindowedValue[T]] =
+    Encoders.kryo(classOf[WindowedValue[Any]]).asInstanceOf[Encoder[WindowedValue[T]]]
+
+  /** Single seed element (reference: RayImpulse translator.py:95-102). */
+  def impulse(): PCollection[Array[Byte]] =
+    create(Seq(Array.emptyByteArray))
+
+  /** In-memory literal source (reference: RayCreate translator.py:105-119). */
+  def create[T](values: Seq[T]): PCollection[T] = {
+    val wvs = values.map(WindowedValue.of)
+    new PCollection[T](this, spark.createDataset(wvs)(wvEncoder), GlobalWindows)
+  }
+
+  /** Values with explicit event timestamps (reference TimestampedValue,
+    * translator.py:62-66).
+    */
+  def createTimestamped[T](values: Seq[(T, Long)]): PCollection[T] = {
+    val wvs = values.map { case (v, ts) => WindowedValue.timestamped(v, ts) }
+    new PCollection[T](this, spark.createDataset(wvs)(wvEncoder), GlobalWindows)
+  }
+
+  /** Text source with header skipping (reference: RayRead translator.py:122-144,
+    * `skip_header_lines` at :138-140). Spark-native: the lines arrive from
+    * FileSourceScanExec; header skip drops the first N lines of the file.
+    */
+  def readText(path: String, skipHeaderLines: Int = 0): PCollection[String] = {
+    import spark.implicits._
+    val base = spark.read.textFile(path)
+    val ds =
+      if (skipHeaderLines == 0) base
+      else {
+        val n = skipHeaderLines
+        // zipWithIndex is per-file-order stable for a single text file
+        base.rdd.zipWithIndex.filter(_._2 >= n).map(_._1).toDS()
+      }
+    fromDataset(ds)
+  }
+
+  /** Bridge from any typed Dataset into the dataflow layer. */
+  def fromDataset[T](ds: Dataset[T]): PCollection[T] =
+    new PCollection[T](this, ds.mapPartitions(_.map(WindowedValue.of))(wvEncoder), GlobalWindows)
+
+  /** Bridge from a DataFrame (rows in the global window). */
+  def fromDataFrame(df: DataFrame): PCollection[Row] = fromDataset(df)
+
+  /** DataFrame rows timestamped from a column (millis derived from a
+    * TimestampType col) — entry point for event-time pipelines over tables.
+    */
+  def fromDataFrameTimestamped(df: DataFrame, tsCol: String): PCollection[Row] = {
+    import org.apache.spark.sql.functions._
+    val withTs = df.withColumn("__graft_ts", unix_millis(col(tsCol)))
+    val enc = wvEncoder[Row]
+    val idx = withTs.schema.fieldIndex("__graft_ts")
+    val ds = withTs.mapPartitions { it =>
+      it.map { r =>
+        // drop the appended helper column so user rows keep their schema
+        WindowedValue.timestamped(Row.fromSeq(r.toSeq.take(idx)), r.getLong(idx))
+      }
+    }(enc)
+    new PCollection[Row](this, ds, GlobalWindows)
+  }
+}
+
+object Pipeline {
+  def apply(spark: SparkSession): Pipeline = new Pipeline(spark)
+}

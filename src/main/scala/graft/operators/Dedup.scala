@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.functions.{Hashing, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (builder-prompt
+  * extensions; the reference itself has no dedup — SURVEY.md §2.3/§7.1-6).
+  *
+  * Scale notes (100 TB design point):
+  *  - exact dedup is one hash shuffle on the dedup key;
+  *  - MinHash-LSH shuffles each doc `bands` times (band-key explode) and
+  *    self-joins per bucket — candidate volume is controlled by (bands,
+  *    rowsPerBand), never all-pairs;
+  *  - SimHash block-probing joins on 16-bit blocks — 4 shuffled copies,
+  *    Hamming verification only inside blocks;
+  *  - embedding near-dup blocks on a random-hyperplane LSH bucket first.
+  * All signatures derive from seeded xxhash64 → deterministic across runs
+  * and cluster layouts, so incremental re-runs are stable.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `tieBreaker` per key group.
+    * Single shuffle (window on the dedup key).
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], tieBreaker: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreaker))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-duplicate groups: key -> representative id + duplicate count.
+    * (Aggregation form — what you run first on a 100 TB corpus to size the
+    * problem; one map-side-combinable shuffle.)
+    */
+  def exactGroups(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signatures for a text column (word shingles → n-hash signature). */
+  def withMinHash(df: DataFrame, textCol: String, shingleSize: Int, numHashes: Int): DataFrame =
+    df.withColumn("__shingles", TextFunctions.wordShingles(col(textCol), shingleSize))
+      .withColumn("__sig", Hashing.minHashSignature(col("__shingles"), numHashes))
+
+  /** MinHash-LSH near-duplicate candidate pairs with estimated Jaccard ≥
+    * `threshold`. Pipeline: shingle → signature → explode band keys →
+    * bucket self-join (id1 < id2) → signature-level Jaccard filter.
+    * Returns (id1, id2, jaccard_est).
+    */
+  def minHashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128,
+      bands: Int = 32, threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = withMinHash(df, textCol, shingleSize, numHashes)
+      .select(col(idCol).as("__id"), col("__sig"))
+    // band-explode only (id, bandKey) — the heavy signature array is joined
+    // back just once per surviving candidate pair, not shuffled `bands` times
+    val banded = sigs.select(col("__id"),
+      explode(Hashing.lshBandKeys(col("__sig"), bands, rowsPerBand)).as("__bk"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.__bk") === col("b.__bk") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    cand
+      .join(sigs.select(col("__id").as("id1"), col("__sig").as("__s1")), "id1")
+      .join(sigs.select(col("__id").as("id2"), col("__sig").as("__s2")), "id2")
+      .withColumn("jaccard_est", Hashing.minHashJaccard(col("__s1"), col("__s2")))
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard_est"), 6).as("jaccard_est"))
+  }
+
+  /** Near-dedup policy: drop any doc that has a near-dup partner with a
+    * smaller id (deterministic, one pass over the pair list).
+    */
+  def keepMinIdSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = pairs.select(col("id2").as("__loser")).distinct()
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
+  /** Exact n-gram Jaccard verification over candidate pairs (re-score LSH
+    * candidates with true shingle-set Jaccard — the verify stage of the
+    * standard pipeline).
+    */
+  def ngramJaccardVerify(
+      df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      TextFunctions.wordShingles(col(textCol), shingleSize).as("__sh"))
+    pairs.select("id1", "id2")
+      .join(sh.withColumnRenamed("__id", "id1").withColumnRenamed("__sh", "__sh1"), "id1")
+      .join(sh.withColumnRenamed("__id", "id2").withColumnRenamed("__sh", "__sh2"), "id2")
+      .withColumn("jaccard", round(Hashing.jaccard(col("__sh1"), col("__sh2")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, via
+    * block-probing: split the 64-bit fingerprint into `maxHamming + 1`
+    * blocks; by pigeonhole two fingerprints within the distance share at
+    * least one exact block → join per block, then verify.
+    */
+  def simHashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val blockBits = 64 / nBlocks
+    val fp = df.select(col(idCol).as("__id"),
+      Hashing.simHash(TextFunctions.tokens(lower(col(textCol)))).as("__fp"))
+    val blocked = fp.withColumn("__blk", explode(array((0 until nBlocks).map { b =>
+      struct(lit(b).as("i"),
+        call_function("shiftright", col("__fp"), lit(b * blockBits))
+          .bitwiseAND(lit((1L << blockBits) - 1)).as("v"))
+    }: _*)))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
+        Hashing.hammingDistance64(col("a.__fp"), col("b.__fp")).as("hamming"))
+      .dropDuplicates("id1", "id2")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: block on a random-hyperplane LSH bucket, then
+    * exact cosine ≥ threshold inside buckets.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      lshBits: Int = 12, threshold: Double = 0.95): DataFrame = {
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__bucket", VectorFunctions.cosineLshBucket(col("__v"), lshBits))
+    v.as("a").join(v.as("b"),
+        col("a.__bucket") === col("b.__bucket") && col("a.__id") < col("b.__id"))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("a.__v"), col("b.__v")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"), col("cosine"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (builder-prompt extension).
+  *
+  * Three tiers, by scale:
+  *  1. `bruteForceTopK` — broadcast the query set, one codegen'd pass over
+  *     the corpus, window top-k. Exact; the baseline and the oracle.
+  *  2. `partialTopK` — same scoring pass but per-partition top-k pruning
+  *     before the shuffle: the shuffle carries ≤ k·partitions·|Q| rows
+  *     instead of |corpus|·|Q| — the 1000-executor-safe exact path.
+  *  3. `lshTopK` — random-hyperplane bucket (IVF-style) pruning: only
+  *     corpus rows in a query's bucket (± multi-probe) are scored.
+  */
+object Similarity {
+
+  /** Exact cosine top-k per query vector. `queries` must be small (it is
+    * broadcast); result: (query id, corpus id, score, rank).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("score", VectorFunctions.cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("score").desc, col(corpusId))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(queryId).as("query_id"), col(corpusId).as("corpus_id"),
+        round(col("score"), 6).as("score"), col("rnk"))
+  }
+
+  /** Exact top-k with per-partition pruning: each corpus partition keeps only
+    * its local top-k per query (bounded heaps inside `mapPartitions` — the
+    * legitimate per-partition-imperative case), then one tiny shuffle merges
+    * ≤ k·numPartitions·|Q| candidates. Same results as brute force.
+    */
+  def partialTopK(
+      spark: SparkSession,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int): DataFrame = {
+    val qs = spark.sparkContext.broadcast(queries.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      (id, if (n > 0) v.map(x => (x / n).toFloat) else v)
+    })
+    val idIdx = corpus.schema.fieldIndex(corpusId)
+    val vecIdx = corpus.schema.fieldIndex(corpusVec)
+    val partial = corpus.rdd.mapPartitions { it =>
+      // one bounded heap per query; ordering: (score asc, id desc) so the
+      // heap root is the eviction candidate
+      val heaps = qs.value.map { case (qid, _) =>
+        qid -> mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) })
+      }.toMap
+      it.foreach { r =>
+        val cid = r.getLong(idIdx)
+        val vec = r.getSeq[Float](vecIdx)
+        val n = math.sqrt(vec.map(x => x.toDouble * x).sum)
+        qs.value.foreach { case (qid, qv) =>
+          var dotv = 0.0
+          var i = 0
+          while (i < qv.length && i < vec.length) { dotv += qv(i) * vec(i); i += 1 }
+          val score = if (n > 0) dotv / n else 0.0
+          val h = heaps(qid)
+          if (h.size < k) h.enqueue((score, cid))
+          else if (score > h.head._1 || (score == h.head._1 && cid < h.head._2)) {
+            h.dequeue(); h.enqueue((score, cid))
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (s, cid) => Row(qid, cid, s) } }
+    }
+    val schema = StructType(Seq(StructField("query_id", LongType),
+      StructField("corpus_id", LongType), StructField("score", DoubleType)))
+    val cand = spark.createDataFrame(partial, schema)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("corpus_id"))
+    cand.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("score"), 6).as("score"), col("rnk"))
+  }
+
+  /** LSH/IVF-style ANN: bucket corpus and queries with the same seeded
+    * random-hyperplane signature; score only same-bucket candidates. Recall
+    * grows with `probes` (multi-probe = flip each of the lowest `probes`
+    * signature bits).
+    */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, bits: Int = 10, probes: Int = 2): DataFrame = {
+    val cb = corpus.withColumn("__bucket",
+      VectorFunctions.cosineLshBucket(col(corpusVec), bits))
+    // multi-probe: original bucket plus single-bit flips
+    val probeBuckets = array((lit(-1) +: (0 until probes).map(lit(_))): _*)
+    val qb = queries
+      .withColumn("__qb", VectorFunctions.cosineLshBucket(col(queryVec), bits))
+      .withColumn("__probe", explode(probeBuckets))
+      .withColumn("__bucket",
+        when(col("__probe") === -1, col("__qb"))
+          .otherwise(col("__qb").bitwiseXOR(call_function("shiftleft", lit(1L), col("__probe")))))
+      .drop("__probe", "__qb")
+    val scored = cb.join(broadcast(qb), "__bucket")
+      .withColumn("score", VectorFunctions.cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("score").desc, col(corpusId))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(queryId).as("query_id"), col(corpusId).as("corpus_id"),
+        round(col("score"), 6).as("score"), col("rnk"))
+  }
+}
