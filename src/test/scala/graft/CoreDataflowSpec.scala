@@ -1,0 +1,97 @@
+package graft
+
+import graft.api.Pipeline
+import graft.core._
+
+/** ParDo family conformance (reference: ray_runner_test.py:102-161 —
+  * create/map/flatMap/filter/multi-output; DoFn lifecycle translator.py:157-338).
+  */
+class CoreDataflowSpec extends SparkTestBase {
+
+  test("create + collect round-trips") {
+    val p = Pipeline(spark)
+    assertMultiset(p.create(Seq(1, 2, 3)).collect(), Seq(1, 2, 3))
+  }
+
+  test("impulse emits a single seed element (translator.py:95-102)") {
+    val p = Pipeline(spark)
+    assert(Pipeline(spark).impulse().collect().size == 1)
+    assert(p.impulse().collect().head.isEmpty)
+  }
+
+  test("map / flatMap / filter (ray_runner_test.py:118-141)") {
+    val p = Pipeline(spark)
+    assertMultiset(p.create(Seq(1, 2, 3)).map(_ * 2).collect(), Seq(2, 4, 6))
+    assertMultiset(
+      p.create(Seq("a b", "c")).flatMap(_.split(" ")).collect(),
+      Seq("a", "b", "c"))
+    assertMultiset(p.create(1 to 10).filter(_ % 2 == 0).collect(), Seq(2, 4, 6, 8, 10))
+  }
+
+  test("parDo full lifecycle runs per bundle (translator.py:208-281)") {
+    val p = Pipeline(spark)
+    val out = p.create(Seq(1, 2, 3, 4)).reshuffle(2)
+      .parDo(new DoFn[Int, String] {
+        private var events: List[String] = Nil
+        override def setup(): Unit = { events = "setup" :: events }
+        override def startBundle(): Unit = { events = "start" :: events }
+        def process(e: Int, ctx: ProcessContext[String]): Unit = ctx.output(s"v$e")
+        override def finishBundle(emit: String => Unit): Unit = {
+          assert(events.contains("setup") && events.contains("start"))
+          emit("bundle-end")
+        }
+      }).collect()
+    // 2 partitions → 2 bundle-end markers, all 4 elements processed
+    assertMultiset(out.filter(_.startsWith("v")), Seq("v1", "v2", "v3", "v4"))
+    assert(out.count(_ == "bundle-end") == 2)
+  }
+
+  test("multi-output tagged ParDo demuxes (ray_runner_test.py:128-161)") {
+    val p = Pipeline(spark)
+    val odd = Tag[Int]("odd")
+    val (evens, tagged) = p.create(1 to 6).parDoTagged(
+      new DoFn[Int, Int] {
+        def process(e: Int, ctx: ProcessContext[Int]): Unit =
+          if (e % 2 == 0) ctx.output(e) else ctx.outputTagged(odd, e)
+      }, Seq(odd))
+    assertMultiset(evens.collect(), Seq(2, 4, 6))
+    assertMultiset(tagged("odd").collect().map(_.asInstanceOf[Int]), Seq(1, 3, 5))
+  }
+
+  test("flatten unions incl. duplicates + heterogeneous types (ray_runner_test.py:838-855)") {
+    val p = Pipeline(spark)
+    val a = p.create(Seq(1, 2))
+    assertMultiset(a.union(a, a).collect(), Seq(1, 1, 1, 2, 2, 2))
+    val strs: api.PCollection[Any] = p.create(Seq[Any]("x"))
+    val ints: api.PCollection[Any] = p.create(Seq[Any](7))
+    assertMultiset(strs.union(ints).collect(), Seq[Any]("x", 7))
+  }
+
+  test("reshuffle preserves elements (ray_runner_test.py:832-836)") {
+    val p = Pipeline(spark)
+    assertMultiset(p.create(1 to 100).reshuffle(7).collect(), (1 to 100).toSeq)
+  }
+
+  test("distinct (engine extension)") {
+    val p = Pipeline(spark)
+    assertMultiset(p.create(Seq(1, 1, 2, 3, 3, 3)).distinct().collect(), Seq(1, 2, 3))
+  }
+
+  test("error propagation surfaces user exception (ray_runner_test.py:951-973)") {
+    val p = Pipeline(spark)
+    val ex = intercept[Exception] {
+      p.create(Seq(1)).map[Int](_ => throw new IllegalStateException("user boom")).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(t => Option(t.getMessage).exists(_.contains("user boom"))))
+  }
+
+  test("composite transform returning existing PCollection (ray_runner_test.py:975-983)") {
+    val p = Pipeline(spark)
+    def doubled(in: api.PCollection[Int]): api.PCollection[Int] = in.map(_ * 2)
+    val base = p.create(Seq(1, 2))
+    assertMultiset(doubled(base).union(base).collect(), Seq(1, 2, 2, 4))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity operator specs over planted duplicates. */
+class DedupSimilaritySpec extends SparkTestBase {
+
+  private def docs() = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog by the river bank tonight"), // near-dup of 1
+      (3L, "completely different text about spark engines and catalyst optimizers here"),
+      (4L, "the quick brown fox jumps over the lazy dog by the river bank today"), // exact dup of 1
+      (5L, "unrelated words entirely nothing in common with anything else at all")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min-id survivor per key") {
+    val out = Dedup.exact(docs(), Seq("text"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assertMultiset(out, Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("exactGroups reports representative and dup count") {
+    val out = Dedup.exactGroups(docs(), "text", "doc_id")
+      .filter(col("n_dups") > 1)
+      .select("rep_id", "n_dups").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assertMultiset(out, Seq((1L, 2L)))
+  }
+
+  test("minhash LSH finds planted near-dups, skips unrelated") {
+    val pairs = Dedup.minHashLshPairs(docs(), "doc_id", "text",
+        shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)), s"near-dup pair missing from $pairs")
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) && Set(a, b).contains(5L) })
+  }
+
+  test("keepMinIdSurvivors drops pair losers") {
+    val pairs = Dedup.minHashLshPairs(docs(), "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5)
+    val kept = Dedup.keepMinIdSurvivors(docs(), "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(4L))
+    assert(kept.contains(3L) && kept.contains(5L))
+  }
+
+  test("simhash block-probing finds exact dup at hamming 0") {
+    val pairs = Dedup.simHashPairs(docs(), "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 4L && h == 0 })
+  }
+
+  test("ngramJaccardVerify rescoring") {
+    val cand = {
+      val s = spark
+      import s.implicits._
+      Seq((1L, 4L), (3L, 5L)).toDF("id1", "id2")
+    }
+    val out = Dedup.ngramJaccardVerify(docs(), "doc_id", "text", cand,
+        shingleSize = 2, threshold = 0.9)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assertMultiset(out, Seq((1L, 4L)))
+  }
+
+  private def vecs() = {
+    val s = spark
+    import s.implicits._
+    // 4-dim: v1≈v2 (same direction), v3 orthogonal
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak") {
+    val out = Similarity.bruteForceTopK(vecs(), "vec_id", "embedding",
+        vecs().filter(col("vec_id") === 1).select(col("vec_id").as("q"), col("embedding").as("qv")),
+        "q", "qv", k = 2)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("partialTopK matches bruteForceTopK") {
+    val queries = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    val partial = Similarity.partialTopK(spark, vecs(), "vec_id", "embedding", queries, 3)
+      .select("query_id", "corpus_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(vecs(), "vec_id", "embedding",
+        vecs().filter(col("vec_id") === 1).select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        "query_id", "qv", k = 3)
+      .select("query_id", "corpus_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(partial == brute)
+  }
+
+  test("embeddingNearDupPairs finds same-direction vectors") {
+    val pairs = Dedup.embeddingNearDupPairs(vecs(), "vec_id", "embedding",
+        lshBits = 4, threshold = 0.9)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions.{Hashing, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the codegen'd function library (engine extensions). */
+class FunctionsSpec extends SparkTestBase {
+
+  import org.apache.spark.sql.Row
+
+  private def one(colExpr: org.apache.spark.sql.Column, rows: Seq[String]): Seq[Any] = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("text").select(colExpr.as("r")).collect().map(_.get(0)).toSeq
+  }
+
+  test("tokens + tokenCount handle whitespace runs and empties") {
+    assert(one(TextFunctions.tokenCount(col("text")), Seq("a  b\tc", "", "  x ")) ==
+      Seq(3, 0, 1))
+  }
+
+  test("punctRatio counts ASCII punctuation only") {
+    val Seq(r) = one(TextFunctions.punctRatio(col("text")), Seq("a,b!"))
+    assert(r.asInstanceOf[Double] == 0.5)
+  }
+
+  test("stopwordRatio") {
+    val Seq(r) = one(TextFunctions.stopwordRatio(col("text")), Seq("the cat and dog"))
+    assert(r.asInstanceOf[Double] == 0.5)
+  }
+
+  test("langId picks the lexicon with most hits") {
+    assert(one(TextFunctions.langId(col("text")),
+      Seq("the cat is on the mat", "el perro y la casa de los", "xyzzy")) ==
+      Seq("en", "es", "und"))
+  }
+
+  test("wordShingles produces distinct n-grams") {
+    val Seq(r) = one(TextFunctions.wordShingles(col("text"), 2), Seq("a b c a b"))
+    assert(r.asInstanceOf[scala.collection.Seq[String]].toSet == Set("a b", "b c", "c a"))
+  }
+
+  test("charNgrams") {
+    val Seq(r) = one(TextFunctions.charNgrams(col("text"), 2), Seq("abca"))
+    assert(r.asInstanceOf[scala.collection.Seq[String]].toSet == Set("ab", "bc", "ca"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val r = one(TextFunctions.fingerprint(col("text")), Seq("a b", "b a", "a b"))
+    assert(r(0) == r(2) && r(0) != r(1))
+  }
+
+  test("minhash: identical sets → identical signatures; jaccard estimate ≈ 1") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("x", "the quick brown fox jumps over the lazy dog again"),
+      ("y", "the quick brown fox jumps over the lazy dog again"))
+      .toDF("id", "text")
+      .withColumn("sig", Hashing.minHashSignature(
+        TextFunctions.wordShingles(col("text"), 2), 32))
+    val sigs = df.select("sig").collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("minHashJaccard estimates overlap") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a b c d e f g h", "a b c d e f g h"), ("a b c d e f g h", "q r s t u v w x"))
+      .toDF("t1", "t2")
+      .select(
+        Hashing.minHashJaccard(
+          Hashing.minHashSignature(split(col("t1"), " "), 64),
+          Hashing.minHashSignature(split(col("t2"), " "), 64)).as("j"))
+    val js = df.collect().map(_.getDouble(0))
+    assert(js(0) == 1.0 && js(1) < 0.3)
+  }
+
+  test("simHash: similar token lists are Hamming-close, dissimilar far") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog one two three four five six",
+      "the quick brown fox jumps over the lazy dog one two three four five seven",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi")
+      .toDF("text").select(Hashing.simHash(TextFunctions.tokens(col("text"))).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(1)) < ham(hs(0), hs(2)))
+  }
+
+  test("vector dot/norm/cosine") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)), (Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.dot(col("a"), col("b")).as("d"),
+        VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) == 0.0 && rows(0).getDouble(1) == 0.0)
+    assert(rows(1).getDouble(0) == 2.0 && math.abs(rows(1).getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("cosineLshBucket: identical vectors share a bucket, deterministic across evals") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f), Array(-1.0f, -2.0f, -3.0f))
+      .toDF("v").select(VectorFunctions.cosineLshBucket(col("v"), 8).as("b"))
+    val bs = df.collect().map(_.getLong(0))
+    assert(bs(0) == bs(1))
+    // antipodal vector flips every plane sign → complement bucket
+    assert(bs(0) != bs(2))
+  }
+}

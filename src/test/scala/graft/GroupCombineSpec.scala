@@ -1,0 +1,104 @@
+package graft
+
+import graft.api.Pipeline
+import graft.core._
+
+/** GBK / Combine conformance (reference: RayGroupByKey translator.py:341-390,
+  * combines ray_runner_test.py:857-864, 1113-1185, GBK :821-829).
+  */
+class GroupCombineSpec extends SparkTestBase {
+
+  private val mean = new CombineFn[Double, (Double, Long), Double] {
+    def createAccumulator(): (Double, Long) = (0.0, 0L)
+    def addInput(a: (Double, Long), v: Double): (Double, Long) = (a._1 + v, a._2 + 1)
+    def mergeAccumulators(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def extractOutput(a: (Double, Long)): Double = if (a._2 == 0) 0 else a._1 / a._2
+  }
+
+  test("groupByKey collects values per key (ray_runner_test.py:821-829)") {
+    val p = Pipeline(spark)
+    val out = p.create(Seq(("a", 1), ("b", 2), ("a", 3)))
+      .groupByKey[String, Int]
+      .map { case (k, vs) => (k, vs.toSeq.sorted) }
+      .collect()
+    assertMultiset(out, Seq(("a", Seq(1, 3)), ("b", Seq(2))))
+  }
+
+  test("groupByKey supports tuple keys (translator.py:352-360 KeyWrapper — free in Spark)") {
+    val p = Pipeline(spark)
+    val out = p.create(Seq(((1, "x"), 10), ((1, "x"), 20), ((2, "y"), 30)))
+      .groupByKey[(Int, String), Int]
+      .map { case (k, vs) => (k, vs.sum) }
+      .collect()
+    assertMultiset(out, Seq(((1, "x"), 30), ((2, "y"), 30)))
+  }
+
+  test("groupByKey supports unit/None-ish keys (translator.py:346-350 void keys)") {
+    val p = Pipeline(spark)
+    val out = p.create(Seq(((), 1), ((), 2)))
+      .groupByKey[Unit, Int]
+      .map { case (_, vs) => vs.sum }
+      .collect()
+    assertMultiset(out, Seq(3))
+  }
+
+  test("combinePerKey mean (MeanCombineFn test ray_runner_test.py:857-864)") {
+    val p = Pipeline(spark)
+    val out = p.create(Seq(("a", 1.0), ("a", 2.0), ("b", 6.0)))
+      .combinePerKey[String, Double, (Double, Long), Double](mean)
+      .collect()
+    assertMultiset(out, Seq(("a", 1.5), ("b", 6.0)))
+  }
+
+  test("combineGlobally (Count.Globally ray_runner_test.py:1113-1115)") {
+    val p = Pipeline(spark)
+    val count = new CombineFn[Int, Long, Long] {
+      def createAccumulator(): Long = 0L
+      def addInput(a: Long, v: Int): Long = a + 1
+      def mergeAccumulators(a: Long, b: Long): Long = a + b
+      def extractOutput(a: Long): Long = a
+    }
+    assertMultiset(
+      p.create(1 to 10).combineGlobally(count).collect(), Seq(10L))
+  }
+
+  test("packed min+max combine on same input (ray_runner_test.py:1133-1185)") {
+    val p = Pipeline(spark)
+    val in = p.create(Seq(5, 1, 9, 3))
+    val minFn = new CombineFn[Int, Int, Int] {
+      def createAccumulator(): Int = Int.MaxValue
+      def addInput(a: Int, v: Int): Int = math.min(a, v)
+      def mergeAccumulators(a: Int, b: Int): Int = math.min(a, b)
+      def extractOutput(a: Int): Int = a
+    }
+    val maxFn = new CombineFn[Int, Int, Int] {
+      def createAccumulator(): Int = Int.MinValue
+      def addInput(a: Int, v: Int): Int = math.max(a, v)
+      def mergeAccumulators(a: Int, b: Int): Int = math.max(a, b)
+      def extractOutput(a: Int): Int = a
+    }
+    assertMultiset(in.combineGlobally(minFn).collect(), Seq(1))
+    assertMultiset(in.combineGlobally(maxFn).collect(), Seq(9))
+  }
+
+  test("coGroupByKey joins two keyed collections (translator.py:446 composite)") {
+    val p = Pipeline(spark)
+    val left = p.create(Seq(("a", 1), ("a", 2), ("b", 3)))
+    val right = p.create(Seq(("a", "x"), ("c", "y")))
+    val out = left.coGroupByKey[String, Int, String](right)
+      .map { case (k, (is, ss)) => (k, is.toSeq.sorted, ss.toSeq.sorted) }
+      .collect()
+    assertMultiset(out, Seq(
+      ("a", Seq(1, 2), Seq("x")),
+      ("b", Seq(3), Seq.empty[String]),
+      ("c", Seq.empty[Int], Seq("y"))))
+  }
+
+  test("countPerKey composite") {
+    val p = Pipeline(spark)
+    assertMultiset(
+      p.create(Seq(("a", ()), ("a", ()), ("b", ()))).countPerKey[String, Unit].collect(),
+      Seq(("a", 2L), ("b", 1L)))
+  }
+}

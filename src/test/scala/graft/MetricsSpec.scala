@@ -1,0 +1,41 @@
+package graft
+
+import graft.api.Pipeline
+import graft.core._
+
+/** Metrics conformance (reference: ray_runner_test.py:985-1019 — counter
+  * summed to 6 over [1,2,3], distribution over (4,2,1,3) reports
+  * sum/count/min/max, gauge keeps a value; query surface
+  * ray_fn_runner.py:462-507).
+  */
+class MetricsSpec extends SparkTestBase {
+
+  test("counter accumulates across elements (ray_runner_test.py:985-996)") {
+    val p = Pipeline(spark)
+    val c = p.metrics.counter("ns", "counter-" + System.nanoTime())
+    p.create(Seq(1, 2, 3)).parDo(new DoFn[Int, Int] {
+      def process(e: Int, ctx: ProcessContext[Int]): Unit = { c.add(e.toLong); ctx.output(e) }
+    }).collect()
+    assert(c.value == 6L)
+  }
+
+  test("distribution tracks sum/count/min/max (ray_runner_test.py:998-1009)") {
+    val p = Pipeline(spark)
+    val d = p.metrics.distribution("ns", "dist-" + System.nanoTime())
+    p.create(Seq(4L, 2L, 1L, 3L)).parDo(new DoFn[Long, Long] {
+      def process(e: Long, ctx: ProcessContext[Long]): Unit = { d.add(e); ctx.output(e) }
+    }).collect()
+    val r = d.value
+    assert(r == DistributionResult(10L, 4L, 1L, 4L))
+    assert(r.mean == 2.5)
+  }
+
+  test("gauge keeps a set value (ray_runner_test.py:1011-1019)") {
+    val p = Pipeline(spark)
+    val g = p.metrics.gauge("ns", "gauge-" + System.nanoTime())
+    p.create(Seq(3L)).parDo(new DoFn[Long, Long] {
+      def process(e: Long, ctx: ProcessContext[Long]): Unit = { g.add(e); ctx.output(e) }
+    }).collect()
+    assert(g.value == 3L)
+  }
+}
