@@ -1,0 +1,137 @@
+package graft.streaming
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.collection.mutable
+
+/** Streaming variants of the engine's operators on Structured Streaming —
+  * the Spark-native equivalent of the reference's unbounded-PCollection path
+  * (watermark manager execution.py:374-390; bundle loop ray_fn_runner.py:268-297
+  * becomes the micro-batch; timers fire when the watermark passes, matching
+  * ray_fn_runner.py:385-459 event-time-only semantics).
+  */
+object StreamingOps {
+
+  /** Tumbling/sliding windowed aggregation with a watermark: the fast path
+    * for WindowInto(Fixed/Sliding)+GBK on a stream (SURVEY.md §4: standard
+    * WindowFns rewrite onto native `window()`).
+    *
+    * @param slide pass `size` (or omit) for tumbling windows
+    */
+  def windowedCounts(
+      events: DataFrame, tsCol: String, keyCol: String,
+      size: String, slide: Option[String] = None,
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col(tsCol), size, s)
+      case None => window(col(tsCol), size)
+    }
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), win.as("window"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"))
+  }
+
+  /** Session windows on a stream via native `session_window` — the streaming
+    * counterpart of Sessions+GBK (ray_runner_test.py:880-890 semantics).
+    */
+  def sessionCounts(
+      events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermarkDelay: String = "10 seconds"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("session"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("n"))
+
+  /** Streaming stateful ParDo: `flatMapGroupsWithState` with the in-state
+    * timer heap pattern (SURVEY.md §7.4 — Spark exposes ONE timeout per key;
+    * multiple/dynamic Beam timers become entries in `KeyedState.timers` and
+    * the group timeout is set to the min pending fire time).
+    *
+    * Timers are event-time only, matching the reference
+    * (ray_fn_runner.py:98-100). Elements of a micro-batch are processed in
+    * timestamp order; timers ≤ the current watermark fire after the batch's
+    * elements (and on timeout callbacks between batches).
+    */
+  def statefulParDo[K, V, O](
+      // (key, value, eventTime) — the timestamp column MUST carry a
+      // watermark (`.withWatermark` on it, with no object-map in between,
+      // or Spark drops the metadata and rejects EventTimeTimeout)
+      input: Dataset[(K, V, java.sql.Timestamp)],
+      fn: StatefulDoFn[K, V, O])(
+      implicit ko: Encoder[K], oo: Encoder[O]): Dataset[O] = {
+    implicit val stateEnc: Encoder[StreamState] =
+      Encoders.kryo(classOf[StreamState])
+    input
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[StreamState, O](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: K, rows: Iterator[(K, V, java.sql.Timestamp)], state: GroupState[StreamState]) =>
+          runStreamingGroup(key, rows.map(r => (r._1, r._2, r._3.getTime)), state, fn)
+      }
+  }
+
+  /** Kryo-persisted state: raw cell values + timer heap. */
+  final class StreamState extends Serializable {
+    val cells: mutable.Map[String, Any] = mutable.Map.empty
+    val timers: mutable.Map[(String, String), Long] = mutable.Map.empty
+  }
+
+  private def runStreamingGroup[K, V, O](
+      key: K, rows: Iterator[(K, V, Long)], state: GroupState[StreamState],
+      fn: StatefulDoFn[K, V, O]): Iterator[O] = {
+    val st = state.getOption.getOrElse(new StreamState)
+    val cells = new StateCells
+    cells.cells ++= st.cells
+    cells.timers ++= st.timers
+    val out = mutable.ArrayBuffer.empty[O]
+    val theKey: Any = key
+    val ctx = new StatefulContext[O] {
+      var curTs: Long = 0L
+      def key: Any = theKey
+      def window: BoundedWindow = GlobalWindow
+      def timestamp: Long = curTs
+      def output(o: O): Unit = out += o
+      def outputWithTimestamp(o: O, ts: Long): Unit = out += o
+      def bag[T](spec: BagStateSpec[T]): BagState[T] = cells.bag(spec)
+      def value[T](spec: ValueStateSpec[T]): ValueState[T] = cells.value(spec)
+      def combining[I, A, OO](spec: CombiningStateSpec[I, A, OO]): CombiningState[I, OO] =
+        cells.combining(spec)
+      def timer(spec: TimerSpec): Timer = cells.timer(spec)
+    }
+    if (!state.hasTimedOut) {
+      rows.toVector.sortBy(_._3).foreach { case (_, v, ts) =>
+        ctx.curTs = ts
+        fn.process(key, v, ctx)
+      }
+    }
+    // fire timers the watermark has passed (event-time only)
+    val wm = state.getCurrentWatermarkMs()
+    var pending = cells.timers.filter(_._2 <= wm)
+    while (pending.nonEmpty) {
+      val ((name, tag), ts) = pending.minBy { case ((n, t), ts0) => (ts0, n, t) }
+      cells.timers.remove((name, tag))
+      ctx.curTs = ts
+      fn.onTimer(key, TimerSpec(name), tag, ts, ctx)
+      pending = cells.timers.filter(_._2 <= wm)
+    }
+    val newState = new StreamState
+    newState.cells ++= cells.cells
+    newState.timers ++= cells.timers
+    if (newState.cells.isEmpty && newState.timers.isEmpty) {
+      if (state.exists) state.remove()
+    } else {
+      state.update(newState)
+      if (newState.timers.nonEmpty) {
+        // single Spark timeout = min pending Beam timer (must be > watermark)
+        val next = math.max(newState.timers.values.min, wm + 1)
+        state.setTimeoutTimestamp(next)
+      }
+    }
+    out.iterator
+  }
+}

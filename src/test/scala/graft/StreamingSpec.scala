@@ -1,0 +1,110 @@
+package graft
+
+import graft.core._
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming variants (SURVEY.md §7.1-5): micro-batch = bundle; watermarks
+  * drive event-time timers. MemoryStream + memory sink = the deterministic
+  * harness (analog of the reference's in-memory conformance inputs).
+  */
+object StreamingSpecFixtures {
+  val sumSpec: CombiningStateSpec[Double, (Double, Long), (Double, Long)] =
+    CombiningStateSpec("sums", new CombineFn[Double, (Double, Long), (Double, Long)] {
+      def createAccumulator(): (Double, Long) = (0.0, 0L)
+      def addInput(a: (Double, Long), v: Double): (Double, Long) = (a._1 + v, a._2 + 1)
+      def mergeAccumulators(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+        (a._1 + b._1, a._2 + b._2)
+      def extractOutput(a: (Double, Long)): (Double, Long) = a
+    })
+  val flushSpec: TimerSpec = TimerSpec("flush")
+}
+
+class StreamingSpec extends SparkTestBase {
+  import StreamingSpecFixtures._
+
+  test("streaming windowed counts with watermark (fixed windows)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "k")
+    val out = StreamingOps.windowedCounts(df, "ts", "k", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("wincounts_" + System.nanoTime())
+      .outputMode("append").start()
+    val qn = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery].name
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    mem.addData((ts(1), "a"), (ts(2), "a"), (ts(11), "a"))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first two windows
+    mem.addData((ts(100), "a"))
+    q.processAllAvailable()
+    val rows = s.sql(s"SELECT k, unix_millis(window_start) ws, n FROM $qn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    q.stop()
+    assertMultiset(rows, Seq(("a", 0L, 2L), ("a", 10000L, 1L)))
+  }
+
+  test("streaming session windows with watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "k")
+    val out = StreamingOps.sessionCounts(df, "ts", "k", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_" + System.nanoTime())
+      .outputMode("append").start()
+    val qn = q.name
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    mem.addData((ts(1), "a"), (ts(2), "a"), (ts(30), "a"))
+    q.processAllAvailable()
+    mem.addData((ts(200), "a"))
+    q.processAllAvailable()
+    val rows = s.sql(s"SELECT k, unix_millis(session_start) ss, n FROM $qn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    q.stop()
+    assertMultiset(rows, Seq(("a", 1000L, 2L), ("a", 30000L, 1L)))
+  }
+
+  test("streaming stateful ParDo: state persists across micro-batches, timer fires on watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Double, Long)]
+    // event time column required for EventTimeTimeout; watermark applied to
+    // the retained timestamp column (no object-map after it)
+    val input = mem.toDS()
+      .select(col("_1"), col("_2"), timestamp_millis(col("_3")).as("et"))
+      .withWatermark("et", "0 seconds")
+      .as[(String, Double, java.sql.Timestamp)]
+    val fn = new StatefulDoFn[String, Double, (String, Double, Long)] {
+      def process(k: String, v: Double, ctx: StatefulContext[(String, Double, Long)]): Unit = {
+        ctx.combining(sumSpec).add(v)
+        ctx.timer(flushSpec).set(ctx.timestamp + 5000)
+      }
+      override def onTimer(k: String, spec: TimerSpec, tag: String, fireTs: Long,
+          ctx: StatefulContext[(String, Double, Long)]): Unit = {
+        val (sum, n) = ctx.combining(sumSpec).read()
+        ctx.output((k, sum, n))
+      }
+    }
+    val out = StreamingOps.statefulParDo(input, fn)
+    val q = out.toDF("k", "sum", "n").writeStream.format("memory")
+      .queryName("stateful_" + System.nanoTime()).outputMode("append").start()
+    val qn = q.name
+    mem.addData(("a", 1.0, 1000L), ("a", 2.0, 2000L))
+    q.processAllAvailable()
+    // second batch advances the watermark past the pending timer (7s) → fires
+    mem.addData(("b", 9.0, 60000L))
+    q.processAllAvailable()
+    mem.addData(("c", 1.0, 120000L))
+    q.processAllAvailable()
+    val rows = s.sql(s"SELECT k, sum, n FROM $qn")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    q.stop()
+    // key a flushed (sum 3.0 over 2 events); key b flushed after batch 3
+    assert(rows.contains(("a", 3.0, 2L)), s"missing a-flush in $rows")
+    assert(rows.contains(("b", 9.0, 1L)), s"missing b-flush in $rows")
+  }
+}
