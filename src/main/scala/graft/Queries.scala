@@ -351,7 +351,7 @@ object Queries {
 
   /** SimHash near-dup pairs via Hamming block probing (no SQL oracle). */
   def d24SimhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
+    Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
 
   /** Exact token-set Jaccard over blocked candidate pairs. */
   def d25NgramJaccard(s: SparkSession, d: String): DataFrame = {

@@ -9,16 +9,28 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
+  /** One xxhash64 per element — the only string hashing MinHash/SimHash
+    * need; all per-slot/per-bit derivation happens on these longs.
+    * Materialize this as its own column (separate projection) before fanning
+    * out so the string hash isn't re-evaluated per slot.
+    */
+  def elementHashes(set: Column): Column = transform(set, e => xxhash64(e))
+
   /** MinHash signature of a string-array column: `numHashes` independent
-    * permutations simulated as xxhash64 with distinct seeds; each signature
-    * slot is the min hash over the set. Returns array<bigint> of length
-    * `numHashes`. Pure Column expression — no UDF, no shuffle.
+    * permutations; each slot is the min over the set of a re-mix of the
+    * per-element hash (hash each STRING once, then `numHashes` cheap
+    * long-rehashes — not `numHashes` string hashes). Returns array<bigint>.
+    * Pure Column expression — no UDF, no shuffle.
     */
   def minHashSignature(set: Column, numHashes: Int): Column =
+    minHashFromHashes(elementHashes(set), numHashes)
+
+  /** Signature from precomputed element hashes (see [[elementHashes]]). */
+  def minHashFromHashes(hashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
-      // per-slot min over the element hashes; empty sets get Long.MaxValue
+      // per-slot min over re-mixed element hashes; empty sets → Long.MaxValue
       coalesce(
-        array_min(transform(set, e => xxhash64(e, lit(seed)))),
+        array_min(transform(hashes, h => xxhash64(h, lit(seed)))),
         lit(Long.MaxValue))
     }: _*)
 
@@ -54,16 +66,20 @@ object Hashing {
     * fingerprint. Hamming-close simhashes = near-dup docs. Pure expression:
     * builds the 64 bit-sums with `aggregate` over a 64-slot array.
     */
-  def simHash(tokensCol: Column): Column = {
-    // acc: array of 64 counters; per token t add +1/-1 per bit of xxhash64(t)
+  def simHash(tokensCol: Column): Column = simHashFromHashes(elementHashes(tokensCol))
+
+  /** SimHash from precomputed element hashes: each element contributes one
+    * precomputed long; its 64 bits vote via shifts (no re-hashing per bit).
+    */
+  def simHashFromHashes(hashes: Column): Column = {
+    // acc: array of 64 counters; per element hash h add +1/-1 per bit of h
     val votes = aggregate(
-      tokensCol,
+      hashes,
       array_repeat(lit(0L), 64),
-      (acc, t) =>
-        zip_with(acc, transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L)),
-          (a, v) => a + v))
+      (acc, h) =>
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)))
     // fold sign bits into one long
     aggregate(
       zip_with(votes, sequence(lit(0), lit(63)),

@@ -81,14 +81,21 @@ object TextFunctions {
     * the classic cheap n-gram/stopword heuristic. Returns the language code
     * with the most hits, 'und' when nothing matches.
     */
-  private val LangLexicon: Seq[(String, Seq[String])] = Seq(
+  private[graft] val LangLexicon: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
     "de" -> Seq("der", "die", "und", "das", "von", "den", "des", "ein", "mit", "ist"),
     "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
 
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.plans.NativeExpressions.langIdOver(tokens(lower(text)), LangLexicon)
+
+  /** Column-function formulation of langId, kept as executable documentation
+    * of the semantics the native expression implements (identical fold:
+    * first strictly-greatest lexicon in order wins; 'und' when all zero).
+    */
+  def langIdColumns(text: Column): Column = {
     val ts = tokens(lower(text))
     val scores: Seq[(String, Column)] = LangLexicon.map { case (lang, words) =>
       lang -> size(filter(ts, t => t.isin(words.map(x => x: Any): _*)))

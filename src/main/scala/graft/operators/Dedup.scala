@@ -37,10 +37,14 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signatures for a text column (word shingles → n-hash signature). */
+  /** MinHash signatures for a text column (word shingles → n-hash signature).
+    * The per-shingle string hash is materialized as its own projection so the
+    * `numHashes` slot expressions re-mix longs instead of re-hashing strings.
+    */
   def withMinHash(df: DataFrame, textCol: String, shingleSize: Int, numHashes: Int): DataFrame =
     df.withColumn("__shingles", TextFunctions.wordShingles(col(textCol), shingleSize))
-      .withColumn("__sig", Hashing.minHashSignature(col("__shingles"), numHashes))
+      .withColumn("__sig",
+        graft.plans.NativeExpressions.minHashSignature(col("__shingles"), numHashes))
 
   /** MinHash-LSH near-duplicate candidate pairs with estimated Jaccard ≥
     * `threshold`. Pipeline: shingle → signature → explode band keys →
@@ -52,12 +56,21 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 128,
       bands: Int = 32, threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = withMinHash(df, textCol, shingleSize, numHashes)
-      .select(col(idCol).as("__id"), col("__sig"))
-    // band-explode only (id, bandKey) — the heavy signature array is joined
-    // back just once per surviving candidate pair, not shuffled `bands` times
+    // signatures feed three plan branches (banding + two pair joins) —
+    // cache so the tokenize+hash pass runs once (at cluster scale this is a
+    // persisted/checkpointed signature table). The native expression never
+    // materializes shingle strings: tokens hash once, windows fold hashes.
+    val sigs = df.select(col(idCol).as("__id"),
+        graft.plans.NativeExpressions.minHashShingleSignature(
+          TextFunctions.tokens(lower(col(textCol))), shingleSize, numHashes).as("__sig"))
+      .persist()
+    // band-explode only (id, band, bucket) — the heavy signature array is
+    // joined back just once per surviving candidate pair, not shuffled
+    // `bands` times
     val banded = sigs.select(col("__id"),
-      explode(Hashing.lshBandKeys(col("__sig"), bands, rowsPerBand)).as("__bk"))
+        posexplode(graft.plans.NativeExpressions.bandBuckets(
+          col("__sig"), bands, rowsPerBand)))
+      .select(col("__id"), struct(col("pos"), col("col")).as("__bk"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.__bk") === col("b.__bk") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
@@ -105,8 +118,12 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
     val blockBits = 64 / nBlocks
-    val fp = df.select(col(idCol).as("__id"),
-      Hashing.simHash(TextFunctions.tokens(lower(col(textCol)))).as("__fp"))
+    // fingerprints feed nBlocks join branches — hash once, cache
+    val fp = df
+      .select(col(idCol).as("__id"),
+        graft.plans.NativeExpressions.simHash64(
+          TextFunctions.tokens(lower(col(textCol)))).as("__fp"))
+      .persist()
     val blocked = fp.withColumn("__blk", explode(array((0 until nBlocks).map { b =>
       struct(lit(b).as("i"),
         call_function("shiftright", col("__fp"), lit(b * blockBits))
@@ -127,10 +144,11 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       lshBits: Int = 12, threshold: Double = 0.95): DataFrame = {
     val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .withColumn("__bucket", VectorFunctions.cosineLshBucket(col("__v"), lshBits))
+      .withColumn("__bucket", graft.plans.NativeExpressions.lshBucket(col("__v"), lshBits))
     v.as("a").join(v.as("b"),
         col("a.__bucket") === col("b.__bucket") && col("a.__id") < col("b.__id"))
-      .withColumn("cosine", round(VectorFunctions.cosine(col("a.__v"), col("b.__v")), 6))
+      .withColumn("cosine",
+        round(graft.plans.NativeExpressions.cosine(col("a.__v"), col("b.__v")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"), col("cosine"))
   }

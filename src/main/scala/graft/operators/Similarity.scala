@@ -29,7 +29,7 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("score", VectorFunctions.cosine(col(corpusVec), col(queryVec)))
+      .withColumn("score", graft.plans.NativeExpressions.cosine(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(col(queryId)).orderBy(col("score").desc, col(corpusId))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -96,18 +96,18 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, bits: Int = 10, probes: Int = 2): DataFrame = {
     val cb = corpus.withColumn("__bucket",
-      VectorFunctions.cosineLshBucket(col(corpusVec), bits))
+      graft.plans.NativeExpressions.lshBucket(col(corpusVec), bits))
     // multi-probe: original bucket plus single-bit flips
     val probeBuckets = array((lit(-1) +: (0 until probes).map(lit(_))): _*)
     val qb = queries
-      .withColumn("__qb", VectorFunctions.cosineLshBucket(col(queryVec), bits))
+      .withColumn("__qb", graft.plans.NativeExpressions.lshBucket(col(queryVec), bits))
       .withColumn("__probe", explode(probeBuckets))
       .withColumn("__bucket",
         when(col("__probe") === -1, col("__qb"))
           .otherwise(col("__qb").bitwiseXOR(call_function("shiftleft", lit(1L), col("__probe")))))
       .drop("__probe", "__qb")
     val scored = cb.join(broadcast(qb), "__bucket")
-      .withColumn("score", VectorFunctions.cosine(col(corpusVec), col(queryVec)))
+      .withColumn("score", graft.plans.NativeExpressions.cosine(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(col(queryId)).orderBy(col("score").desc, col(corpusId))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

@@ -1,0 +1,319 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the dedup/similarity hot loops.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`) are
+  * interpreted per element with array re-allocation per step — fine for the
+  * oracle-checked scalar metrics, but a 64-slot vote array rebuilt per token
+  * makes SimHash/MinHash/cosine the bench bottleneck. These expressions do
+  * the same math as one tight JVM loop over the unsafe array data (the
+  * preference order from the design brief: native Expression > UDF > HOF
+  * chain for hot paths).
+  *
+  * They are deliberately `CodegenFallback`: the loop itself dominates, and
+  * eval-mode keeps them short. Deterministic: same xxhash64 core Spark's
+  * `xxhash64` uses.
+  */
+object NativeExpressions {
+  def minHashSignature(set: Column, numHashes: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(
+      MinHashSignatureExpr(ColumnBridge.expression(set), numHashes, seed))
+
+  def simHash64(tokens: Column, seed: Long = 42L): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens), seed))
+
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSimilarityExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def lshBucket(vec: Column, bits: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(LshBucketExpr(ColumnBridge.expression(vec), bits, seed))
+
+  /** MinHash signature over word `shingleSize`-grams of a token array —
+    * WITHOUT materializing shingle strings: each token is hashed once and a
+    * shingle's identity is the hash-fold of its window (min over a multiset
+    * equals min over the set, so no dedup pass is needed either).
+    */
+  def minHashShingleSignature(tokens: Column, shingleSize: Int, numHashes: Int,
+      seed: Long = 42L): Column =
+    ColumnBridge.column(MinHashShingleSigExpr(
+      ColumnBridge.expression(tokens), shingleSize, numHashes, seed))
+
+  /** LSH band bucket keys from a MinHash signature: bucket b = hash-fold of
+    * slots [b*r, (b+1)*r) seeded by b. Returns array<long> of length `bands`
+    * (pair with posexplode for (band, bucket) join keys).
+    */
+  def bandBuckets(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    ColumnBridge.column(BandBucketsExpr(
+      ColumnBridge.expression(signature), bands, rowsPerBand))
+
+  /** Native language-ID: token-count votes per lexicon, first strictly
+    * greatest wins (exact semantics of TextFunctions.langId's fold and the
+    * DuckDB oracle CASE).
+    */
+  def langIdOver(tokens: Column, lexicons: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(LangIdExpr(ColumnBridge.expression(tokens), lexicons))
+
+  /** Read element i of a numeric array column as double (float or double). */
+  private[plans] def numAt(arr: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  private[plans] def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** MinHash signature: per element one string hash, then `numHashes` long
+  * re-mixes; slot j = min over elements of xxh64(h(e), j). Matches the
+  * column-function formulation in spirit (graft.functions.Hashing) with a
+  * single pass.
+  */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int, seed: Long)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), seed)
+      var j = 0
+      while (j < numHashes) {
+        val m = XXH64.hashLong(h, j)
+        if (m < out(j)) out(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over an array<string>: one hash per token; each bit of the
+  * hash votes ±1; output = sign bits.
+  */
+case class SimHash64Expr(child: Expression, seed: Long)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), seed)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** Cosine similarity of two numeric arrays, accumulated left-to-right in
+  * doubles — the same operation order as the `aggregate`-based formulation
+  * and the DuckDB oracle, so round(6) results are unchanged.
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  private lazy val lf = NativeExpressions.isFloatArray(left)
+  private lazy val rf = NativeExpressions.isFloatArray(right)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = NativeExpressions.numAt(x, i, lf)
+      val yi = NativeExpressions.numAt(y, i, rf)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0) dot / denom else 0.0
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarityExpr =
+    copy(left = l, right = r)
+}
+
+case class DotProductExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  private lazy val lf = NativeExpressions.isFloatArray(left)
+  private lazy val rf = NativeExpressions.isFloatArray(right)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += NativeExpressions.numAt(x, i, lf) * NativeExpressions.numAt(y, i, rf)
+      i += 1
+    }
+    dot
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductExpr =
+    copy(left = l, right = r)
+}
+
+/** MinHash over hashed word shingles in one pass (see
+  * [[NativeExpressions.minHashShingleSignature]]). Documents shorter than
+  * `shingleSize` contribute a single whole-document shingle, matching
+  * TextFunctions.wordShingles' fallback.
+  */
+case class MinHashShingleSigExpr(child: Expression, shingleSize: Int, numHashes: Int, seed: Long)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = XXH64.hashUTF8String(arr.getUTF8String(i), seed); i += 1 }
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val windows = math.max(n - shingleSize + 1, if (n > 0) 1 else 0)
+    var w = 0
+    while (w < windows) {
+      var sh = th(w)
+      var k = 1
+      while (k < shingleSize && w + k < n) { sh = XXH64.hashLong(th(w + k), sh); k += 1 }
+      var j = 0
+      while (j < numHashes) {
+        val m = XXH64.hashLong(sh, j)
+        if (m < out(j)) out(j) = m
+        j += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashShingleSigExpr =
+    copy(child = newChild)
+}
+
+/** LSH band buckets from a signature array (see
+  * [[NativeExpressions.bandBuckets]]).
+  */
+case class BandBucketsExpr(child: Expression, bands: Int, rowsPerBand: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashLong(b.toLong, 9001L)
+      var r = 0
+      while (r < rowsPerBand) {
+        h = XXH64.hashLong(sig.getLong(b * rowsPerBand + r), h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BandBucketsExpr =
+    copy(child = newChild)
+}
+
+/** Lexicon-vote language ID over a (lowercased) token array. */
+case class LangIdExpr(child: Expression, lexicons: Seq[(String, Seq[String])])
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  @transient private lazy val names =
+    lexicons.map(l => org.apache.spark.unsafe.types.UTF8String.fromString(l._1)).toArray
+  @transient private lazy val sets = lexicons.map { case (_, ws) =>
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    ws.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }.toArray
+  @transient private lazy val und = org.apache.spark.unsafe.types.UTF8String.fromString("und")
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](sets.length)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      var l = 0
+      while (l < sets.length) { if (sets(l).contains(t)) counts(l) += 1; l += 1 }
+      i += 1
+    }
+    // first strictly-greatest in lexicon order (the fold semantics)
+    var best = und
+    var bs = 0
+    var l = 0
+    while (l < counts.length) {
+      if (counts(l) > bs) { bs = counts(l); best = names(l) }
+      l += 1
+    }
+    best
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH bucket: plane p's component for dimension i is the
+  * sign of xxh64(xxh64(p, seed), i) — regenerated identically on any
+  * executor, no stored model.
+  */
+case class LshBucketExpr(child: Expression, bits: Int, seed: Long)
+  extends UnaryExpression with CodegenFallback {
+  require(bits <= 63)
+  override def dataType: DataType = LongType
+  private lazy val isFloat = NativeExpressions.isFloatArray(child)
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < bits) {
+      val planeSeed = XXH64.hashLong(p.toLong, seed)
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val sign = if ((XXH64.hashLong(i.toLong, planeSeed) & 1L) == 1L) 1.0 else -1.0
+        proj += sign * NativeExpressions.numAt(v, i, isFloat)
+        i += 1
+      }
+      if (proj >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
+}
