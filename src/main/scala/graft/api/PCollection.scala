@@ -34,10 +34,16 @@ final class PCollection[T](
 
   /** Full-lifecycle ParDo: one Spark partition = one bundle
     * (setup → startBundle → process* → finishBundle → teardown,
-    * translator.py:208-281).
+    * translator.py:208-281). Each ParDo gets a system element counter
+    * (reference tracks per-PCollection element counts,
+    * ray_runner_test.py:1285-1514) queryable as
+    * `metrics.counterValue("graft.system", "elements.<name>")`.
     */
-  def parDo[O](fn: DoFn[T, O]): PCollection[O] = {
-    val ds = data.mapPartitions { it =>
+  def parDo[O](fn: DoFn[T, O], name: String = ""): PCollection[O] = {
+    val opName = if (name.nonEmpty) name else s"op${PCollection.nextOpId()}"
+    val elems = pipeline.metrics.counter("graft.system", s"elements.$opName")
+    val ds = data.mapPartitions { it0 =>
+      val it = it0.map { e => elems.add(1L); e }
       fn.setup()
       fn.startBundle()
       val ctx = new BufferingContext[O](0L, Seq(GlobalWindow))
@@ -342,9 +348,19 @@ final class PCollection[T](
   /** Typed Dataset of (value, timestampMillis). */
   def toTimestampedDataset(implicit enc: Encoder[(T, Long)]): Dataset[(T, Long)] =
     data.mapPartitions(_.map(wv => (wv.value, wv.timestamp)))(enc)
+
+  /** Line-oriented text sink (reference WriteToText analog,
+    * examples/word_count_metrics.py:134).
+    */
+  def writeText(path: String)(implicit ev: T <:< String): Unit =
+    toDataset(Encoders.STRING.asInstanceOf[Encoder[T]])
+      .write.mode("overwrite").text(path)
 }
 
 private[graft] object PCollection {
+
+  private val opCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  def nextOpId(): Int = opCounter.incrementAndGet()
 
   /** Per-(key, window) context; top-level class so Spark closures carry no
     * reference to the (non-serializable) PCollection instance.

@@ -88,6 +88,27 @@ class CoreDataflowSpec extends SparkTestBase {
       chain(ex).exists(t => Option(t.getMessage).exists(_.contains("user boom"))))
   }
 
+  test("readText + skip_header_lines + writeText round-trip (translator.py:122-144)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-text").toFile
+    val f = new java.io.File(dir, "in.txt")
+    java.nio.file.Files.writeString(f.toPath, "header\nline1\nline2\n")
+    val p = Pipeline(spark)
+    assertMultiset(p.readText(f.getPath).collect(), Seq("header", "line1", "line2"))
+    assertMultiset(p.readText(f.getPath, skipHeaderLines = 1).collect(), Seq("line1", "line2"))
+    val outDir = new java.io.File(dir, "out").getPath
+    p.readText(f.getPath, skipHeaderLines = 1).map(_.toUpperCase).writeText(outDir)
+    assertMultiset(p.readText(outDir + "/*.txt").collect(), Seq("LINE1", "LINE2"))
+  }
+
+  test("system element counters per ParDo (ray_runner_test.py:1285-1514 analog)") {
+    val p = Pipeline(spark)
+    val nm = "probe-elems"
+    p.create(Seq(1, 2)).parDo(new DoFn[Int, Int] {
+      def process(e: Int, ctx: ProcessContext[Int]): Unit = ctx.output(e)
+    }, name = nm).collect()
+    assert(p.metrics.counterValue("graft.system", s"elements.$nm") == 2L)
+  }
+
   test("composite transform returning existing PCollection (ray_runner_test.py:975-983)") {
     val p = Pipeline(spark)
     def doubled(in: api.PCollection[Int]): api.PCollection[Int] = in.map(_ * 2)
