@@ -233,7 +233,8 @@ final class PCollection[T](
     * plain round-robin repartition.
     */
   def reshuffle(numPartitions: Int = -1): PCollection[T] =
-    next(if (numPartitions > 0) data.repartition(numPartitions) else data.repartition())
+    next(if (numPartitions > 0) data.repartition(numPartitions)
+    else data.repartition(data.sparkSession.sessionState.conf.numShufflePartitions))
 
   /** CoGroupByKey composite (reference declares it via composite expansion,
     * translator.py:446): tag + flatten + GBK, like Beam's library composite.

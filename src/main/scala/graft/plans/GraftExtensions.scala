@@ -1,0 +1,57 @@
+package graft.plans
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook: registers the engine's native expressions as
+  * SQL functions, so `spark.sql` users get the same hot-loop operators the
+  * DataFrame API uses (SURVEY.md §7.5 — extension point (c): registered via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`).
+  *
+  * SQL surface:
+  *  - graft_minhash(array<string>, numHashes)          → array<bigint>
+  *  - graft_minhash_shingles(tokens, shingleSize, n)   → array<bigint>
+  *  - graft_band_buckets(sig, bands, rowsPerBand)      → array<bigint>
+  *  - graft_simhash64(array<string>)                   → bigint
+  *  - graft_cosine(array<num>, array<num>)             → double
+  *  - graft_dot(array<num>, array<num>)                → double
+  *  - graft_lsh_bucket(array<num>, bits)               → bigint
+  *  - graft_lang_id(array<string>)                     → string
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: Short => s.toInt
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_minhash"), info("graft_minhash"),
+      (args: Seq[Expression]) =>
+        MinHashSignatureExpr(args.head, intLit(args(1), "numHashes"), 42L)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_shingles"), info("graft_minhash_shingles"),
+      (args: Seq[Expression]) => MinHashShingleSigExpr(args.head,
+        intLit(args(1), "shingleSize"), intLit(args(2), "numHashes"), 42L)))
+    ext.injectFunction((FunctionIdentifier("graft_band_buckets"), info("graft_band_buckets"),
+      (args: Seq[Expression]) => BandBucketsExpr(args.head,
+        intLit(args(1), "bands"), intLit(args(2), "rowsPerBand"))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"), info("graft_simhash64"),
+      (args: Seq[Expression]) => SimHash64Expr(args.head, 42L)))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"), info("graft_cosine"),
+      (args: Seq[Expression]) => CosineSimilarityExpr(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_dot"), info("graft_dot"),
+      (args: Seq[Expression]) => DotProductExpr(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_lsh_bucket"), info("graft_lsh_bucket"),
+      (args: Seq[Expression]) => LshBucketExpr(args.head, intLit(args(1), "bits"), 42L)))
+    ext.injectFunction((FunctionIdentifier("graft_lang_id"), info("graft_lang_id"),
+      (args: Seq[Expression]) => LangIdExpr(args.head, TextFunctions.LangLexicon)))
+  }
+}
