@@ -56,6 +56,16 @@ final class PCollection[T](
       }
       fn.finishBundle(o => out += WindowedValue.of(o))
       fn.teardown()
+      // bundle finalization: after the task commits its outputs, at-least-
+      // once, exceptions swallowed (execution.py:131-139)
+      if (ctx.finalizers.nonEmpty) {
+        val cbs = ctx.finalizers.toList
+        Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
+          new org.apache.spark.util.TaskCompletionListener {
+            override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
+              cbs.foreach(cb => try cb() catch { case _: Throwable => () })
+          }))
+      }
       out.iterator
     }(wvEnc[O])
     next(ds)
@@ -79,6 +89,14 @@ final class PCollection[T](
       }
       fn.finishBundle(o => out += (("", WindowedValue.of(o))))
       fn.teardown()
+      if (ctx.finalizers.nonEmpty) {
+        val cbs = ctx.finalizers.toList
+        Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
+          new org.apache.spark.util.TaskCompletionListener {
+            override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
+              cbs.foreach(cb => try cb() catch { case _: Throwable => () })
+          }))
+      }
       out.iterator
     }(tupEnc[String, WindowedValue[Any]]).persist()
     val main = next(tagged.filter(_._1 == "").map(_._2.asInstanceOf[WindowedValue[O]])(wvEnc[O]))

@@ -26,6 +26,13 @@ trait ProcessContext[O] {
     * (reference: SideInputMap translator.py:506-524).
     */
   def sideInput[S](view: SideInputView[S]): S
+  /** Register a callback to run after this bundle's outputs are durably
+    * committed — at-least-once, exceptions swallowed (reference bundle
+    * finalization, execution.py:131-139; tests ray_runner_test.py:1021-1081).
+    * Batch mapping: a Spark task-completion listener (fires after the task's
+    * outputs are handed off).
+    */
+  def registerFinalization(cb: () => Unit): Unit
 }
 
 /** The universal element-wise operator with the full Beam lifecycle
@@ -86,6 +93,8 @@ private[graft] final class BufferingContext[O](
     var currentWindows: Seq[BoundedWindow]) extends ProcessContext[O] {
   val buf = mutable.ArrayBuffer.empty[WindowedValue[Any]]
   val taggedBuf = mutable.ArrayBuffer.empty[(String, WindowedValue[Any])]
+  val finalizers = mutable.ArrayBuffer.empty[() => Unit]
+  def registerFinalization(cb: () => Unit): Unit = finalizers += cb
   def timestamp: Long = currentTs
   def windows: Seq[BoundedWindow] = currentWindows
   def output(o: O): Unit = buf += WindowedValue(o, currentTs, currentWindows)

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out helpers for the patterns a 100 TB run needs beyond what AQE
+  * does automatically (SURVEY.md §7.1-6; builder-prompt scale requirements).
+  *
+  * AQE already handles skewed *joins* (skew-join splitting) and post-shuffle
+  * coalescing. What it does NOT fix:
+  *  - a single hot key in a high-cardinality aggregation whose per-key state
+  *    is large (e.g. collect-style aggs) → [[saltedAggregate]];
+  *  - repeated co-located joins on the same key → [[writeBucketed]] (one
+  *    shuffle at write time buys shuffle-free joins forever after).
+  */
+object ScaleOps {
+
+  /** Two-phase salted aggregation for skew-heavy keys: phase 1 aggregates on
+    * (key, salt) spreading a hot key over `saltBuckets` reducers; phase 2
+    * merges the per-salt partials. Correct for any algebraic aggregate
+    * (partial/merge expression pairs supplied by the caller).
+    *
+    * Example — skew-safe count+sum per key:
+    * {{{
+    * saltedAggregate(df, Seq("k"), 32,
+    *   partials = Seq(count(lit(1)).as("n"), sum($"v").as("s")),
+    *   merges   = Seq(sum($"n").as("n"), sum($"s").as("s")))
+    * }}}
+    */
+  def saltedAggregate(
+      df: DataFrame, keyCols: Seq[String], saltBuckets: Int,
+      partials: Seq[Column], merges: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    val phase1 = salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(partials.head, partials.tail: _*)
+    phase1
+      .groupBy(keyCols.map(col): _*)
+      .agg(merges.head, merges.tail: _*)
+  }
+
+  /** Bucketed write: pre-shuffles `df` into `numBuckets` buckets on
+    * `bucketCols` so later joins/aggregations on those columns are
+    * shuffle-free (Spark reads bucket metadata and plans SortMergeJoin
+    * without Exchange). The 100 TB pattern: bucket the big fact tables once
+    * at ingest.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, path: String,
+      bucketCols: Seq[String], numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
+  /** Range-partitioned write for time-ordered data: partition pruning on the
+    * partition column + ordered files for merge-friendly scans.
+    */
+  def writePartitionedByDay(
+      df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn("__day", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("__day").parquet(path)
+
+  /** Sizing guidance, applied: shuffle partition count for a target
+    * partition size (default 128 MiB post-compression estimate).
+    */
+  def shufflePartitionsFor(spark: SparkSession, inputBytes: Long,
+      targetBytes: Long = 128L << 20): Int =
+    math.max(spark.sparkContext.defaultParallelism,
+      (inputBytes / math.max(targetBytes, 1L)).toInt)
+}
