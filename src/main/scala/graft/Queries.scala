@@ -446,6 +446,45 @@ object Queries {
         expr("CAST(SUM(frame_idx) AS BIGINT)").as("sum_idx"))
   }
 
+  /** As-of join (temporal join the reference/Spark lack natively): each
+    * purchase matched to the user's most recent signup at-or-before it.
+    */
+  def d35AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ms").as("purchase_ms"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts_ms").as("ms"))
+      .agg(round(min(col("value")), 4).as("signup_value"))
+    operators.TemporalJoins.asOfJoin(s, purchases, signups,
+      "user_id", "purchase_ms", "ms", Seq("ms", "signup_value"))
+  }
+
+  /** Range join via bucket banding: clicks with an error within ±60s for the
+    * same user.
+    */
+  def d36RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts_ms").as("l_ms"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("r_id"), col("ts_ms").as("r_ms"))
+    operators.TemporalJoins.rangeJoin(clicks, errors, "user_id", "l_ms", "r_ms", 60000L)
+      .select("l_id", "r_id")
+  }
+
+  /** Distinct aggregation (exact). */
+  def d37DistinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg(expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").as("n_users"))
+
+  /** HLL approximate distinct (engine extension; rows-only — sketch
+    * implementations differ across engines by design).
+    */
+  def d38ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -483,6 +522,10 @@ object Queries {
     "d32_fingerprint" -> (d32Fingerprint _),
     "d33_multimodal_features" -> (d33MultimodalFeatures _),
     "d34_frame_sampling" -> (d34FrameSampling _),
+    "d35_asof_join" -> (d35AsofJoin _),
+    "d36_range_join" -> (d36RangeJoin _),
+    "d37_distinct_users" -> (d37DistinctUsers _),
+    "d38_approx_distinct" -> (d38ApproxDistinct _),
   )
 
   private val toksSql =
@@ -656,5 +699,20 @@ object Queries {
          | ROUND(SUM(pr) / COUNT(*), 4) AS avg_punct,
          | ROUND(SUM(sr) / COUNT(*), 4) AS avg_stopword
          |FROM q GROUP BY lang""".stripMargin,
+    "d35_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms FROM events
+        |  WHERE event_type = 'purchase'),
+        | r AS (SELECT user_id, epoch_ms(ts) AS ms, ROUND(MIN(value), 4) AS signup_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.purchase_ms,
+        | r.ms AS asof_ms, r.signup_value AS asof_signup_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.purchase_ms >= r.ms""".stripMargin,
+    "d36_range_join" ->
+      """SELECT l.event_id AS l_id, r.event_id AS r_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') r
+        | ON l.user_id = r.user_id AND abs(epoch_ms(l.ts) - epoch_ms(r.ts)) <= 60000""".stripMargin,
+    "d37_distinct_users" ->
+      "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events GROUP BY event_type",
   )
 }
