@@ -43,5 +43,6 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.kryo.registrator", "graft.core.GraftKryoRegistrator")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 }
