@@ -485,6 +485,15 @@ object Queries {
     Tables.events(s, d).groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
 
+  /** Custom whole-operator plan: per-key top-k via partial/final
+    * TopKPerKeyExec (graft.plans) — the scale-safe form of q09's
+    * window-rank pattern.
+    */
+  def d39TopkPerKey(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerKey(
+      Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -526,6 +535,7 @@ object Queries {
     "d36_range_join" -> (d36RangeJoin _),
     "d37_distinct_users" -> (d37DistinctUsers _),
     "d38_approx_distinct" -> (d38ApproxDistinct _),
+    "d39_topk_per_key" -> (d39TopkPerKey _),
   )
 
   private val toksSql =
@@ -714,5 +724,10 @@ object Queries {
         | ON l.user_id = r.user_id AND abs(epoch_ms(l.ts) - epoch_ms(r.ts)) <= 60000""".stripMargin,
     "d37_distinct_users" ->
       "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events GROUP BY event_type",
+    "d39_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 3""".stripMargin,
   )
 }

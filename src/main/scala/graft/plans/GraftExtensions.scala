@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator custom plan: TopKPerKeyNode → partial/final TopKPerKeyExec
+    ext.injectPlannerStrategy(_ => new TopKStrategy)
     ext.injectFunction((FunctionIdentifier("graft_minhash"), info("graft_minhash"),
       (args: Seq[Expression]) =>
         MinHashSignatureExpr(args.head, intLit(args(1), "numHashes"), 42L)))

@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import scala.collection.mutable
+
+/** Whole-operator custom plan demonstration (SURVEY.md §7.5 ladder (c):
+  * LogicalPlan + SparkStrategy + SparkPlan, injected via
+  * SparkSessionExtensions): per-key top-k with partial pruning.
+  *
+  * The DataFrame idiom — `row_number().over(partitionBy(key).orderBy(ord))`
+  * then `filter(rn <= k)` — shuffles EVERY input row before any row is
+  * dropped. At 100 TB that shuffle is the job. This operator plans as
+  * partial-topk → exchange → final-topk (the same shape Catalyst gives
+  * aggregates): each partition keeps at most k rows per key in a bounded
+  * heap, so the exchange carries ≤ k·partitions rows per key.
+  */
+final case class TopKPerKeyNode(
+    k: Int, keys: Seq[Expression], order: Seq[SortOrder], child: LogicalPlan)
+  extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyNode =
+    copy(child = c)
+}
+
+class TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(k, keys, order, child) =>
+      TopKPerKeyExec(k, keys, order, partial = false,
+        TopKPerKeyExec(k, keys, order, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class TopKPerKeyExec(
+    k: Int, keys: Seq[Expression], order: Seq[SortOrder],
+    partial: Boolean, child: SparkPlan)
+  extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    // EnsureRequirements inserts the hash exchange between partial and final
+    if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(keys))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val keyExprs = keys
+    val sortOrder = order
+    val childOutput = child.output
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ord = RowOrdering.create(sortOrder, childOutput)
+      // max-heap per key: root = worst kept row (eviction candidate)
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      it.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.getOrElse(key, null) match {
+          case null =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.put(key.copy(), h)
+            h
+          case h => h
+        }
+        if (heap.size < kLocal) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+object TopKPerKey {
+  /** Top-k rows per key group, ordered by `orderCols` ((name, ascending)).
+    * Provide a tiebreaker column for deterministic results.
+    */
+  def apply(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    def attr(n: String): Attribute = plan.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    val order = orderCols.map { case (n, asc) =>
+      if (asc) SortOrder(attr(n), org.apache.spark.sql.catalyst.expressions.Ascending)
+      else SortOrder(attr(n), org.apache.spark.sql.catalyst.expressions.Descending)
+    }
+    ColumnBridge.ofRows(df.sparkSession,
+      TopKPerKeyNode(k, keyCols.map(attr), order, plan))
+  }
+}

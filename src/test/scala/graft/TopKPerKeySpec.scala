@@ -1,0 +1,40 @@
+package graft
+
+import graft.plans.TopKPerKey
+import org.apache.spark.sql.functions._
+
+class TopKPerKeySpec extends SparkTestBase {
+
+  test("topKPerKey equals window row_number filter") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 1000).map(i => (s"k${i % 7}", i.toLong, i * 1.5)).toDF("k", "id", "v")
+      .repartition(8)
+    val custom = TopKPerKey(df, Seq("k"), Seq(("v", false), ("id", true)), 3)
+      .select("k", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      .orderBy(col("v").desc, col("id"))
+    val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("k", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assertMultiset(custom, expected)
+  }
+
+  test("topKPerKey handles fewer rows than k and single-key data") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1L), ("a", 2L)).toDF("k", "v")
+    val out = TopKPerKey(df, Seq("k"), Seq(("v", true)), 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assertMultiset(out, Seq(("a", 1L), ("a", 2L)))
+  }
+
+  test("physical plan is partial topk -> exchange -> final topk") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v").repartition(4)
+    val planned = TopKPerKey(df, Seq("k"), Seq(("v", false)), 2)
+      .queryExecution.executedPlan.toString
+    assert("TopKPerKey \\d".r.findAllIn(planned).size == 2, planned)
+    assert(planned.contains("Exchange hashpartitioning"), planned)
+  }
+}
