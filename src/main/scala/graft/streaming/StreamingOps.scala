@@ -47,6 +47,23 @@ object StreamingOps {
       .select(col(keyCol), col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("n"))
 
+  /** Stream-static broadcast join — the streaming analog of a side input
+    * (reference windowed/global side inputs, execution.py:469-525): each
+    * micro-batch joins against the static (or slowly-refreshed) dimension,
+    * broadcast to every executor.
+    */
+  def withSideInput(
+      stream: DataFrame, side: DataFrame, joinCols: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(side), joinCols, "left")
+
+  /** Streaming tagged-output demux (reference TaggingReceiver semantics,
+    * translator.py:180-206): one filtered stream per tag predicate. Each
+    * writeStream sink attaches to its own filtered branch.
+    */
+  def demux(stream: DataFrame, tags: Map[String, org.apache.spark.sql.Column])
+      : Map[String, DataFrame] =
+    tags.map { case (name, pred) => name -> stream.filter(pred) }
+
   /** Streaming stateful ParDo: `flatMapGroupsWithState` with the in-state
     * timer heap pattern (SURVEY.md §7.4 — Spark exposes ONE timeout per key;
     * multiple/dynamic Beam timers become entries in `KeyedState.timers` and

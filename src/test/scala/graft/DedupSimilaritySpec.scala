@@ -100,6 +100,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(partial == brute)
   }
 
+  test("lshTopK recall vs brute force on real embeddings (sf0.001)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q"), col("embedding").as("qv"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = asSet(Similarity.bruteForceTopK(emb, "vec_id", "embedding", qs, "q", "qv", 10))
+    // these embeddings are random (no cluster structure) — ANN's worst case;
+    // recall ≈ probed-bucket fraction + sign-correlation boost. bits=3,
+    // probes=3 probes 4 of 8 buckets.
+    val approx = asSet(Similarity.lshTopK(emb, "vec_id", "embedding", qs, "q", "qv", 10,
+      bits = 3, probes = 3))
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low; brute=${brute.size} approx=${approx.size}")
+  }
+
   test("embeddingNearDupPairs finds same-direction vectors") {
     val pairs = Dedup.embeddingNearDupPairs(vecs(), "vec_id", "embedding",
         lshBits = 4, threshold = 0.9)

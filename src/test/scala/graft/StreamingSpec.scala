@@ -67,6 +67,30 @@ class StreamingSpec extends SparkTestBase {
     assertMultiset(rows, Seq(("a", 1000L, 2L), ("a", 30000L, 1L)))
   }
 
+  test("stream-static side input join + tagged demux") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Int, String)]
+    val stream = mem.toDF().toDF("nk", "event")
+    val dim = Seq((1, "one"), (2, "two")).toDF("nk", "name")
+    val joined = StreamingOps.withSideInput(stream, dim, Seq("nk"))
+    val branches = StreamingOps.demux(joined, Map(
+      "known" -> col("name").isNotNull, "unknown" -> col("name").isNull))
+    val qk = branches("known").writeStream.format("memory")
+      .queryName("known_" + System.nanoTime()).outputMode("append").start()
+    val qu = branches("unknown").writeStream.format("memory")
+      .queryName("unknown_" + System.nanoTime()).outputMode("append").start()
+    mem.addData((1, "a"), (2, "b"), (9, "c"))
+    qk.processAllAvailable(); qu.processAllAvailable()
+    val known = s.sql(s"SELECT nk, name FROM ${qk.name}")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    val unknown = s.sql(s"SELECT nk FROM ${qu.name}").collect().map(_.getInt(0)).toSeq
+    qk.stop(); qu.stop()
+    assertMultiset(known, Seq((1, "one"), (2, "two")))
+    assertMultiset(unknown, Seq(9))
+  }
+
   test("streaming stateful ParDo: state persists across micro-batches, timer fires on watermark") {
     val s = spark
     import s.implicits._
