@@ -22,8 +22,9 @@ object TextFunctions {
     */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count: word-piece regex (letters runs, digit runs,
-    * single punctuation) — the standard cheap proxy for tokenizer cost.
+  /** BPE-ish subword count: word-piece regex (alphanumeric runs plus
+    * individual punctuation marks) — the standard cheap proxy for tokenizer
+    * cost.
     */
   def subwordCount(text: Column): Column =
     size(filter(

@@ -29,6 +29,15 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.asInstanceOf[Double] == 0.5)
   }
 
+  test("subwordCount, meanTokenLength, upperRatio") {
+    // alnum runs stay whole; punctuation splits: "hello" "," "world42"
+    assert(one(TextFunctions.subwordCount(col("text")), Seq("hello, world42")) == Seq(3))
+    val Seq(mtl) = one(TextFunctions.meanTokenLength(col("text")), Seq("ab cdef"))
+    assert(mtl.asInstanceOf[Double] == 3.0)
+    val Seq(ur) = one(TextFunctions.upperRatio(col("text")), Seq("AbCd"))
+    assert(ur.asInstanceOf[Double] == 0.5)
+  }
+
   test("langId picks the lexicon with most hits") {
     assert(one(TextFunctions.langId(col("text")),
       Seq("the cat is on the mat", "el perro y la casa de los", "xyzzy")) ==
