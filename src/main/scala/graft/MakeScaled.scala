@@ -1,0 +1,42 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Writes a 10x key-shifted copy of sf0.1 to exercise scale-up behavior:
+  * fact keys disjoint per copy; documents/embeddings keep identical payloads
+  * (a deliberately duplicate-heavy corpus — the dedup stress case).
+  */
+object MakeScaled {
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "/tmp/sfscaled"
+    val in = "/root/testdata/sf0.1"
+    val spark = GraftSession.builder(32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def copies(name: String, shift: DataFrame => Int => DataFrame): Unit = {
+      val base = Tables.table(spark, in, name)
+      val all = (0 until 10).map(i => shift(base)(i)).reduce(_ union _)
+      all.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaled] $name -> ${all.count()} rows")
+    }
+    def id(c: String, step: Long) = (df: DataFrame) => (i: Int) =>
+      df.withColumn(c, col(c) + lit(i * step))
+    copies("lineitem", df => i => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L)))
+    copies("orders", df => i => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * 1000000L)))
+    copies("customer", id("c_custkey", 1000000L))
+    copies("supplier", id("s_suppkey", 1000000L))
+    copies("part", id("p_partkey", 1000000L))
+    copies("events", df => i => df
+      .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+      .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+      .withColumn("ts", col("ts") + lit(i * 3600000000000L)))
+    copies("documents", id("doc_id", 1000000L))
+    copies("embeddings", id("vec_id", 1000000L))
+    Seq("nation", "region").foreach { n =>
+      Tables.table(spark, in, n).write.mode("overwrite").parquet(s"$out/$n.parquet")
+    }
+    spark.stop()
+  }
+}

@@ -60,9 +60,17 @@ object Dedup {
     // cache so the tokenize+hash pass runs once (at cluster scale this is a
     // persisted/checkpointed signature table). The native expression never
     // materializes shingle strings: tokens hash once, windows fold hashes.
-    val sigs = df.select(col(idCol).as("__id"),
+    // Exact-duplicate collapse FIRST: docs with identical signatures (exact
+    // dups and shingle-set dups) reduce to their min-id representative
+    // before any pairing. Without this a corpus with d copies of a doc
+    // yields d(d-1)/2 identical pairs per bucket — quadratic in the very
+    // duplicates dedup exists to remove. Exact clusters are recovered
+    // separately ([[exactGroups]]); the pair output relates representatives.
+    val sigs = df.select(col(idCol).as("__docid"),
         graft.plans.NativeExpressions.minHashShingleSignature(
           TextFunctions.tokens(lower(col(textCol))), shingleSize, numHashes).as("__sig"))
+      .groupBy(col("__sig")).agg(min(col("__docid")).as("__id"))
+      .select(col("__id"), col("__sig"))
       .persist()
     // band-explode only (id, band, bucket) — the heavy signature array is
     // joined back just once per surviving candidate pair, not shuffled
@@ -118,11 +126,16 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
     val blockBits = 64 / nBlocks
-    // fingerprints feed nBlocks join branches — hash once, cache
+    // fingerprints feed nBlocks join branches — hash once, cache. Identical
+    // fingerprints collapse to their min-id representative first (see the
+    // minHashLshPairs note: duplicate-heavy corpora otherwise produce
+    // quadratic hamming-0 pair lists).
     val fp = df
-      .select(col(idCol).as("__id"),
+      .select(col(idCol).as("__docid"),
         graft.plans.NativeExpressions.simHash64(
           TextFunctions.tokens(lower(col(textCol)))).as("__fp"))
+      .groupBy(col("__fp")).agg(min(col("__docid")).as("__id"))
+      .select(col("__id"), col("__fp"))
       .persist()
     val blocked = fp.withColumn("__blk", explode(array((0 until nBlocks).map { b =>
       struct(lit(b).as("i"),

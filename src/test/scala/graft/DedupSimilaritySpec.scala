@@ -31,28 +31,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     assertMultiset(out, Seq((1L, 2L)))
   }
 
-  test("minhash LSH finds planted near-dups, skips unrelated") {
+  test("minhash LSH: exact dups collapse to reps; near-dup rep pair found") {
     val pairs = Dedup.minHashLshPairs(docs(), "doc_id", "text",
         shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((1L, 4L)), s"exact dup pair missing from $pairs")
-    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)), s"near-dup pair missing from $pairs")
+    // doc 4 (exact dup of 1) is collapsed into rep 1 before pairing —
+    // quadratic hamming-0 pair lists never materialize
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }, s"collapsed id leaked: $pairs")
+    assert(pairs.contains((1L, 2L)), s"near-dup rep pair missing from $pairs")
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) && Set(a, b).contains(5L) })
   }
 
-  test("keepMinIdSurvivors drops pair losers") {
+  test("exact-then-near dedup pipeline keeps one representative per cluster") {
+    val exactSurvivors = Dedup.exact(docs(), Seq("text"), "doc_id")
     val pairs = Dedup.minHashLshPairs(docs(), "doc_id", "text",
       shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5)
-    val kept = Dedup.keepMinIdSurvivors(docs(), "doc_id", pairs)
+    val kept = Dedup.keepMinIdSurvivors(exactSurvivors, "doc_id", pairs)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(kept.contains(1L) && !kept.contains(4L))
-    assert(kept.contains(3L) && kept.contains(5L))
+    // exact dedup removed 4; near-dup pair (1,2) removed 2
+    assert(kept == Set(1L, 3L, 5L), s"got $kept")
   }
 
-  test("simhash block-probing finds exact dup at hamming 0") {
-    val pairs = Dedup.simHashPairs(docs(), "doc_id", "text", maxHamming = 3)
+  test("simhash block-probing: collapsed reps, near-dup within hamming budget") {
+    val pairs = Dedup.simHashPairs(docs(), "doc_id", "text", maxHamming = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
-    assert(pairs.exists { case (a, b, h) => a == 1L && b == 4L && h == 0 })
+    assert(!pairs.exists { case (a, b, _) => a == 4L || b == 4L }, s"collapsed id leaked: $pairs")
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h <= 16 },
+      s"near-dup rep pair missing from $pairs")
   }
 
   test("ngramJaccardVerify rescoring") {
