@@ -276,6 +276,37 @@ final class PCollection[T](
   def distinct(): PCollection[T] =
     map(v => (v, ())).groupByKey[T, Unit].map(_._1)
 
+  // --- Beam library composites (KV helpers, Top/Mean/Sum analogs) ---
+
+  def keys[K, V](implicit ev: T <:< (K, V)): PCollection[K] = map(t => ev(t)._1)
+  def values[K, V](implicit ev: T <:< (K, V)): PCollection[V] = map(t => ev(t)._2)
+  def mapValues[K, V, W](f: V => W)(implicit ev: T <:< (K, V)): PCollection[(K, W)] =
+    map { t => val kv = ev(t); (kv._1, f(kv._2)) }
+  def flatMapValues[K, V, W](f: V => IterableOnce[W])(
+      implicit ev: T <:< (K, V)): PCollection[(K, W)] =
+    flatMap { t => val kv = ev(t); f(kv._2).iterator.map(w => (kv._1, w)) }
+  def withKeys[K](f: T => K): PCollection[(K, T)] = map(t => (f(t), t))
+  def swap[K, V](implicit ev: T <:< (K, V)): PCollection[(V, K)] =
+    map { t => val kv = ev(t); (kv._2, kv._1) }
+
+  /** Largest n elements (Beam Top.largest composite). */
+  def top(n: Int)(implicit ord: Ordering[T]): PCollection[Seq[T]] =
+    combineGlobally(new CombineFn[T, List[T], Seq[T]] {
+      def createAccumulator(): List[T] = Nil
+      def addInput(acc: List[T], v: T): List[T] = (v :: acc).sorted(ord.reverse).take(n)
+      def mergeAccumulators(a: List[T], b: List[T]): List[T] =
+        (a ++ b).sorted(ord.reverse).take(n)
+      def extractOutput(acc: List[T]): Seq[T] = acc
+    })
+
+  def sumPerKey[K](implicit ev: T <:< (K, Double)): PCollection[(K, Double)] =
+    combinePerKey[K, Double, Double, Double](new CombineFn[Double, Double, Double] {
+      def createAccumulator(): Double = 0.0
+      def addInput(a: Double, v: Double): Double = a + v
+      def mergeAccumulators(a: Double, b: Double): Double = a + b
+      def extractOutput(a: Double): Double = a
+    })
+
   // -------------------------------------------------------------------------
   // Side inputs (reference: translator.py:506-524, execution.py:469-525;
   // tests ray_runner_test.py:163-361)

@@ -95,6 +95,21 @@ class GroupCombineSpec extends SparkTestBase {
       ("c", Seq.empty[Int], Seq("y"))))
   }
 
+  test("KV composites: keys/values/mapValues/swap/top/sumPerKey") {
+    val p = Pipeline(spark)
+    val kv = p.create(Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)))
+    assertMultiset(kv.keys[String, Double].collect(), Seq("a", "b", "a"))
+    assertMultiset(kv.values[String, Double].collect(), Seq(1.0, 2.0, 3.0))
+    assertMultiset(kv.mapValues[String, Double, Double](_ * 10).collect(),
+      Seq(("a", 10.0), ("b", 20.0), ("a", 30.0)))
+    assertMultiset(kv.swap[String, Double].collect(),
+      Seq((1.0, "a"), (2.0, "b"), (3.0, "a")))
+    assertMultiset(kv.sumPerKey[String].collect(), Seq(("a", 4.0), ("b", 2.0)))
+    assertMultiset(p.create(Seq(5, 1, 9, 3, 7)).top(2).collect(), Seq(Seq(9, 7)))
+    assertMultiset(p.create(Seq(1, 2)).withKeys(_ % 2).collect(),
+      Seq((1, 1), (0, 2)))
+  }
+
   test("countPerKey composite") {
     val p = Pipeline(spark)
     assertMultiset(
