@@ -254,19 +254,41 @@ final class PCollection[T](
     next(if (numPartitions > 0) data.repartition(numPartitions)
     else data.repartition(data.sparkSession.sessionState.conf.numShufflePartitions))
 
-  /** CoGroupByKey composite (reference declares it via composite expansion,
-    * translator.py:446): tag + flatten + GBK, like Beam's library composite.
+  /** CoGroupByKey (reference declares it via composite expansion,
+    * translator.py:446). Non-merging windows use Spark's native
+    * `KeyValueGroupedDataset.cogroup` — one shuffle per side, no tagging
+    * wrapper re-serialization; merging windows fall back to the
+    * tag+flatten+GBK composite.
     */
   def coGroupByKey[K, V, W](other: PCollection[(K, W)])(
       implicit ev: T <:< (K, V)): PCollection[(K, (Iterable[V], Iterable[W]))] = {
-    val left: PCollection[(K, Either[V, W])] =
-      map { t => val kv = ev(t); (kv._1, Left(kv._2): Either[V, W]) }
-    val right: PCollection[(K, Either[V, W])] =
-      other.map { case (k, w) => (k, Right(w): Either[V, W]) }
-    left.union(right).groupByKey[K, Either[V, W]].map { case (k, es) =>
-      val vs = es.collect { case Left(v) => v }
-      val ws = es.collect { case Right(w) => w }
-      (k, (vs, ws))
+    val wfn = windowFn
+    if (!wfn.isMerging && !other.windowFn.isMerging) {
+      val leftEx = data.mapPartitions(_.flatMap(_.explode))(wvEnc[T])
+      val rightEx = other.data.mapPartitions(_.flatMap(_.explode))(wvEnc[(K, W)])
+      val lg = leftEx.groupByKey { wv: WindowedValue[T] =>
+        (ev(wv.value)._1, wv.windows.head): (K, BoundedWindow)
+      }(tupEnc[K, BoundedWindow])
+      val rg = rightEx.groupByKey { wv: WindowedValue[(K, W)] =>
+        (wv.value._1, wv.windows.head): (K, BoundedWindow)
+      }(tupEnc[K, BoundedWindow])
+      val ds = lg.cogroup(rg) { (kw, ls, rs) =>
+        val (k, w) = kw
+        val vs: Iterable[V] = ls.map(wv => ev(wv.value)._2).toList
+        val ws: Iterable[W] = rs.map(_.value._2).toList
+        Iterator.single(WindowedValue((k, (vs, ws)), w.maxTimestamp, Seq(w)))
+      }(wvEnc[(K, (Iterable[V], Iterable[W]))])
+      next(ds)
+    } else {
+      val left: PCollection[(K, Either[V, W])] =
+        map { t => val kv = ev(t); (kv._1, Left(kv._2): Either[V, W]) }
+      val right: PCollection[(K, Either[V, W])] =
+        other.map { case (k, w) => (k, Right(w): Either[V, W]) }
+      left.union(right).groupByKey[K, Either[V, W]].map { case (k, es) =>
+        val vs = es.collect { case Left(v) => v }
+        val ws = es.collect { case Right(w) => w }
+        (k, (vs, ws))
+      }
     }
   }
 

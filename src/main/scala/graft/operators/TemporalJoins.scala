@@ -35,40 +35,31 @@ object TemporalJoins {
       left: DataFrame, right: DataFrame,
       keyCol: String, leftTsCol: String, rightTsCol: String,
       rightCols: Seq[String]): DataFrame = {
-    val leftTagged = left
-      .withColumn("__ts", col(leftTsCol).cast("long"))
-      .withColumn("__side", lit(0))
-      .withColumn("__rpayload", lit(null).cast(StringType))
-    // right rows carry their payload; sort order puts a right row BEFORE
-    // left rows at the same timestamp (quote at t applies to trade at t)
-    val rightTagged = right
-      .select(col(keyCol), col(rightTsCol).cast("long").as("__ts"),
-        to_json(struct(rightCols.map(col): _*)).as("__rpayload"))
-      .withColumn("__side", lit(-1))
-    val leftSchema = leftTagged.schema
-    val unioned = leftTagged.select(
-      col(keyCol), col("__ts"), col("__side"), col("__rpayload"),
-      to_json(struct(left.columns.map(col): _*)).as("__lpayload"))
-      .unionByName(rightTagged.withColumn("__lpayload", lit(null).cast(StringType)))
+    val rightStruct = StructType(rightCols.map(c => right.schema(c).copy(nullable = true)))
+    val leftStruct = StructType(left.schema.fields.map(_.copy(nullable = true)))
+    // payloads travel as native nullable structs (Tungsten format — no
+    // string round-trip); each side nulls the other's struct
+    val leftTagged = left.select(
+      col(keyCol), col(leftTsCol).cast("long").as("__ts"), lit(0).as("__side"),
+      struct(left.columns.map(col): _*).cast(leftStruct).as("__l"),
+      lit(null).cast(rightStruct).as("__r"))
+    val rightTagged = right.select(
+      col(keyCol), col(rightTsCol).cast("long").as("__ts"), lit(-1).as("__side"),
+      lit(null).cast(leftStruct).as("__l"),
+      struct(rightCols.map(col): _*).cast(rightStruct).as("__r"))
     // side -1 sorts right rows before left rows at equal ts (a quote at t
     // applies to a trade at t); payload tiebreak keeps duplicate right
     // timestamps deterministic
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__ts"), col("__side"), col("__rpayload"))
+      .orderBy(col("__ts"), col("__side"), col("__r"))
     // the latest right payload at-or-before each row = last non-null right
-    // payload in the ordered frame up to current row
-    val matched = unioned
-      .withColumn("__asof", last(when(col("__side") === -1, col("__rpayload")), ignoreNulls = true)
+    // struct in the ordered frame up to the current row
+    val matched = leftTagged.unionByName(rightTagged)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("__side") === 0)
-    val rightStruct = StructType(rightCols.map(c =>
-      right.schema(c).copy(name = c, nullable = true)))
-    val leftStruct = StructType(left.schema.fields.map(_.copy(nullable = true)))
-    matched
-      .select(from_json(col("__lpayload"), leftStruct).as("__l"),
-        from_json(col("__asof"), rightStruct).as("__r"))
-      .select(left.columns.map(c => col(s"__l.$c")) ++
-        rightCols.map(c => col(s"__r.$c").as(s"asof_$c")): _*)
+    matched.select(left.columns.map(c => col(s"__l.$c")) ++
+      rightCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
   /** Range join: pairs (l, r) with the same key and `|l.ts - r.ts| <= width`.
