@@ -28,6 +28,16 @@ final class PCollection[T](
   private def next[U](ds: Dataset[WindowedValue[U]], wfn: WindowFn = windowFn): PCollection[U] =
     new PCollection[U](pipeline, ds, wfn)
 
+  /** One row per (element, window) then grouped on (key, window) — the
+    * shared keying step of every keyed operator.
+    */
+  private def keyedByWindow[K, V](implicit ev: T <:< (K, V)) = {
+    val exploded = data.mapPartitions(_.flatMap(_.explode))(wvEnc[T])
+    exploded.groupByKey { wv: WindowedValue[T] =>
+      (ev(wv.value)._1, wv.windows.head): (K, BoundedWindow)
+    }(tupEnc[K, BoundedWindow])
+  }
+
   // -------------------------------------------------------------------------
   // ParDo family (reference: RayParDo translator.py:157-338)
   // -------------------------------------------------------------------------
@@ -156,10 +166,7 @@ final class PCollection[T](
     val exploded = data.mapPartitions(_.flatMap(_.explode))(wvEnc[T])
     val ds: Dataset[WindowedValue[(K, Iterable[V])]] =
       if (!wfn.isMerging) {
-        exploded
-          .groupByKey { wv: WindowedValue[T] =>
-            (ev(wv.value)._1, wv.windows.head): (K, BoundedWindow)
-          }(tupEnc[K, BoundedWindow])
+        keyedByWindow[K, V]
           .mapGroups { (kw: (K, BoundedWindow), it: Iterator[WindowedValue[T]]) =>
             val (k, w) = kw
             val vs: Iterable[V] = it.map(wv => ev(wv.value)._2).toList
@@ -190,7 +197,6 @@ final class PCollection[T](
   def combinePerKey[K, V, A, O](fn: CombineFn[V, A, O])(
       implicit ev: T <:< (K, V)): PCollection[(K, O)] = {
     val wfn = windowFn
-    val exploded = data.mapPartitions(_.flatMap(_.explode))(wvEnc[T])
     if (!wfn.isMerging) {
       val agg = new Aggregator[WindowedValue[T], A, O] {
         def zero: A = fn.createAccumulator()
@@ -200,10 +206,7 @@ final class PCollection[T](
         def bufferEncoder: Encoder[A] = Encoders.kryo(classOf[Any]).asInstanceOf[Encoder[A]]
         def outputEncoder: Encoder[O] = Encoders.kryo(classOf[Any]).asInstanceOf[Encoder[O]]
       }
-      val ds = exploded
-        .groupByKey { wv: WindowedValue[T] =>
-          (ev(wv.value)._1, wv.windows.head): (K, BoundedWindow)
-        }(tupEnc[K, BoundedWindow])
+      val ds = keyedByWindow[K, V]
         .agg(agg.toColumn)
         .map { case ((k, w), o) => WindowedValue((k, o), w.maxTimestamp, Seq(w)) }(
           wvEnc[(K, O)])
@@ -264,14 +267,8 @@ final class PCollection[T](
       implicit ev: T <:< (K, V)): PCollection[(K, (Iterable[V], Iterable[W]))] = {
     val wfn = windowFn
     if (!wfn.isMerging && !other.windowFn.isMerging) {
-      val leftEx = data.mapPartitions(_.flatMap(_.explode))(wvEnc[T])
-      val rightEx = other.data.mapPartitions(_.flatMap(_.explode))(wvEnc[(K, W)])
-      val lg = leftEx.groupByKey { wv: WindowedValue[T] =>
-        (ev(wv.value)._1, wv.windows.head): (K, BoundedWindow)
-      }(tupEnc[K, BoundedWindow])
-      val rg = rightEx.groupByKey { wv: WindowedValue[(K, W)] =>
-        (wv.value._1, wv.windows.head): (K, BoundedWindow)
-      }(tupEnc[K, BoundedWindow])
+      val lg = keyedByWindow[K, V]
+      val rg = other.keyedByWindow[K, W]
       val ds = lg.cogroup(rg) { (kw, ls, rs) =>
         val (k, w) = kw
         val vs: Iterable[V] = ls.map(wv => ev(wv.value)._2).toList
@@ -280,15 +277,26 @@ final class PCollection[T](
       }(wvEnc[(K, (Iterable[V], Iterable[W]))])
       next(ds)
     } else {
+      // merging windows: group the union under the MERGING side's windowFn
+      // so both inputs' windows merge together (Beam CoGBK requires
+      // compatible windowing across inputs; mixing two different merging
+      // fns is rejected)
+      val mergingWfn =
+        if (wfn.isMerging && other.windowFn.isMerging) {
+          require(wfn == other.windowFn,
+            s"coGroupByKey inputs have incompatible merging WindowFns: $wfn vs ${other.windowFn}")
+          wfn
+        } else if (wfn.isMerging) wfn else other.windowFn
       val left: PCollection[(K, Either[V, W])] =
         map { t => val kv = ev(t); (kv._1, Left(kv._2): Either[V, W]) }
       val right: PCollection[(K, Either[V, W])] =
         other.map { case (k, w) => (k, Right(w): Either[V, W]) }
-      left.union(right).groupByKey[K, Either[V, W]].map { case (k, es) =>
-        val vs = es.collect { case Left(v) => v }
-        val ws = es.collect { case Right(w) => w }
-        (k, (vs, ws))
-      }
+      new PCollection(pipeline, left.data.union(right.data), mergingWfn)
+        .groupByKey[K, Either[V, W]].map { case (k, es) =>
+          val vs = es.collect { case Left(v) => v }
+          val ws = es.collect { case Right(w) => w }
+          (k, (vs, ws))
+        }
     }
   }
 
@@ -389,12 +397,7 @@ final class PCollection[T](
     */
   def statefulParDo[K, V, O](fn: StatefulDoFn[K, V, O])(
       implicit ev: T <:< (K, V)): PCollection[O] = {
-    val wfn = windowFn
-    val exploded = data.mapPartitions(_.flatMap(_.explode))(wvEnc[T])
-    val ds = exploded
-      .groupByKey { wv: WindowedValue[T] =>
-        (ev(wv.value)._1, wv.windows.head): (K, BoundedWindow)
-      }(tupEnc[K, BoundedWindow])
+    val ds = keyedByWindow[K, V]
       .flatMapGroups { (kw: (K, BoundedWindow), it: Iterator[WindowedValue[T]]) =>
         PCollection.runStatefulGroup(fn, kw._1, kw._2,
           it.map(wv => (ev(wv.value)._2, wv.timestamp)))

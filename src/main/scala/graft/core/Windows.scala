@@ -50,9 +50,10 @@ final case class WindowedValue[T](
   def withValue[U](u: U): WindowedValue[U] = WindowedValue(u, timestamp, windows, pane)
   /** One copy of the element per assigned window (multi-window elements are
     * exploded before grouping, like Spark's `window()` does for sliding).
+    * An element assigned to zero windows vanishes (Beam semantics).
     */
   def explode: Seq[WindowedValue[T]] =
-    if (windows.lengthCompare(1) <= 0) Seq(this)
+    if (windows.lengthCompare(1) == 0) Seq(this)
     else windows.map(w => WindowedValue(value, timestamp, Seq(w), pane))
 }
 

@@ -48,10 +48,11 @@ object TemporalJoins {
       lit(null).cast(leftStruct).as("__l"),
       struct(rightCols.map(col): _*).cast(rightStruct).as("__r"))
     // side -1 sorts right rows before left rows at equal ts (a quote at t
-    // applies to a trade at t); payload tiebreak keeps duplicate right
-    // timestamps deterministic
+    // applies to a trade at t); the tiebreak for duplicate right timestamps
+    // orders by a JSON rendering of the payload — structs with non-orderable
+    // fields (maps) can't go in ORDER BY directly
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__ts"), col("__side"), col("__r"))
+      .orderBy(col("__ts"), col("__side"), to_json(col("__r")))
     // the latest right payload at-or-before each row = last non-null right
     // struct in the ordered frame up to the current row
     val matched = leftTagged.unionByName(rightTagged)

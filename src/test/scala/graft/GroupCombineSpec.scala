@@ -110,6 +110,22 @@ class GroupCombineSpec extends SparkTestBase {
       Seq((1, 1), (0, 2)))
   }
 
+  test("coGroupByKey with a merging (session) side merges windows across both inputs") {
+    val p = Pipeline(spark)
+    // left: fixed-window-free (global assign) ts'd elements; right: sessions
+    val left = p.createTimestamped(Seq((("k", 1), 5L)))
+      .windowInto(Sessions(10L))
+    val right = p.createTimestamped(Seq((("k", "a"), 8L), (("k", "b"), 100L)))
+      .windowInto(Sessions(10L))
+    val out = left.coGroupByKey[String, Int, String](right)
+      .map { case (k, (is, ss)) => (k, is.toSeq.sorted, ss.toSeq.sorted) }
+      .collect()
+    // ts 5 and 8 merge into one session (gap 10); ts 100 is its own session
+    assertMultiset(out, Seq(
+      ("k", Seq(1), Seq("a")),
+      ("k", Seq.empty[Int], Seq("b"))))
+  }
+
   test("countPerKey composite") {
     val p = Pipeline(spark)
     assertMultiset(
