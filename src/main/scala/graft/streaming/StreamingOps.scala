@@ -64,6 +64,20 @@ object StreamingOps {
       : Map[String, DataFrame] =
     tags.map { case (name, pred) => name -> stream.filter(pred) }
 
+  /** Micro-batch sink with a post-commit finalization callback — the
+    * streaming analog of bundle finalization (reference
+    * execution.py:131-139): `commit` writes the batch; `finalize` runs
+    * after it returns, at-least-once, exceptions swallowed.
+    */
+  def foreachBatchFinalized(
+      df: DataFrame,
+      commit: (DataFrame, Long) => Unit,
+      finalize: Long => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      commit(batch, id)
+      try finalize(id) catch { case _: Throwable => () }
+    }
+
   /** Streaming stateful ParDo: `flatMapGroupsWithState` with the in-state
     * timer heap pattern (SURVEY.md §7.4 — Spark exposes ONE timeout per key;
     * multiple/dynamic Beam timers become entries in `KeyedState.timers` and

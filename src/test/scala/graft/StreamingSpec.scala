@@ -91,6 +91,24 @@ class StreamingSpec extends SparkTestBase {
     assertMultiset(unknown, Seq(9))
   }
 
+  test("foreachBatchFinalized: finalize runs after commit, exceptions swallowed") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Int]
+    val committed = new java.util.concurrent.atomic.AtomicLong(0)
+    val finalized = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingOps.foreachBatchFinalized(
+        mem.toDF(),
+        (batch, _) => committed.addAndGet(batch.count()),
+        _ => { finalized.incrementAndGet(); throw new RuntimeException("swallowed") })
+      .start()
+    mem.addData(1, 2, 3)
+    q.processAllAvailable()
+    q.stop()
+    assert(committed.get() == 3L && finalized.get() >= 1L)
+  }
+
   test("streaming stateful ParDo: state persists across micro-batches, timer fires on watermark") {
     val s = spark
     import s.implicits._
