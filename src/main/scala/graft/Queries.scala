@@ -485,6 +485,16 @@ object Queries {
     Tables.events(s, d).groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
 
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition).
+    */
+  def d40Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+
   /** Custom whole-operator plan: per-key top-k via partial/final
     * TopKPerKeyExec (graft.plans) — the scale-safe form of q09's
     * window-rank pattern.
@@ -536,6 +546,7 @@ object Queries {
     "d37_distinct_users" -> (d37DistinctUsers _),
     "d38_approx_distinct" -> (d38ApproxDistinct _),
     "d39_topk_per_key" -> (d39TopkPerKey _),
+    "d40_percentiles" -> (d40Percentiles _),
   )
 
   private val toksSql =
@@ -729,5 +740,11 @@ object Queries {
         | SELECT o_custkey, o_orderkey, o_totalprice,
         |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         | FROM orders) WHERE rn <= 3""".stripMargin,
+    "d40_percentiles" ->
+      """SELECT event_type,
+        | ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(value, 0.95), 4) AS p95,
+        | ROUND(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

@@ -52,8 +52,15 @@ final class PCollection[T](
   def parDo[O](fn: DoFn[T, O], name: String = ""): PCollection[O] = {
     val opName = if (name.nonEmpty) name else s"op${PCollection.nextOpId()}"
     val elems = pipeline.metrics.counter("graft.system", s"elements.$opName")
+    val msecs = pipeline.metrics.counter("graft.system", s"msecs.$opName")
     val ds = data.mapPartitions { it0 =>
+      val t0 = System.nanoTime()
       val it = it0.map { e => elems.add(1L); e }
+      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
+        new org.apache.spark.util.TaskCompletionListener {
+          override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
+            msecs.add((System.nanoTime() - t0) / 1000000L)
+        }))
       fn.setup()
       fn.startBundle()
       val ctx = new BufferingContext[O](0L, Seq(GlobalWindow))
