@@ -431,6 +431,14 @@ final class PCollection[T](
   def toTimestampedDataset(implicit enc: Encoder[(T, Long)]): Dataset[(T, Long)] =
     data.mapPartitions(_.map(wv => (wv.value, wv.timestamp)))(enc)
 
+  /** Escape hatch into codegen land mid-pipeline: run a typed Dataset
+    * transformation (full Catalyst/Tungsten optimization) and come back to
+    * the dataflow layer. Window metadata resets to the global window — use
+    * before windowing or re-assign after.
+    */
+  def viaDataset[U](f: Dataset[T] => Dataset[U])(implicit enc: Encoder[T]): PCollection[U] =
+    pipeline.fromDataset(f(toDataset))
+
   /** Line-oriented text sink (reference WriteToText analog,
     * examples/word_count_metrics.py:134).
     */

@@ -109,6 +109,17 @@ class CoreDataflowSpec extends SparkTestBase {
     assert(p.metrics.counterValue("graft.system", s"elements.$nm") == 2L)
   }
 
+  test("viaDataset: hop into Catalyst mid-pipeline and back") {
+    val s = spark
+    import s.implicits._
+    val p = Pipeline(spark)
+    val out = p.create(Seq(1, 2, 3, 4))
+      .viaDataset(ds => ds.filter(_ % 2 == 0).map(_ * 10))
+      .map(_ + 1)
+      .collect()
+    assertMultiset(out, Seq(21, 41))
+  }
+
   test("composite transform returning existing PCollection (ray_runner_test.py:975-983)") {
     val p = Pipeline(spark)
     def doubled(in: api.PCollection[Int]): api.PCollection[Int] = in.map(_ * 2)
