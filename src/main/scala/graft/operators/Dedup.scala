@@ -54,7 +54,8 @@ object Dedup {
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128,
-      bands: Int = 32, threshold: Double = 0.7): DataFrame = {
+      bands: Int = 32, threshold: Double = 0.7,
+      maxBucketSize: Int = 5000): DataFrame = {
     val rowsPerBand = numHashes / bands
     // signatures feed three plan branches (banding + two pair joins) —
     // cache so the tokenize+hash pass runs once (at cluster scale this is a
@@ -74,14 +75,21 @@ object Dedup {
       .persist()
     // band-explode only (id, band, bucket) — the heavy signature array is
     // joined back just once per surviving candidate pair, not shuffled
-    // `bands` times
+    // `bands` times. Candidates come from ONE groupBy (not a two-sided
+    // self-join): buckets collect their ids and expand pairs in place.
+    // Buckets above `maxBucketSize` are dropped — an explicit cap on the
+    // quadratic worst case (a degenerate band bucket at corpus scale would
+    // otherwise dominate the job); exact-dup collapse above keeps normal
+    // buckets tiny, so the cap only trims pathological band collisions.
     val banded = sigs.select(col("__id"),
         posexplode(graft.plans.NativeExpressions.bandBuckets(
           col("__sig"), bands, rowsPerBand)))
       .select(col("__id"), struct(col("pos"), col("col")).as("__bk"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.__bk") === col("b.__bk") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
+    val cand = banded.groupBy(col("__bk"))
+      .agg(collect_list(col("__id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(graft.plans.NativeExpressions.idPairs(col("ids"))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .dropDuplicates("id1", "id2")
     cand
       .join(sigs.select(col("__id").as("id1"), col("__sig").as("__s1")), "id1")

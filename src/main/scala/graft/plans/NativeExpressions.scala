@@ -59,6 +59,12 @@ object NativeExpressions {
     ColumnBridge.column(BandBucketsExpr(
       ColumnBridge.expression(signature), bands, rowsPerBand))
 
+  /** Unordered id pairs (id1 < id2) from an array<long> — candidate
+    * expansion within an LSH bucket, one tight loop.
+    */
+  def idPairs(ids: Column): Column =
+    ColumnBridge.column(IdPairsExpr(ColumnBridge.expression(ids)))
+
   /** Native language-ID: token-count votes per lexicon, first strictly
     * greatest wins (exact semantics of TextFunctions.langId's fold and the
     * DuckDB oracle CASE).
@@ -246,6 +252,36 @@ case class BandBucketsExpr(child: Expression, bands: Int, rowsPerBand: Int)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(newChild: Expression): BandBucketsExpr =
+    copy(child = newChild)
+}
+
+/** In-bucket candidate pair expansion: all {min,max} pairs of distinct ids. */
+case class IdPairsExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id1", LongType, nullable = false),
+      StructField("id2", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) { ids(i) = arr.getLong(i); i += 1 }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val a = ids(i); val b = ids(j)
+        out(k) = InternalRow(math.min(a, b), math.max(a, b))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): IdPairsExpr =
     copy(child = newChild)
 }
 
