@@ -1,0 +1,54 @@
+package graft.examples
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.functions._
+
+/** The full training-data pipeline in one runnable flow — what a user of
+  * this engine runs against a raw document corpus at 100 TB:
+  *   quality gate → exact dedup → MinHash-LSH near-dedup → text stats →
+  *   ANN neighbor audit on the embedding table.
+  * Every stage is one of the engine's first-class operators; the whole
+  * thing is a handful of shuffles, all key-bounded.
+  */
+object DataPipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = GraftSession.builder(8).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir)
+    println(s"[pipeline] corpus: ${docs.count()} docs")
+
+    // 1. quality gate: codegen'd text stats, keep prose-like documents
+    val scored = TextFunctions.withTextStats(docs)
+    val quality = scored.filter(col("quality") >= 0.3 && col("n_tokens") >= 10)
+    println(s"[pipeline] after quality gate: ${quality.count()}")
+
+    // 2. exact dedup (min-id survivor per identical text)
+    val exact = Dedup.exact(quality, Seq("text"), "doc_id")
+    println(s"[pipeline] after exact dedup: ${exact.count()}")
+
+    // 3. MinHash-LSH near-dedup (capped candidate generation)
+    val pairs = Dedup.minHashLshPairs(exact, "doc_id", "text",
+      shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.6)
+    val survivors = Dedup.keepMinIdSurvivors(exact, "doc_id", pairs)
+    println(s"[pipeline] near-dup pairs: ${pairs.count()}; survivors: ${survivors.count()}")
+
+    // 4. per-language yield report
+    survivors.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy(col("lang"))
+      .show(10, false)
+
+    // 5. embedding-space audit: nearest neighbors of the first few vectors
+    val emb = Tables.embeddings(spark, sfDir)
+    val neighbors = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 3).select(col("vec_id").as("q"), col("embedding").as("qv")),
+      "q", "qv", k = 3)
+    neighbors.show(9, false)
+    spark.stop()
+  }
+}

@@ -155,6 +155,42 @@ class StatefulSpec extends SparkTestBase {
     assertMultiset(out, Seq(3, 10))
   }
 
+  test("buffered flush: bag + size threshold + end-of-window timer (ray_runner_test.py:508-575)") {
+    val p = Pipeline(spark)
+    val bufSpec = BagStateSpec[String]("buffer")
+    val flush = TimerSpec("flush")
+    // chars of "abcdefgh" windowed by parity of their char code (the
+    // reference's buffered-chars fixture): two windows, buffer size 3
+    val elems = "abcdefgh".map(c => (("key", c.toString), c.toInt.toLong))
+    val out = p.createTimestamped(elems)
+      .windowInto(new WindowFn {
+        def assign(ts: Long): Seq[BoundedWindow] = {
+          val par = ts % 2
+          Seq(IntervalWindow(par * 1000, par * 1000 + 1000))
+        }
+      })
+      .statefulParDo[String, String, String](new StatefulDoFn[String, String, String] {
+        def process(k: String, v: String, ctx: StatefulContext[String]): Unit = {
+          val bag = ctx.bag(bufSpec)
+          bag.add(v)
+          ctx.timer(flush).set(ctx.window.maxTimestamp)
+          if (bag.read().size >= 3) {
+            ctx.output(bag.read().toSeq.sorted.mkString)
+            bag.clear()
+          }
+        }
+        override def onTimer(k: String, spec: TimerSpec, tag: String, fireTs: Long,
+            ctx: StatefulContext[String]): Unit = {
+          val rest = ctx.bag(bufSpec).read().toSeq.sorted
+          if (rest.nonEmpty) ctx.output(rest.mkString)
+          ctx.bag(bufSpec).clear()
+        }
+      }).collect()
+    // evens window: b,d,f,h → flush "bdf" at size 3, timer flushes "h";
+    // odds window: a,c,e,g → "ace" then "g"
+    assertMultiset(out, Seq("bdf", "h", "ace", "g"))
+  }
+
   test("elements process in timestamp order within a key") {
     val p = Pipeline(spark)
     val out = p.createTimestamped(Seq((("k", 3), 30L), (("k", 1), 10L), (("k", 2), 20L)))
