@@ -147,9 +147,13 @@ case class SimHash64Expr(child: Expression, seed: Long)
 /** Cosine similarity of two numeric arrays, accumulated left-to-right in
   * doubles — the same operation order as the `aggregate`-based formulation
   * and the DuckDB oracle, so round(6) results are unchanged.
+  *
+  * Implements `doGenCode` (not CodegenFallback): the scoring scan of an ANN
+  * query stays inside one WholeStageCodegen span with the filter/projection
+  * around it.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = DoubleType
   private lazy val lf = NativeExpressions.isFloatArray(left)
   private lazy val rf = NativeExpressions.isFloatArray(right)
@@ -168,12 +172,37 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom > 0) dot / denom else 0.0
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val lGet = if (lf) "getFloat" else "getDouble"
+    val rGet = if (rf) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val den = ctx.freshName("den")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.$lGet($i);
+         |  double $yi = (double) $b.$rGet($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = $den > 0 ? $dot / $den : 0.0;
+         |""".stripMargin
+    })
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarityExpr =
     copy(left = l, right = r)
 }
 
+/** Dot product with full codegen (see [[CosineSimilarityExpr]]). */
 case class DotProductExpr(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = DoubleType
   private lazy val lf = NativeExpressions.isFloatArray(left)
   private lazy val rf = NativeExpressions.isFloatArray(right)
@@ -188,6 +217,25 @@ case class DotProductExpr(left: Expression, right: Expression)
       i += 1
     }
     dot
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val lGet = if (lf) "getFloat" else "getDouble"
+    val rGet = if (rf) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |}
+         |${ev.value} = $dot;
+         |""".stripMargin
+    })
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductExpr =
     copy(left = l, right = r)
