@@ -495,6 +495,25 @@ object Queries {
         round(expr("percentile(value, 0.95)"), 4).as("p95"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
 
+  /** Scalar string-function coverage (Spark builtins are the engine's
+    * scalar library — SURVEY.md §2.8: the reference has none of its own).
+    */
+  def d41StringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).groupBy(col("lang"))
+      .agg(
+        min(upper(substring(col("text"), 1, 8))).as("first_prefix"),
+        max(length(col("text"))).cast("long").as("max_len"),
+        expr("CAST(SUM(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("n_spark"))
+
+  /** Scalar date-function coverage over order dates. */
+  def d42DateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(expr("CAST(year(o_orderdate) AS BIGINT)").as("y"),
+        expr("CAST(month(o_orderdate) AS BIGINT)").as("m"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n"),
+        expr("CAST(MIN(day(o_orderdate)) AS BIGINT)").as("first_day"))
+
   /** Custom whole-operator plan: per-key top-k via partial/final
     * TopKPerKeyExec (graft.plans) — the scale-safe form of q09's
     * window-rank pattern.
@@ -547,6 +566,8 @@ object Queries {
     "d38_approx_distinct" -> (d38ApproxDistinct _),
     "d39_topk_per_key" -> (d39TopkPerKey _),
     "d40_percentiles" -> (d40Percentiles _),
+    "d41_string_funcs" -> (d41StringFuncs _),
+    "d42_date_funcs" -> (d42DateFuncs _),
   )
 
   private val toksSql =
@@ -746,5 +767,14 @@ object Queries {
         | ROUND(quantile_cont(value, 0.95), 4) AS p95,
         | ROUND(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+    "d41_string_funcs" ->
+      """SELECT lang, MIN(upper(substring(text, 1, 8))) AS first_prefix,
+        | CAST(MAX(length(text)) AS BIGINT) AS max_len,
+        | CAST(SUM(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS BIGINT) AS n_spark
+        |FROM documents GROUP BY lang""".stripMargin,
+    "d42_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+        | CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(day(o_orderdate)) AS BIGINT) AS first_day
+        |FROM orders GROUP BY 1, 2""".stripMargin,
   )
 }

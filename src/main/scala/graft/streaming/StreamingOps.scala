@@ -106,6 +106,31 @@ object StreamingOps {
       }
   }
 
+  /** Windowed streaming stateful ParDo: state/timers partitioned per
+    * (key, fixed window) — the streaming counterpart of the batch
+    * per-(key, window) scoping (ray_runner_test.py:505-575). The composite
+    * key is (K, windowStart); each window's end-of-window work happens via
+    * a timer the DoFn sets at `window.maxTimestamp`.
+    */
+  def statefulParDoWindowed[K, V, O](
+      input: Dataset[(K, V, java.sql.Timestamp)],
+      windowSizeMillis: Long,
+      fn: StatefulDoFn[(K, Long), V, O])(
+      implicit ko: Encoder[(K, Long)], oo: Encoder[O]): Dataset[O] = {
+    implicit val stateEnc: Encoder[StreamState] = Encoders.kryo(classOf[StreamState])
+    input
+      .groupByKey { r =>
+        val ts = r._3.getTime
+        (r._1, ts - java.lang.Math.floorMod(ts, windowSizeMillis))
+      }
+      .flatMapGroupsWithState[StreamState, O](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (K, Long), rows: Iterator[(K, V, java.sql.Timestamp)],
+         state: GroupState[StreamState]) =>
+          runStreamingGroup(key, rows.map(r => (key, r._2, r._3.getTime)), state, fn)
+      }
+  }
+
   /** Kryo-persisted state: raw cell values + timer heap. */
   final class StreamState extends Serializable {
     val cells: mutable.Map[String, Any] = mutable.Map.empty

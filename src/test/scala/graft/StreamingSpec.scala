@@ -91,6 +91,44 @@ class StreamingSpec extends SparkTestBase {
     assertMultiset(unknown, Seq(9))
   }
 
+  test("windowed streaming stateful ParDo partitions state per (key, window)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Double, Long)]
+    val input = mem.toDS()
+      .select(col("_1"), col("_2"), timestamp_millis(col("_3")).as("et"))
+      .withWatermark("et", "0 seconds")
+      .as[(String, Double, java.sql.Timestamp)]
+    val fn = new StatefulDoFn[(String, Long), Double, (String, Long, Double)] {
+      def process(k: (String, Long), v: Double,
+          ctx: StatefulContext[(String, Long, Double)]): Unit = {
+        ctx.combining(sumSpec).add(v)
+        // flush at end of this 10s window
+        ctx.timer(flushSpec).set(k._2 + 10000)
+      }
+      override def onTimer(k: (String, Long), spec: TimerSpec, tag: String, fireTs: Long,
+          ctx: StatefulContext[(String, Long, Double)]): Unit = {
+        val (sum, _) = ctx.combining(sumSpec).read()
+        ctx.output((k._1, k._2, sum))
+      }
+    }
+    val out = StreamingOps.statefulParDoWindowed(input, 10000L, fn)
+    val q = out.toDF("k", "win", "sum").writeStream.format("memory")
+      .queryName("winstate_" + System.nanoTime()).outputMode("append").start()
+    val qn = q.name
+    mem.addData(("a", 1.0, 1000L), ("a", 2.0, 2000L), ("a", 5.0, 12000L))
+    q.processAllAvailable()
+    mem.addData(("z", 1.0, 99000L)) // advance watermark → both windows flush
+    q.processAllAvailable()
+    mem.addData(("z", 1.0, 500000L))
+    q.processAllAvailable()
+    val rows = s.sql(s"SELECT k, win, sum FROM $qn WHERE k = 'a'")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    q.stop()
+    assertMultiset(rows, Seq(("a", 0L, 3.0), ("a", 10000L, 5.0)))
+  }
+
   test("foreachBatchFinalized: finalize runs after commit, exceptions swallowed") {
     val s = spark
     import s.implicits._
