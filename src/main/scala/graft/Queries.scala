@@ -514,6 +514,13 @@ object Queries {
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n"),
         expr("CAST(MIN(day(o_orderdate)) AS BIGINT)").as("first_day"))
 
+  /** CUBE grouping sets (all subtotal combinations — Catalyst-free). */
+  def d43Cube(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .cube(col("c_mktsegment"), col("c_nationkey"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n"),
+        expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").as("sum_bal"))
+
   /** Custom whole-operator plan: per-key top-k via partial/final
     * TopKPerKeyExec (graft.plans) — the scale-safe form of q09's
     * window-rank pattern.
@@ -568,6 +575,7 @@ object Queries {
     "d40_percentiles" -> (d40Percentiles _),
     "d41_string_funcs" -> (d41StringFuncs _),
     "d42_date_funcs" -> (d42DateFuncs _),
+    "d43_cube" -> (d43Cube _),
   )
 
   private val toksSql =
@@ -776,5 +784,9 @@ object Queries {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
         | CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(day(o_orderdate)) AS BIGINT) AS first_day
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    "d43_cube" ->
+      """SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)""".stripMargin,
   )
 }

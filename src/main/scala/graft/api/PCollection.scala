@@ -92,8 +92,12 @@ final class PCollection[T](
     * over a cached intermediate — the same demux strategy as the reference
     * (TaggingReceiver translator.py:180-206; demux translator.py:559-576).
     */
-  def parDoTagged[O](fn: DoFn[T, O], tags: Seq[Tag[_]]): (PCollection[O], Map[String, PCollection[Any]]) = {
-    val tagged: Dataset[(String, WindowedValue[Any])] = data.mapPartitions { it =>
+  def parDoTagged[O](fn: DoFn[T, O], tags: Seq[Tag[_]],
+      name: String = ""): (PCollection[O], Map[String, PCollection[Any]]) = {
+    val opName = if (name.nonEmpty) name else s"op${PCollection.nextOpId()}"
+    val elems = pipeline.metrics.counter("graft.system", s"elements.$opName")
+    val tagged: Dataset[(String, WindowedValue[Any])] = data.mapPartitions { it0 =>
+      val it = it0.map { e => elems.add(1L); e }
       fn.setup(); fn.startBundle()
       val ctx = new BufferingContext[O](0L, Seq(GlobalWindow))
       val out = mutable.ArrayBuffer.empty[(String, WindowedValue[Any])]
