@@ -2,22 +2,33 @@ package graft
 
 /** Benchmark main: runs the query battery on SPARK_GRAFT_SF_DIR and prints
   * one JSON line with per-query wall seconds.
+  *
+  * Each query runs twice and reports the min: single-shot numbers on a
+  * shared box swing 3-5x with interference/JIT noise, and the baseline this
+  * writes is compared across rounds. The cache is cleared between passes so
+  * operator-internal persists (LSH signature tables) don't leak a warm
+  * second run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM + parquet footers once so per-query numbers measure the
     // queries, not first-touch setup
     Tables.lineitem(spark, sfDir).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

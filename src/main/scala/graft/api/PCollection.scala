@@ -340,6 +340,18 @@ final class PCollection[T](
       def extractOutput(acc: List[T]): Seq[T] = acc
     })
 
+  /** Batches of at most `batchSize` values per key — the model-inference
+    * batching primitive of a training-data pipeline (Beam GroupIntoBatches).
+    * Each (key, window) group emits ceil(n/batchSize) batches.
+    */
+  def groupIntoBatches[K, V](batchSize: Int)(
+      implicit ev: T <:< (K, V)): PCollection[(K, Seq[V])] = {
+    require(batchSize > 0)
+    groupByKey[K, V].flatMap { case (k, vs) =>
+      vs.iterator.grouped(batchSize).map(b => (k, b.toSeq))
+    }
+  }
+
   def sumPerKey[K](implicit ev: T <:< (K, Double)): PCollection[(K, Double)] =
     combinePerKey[K, Double, Double, Double](new CombineFn[Double, Double, Double] {
       def createAccumulator(): Double = 0.0

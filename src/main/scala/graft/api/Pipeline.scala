@@ -55,6 +55,18 @@ final class Pipeline(val spark: SparkSession) {
     fromDataset(ds)
   }
 
+  /** Columnar sources straight into the dataflow layer (scans stay
+    * DataSource-planned: pushdown/pruning happen before rows enter the
+    * opaque path).
+    */
+  def readParquet(path: String): PCollection[Row] =
+    fromDataFrame(spark.read.parquet(path))
+  def readCsv(path: String, header: Boolean = true): PCollection[Row] =
+    fromDataFrame(spark.read.option("header", header.toString)
+      .option("inferSchema", "true").csv(path))
+  def readJson(path: String): PCollection[Row] =
+    fromDataFrame(spark.read.json(path))
+
   /** Bridge from any typed Dataset into the dataflow layer. */
   def fromDataset[T](ds: Dataset[T]): PCollection[T] =
     new PCollection[T](this, ds.mapPartitions(_.map(WindowedValue.of))(wvEncoder), GlobalWindows)

@@ -126,6 +126,22 @@ class GroupCombineSpec extends SparkTestBase {
       ("k", Seq.empty[Int], Seq("b"))))
   }
 
+  test("groupIntoBatches bounds batch size per key") {
+    val p = Pipeline(spark)
+    val out = p.create((1 to 7).map(i => ("k", i)))
+      .groupIntoBatches[String, Int](3)
+      .collect()
+    assert(out.map(_._2.size).sorted == Seq(1, 3, 3))
+    assertMultiset(out.flatMap(_._2), (1 to 7).toSeq)
+  }
+
+  test("readParquet into the dataflow layer") {
+    val p = Pipeline(spark)
+    val rows = p.readParquet("/root/testdata/sf0.001/region.parquet")
+      .map(_.getString(1)).collect()
+    assert(rows.size == 5)
+  }
+
   test("countPerKey composite") {
     val p = Pipeline(spark)
     assertMultiset(
