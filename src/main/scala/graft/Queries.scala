@@ -514,6 +514,27 @@ object Queries {
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n"),
         expr("CAST(MIN(day(o_orderdate)) AS BIGINT)").as("first_day"))
 
+  /** True IVF ANN (k-means cells + multi-cell probe; no SQL oracle:
+    * approximate by construction).
+    */
+  def d44IvfTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(s, emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      "q_id", "q_vec", k = 5, nlist = 16, nprobe = 4)
+  }
+
+  /** Transitive near-dup cluster census: connected components over the
+    * MinHash pair graph (no SQL oracle: xxhash-based candidates).
+    */
+  def d45DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
+    Dedup.connectedComponents(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_members"))
+  }
+
   /** CUBE grouping sets (all subtotal combinations — Catalyst-free). */
   def d43Cube(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -576,6 +597,8 @@ object Queries {
     "d41_string_funcs" -> (d41StringFuncs _),
     "d42_date_funcs" -> (d42DateFuncs _),
     "d43_cube" -> (d43Cube _),
+    "d44_ivf_topk" -> (d44IvfTopk _),
+    "d45_dedup_clusters" -> (d45DedupClusters _),
   )
 
   private val toksSql =

@@ -99,6 +99,38 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard_est"), 6).as("jaccard_est"))
   }
 
+  /** Transitive near-dup clusters from a pair list: iterative min-label
+    * propagation (each node adopts the smallest id reachable through the
+    * pair graph; converges in O(component diameter) rounds, each one
+    * edge-join + aggregate — the standard large-scale connected-components
+    * loop, lineage-truncated per round). Returns (id, cluster_id) where
+    * cluster_id = min id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nl"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.as("u")
+        .join(labels.withColumnRenamed("label", "old").as("l"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Near-dedup policy: drop any doc that has a near-dup partner with a
     * smaller id (deterministic, one pass over the pair list).
     */

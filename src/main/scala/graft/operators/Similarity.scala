@@ -86,6 +86,52 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), round(col("score"), 6).as("score"), col("rnk"))
   }
 
+  /** True IVF (inverted-file) ANN: k-means centroids partition the corpus
+    * into `nlist` cells; each query scores only the `nprobe` nearest cells.
+    * Unlike the stateless hyperplane LSH below, the index adapts to the data
+    * distribution — the scale path when the corpus is clustered.
+    *
+    * Training uses Spark MLlib KMeans (seeded → deterministic); assignment
+    * is one `transform` pass; the probe join broadcasts (query, cell) pairs.
+    */
+  def ivfTopK(
+      spark: SparkSession,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(col(corpusId).as("__id"),
+      array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(train)
+    val assigned = model.transform(train)
+      .select(col("__id"), col("prediction").as("__cell"))
+    val cb = corpus.join(assigned, corpus(corpusId) === assigned("__id")).drop("__id")
+    // nprobe nearest centroids per query, computed driver-side (queries are
+    // small by contract — they are broadcast anyway)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val qRows = queries.select(col(queryId), col(queryVec)).collect()
+    val probes = qRows.flatMap { r =>
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      centroids.zipWithIndex.map { case (c, ci) =>
+        var d = 0.0; var i = 0
+        while (i < math.min(c.length, qv.length)) { val x = c(i) - qv(i); d += x * x; i += 1 }
+        (r.getLong(0), ci, d)
+      }.sortBy(_._3).take(nprobe).map { case (qid, ci, _) => (qid, ci) }
+    }
+    val s2 = corpus.sparkSession
+    import s2.implicits._
+    val probeDf = probes.toSeq.toDF("__qid", "__cell")
+      .join(queries.select(col(queryId).as("__qid"), col(queryVec).as("__qvec")), "__qid")
+    val scored = cb.join(broadcast(probeDf), "__cell")
+      .withColumn("score", graft.plans.NativeExpressions.cosine(col(corpusVec), col("__qvec")))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("score").desc, col(corpusId))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("__qid").as("query_id"), col(corpusId).as("corpus_id"),
+        round(col("score"), 6).as("score"), col("rnk"))
+  }
+
   /** LSH/IVF-style ANN: bucket corpus and queries with the same seeded
     * random-hyperplane signature; score only same-bucket candidates. Recall
     * grows with `probes` (multi-probe = flip each of the lowest `probes`

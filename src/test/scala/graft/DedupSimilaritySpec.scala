@@ -122,6 +122,32 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall $recall too low; brute=${brute.size} approx=${approx.size}")
   }
 
+  test("connectedComponents: transitive clusters adopt min id") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3 plus island 10-11 (3 only reachable through 2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cc == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("ivfTopK recall vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q"), col("embedding").as("qv"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = asSet(Similarity.bruteForceTopK(emb, "vec_id", "embedding", qs, "q", "qv", 10))
+    // random embeddings = worst case; nprobe 8 of nlist 16 cells ≈ half the
+    // corpus scored → recall well above the probed fraction
+    val ivf = asSet(Similarity.ivfTopK(spark, emb, "vec_id", "embedding",
+      qs, "q", "qv", 10, nlist = 16, nprobe = 8))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"ivf recall $recall")
+  }
+
   test("embeddingNearDupPairs finds same-direction vectors") {
     val pairs = Dedup.embeddingNearDupPairs(vecs(), "vec_id", "embedding",
         lshBits = 4, threshold = 0.9)
