@@ -67,6 +67,29 @@ class CoreDataflowSpec extends SparkTestBase {
     assertMultiset(strs.union(ints).collect(), Seq[Any]("x", 7))
   }
 
+  test("heterogeneous flatten flows through GBK (ray_runner_test.py:838-850)") {
+    val p = Pipeline(spark)
+    val strs: api.PCollection[(String, Any)] = p.create(Seq(("k", "s": Any)))
+    val ints: api.PCollection[(String, Any)] = p.create(Seq(("k", 7: Any)))
+    val out = strs.union(ints).groupByKey[String, Any]
+      .map { case (k, vs) => (k, vs.map(_.toString).toSeq.sorted) }
+      .collect()
+    assertMultiset(out, Seq(("k", Seq("7", "s"))))
+  }
+
+  test("empty PCollection flows through every operator without error") {
+    val p = Pipeline(spark)
+    val empty = p.create(Seq.empty[(String, Int)])
+    assert(empty.groupByKey[String, Int].collect().isEmpty)
+    assert(empty.countPerKey[String, Int].collect().isEmpty)
+    assert(empty.distinct().collect().isEmpty)
+    assert(empty.coGroupByKey[String, Int, Int](p.create(Seq.empty[(String, Int)]))
+      .collect().isEmpty)
+    assert(empty.statefulParDo[String, Int, Int](new StatefulDoFn[String, Int, Int] {
+      def process(k: String, v: Int, ctx: StatefulContext[Int]): Unit = ctx.output(v)
+    }).collect().isEmpty)
+  }
+
   test("reshuffle preserves elements (ray_runner_test.py:832-836)") {
     val p = Pipeline(spark)
     assertMultiset(p.create(1 to 100).reshuffle(7).collect(), (1 to 100).toSeq)

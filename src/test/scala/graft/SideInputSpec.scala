@@ -39,6 +39,17 @@ class SideInputSpec extends SparkTestBase {
     assertMultiset(out, Seq((1, 2), (2, 1)))
   }
 
+  test("AsIterable side input + empty side input yields empty view") {
+    val p = Pipeline(spark)
+    val it = p.create(Seq(1, 2, 3)).asIterable
+    val emptySide = p.create(Seq.empty[Int]).asList
+    val out = p.create(Seq(0)).parDo(new DoFn[Int, (Int, Int)] {
+      def process(e: Int, ctx: ProcessContext[(Int, Int)]): Unit =
+        ctx.output((ctx.sideInput(it).sum, ctx.sideInput(emptySide).size))
+    }).collect()
+    assertMultiset(out, Seq((6, 0)))
+  }
+
   test("AsSingleton side input") {
     val p = Pipeline(spark)
     val one = p.create(Seq(42)).asSingleton
