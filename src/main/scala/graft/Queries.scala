@@ -535,6 +535,33 @@ object Queries {
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_members"))
   }
 
+  /** Correlated scalar subquery through the SQL surface (Catalyst decorrelates
+    * to a join): customers above their nation's average balance. The average
+    * is derived from exact decimal sums so the comparison is engine-stable.
+    */
+  def d46CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT c_custkey, c_nationkey FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+  }
+
+  /** Running window frames: per-customer cumulative order count and
+    * decimal-exact cumulative spend in date order.
+    */
+  def d47RunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_n", count(lit(1)).over(w).cast("long"))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "running_n", "running_spend")
+  }
+
   /** CUBE grouping sets (all subtotal combinations — Catalyst-free). */
   def d43Cube(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -599,6 +626,8 @@ object Queries {
     "d43_cube" -> (d43Cube _),
     "d44_ivf_topk" -> (d44IvfTopk _),
     "d45_dedup_clusters" -> (d45DedupClusters _),
+    "d46_correlated_subquery" -> (d46CorrelatedSubquery _),
+    "d47_running_sum" -> (d47RunningSum _),
   )
 
   private val toksSql =
@@ -811,5 +840,17 @@ object Queries {
       """SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)""".stripMargin,
+    "d46_correlated_subquery" ->
+      """SELECT c_custkey, c_nationkey FROM customer c
+        |WHERE c_acctbal > (
+        | SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        | FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
+    "d47_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(COUNT(*) OVER w AS BIGINT) AS running_n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
   )
 }
