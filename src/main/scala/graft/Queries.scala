@@ -562,6 +562,15 @@ object Queries {
       .select("o_custkey", "o_orderkey", "running_n", "running_spend")
   }
 
+  /** JSON extraction over the events.props payload column. */
+  def d48JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(expr("CAST(SUM(k) AS BIGINT)").as("sum_k"),
+        expr("CAST(MAX(k) AS BIGINT)").as("max_k"),
+        expr("CAST(COUNT(k) AS BIGINT)").as("n_with_k"))
+
   /** CUBE grouping sets (all subtotal combinations — Catalyst-free). */
   def d43Cube(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -628,6 +637,7 @@ object Queries {
     "d45_dedup_clusters" -> (d45DedupClusters _),
     "d46_correlated_subquery" -> (d46CorrelatedSubquery _),
     "d47_running_sum" -> (d47RunningSum _),
+    "d48_json_extract" -> (d48JsonExtract _),
   )
 
   private val toksSql =
@@ -852,5 +862,11 @@ object Queries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "d48_json_extract" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        | CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }
