@@ -58,6 +58,24 @@ object WindowLawsProps extends Properties("WindowLaws") {
       disjoint && covered && gapLaw
     }
 
+  property("minhash jaccard estimate tracks true jaccard within 0.25") = {
+    import org.apache.spark.sql.functions._
+    val s = SparkTestBase.spark
+    import s.implicits._
+    forAll(Gen.chooseNum(0, 20), Gen.chooseNum(5, 25)) { (shared, unique) =>
+      // two sets with `shared` common tokens and `unique` distinct each
+      val a = (0 until shared).map(i => s"c$i") ++ (0 until unique).map(i => s"a$i")
+      val b = (0 until shared).map(i => s"c$i") ++ (0 until unique).map(i => s"b$i")
+      val trueJ = shared.toDouble / (shared + 2 * unique)
+      val est = Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.Hashing.minHashJaccard(
+          graft.plans.NativeExpressions.minHashSignature(col("a"), 128),
+          graft.plans.NativeExpressions.minHashSignature(col("b"), 128)).as("j"))
+        .first().getDouble(0)
+      math.abs(est - trueJ) <= 0.25
+    }
+  }
+
   property("windowed value explode keeps value and timestamp") =
     forAll(tsGen, Gen.chooseNum(1L, 10L)) { (ts, n) =>
       val wv = WindowedValue("v", ts,
