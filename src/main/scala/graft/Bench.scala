@@ -23,7 +23,10 @@ object Bench {
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        // Consume the FULL plan distributed-side: `toRdd.foreach` materializes
+        // every output row (count() would let Catalyst prune projections and
+        // under-measure map-heavy queries — NOTES.md "performance lessons").
+        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) } catch {
           case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9

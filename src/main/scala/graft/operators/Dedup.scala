@@ -85,18 +85,38 @@ object Dedup {
         posexplode(graft.plans.NativeExpressions.bandBuckets(
           col("__sig"), bands, rowsPerBand)))
       .select(col("__id"), struct(col("pos"), col("col")).as("__bk"))
-    val cand = banded.groupBy(col("__bk"))
+    // Singleton-bucket prefilter: at corpus scale the vast majority of band
+    // buckets hold exactly one doc. Counting first is a map-side-combinable
+    // aggregate (tiny shuffle of (bucket, n) partials); only rows in
+    // surviving buckets — a small set — reach the collect_list shuffle.
+    val liveBuckets = banded.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucketSize))
+      .select(col("__bk"))
+    val cand = banded.join(liveBuckets, Seq("__bk"), "left_semi")
+      .groupBy(col("__bk"))
       .agg(collect_list(col("__id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
       .select(explode(graft.plans.NativeExpressions.idPairs(col("ids"))).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .dropDuplicates("id1", "id2")
-    cand
+    // Join-back strategy is left to AQE: candidate pairs are usually tiny
+    // relative to the corpus (AQE broadcasts them and streams the cached
+    // sigs side); when a duplicate-heavy corpus makes pairs large, both
+    // sides hash-shuffle on id — never broadcast the full signature table.
+    val pairs = cand
       .join(sigs.select(col("__id").as("id1"), col("__sig").as("__s1")), "id1")
       .join(sigs.select(col("__id").as("id2"), col("__sig").as("__s2")), "id2")
       .withColumn("jaccard_est", Hashing.minHashJaccard(col("__s1"), col("__s2")))
       .filter(col("jaccard_est") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard_est"), 6).as("jaccard_est"))
+    // Materialize the (small) pair list eagerly, then RELEASE the signature
+    // cache — method-local persists must not leak blocks into later queries
+    // (a 48-query battery accumulates them otherwise). localCheckpoint also
+    // truncates lineage so callers (connected components, verify stage)
+    // re-consume pairs without re-running the LSH pipeline.
+    val out = pairs.localCheckpoint()
+    sigs.unpersist()
+    out
   }
 
   /** Transitive near-dup clusters from a pair list: iterative min-label
@@ -118,13 +138,15 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nl"))
+      // carry the previous label through the checkpoint so convergence is a
+      // cheap aggregate over already-materialized blocks — NOT a second
+      // join + full recompute per iteration
       val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          col("label").as("__old"))
         .localCheckpoint()
-      changed = updated.as("u")
-        .join(labels.withColumnRenamed("label", "old").as("l"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
+      changed = updated.filter(col("label") =!= col("__old")).count()
+      labels = updated.drop("__old")
       iter += 1
     }
     edges.unpersist()
@@ -182,12 +204,17 @@ object Dedup {
         call_function("shiftright", col("__fp"), lit(b * blockBits))
           .bitwiseAND(lit((1L << blockBits) - 1)).as("v"))
     }: _*)))
-    blocked.as("a").join(blocked.as("b"),
+    val pairs = blocked.as("a").join(blocked.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
         Hashing.hammingDistance64(col("a.__fp"), col("b.__fp")).as("hamming"))
       .dropDuplicates("id1", "id2")
       .filter(col("hamming") <= maxHamming)
+    // materialize the small pair list, release the fingerprint cache (see
+    // the minHashLshPairs note on method-local persists)
+    val out = pairs.localCheckpoint()
+    fp.unpersist()
+    out
   }
 
   /** Embedding near-dup pairs: block on a random-hyperplane LSH bucket, then
