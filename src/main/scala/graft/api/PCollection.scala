@@ -7,11 +7,21 @@ import scala.collection.mutable
 
 /** A PCollection: unordered bag of windowed elements, backed by a lazy
   * `Dataset[WindowedValue[T]]` (reference model: SURVEY.md §1.1;
-  * collection.py:24-35). Values are opaque (Kryo-encoded) exactly as the
-  * reference moves coder-encoded bytes (execution.py:100-106); schema-full
-  * relational work belongs in the DataFrame layer, this layer carries the
-  * Beam-semantics surface: ParDo lifecycle, tagged outputs, side inputs,
-  * GBK/Combine, windowing incl. merging, stateful ParDo with timers.
+  * collection.py:24-35).
+  *
+  * Encoding: each operator resolves a [[graft.core.GEnc]] for its output —
+  * a native Catalyst struct `(value, timestamp, windows, pane)` whenever the
+  * element type is reflection-encodable (products, primitives, windows via
+  * [[graft.core.BoundedWindowUDT]]), Kryo bytes otherwise (the reference
+  * moves coder-encoded bytes everywhere, execution.py:100-106; here opaque
+  * bytes are the *fallback*, not the default). Native rows shuffle as
+  * Tungsten binary with in-place comparison; Kryo rows shuffle as blobs.
+  *
+  * Key-equality contract (Kryo fallback paths only): grouping compares
+  * serialized key bytes, so keys must serialize canonically — primitives,
+  * Strings, case classes of those are safe; hash-ordered collections inside
+  * keys are not. Native-encoded keys (the common path for concrete key
+  * types) compare by struct value and have no such caveat.
   */
 final class PCollection[T](
     val pipeline: Pipeline,
@@ -19,23 +29,25 @@ final class PCollection[T](
     private[graft] val windowFn: WindowFn) {
 
   private def spark: SparkSession = pipeline.spark
-  private implicit def wvEnc[U]: Encoder[WindowedValue[U]] =
-    Encoders.kryo(classOf[WindowedValue[Any]]).asInstanceOf[Encoder[WindowedValue[U]]]
-  private def tupEnc[A, B]: Encoder[(A, B)] =
-    Encoders.tuple(Encoders.kryo(classOf[Any]), Encoders.kryo(classOf[Any]))
-      .asInstanceOf[Encoder[(A, B)]]
+  /** This collection's own windowed-value encoder (native or Kryo — fixed at
+    * construction; same-type transforms reuse it).
+    */
+  private def selfEnc: Encoder[WindowedValue[T]] = data.encoder
+  private def kryoEnc[U]: Encoder[U] =
+    Encoders.kryo(classOf[Any]).asInstanceOf[Encoder[U]]
 
   private def next[U](ds: Dataset[WindowedValue[U]], wfn: WindowFn = windowFn): PCollection[U] =
     new PCollection[U](pipeline, ds, wfn)
 
   /** One row per (element, window) then grouped on (key, window) — the
-    * shared keying step of every keyed operator.
+    * shared keying step of every keyed operator. With a native key encoder
+    * the shuffle hash/sort runs on a `(key, window-struct)` Tungsten row.
     */
-  private def keyedByWindow[K, V](implicit ev: T <:< (K, V)) = {
-    val exploded = data.mapPartitions(_.flatMap(_.explode))(wvEnc[T])
+  private def keyedByWindow[K, V](kwEnc: GEnc[(K, BoundedWindow)])(implicit ev: T <:< (K, V)) = {
+    val exploded = data.mapPartitions(_.flatMap(_.explode))(selfEnc)
     exploded.groupByKey { wv: WindowedValue[T] =>
       (ev(wv.value)._1, wv.windows.head): (K, BoundedWindow)
-    }(tupEnc[K, BoundedWindow])
+    }(kwEnc.enc)
   }
 
   // -------------------------------------------------------------------------
@@ -48,14 +60,25 @@ final class PCollection[T](
     * (reference tracks per-PCollection element counts,
     * ray_runner_test.py:1285-1514) queryable as
     * `metrics.counterValue("graft.system", "elements.<name>")`.
+    *
+    * `finishBundle` emissions carry the global window at timestamp 0 (Beam
+    * requires explicit windowing for finish-bundle output; this runner pins
+    * it to the global window — under non-global windowing such elements
+    * group separately by design).
+    *
+    * Tagged emission from a plain parDo is rejected (throws): tags declared
+    * by the DoFn require [[parDoTagged]], otherwise tagged output would be
+    * silently dropped.
     */
-  def parDo[O](fn: DoFn[T, O], name: String = ""): PCollection[O] = {
+  def parDo[O](fn: DoFn[T, O], name: String = "")(
+      implicit oe: GEnc[WindowedValue[O]]): PCollection[O] = {
     val opName = if (name.nonEmpty) name else s"op${PCollection.nextOpId()}"
     val elems = pipeline.metrics.counter("graft.system", s"elements.$opName")
     val msecs = pipeline.metrics.counter("graft.system", s"msecs.$opName")
+    val bytes = pipeline.metrics.distribution("graft.system", s"sampledByteSize.$opName")
     val ds = data.mapPartitions { it0 =>
       val t0 = System.nanoTime()
-      val it = it0.map { e => elems.add(1L); e }
+      val it = PCollection.instrument(it0, elems, bytes)
       Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
         new org.apache.spark.util.TaskCompletionListener {
           override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
@@ -69,6 +92,10 @@ final class PCollection[T](
         ctx.currentTs = wv.timestamp; ctx.currentWindows = wv.windows
         ctx.buf.clear()
         fn.process(wv.value, ctx)
+        if (ctx.taggedBuf.nonEmpty)
+          throw new IllegalStateException(
+            s"DoFn emitted tagged output (${ctx.taggedBuf.map(_._1).distinct.mkString(",")}) " +
+              "from a plain parDo — use parDoTagged so tagged outputs are routed, not dropped")
         ctx.buf.foreach(o => out += o.asInstanceOf[WindowedValue[O]])
       }
       fn.finishBundle(o => out += WindowedValue.of(o))
@@ -84,20 +111,25 @@ final class PCollection[T](
           }))
       }
       out.iterator
-    }(wvEnc[O])
+    }(oe.enc)
     next(ds)
   }
 
   /** Multi-output ParDo: emits (tag, value) once, then one filter per tag
-    * over a cached intermediate — the same demux strategy as the reference
-    * (TaggingReceiver translator.py:180-206; demux translator.py:559-576).
+    * over an eagerly checkpointed intermediate — the same demux strategy as
+    * the reference (TaggingReceiver translator.py:180-206; demux
+    * translator.py:559-576). `localCheckpoint` (not `persist`) so the
+    * blocks are context-cleaned once the branches are garbage-collected
+    * instead of leaking for the session lifetime.
     */
   def parDoTagged[O](fn: DoFn[T, O], tags: Seq[Tag[_]],
-      name: String = ""): (PCollection[O], Map[String, PCollection[Any]]) = {
+      name: String = "")(
+      implicit oe: GEnc[WindowedValue[O]]): (PCollection[O], Map[String, PCollection[Any]]) = {
     val opName = if (name.nonEmpty) name else s"op${PCollection.nextOpId()}"
     val elems = pipeline.metrics.counter("graft.system", s"elements.$opName")
+    val bytes = pipeline.metrics.distribution("graft.system", s"sampledByteSize.$opName")
     val tagged: Dataset[(String, WindowedValue[Any])] = data.mapPartitions { it0 =>
-      val it = it0.map { e => elems.add(1L); e }
+      val it = PCollection.instrument(it0, elems, bytes)
       fn.setup(); fn.startBundle()
       val ctx = new BufferingContext[O](0L, Seq(GlobalWindow))
       val out = mutable.ArrayBuffer.empty[(String, WindowedValue[Any])]
@@ -119,25 +151,28 @@ final class PCollection[T](
           }))
       }
       out.iterator
-    }(tupEnc[String, WindowedValue[Any]]).persist()
-    val main = next(tagged.filter(_._1 == "").map(_._2.asInstanceOf[WindowedValue[O]])(wvEnc[O]))
+    }(Encoders.tuple(Encoders.STRING, kryoEnc[WindowedValue[Any]]))
+      .localCheckpoint()
+    val main = next(tagged.filter(_._1 == "").map(_._2.asInstanceOf[WindowedValue[O]])(oe.enc))
     val sides = tags.map { t =>
-      t.name -> next(tagged.filter(_._1 == t.name).map(_._2)(wvEnc[Any]))
+      t.name -> next(tagged.filter(_._1 == t.name).map(_._2)(kryoEnc[WindowedValue[Any]]))
     }.toMap
     (main, sides)
   }
 
-  def map[O](f: T => O): PCollection[O] =
-    next(data.mapPartitions(_.map(wv => wv.withValue(f(wv.value))))(wvEnc[O]))
+  def map[O](f: T => O)(implicit oe: GEnc[WindowedValue[O]]): PCollection[O] =
+    next(data.mapPartitions(_.map(wv => wv.withValue(f(wv.value))))(oe.enc))
 
   /** Map with access to the full windowed envelope (timestamp + window) —
     * how window bounds surface into relational output.
     */
-  def mapWindowed[O](f: WindowedValue[T] => O): PCollection[O] =
-    next(data.mapPartitions(_.map(wv => wv.withValue(f(wv))))(wvEnc[O]))
+  def mapWindowed[O](f: WindowedValue[T] => O)(
+      implicit oe: GEnc[WindowedValue[O]]): PCollection[O] =
+    next(data.mapPartitions(_.map(wv => wv.withValue(f(wv))))(oe.enc))
 
-  def flatMap[O](f: T => IterableOnce[O]): PCollection[O] =
-    next(data.mapPartitions(_.flatMap(wv => f(wv.value).iterator.map(wv.withValue)))(wvEnc[O]))
+  def flatMap[O](f: T => IterableOnce[O])(
+      implicit oe: GEnc[WindowedValue[O]]): PCollection[O] =
+    next(data.mapPartitions(_.flatMap(wv => f(wv.value).iterator.map(wv.withValue)))(oe.enc))
 
   def filter(p: T => Boolean): PCollection[T] =
     next(data.filter((wv: WindowedValue[T]) => p(wv.value)))
@@ -151,7 +186,7 @@ final class PCollection[T](
     next(data.mapPartitions(_.map { wv =>
       val ts = f(wv.value)
       WindowedValue(wv.value, ts, wv.windows, wv.pane)
-    })(wvEnc[T]))
+    })(selfEnc))
 
   /** Assign windows from the element's timestamp (reference RayWindowInto
     * translator.py:393-416 — assignment only; merging happens at GBK, like
@@ -160,7 +195,7 @@ final class PCollection[T](
   def windowInto(wfn: WindowFn): PCollection[T] =
     next(data.mapPartitions(_.map { wv =>
       WindowedValue(wv.value, wv.timestamp, wfn.assign(wv.timestamp), wv.pane)
-    })(wvEnc[T]), wfn)
+    })(selfEnc), wfn)
 
   // -------------------------------------------------------------------------
   // Grouping (reference: RayGroupByKey translator.py:341-390 + GroupAlsoByWindow)
@@ -172,31 +207,32 @@ final class PCollection[T](
     * inside the group (SURVEY.md §7.4). Output timestamp = window max
     * (Beam's default end-of-window timestamp combiner).
     */
-  def groupByKey[K, V](implicit ev: T <:< (K, V)): PCollection[(K, Iterable[V])] = {
+  def groupByKey[K, V](implicit ev: T <:< (K, V),
+      kwEnc: GEnc[(K, BoundedWindow)], kEnc: GEnc[K],
+      oe: GEnc[WindowedValue[(K, Iterable[V])]]): PCollection[(K, Iterable[V])] = {
     val wfn = windowFn
-    val exploded = data.mapPartitions(_.flatMap(_.explode))(wvEnc[T])
+    val exploded = data.mapPartitions(_.flatMap(_.explode))(selfEnc)
     val ds: Dataset[WindowedValue[(K, Iterable[V])]] =
       if (!wfn.isMerging) {
-        keyedByWindow[K, V]
+        keyedByWindow[K, V](kwEnc)
           .mapGroups { (kw: (K, BoundedWindow), it: Iterator[WindowedValue[T]]) =>
             val (k, w) = kw
             val vs: Iterable[V] = it.map(wv => ev(wv.value)._2).toList
             WindowedValue((k, vs), w.maxTimestamp, Seq(w))
-          }(wvEnc[(K, Iterable[V])])
+          }(oe.enc)
       } else {
         exploded
-          .groupByKey((wv: WindowedValue[T]) => ev(wv.value)._1.asInstanceOf[Any])(
-            Encoders.kryo(classOf[Any]))
-          .flatMapGroups { (k: Any, it: Iterator[WindowedValue[T]]) =>
+          .groupByKey((wv: WindowedValue[T]) => ev(wv.value)._1)(kEnc.enc)
+          .flatMapGroups { (k: K, it: Iterator[WindowedValue[T]]) =>
             val elems = it.toVector
             val mapping = wfn.mergeWindows(elems.map(_.windows.head))
             elems
               .groupBy(wv => mapping(wv.windows.head))
               .iterator.map { case (mw, group) =>
                 val vs: Iterable[V] = group.map(wv => ev(wv.value)._2).toList
-                WindowedValue((k.asInstanceOf[K], vs), mw.maxTimestamp, Seq(mw))
+                WindowedValue((k, vs), mw.maxTimestamp, Seq(mw))
               }
-          }(wvEnc[(K, Iterable[V])])
+          }(oe.enc)
       }
     next(ds)
   }
@@ -204,9 +240,14 @@ final class PCollection[T](
   /** Keyed combine via a Spark `Aggregator` — Catalyst plans partial
     * (map-side) + final aggregation, which is exactly the reference's
     * `lift_combiners` optimization (ray_fn_runner.py:178) done natively.
+    * Accumulators cross the shuffle with a native encoder when `A` is a
+    * product/primitive type.
     */
   def combinePerKey[K, V, A, O](fn: CombineFn[V, A, O])(
-      implicit ev: T <:< (K, V)): PCollection[(K, O)] = {
+      implicit ev: T <:< (K, V),
+      kwEnc: GEnc[(K, BoundedWindow)], kEnc: GEnc[K],
+      aEnc: GEnc[A], oEnc: GEnc[O],
+      oe: GEnc[WindowedValue[(K, O)]]): PCollection[(K, O)] = {
     val wfn = windowFn
     if (!wfn.isMerging) {
       val agg = new Aggregator[WindowedValue[T], A, O] {
@@ -214,20 +255,20 @@ final class PCollection[T](
         def reduce(a: A, wv: WindowedValue[T]): A = fn.addInput(a, ev(wv.value)._2)
         def merge(a: A, b: A): A = fn.mergeAccumulators(a, b)
         def finish(a: A): O = fn.extractOutput(a)
-        def bufferEncoder: Encoder[A] = Encoders.kryo(classOf[Any]).asInstanceOf[Encoder[A]]
-        def outputEncoder: Encoder[O] = Encoders.kryo(classOf[Any]).asInstanceOf[Encoder[O]]
+        def bufferEncoder: Encoder[A] = aEnc.enc
+        def outputEncoder: Encoder[O] = oEnc.enc
       }
-      val ds = keyedByWindow[K, V]
+      val ds = keyedByWindow[K, V](kwEnc)
         .agg(agg.toColumn)
         .map { case ((k, w), o) => WindowedValue((k, o), w.maxTimestamp, Seq(w)) }(
-          wvEnc[(K, O)])
+          oe.enc)
       next(ds)
     } else {
       // merging windows: group by key, merge windows, fold in-group
       groupByKey[K, V].map { case (k, vs) =>
         val acc = vs.foldLeft(fn.createAccumulator())(fn.addInput)
         (k, fn.extractOutput(acc))
-      }
+      }(new GEnc(oe.enc, oe.native))
     }
   }
 
@@ -236,11 +277,15 @@ final class PCollection[T](
     * automatic via the Aggregator; keyed by window to stay correct under
     * windowing.
     */
-  def combineGlobally[A, O](fn: CombineFn[T, A, O]): PCollection[O] =
-    map(v => ((), v)).combinePerKey[Unit, T, A, O](fn).map(_._2)
+  def combineGlobally[A, O](fn: CombineFn[T, A, O])(
+      implicit aEnc: GEnc[A], oEnc: GEnc[O],
+      owv: GEnc[WindowedValue[O]]): PCollection[O] =
+    map(v => ((), v)).combinePerKey[Unit, T, A, O](fn).map(_._2)(owv)
 
   /** Per-key count — common composite. */
-  def countPerKey[K, V](implicit ev: T <:< (K, V)): PCollection[(K, Long)] =
+  def countPerKey[K, V](implicit ev: T <:< (K, V),
+      kwEnc: GEnc[(K, BoundedWindow)], kEnc: GEnc[K],
+      oe: GEnc[WindowedValue[(K, Long)]]): PCollection[(K, Long)] =
     combinePerKey[K, V, Long, Long](new CombineFn[V, Long, Long] {
       def createAccumulator(): Long = 0L
       def addInput(acc: Long, i: V): Long = acc + 1
@@ -252,13 +297,26 @@ final class PCollection[T](
   // Set-ish ops (reference: RayFlatten translator.py:419-433, Reshuffle :147-154)
   // -------------------------------------------------------------------------
 
-  /** Flatten/union; heterogeneous element types are legal because values are
-    * opaque (reference transcoding test ray_runner_test.py:838-850). Spark's
-    * UnionExec is a zero-shuffle partition concat — no `repartition(1)` like
-    * the reference needs (translator.py:426).
+  /** Flatten/union; heterogeneous element types are legal because values can
+    * be opaque (reference transcoding test ray_runner_test.py:838-850).
+    * Inputs whose physical encodings differ (one native, one Kryo) are
+    * normalized to this collection's encoding first. Spark's UnionExec is a
+    * zero-shuffle partition concat — no `repartition(1)` like the reference
+    * needs (translator.py:426).
     */
-  def union(others: PCollection[T]*): PCollection[T] =
-    next(others.foldLeft(data)((d, o) => d.union(o.data)))
+  def union(others: PCollection[T]*): PCollection[T] = {
+    val myEnc = selfEnc
+    val mySchema = data.schema
+    val folded = others.foldLeft(data) { (d, o) =>
+      val od =
+        if (o.data.schema == mySchema) o.data
+        else o.data.mapPartitions(it => it)(myEnc)
+      d.union(od)
+    }
+    // Spark's union drops to an untyped Row encoder when the inputs' class
+    // tag is Object (the Kryo fallback); rebind the typed encoder.
+    next(folded.as(myEnc))
+  }
 
   /** Redistribute (reference random_shuffle translator.py:147-154); Spark
     * lineage makes the checkpoint-barrier purpose unnecessary — this is a
@@ -275,17 +333,20 @@ final class PCollection[T](
     * tag+flatten+GBK composite.
     */
   def coGroupByKey[K, V, W](other: PCollection[(K, W)])(
-      implicit ev: T <:< (K, V)): PCollection[(K, (Iterable[V], Iterable[W]))] = {
+      implicit ev: T <:< (K, V),
+      kwEnc: GEnc[(K, BoundedWindow)],
+      oe: GEnc[WindowedValue[(K, (Iterable[V], Iterable[W]))]]
+  ): PCollection[(K, (Iterable[V], Iterable[W]))] = {
     val wfn = windowFn
     if (!wfn.isMerging && !other.windowFn.isMerging) {
-      val lg = keyedByWindow[K, V]
-      val rg = other.keyedByWindow[K, W]
+      val lg = keyedByWindow[K, V](kwEnc)
+      val rg = other.keyedByWindow[K, W](kwEnc)
       val ds = lg.cogroup(rg) { (kw, ls, rs) =>
         val (k, w) = kw
         val vs: Iterable[V] = ls.map(wv => ev(wv.value)._2).toList
         val ws: Iterable[W] = rs.map(_.value._2).toList
         Iterator.single(WindowedValue((k, (vs, ws)), w.maxTimestamp, Seq(w)))
-      }(wvEnc[(K, (Iterable[V], Iterable[W]))])
+      }(oe.enc)
       next(ds)
     } else {
       // merging windows: group the union under the MERGING side's windowFn
@@ -302,12 +363,12 @@ final class PCollection[T](
         map { t => val kv = ev(t); (kv._1, Left(kv._2): Either[V, W]) }
       val right: PCollection[(K, Either[V, W])] =
         other.map { case (k, w) => (k, Right(w): Either[V, W]) }
-      new PCollection(pipeline, left.data.union(right.data), mergingWfn)
+      new PCollection(pipeline, left.union(right).data, mergingWfn)
         .groupByKey[K, Either[V, W]].map { case (k, es) =>
           val vs = es.collect { case Left(v) => v }
           val ws = es.collect { case Right(w) => w }
           (k, (vs, ws))
-        }
+        }(new GEnc(oe.enc, oe.native))
     }
   }
 
@@ -315,23 +376,67 @@ final class PCollection[T](
     * Distinct — SURVEY.md §2.3 note).
     */
   def distinct(): PCollection[T] =
-    map(v => (v, ())).groupByKey[T, Unit].map(_._1)
+    map(v => (v, ())).groupByKey[T, Unit].map(_._1)(
+      new GEnc(selfEnc, false))
+
+  /** Set intersection per window (engine extension, SURVEY.md §2.4): elements
+    * present in both inputs, deduplicated (Beam's
+    * `Intersect.distinct` semantics / SQL INTERSECT).
+    */
+  def intersect(other: PCollection[T])(
+      implicit kwEnc: GEnc[(T, BoundedWindow)], kEnc: GEnc[T],
+      pe: GEnc[WindowedValue[(T, (Long, Long))]]): PCollection[T] =
+    setOp(other, (l, r) => l > 0 && r > 0)
+
+  /** Set difference per window (engine extension, SURVEY.md §2.4): distinct
+    * elements of this input absent from `other` (SQL EXCEPT).
+    */
+  def except(other: PCollection[T])(
+      implicit kwEnc: GEnc[(T, BoundedWindow)], kEnc: GEnc[T],
+      pe: GEnc[WindowedValue[(T, (Long, Long))]]): PCollection[T] =
+    setOp(other, (l, r) => l > 0 && r == 0)
+
+  /** Shared set-op core: tag sides, count per (element, window), emit once
+    * per element passing the predicate — one shuffle, map-side combinable
+    * (the per-side counts are a two-long accumulator, so the shuffle moves
+    * one partial per distinct element per partition, never the raw bags).
+    */
+  private def setOp(other: PCollection[T], keep: (Long, Long) => Boolean)(
+      implicit kwEnc: GEnc[(T, BoundedWindow)], kEnc: GEnc[T],
+      pe: GEnc[WindowedValue[(T, (Long, Long))]]): PCollection[T] = {
+    val tagged: PCollection[(T, (Long, Long))] =
+      map(v => (v, (1L, 0L)))(pe).union(other.map(v => (v, (0L, 1L)))(pe))
+    tagged.combinePerKey[T, (Long, Long), (Long, Long), (Long, Long)](
+      new CombineFn[(Long, Long), (Long, Long), (Long, Long)] {
+        def createAccumulator(): (Long, Long) = (0L, 0L)
+        def addInput(a: (Long, Long), v: (Long, Long)): (Long, Long) = (a._1 + v._1, a._2 + v._2)
+        def mergeAccumulators(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+          (a._1 + b._1, a._2 + b._2)
+        def extractOutput(a: (Long, Long)): (Long, Long) = a
+      })
+      .filter { case (_, (l, r)) => keep(l, r) }
+      .map(_._1)(new GEnc(selfEnc, false))
+  }
 
   // --- Beam library composites (KV helpers, Top/Mean/Sum analogs) ---
 
-  def keys[K, V](implicit ev: T <:< (K, V)): PCollection[K] = map(t => ev(t)._1)
-  def values[K, V](implicit ev: T <:< (K, V)): PCollection[V] = map(t => ev(t)._2)
-  def mapValues[K, V, W](f: V => W)(implicit ev: T <:< (K, V)): PCollection[(K, W)] =
+  def keys[K, V](implicit ev: T <:< (K, V), oe: GEnc[WindowedValue[K]]): PCollection[K] =
+    map(t => ev(t)._1)
+  def values[K, V](implicit ev: T <:< (K, V), oe: GEnc[WindowedValue[V]]): PCollection[V] =
+    map(t => ev(t)._2)
+  def mapValues[K, V, W](f: V => W)(implicit ev: T <:< (K, V),
+      oe: GEnc[WindowedValue[(K, W)]]): PCollection[(K, W)] =
     map { t => val kv = ev(t); (kv._1, f(kv._2)) }
   def flatMapValues[K, V, W](f: V => IterableOnce[W])(
-      implicit ev: T <:< (K, V)): PCollection[(K, W)] =
+      implicit ev: T <:< (K, V), oe: GEnc[WindowedValue[(K, W)]]): PCollection[(K, W)] =
     flatMap { t => val kv = ev(t); f(kv._2).iterator.map(w => (kv._1, w)) }
-  def withKeys[K](f: T => K): PCollection[(K, T)] = map(t => (f(t), t))
-  def swap[K, V](implicit ev: T <:< (K, V)): PCollection[(V, K)] =
+  def withKeys[K](f: T => K)(implicit oe: GEnc[WindowedValue[(K, T)]]): PCollection[(K, T)] =
+    map(t => (f(t), t))
+  def swap[K, V](implicit ev: T <:< (K, V), oe: GEnc[WindowedValue[(V, K)]]): PCollection[(V, K)] =
     map { t => val kv = ev(t); (kv._2, kv._1) }
 
   /** Largest n elements (Beam Top.largest composite). */
-  def top(n: Int)(implicit ord: Ordering[T]): PCollection[Seq[T]] =
+  def top(n: Int)(implicit ord: Ordering[T], oe: GEnc[WindowedValue[Seq[T]]]): PCollection[Seq[T]] =
     combineGlobally(new CombineFn[T, List[T], Seq[T]] {
       def createAccumulator(): List[T] = Nil
       def addInput(acc: List[T], v: T): List[T] = (v :: acc).sorted(ord.reverse).take(n)
@@ -345,14 +450,18 @@ final class PCollection[T](
     * Each (key, window) group emits ceil(n/batchSize) batches.
     */
   def groupIntoBatches[K, V](batchSize: Int)(
-      implicit ev: T <:< (K, V)): PCollection[(K, Seq[V])] = {
+      implicit ev: T <:< (K, V),
+      kwEnc: GEnc[(K, BoundedWindow)], kEnc: GEnc[K],
+      oe: GEnc[WindowedValue[(K, Seq[V])]]): PCollection[(K, Seq[V])] = {
     require(batchSize > 0)
     groupByKey[K, V].flatMap { case (k, vs) =>
       vs.iterator.grouped(batchSize).map(b => (k, b.toSeq))
-    }
+    }(new GEnc(oe.enc, oe.native))
   }
 
-  def sumPerKey[K](implicit ev: T <:< (K, Double)): PCollection[(K, Double)] =
+  def sumPerKey[K](implicit ev: T <:< (K, Double),
+      kwEnc: GEnc[(K, BoundedWindow)], kEnc: GEnc[K],
+      oe: GEnc[WindowedValue[(K, Double)]]): PCollection[(K, Double)] =
     combinePerKey[K, Double, Double, Double](new CombineFn[Double, Double, Double] {
       def createAccumulator(): Double = 0.0
       def addInput(a: Double, v: Double): Double = a + v
@@ -377,13 +486,15 @@ final class PCollection[T](
       val m = bc.value
       // Window mapping (reference windowed side inputs
       // ray_runner_test.py:220-251): global side serves all windows; else the
-      // side window containing the main window's max timestamp.
+      // LATEST-starting side window containing the main window's max
+      // timestamp (deterministic under overlapping/sliding side windows,
+      // mirroring Beam's default window mapping fn).
       m.get(GlobalWindow)
         .orElse {
           val ts = mainWin.maxTimestamp
-          m.collectFirst {
-            case (iw: IntervalWindow, s) if iw.start <= ts && ts < iw.end => s
-          }
+          m.keys.collect { case iw: IntervalWindow if iw.start <= ts && ts < iw.end => iw }
+            .toSeq.sortBy(iw => (-iw.start, iw.end))
+            .headOption.flatMap(m.get)
         }
         .orElse(sideWfn.assign(mainWin.maxTimestamp).headOption.flatMap(m.get))
         .getOrElse(empty())
@@ -419,12 +530,14 @@ final class PCollection[T](
     * ray_runner_test.py:428-459).
     */
   def statefulParDo[K, V, O](fn: StatefulDoFn[K, V, O])(
-      implicit ev: T <:< (K, V)): PCollection[O] = {
-    val ds = keyedByWindow[K, V]
+      implicit ev: T <:< (K, V),
+      kwEnc: GEnc[(K, BoundedWindow)],
+      oe: GEnc[WindowedValue[O]]): PCollection[O] = {
+    val ds = keyedByWindow[K, V](kwEnc)
       .flatMapGroups { (kw: (K, BoundedWindow), it: Iterator[WindowedValue[T]]) =>
         PCollection.runStatefulGroup(fn, kw._1, kw._2,
           it.map(wv => (ev(wv.value)._2, wv.timestamp)))
-      }(wvEnc[O])
+      }(oe.enc)
     next(ds)
   }
 
@@ -452,7 +565,8 @@ final class PCollection[T](
     * the dataflow layer. Window metadata resets to the global window — use
     * before windowing or re-assign after.
     */
-  def viaDataset[U](f: Dataset[T] => Dataset[U])(implicit enc: Encoder[T]): PCollection[U] =
+  def viaDataset[U](f: Dataset[T] => Dataset[U])(
+      implicit enc: Encoder[T], ue: GEnc[WindowedValue[U]]): PCollection[U] =
     pipeline.fromDataset(f(toDataset))
 
   /** Line-oriented text sink (reference WriteToText analog,
@@ -467,6 +581,29 @@ private[graft] object PCollection {
 
   private val opCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   def nextOpId(): Int = opCounter.incrementAndGet()
+
+  /** Sampled byte-size rate: first 100 elements of each partition, then
+    * every 64th (the reference samples per-bundle element sizes,
+    * ray_runner_test.py:1285-1514; a fixed stride keeps the estimator O(1)
+    * per element with no RNG in the hot loop).
+    */
+  private final val SampleHead = 100
+  private final val SampleStride = 64
+
+  /** Wrap a bundle iterator with the per-op system instrumentation: element
+    * count + sampled serialized-size distribution.
+    */
+  def instrument[E](it: Iterator[E], elems: org.apache.spark.util.LongAccumulator,
+      bytes: DistributionAccumulator): Iterator[E] = {
+    var i = 0L
+    it.map { e =>
+      elems.add(1L)
+      if (i < SampleHead || i % SampleStride == 0)
+        bytes.add(org.apache.spark.util.SizeEstimator.estimate(e.asInstanceOf[AnyRef]))
+      i += 1
+      e
+    }
+  }
 
   /** Per-(key, window) context; top-level class so Spark closures carry no
     * reference to the (non-serializable) PCollection instance.

@@ -17,25 +17,29 @@ import scala.reflect.ClassTag
 final class Pipeline(val spark: SparkSession) {
   val metrics = new MetricsRegistry(spark.sparkContext)
 
-  private[graft] implicit def wvEncoder[T]: Encoder[WindowedValue[T]] =
+  private[graft] def kryoWvEncoder[T]: Encoder[WindowedValue[T]] =
     Encoders.kryo(classOf[WindowedValue[Any]]).asInstanceOf[Encoder[WindowedValue[T]]]
 
   /** Single seed element (reference: RayImpulse translator.py:95-102). */
   def impulse(): PCollection[Array[Byte]] =
     create(Seq(Array.emptyByteArray))
 
-  /** In-memory literal source (reference: RayCreate translator.py:105-119). */
-  def create[T](values: Seq[T]): PCollection[T] = {
+  /** In-memory literal source (reference: RayCreate translator.py:105-119).
+    * Concrete element types get the native struct encoding
+    * ([[graft.core.GEnc]]); opaque types fall back to Kryo.
+    */
+  def create[T](values: Seq[T])(implicit e: GEnc[WindowedValue[T]]): PCollection[T] = {
     val wvs = values.map(WindowedValue.of)
-    new PCollection[T](this, spark.createDataset(wvs)(wvEncoder), GlobalWindows)
+    new PCollection[T](this, spark.createDataset(wvs)(e.enc), GlobalWindows)
   }
 
   /** Values with explicit event timestamps (reference TimestampedValue,
     * translator.py:62-66).
     */
-  def createTimestamped[T](values: Seq[(T, Long)]): PCollection[T] = {
+  def createTimestamped[T](values: Seq[(T, Long)])(
+      implicit e: GEnc[WindowedValue[T]]): PCollection[T] = {
     val wvs = values.map { case (v, ts) => WindowedValue.timestamped(v, ts) }
-    new PCollection[T](this, spark.createDataset(wvs)(wvEncoder), GlobalWindows)
+    new PCollection[T](this, spark.createDataset(wvs)(e.enc), GlobalWindows)
   }
 
   /** Text source with header skipping (reference: RayRead translator.py:122-144,
@@ -68,8 +72,8 @@ final class Pipeline(val spark: SparkSession) {
     fromDataFrame(spark.read.json(path))
 
   /** Bridge from any typed Dataset into the dataflow layer. */
-  def fromDataset[T](ds: Dataset[T]): PCollection[T] =
-    new PCollection[T](this, ds.mapPartitions(_.map(WindowedValue.of))(wvEncoder), GlobalWindows)
+  def fromDataset[T](ds: Dataset[T])(implicit e: GEnc[WindowedValue[T]]): PCollection[T] =
+    new PCollection[T](this, ds.mapPartitions(_.map(WindowedValue.of))(e.enc), GlobalWindows)
 
   /** Bridge from a DataFrame (rows in the global window). */
   def fromDataFrame(df: DataFrame): PCollection[Row] = fromDataset(df)
@@ -80,7 +84,7 @@ final class Pipeline(val spark: SparkSession) {
   def fromDataFrameTimestamped(df: DataFrame, tsCol: String): PCollection[Row] = {
     import org.apache.spark.sql.functions._
     val withTs = df.withColumn("__graft_ts", unix_millis(col(tsCol)))
-    val enc = wvEncoder[Row]
+    val enc = kryoWvEncoder[Row]
     val idx = withTs.schema.fieldIndex("__graft_ts")
     val ds = withTs.mapPartitions { it =>
       it.map { r =>

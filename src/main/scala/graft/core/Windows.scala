@@ -8,6 +8,7 @@ package graft.core
   * `Timestamp`s; milliseconds are sufficient for the conformance surface and
   * map 1:1 onto Spark's `TimestampType` without ns/us truncation surprises).
   */
+@org.apache.spark.sql.types.SQLUserDefinedType(udt = classOf[BoundedWindowUDT])
 sealed trait BoundedWindow extends Serializable {
   /** Inclusive max timestamp of data in this window (millis). */
   def maxTimestamp: Long

@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Free the blocks behind an (eagerly) `localCheckpoint`ed DataFrame.
+    * Iterative algorithms checkpoint per round; without an explicit release
+    * every round's blocks live until session end. The checkpointed RDD sits
+    * directly behind the `LogicalRDD` leaf of the returned Dataset.
+    */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Exact dedup: keep the row with the smallest `tieBreaker` per key group.
     * Single shuffle (window on the dedup key).
     */
@@ -146,11 +157,15 @@ object Dedup {
           col("label").as("__old"))
         .localCheckpoint()
       changed = updated.filter(col("label") =!= col("__old")).count()
+      releaseCheckpoint(labels) // round i-1's blocks are dead once round i lands
       labels = updated.drop("__old")
       iter += 1
     }
+    // hand back a small checkpointed result and free the last round's state
+    val out = labels.select(col("id"), col("label").as("cluster_id")).localCheckpoint()
+    releaseCheckpoint(labels)
     edges.unpersist()
-    labels.select(col("id"), col("label").as("cluster_id"))
+    out
   }
 
   /** Near-dedup policy: drop any doc that has a near-dup partner with a

@@ -160,7 +160,12 @@ object StreamingOps {
       def timer(spec: TimerSpec): Timer = cells.timer(spec)
     }
     if (!state.hasTimedOut) {
-      rows.toVector.sortBy(_._3).foreach { case (_, v, ts) =>
+      // Beam late-data semantics (reference watermark manager,
+      // execution.py:374-390): elements at or below the current watermark
+      // are late beyond allowed lateness and are dropped, not processed.
+      // (Spark delivers them to flatMapGroupsWithState regardless.)
+      val wmIn = state.getCurrentWatermarkMs()
+      rows.toVector.filter(_._3 > wmIn).sortBy(_._3).foreach { case (_, v, ts) =>
         ctx.curTs = ts
         fn.process(key, v, ctx)
       }

@@ -100,6 +100,28 @@ class CoreDataflowSpec extends SparkTestBase {
     assertMultiset(p.create(Seq(1, 1, 2, 3, 3, 3)).distinct().collect(), Seq(1, 2, 3))
   }
 
+  test("intersect / except (engine extensions, SQL set semantics)") {
+    val p = Pipeline(spark)
+    val a = p.create(Seq(1, 1, 2, 3, 4))
+    val b = p.create(Seq(2, 2, 3, 5))
+    assertMultiset(a.intersect(b).collect(), Seq(2, 3))
+    assertMultiset(a.except(b).collect(), Seq(1, 4))
+    assertMultiset(b.except(a).collect(), Seq(5))
+    // empty sides
+    val e = p.create(Seq.empty[Int])
+    assert(a.intersect(e).collect().isEmpty)
+    assertMultiset(a.except(e).collect(), Seq(1, 2, 3, 4))
+  }
+
+  test("intersect respects windows (per-window set semantics)") {
+    val p = Pipeline(spark)
+    // 7 appears in both inputs but in DIFFERENT fixed windows -> no match;
+    // 1 appears in the same window on both sides -> kept once
+    val a = p.createTimestamped(Seq((1, 5L), (7, 5L))).windowInto(FixedWindows(10L))
+    val b = p.createTimestamped(Seq((1, 7L), (7, 15L))).windowInto(FixedWindows(10L))
+    assertMultiset(a.intersect(b).collect(), Seq(1))
+  }
+
   test("error propagation surfaces user exception (ray_runner_test.py:951-973)") {
     val p = Pipeline(spark)
     val ex = intercept[Exception] {

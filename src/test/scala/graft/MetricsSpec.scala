@@ -38,4 +38,15 @@ class MetricsSpec extends SparkTestBase {
     }).collect()
     assert(g.value == 3L)
   }
+
+  test("system metrics: element count and sampled byte size per op (ray_runner_test.py:1285-1514)") {
+    val p = Pipeline(spark)
+    p.create(Seq("a", "bb", "ccc")).parDo(new DoFn[String, String] {
+      def process(e: String, ctx: ProcessContext[String]): Unit = ctx.output(e)
+    }, name = "sysmetrics").collect()
+    assert(p.metrics.counterValue("graft.system", "elements.sysmetrics") == 3L)
+    val bytes = p.metrics.distributionValue("graft.system", "sampledByteSize.sysmetrics")
+    assert(bytes.count == 3L, s"sampled all 3 (below head threshold): $bytes")
+    assert(bytes.min > 0L && bytes.sum >= bytes.count * bytes.min)
+  }
 }

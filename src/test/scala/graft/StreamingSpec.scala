@@ -187,4 +187,44 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("a", 3.0, 2L)), s"missing a-flush in $rows")
     assert(rows.contains(("b", 9.0, 1L)), s"missing b-flush in $rows")
   }
+
+  test("streaming stateful ParDo drops late data at/below the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Double, Long)]
+    val input = mem.toDS()
+      .select(col("_1"), col("_2"), timestamp_millis(col("_3")).as("et"))
+      .withWatermark("et", "0 seconds")
+      .as[(String, Double, java.sql.Timestamp)]
+    val fn = new StatefulDoFn[String, Double, (String, Double, Long)] {
+      def process(k: String, v: Double, ctx: StatefulContext[(String, Double, Long)]): Unit = {
+        ctx.combining(sumSpec).add(v)
+        ctx.timer(flushSpec).set(ctx.timestamp + 5000)
+      }
+      override def onTimer(k: String, spec: TimerSpec, tag: String, fireTs: Long,
+          ctx: StatefulContext[(String, Double, Long)]): Unit = {
+        val (sum, n) = ctx.combining(sumSpec).read()
+        ctx.output((k, sum, n))
+      }
+    }
+    val out = StreamingOps.statefulParDo(input, fn)
+    val q = out.toDF("k", "sum", "n").writeStream.format("memory")
+      .queryName("late_" + System.nanoTime()).outputMode("append").start()
+    val qn = q.name
+    mem.addData(("a", 1.0, 1000L), ("a", 2.0, 2000L))
+    q.processAllAvailable()
+    mem.addData(("z", 9.0, 60000L)) // advances watermark to 60s, fires a's timer
+    q.processAllAvailable()
+    mem.addData(("a", 5.0, 3000L)) // LATE: ts 3s <= watermark 60s -> dropped
+    q.processAllAvailable()
+    mem.addData(("z", 1.0, 120000L)) // would fire any timer the late event set
+    q.processAllAvailable()
+    val rows = s.sql(s"SELECT k, sum, n FROM $qn")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    q.stop()
+    assert(rows.contains(("a", 3.0, 2L)), s"missing on-time a-flush in $rows")
+    assert(!rows.exists(r => r._1 == "a" && r._3 == 1L),
+      s"late element for key a was processed: $rows")
+  }
 }
