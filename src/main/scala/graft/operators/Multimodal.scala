@@ -7,11 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling (builder-prompt extension): image/audio/video
   * as opaque `binary` columns plus typed metadata structs.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): `fakeDecodeFeatures` derives a deterministic feature vector
-  * from the bytes so the Spark-side plumbing — schema, batched partition
-  * processing, feature shape — is real and testable. Swap `decodeBatch` for
-  * a real decoder (JNI/ONNX) without touching the plan.
+  * Image and audio payloads are REAL formats decoded by pure-JVM parsers
+  * ([[MediaCodec]]: binary PPM, PCM-16 WAV) — synthesis writes conformant
+  * files and feature extraction parses them back, so the schema, batched
+  * partition processing, and feature shape run against genuine decode work.
+  * Video decode remains a documented stub (no container/codec libs in pure
+  * JVM): undecodable payloads fall back to a deterministic byte-histogram
+  * feature so the pipeline is total.
   */
 object Multimodal {
 
@@ -27,30 +29,72 @@ object Multimodal {
       StructField("sample_rate", IntegerType),
       StructField("n_frames", IntegerType))))))
 
-  /** Build a deterministic synthetic media table from any id column — used
-    * by tests and as the reference shape for real ingestion.
-    */
-  def syntheticMedia(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
-    df.select(col(idCol).cast("long").as("media_id"))
-      .withColumn("media_type",
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("media_id"), lit(3)) + 1).cast("int")))
-      // deterministic pseudo-bytes from the id (stand-in for real payloads)
-      .withColumn("bytes", unhex(conv(xxhash64(col("media_id")).cast("string"), 10, 16)))
-      .withColumn("meta", struct(
-        (pmod(xxhash64(col("media_id"), lit(1)), lit(1024L)) + 16).cast("int").as("width"),
-        (pmod(xxhash64(col("media_id"), lit(2)), lit(1024L)) + 16).cast("int").as("height"),
-        lit(3).as("channels"),
-        lit(16000).as("sample_rate"),
-        (pmod(xxhash64(col("media_id"), lit(3)), lit(300L)) + 1).cast("int").as("n_frames")))
+  private def mix(id: Long, salt: Long): Long = {
+    // splitmix64 finalizer — deterministic pseudo-noise per (id, salt)
+    var z = id + salt * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
-  /** STUB decoder: deterministic 8-dim feature vector from the payload bytes.
-    * Real implementation would decode pixels/samples here; the signature and
-    * batch shape (Iterator[Row] per partition, vectorized per batch) is what
-    * a real JNI decoder plugs into.
+  /** Deterministic PPM image for an id: small RGB raster whose pixels derive
+    * from splitmix64 noise.
     */
-  private def fakeDecodeFeatures(bytes: Array[Byte]): Array[Double] = {
+  private[operators] def makeImage(id: Long): (Array[Byte], Int, Int) = {
+    val w = 16 + (mix(id, 1) & 15).toInt
+    val h = 16 + (mix(id, 2) & 15).toInt
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < rgb.length) {
+      rgb(i) = (mix(id, 100 + i) & 0xff).toByte
+      i += 1
+    }
+    (MediaCodec.encodePpm(MediaCodec.PpmImage(w, h, rgb)), w, h)
+  }
+
+  /** Deterministic mono PCM-16 WAV for an id. */
+  private[operators] def makeAudio(id: Long): (Array[Byte], Int, Int) = {
+    val sr = 16000
+    val n = 256 + (mix(id, 3) & 255).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((mix(id, 1000 + i) & 0xffff) - 32768).toShort
+      i += 1
+    }
+    (MediaCodec.encodeWav(MediaCodec.WavAudio(sr, 1, samples)), sr, n)
+  }
+
+  /** Build a deterministic synthetic media table from any id column — used
+    * by tests/battery and as the reference shape for real ingestion. Image
+    * rows carry real PPM bytes, audio rows real WAV bytes (decodable by
+    * [[MediaCodec]]); video rows carry opaque pseudo-bytes (decode stub).
+    */
+  def syntheticMedia(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      (math.floorMod(id, 3L).toInt: @unchecked) match {
+        case 0 => // image
+          val (bytes, w, h) = makeImage(id)
+          Row(id, "image", bytes, Row(w, h, 3, null, null))
+        case 1 => // audio
+          val (bytes, sr, n) = makeAudio(id)
+          Row(id, "audio", bytes, Row(null, null, 1, sr, null))
+        case 2 => // video: opaque payload, plan-level metadata only
+          val nFrames = 1 + (mix(id, 4) & 255).toInt
+          val bytes = Array.tabulate[Byte](64)(i => (mix(id, 200 + i) & 0xff).toByte)
+          Row(id, "video", bytes, Row(16 + (mix(id, 5) & 1023).toInt,
+            16 + (mix(id, 6) & 1023).toInt, 3, null, nFrames))
+      }
+    })
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Documented fallback for undecodable payloads: deterministic 8-dim byte
+    * histogram (what the round-1 stub computed for everything).
+    */
+  private def byteHistogramFeatures(bytes: Array[Byte]): Array[Double] = {
     val out = new Array[Double](8)
     var i = 0
     while (i < bytes.length) {
@@ -60,20 +104,67 @@ object Multimodal {
     out.map(x => math.round(x * 1e6) / 1e6)
   }
 
+  private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
+
+  /** Real image features from decoded PPM pixels:
+    * [meanR, meanG, meanB, meanLuma, stdLuma, width, height, channels].
+    */
+  private def imageFeatures(img: MediaCodec.PpmImage): Array[Double] = {
+    val n = img.width * img.height
+    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+    var i = 0
+    while (i < n) {
+      val r = (img.rgb(3 * i) & 0xff) / 255.0
+      val g = (img.rgb(3 * i + 1) & 0xff) / 255.0
+      val b = (img.rgb(3 * i + 2) & 0xff) / 255.0
+      val l = 0.299 * r + 0.587 * g + 0.114 * b
+      sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+      i += 1
+    }
+    val meanL = sl / n
+    Array(round6(sr / n), round6(sg / n), round6(sb / n), round6(meanL),
+      round6(math.sqrt(math.max(0, sl2 / n - meanL * meanL))),
+      img.width.toDouble, img.height.toDouble, 3.0)
+  }
+
+  /** Real audio features from decoded PCM samples:
+    * [mean, rms, zeroCrossRate, maxAbs, sampleRate, nSamples, channels, 0].
+    */
+  private def audioFeatures(a: MediaCodec.WavAudio): Array[Double] = {
+    val n = a.samples.length
+    var sum = 0.0; var sum2 = 0.0; var maxAbs = 0.0; var zc = 0
+    var i = 0
+    while (i < n) {
+      val s = a.samples(i) / 32768.0
+      sum += s; sum2 += s * s
+      if (math.abs(s) > maxAbs) maxAbs = math.abs(s)
+      if (i > 0 && ((a.samples(i) >= 0) != (a.samples(i - 1) >= 0))) zc += 1
+      i += 1
+    }
+    Array(round6(sum / n), round6(math.sqrt(sum2 / n)),
+      if (n > 1) round6(zc.toDouble / (n - 1)) else 0.0,
+      round6(maxAbs), a.sampleRate.toDouble, n.toDouble, a.channels.toDouble, 0.0)
+  }
+
+  /** Decode-dispatch: real parser by payload magic, stub histogram otherwise. */
+  private[operators] def decodeFeatures(bytes: Array[Byte]): Array[Double] =
+    MediaCodec.decodePpm(bytes).map(imageFeatures)
+      .orElse(MediaCodec.decodeWav(bytes).map(audioFeatures))
+      .getOrElse(byteHistogramFeatures(bytes))
+
   /** Feature-extract over media rows in partition-sized batches. Returns
     * (media_id, media_type, features array<double>). The mapPartitions shape
-    * mirrors what a real decoder needs: per-partition init (model load) then
-    * streamed batches.
+    * mirrors what a heavier decoder needs: per-partition init (model load)
+    * then streamed rows; the scan projects only the three consumed columns
+    * before the RDD pruning barrier.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
-    val idIdx = media.schema.fieldIndex("media_id")
-    val typeIdx = media.schema.fieldIndex("media_type")
-    val bytesIdx = media.schema.fieldIndex("bytes")
-    val rdd = media.rdd.mapPartitions { it =>
+    val projected = media.select(col("media_id"), col("media_type"), col("bytes"))
+    val rdd = projected.rdd.mapPartitions { it =>
       // per-partition decoder init would happen here (setup/teardown bundle)
       it.map { r =>
-        val feats = fakeDecodeFeatures(r.getAs[Array[Byte]](bytesIdx))
-        Row(r.getLong(idIdx), r.getString(typeIdx), feats.toSeq)
+        val feats = decodeFeatures(r.getAs[Array[Byte]](2))
+        Row(r.getLong(0), r.getString(1), feats.toSeq)
       }
     }
     spark.createDataFrame(rdd, StructType(Seq(

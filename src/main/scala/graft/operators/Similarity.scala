@@ -51,9 +51,13 @@ object Similarity {
       val n = math.sqrt(v.map(x => x.toDouble * x).sum)
       (id, if (n > 0) v.map(x => (x / n).toFloat) else v)
     })
-    val idIdx = corpus.schema.fieldIndex(corpusId)
-    val vecIdx = corpus.schema.fieldIndex(corpusVec)
-    val partial = corpus.rdd.mapPartitions { it =>
+    // project BEFORE dropping to RDD-land: the RDD conversion is a pruning
+    // barrier, so without this select the parquet scan reads every corpus
+    // column to use two
+    val projected = corpus.select(col(corpusId), col(corpusVec))
+    val idIdx = 0
+    val vecIdx = 1
+    val partial = projected.rdd.mapPartitions { it =>
       // one bounded heap per query; ordering: (score asc, id desc) so the
       // heap root is the eviction candidate
       val heaps = qs.value.map { case (qid, _) =>
@@ -93,18 +97,30 @@ object Similarity {
     *
     * Training uses Spark MLlib KMeans (seeded → deterministic); assignment
     * is one `transform` pass; the probe join broadcasts (query, cell) pairs.
+    *
+    * `trainSampleRows` caps the k-means TRAINING set: centroids only need a
+    * representative sample, so training reads `min(corpus, sample)` rows
+    * (seeded sample → deterministic) while ASSIGNMENT still covers the full
+    * corpus. At 100 TB you train on ~1e6 rows and persist the model; a full
+    * corpus fit would iterate the whole dataset `maxIter` times.
     */
   def ivfTopK(
       spark: SparkSession,
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int, nlist: Int = 16, nprobe: Int = 4,
+      trainSampleRows: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(col(corpusId).as("__id"),
+    val full = corpus.select(col(corpusId).as("__id"),
       array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
+    val corpusRows = corpus.count()
+    val train =
+      if (corpusRows <= trainSampleRows) full
+      else full.sample(withReplacement = false,
+        trainSampleRows.toDouble / corpusRows, seed = 42L)
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(train)
-    val assigned = model.transform(train)
+    val assigned = model.transform(full)
       .select(col("__id"), col("prediction").as("__cell"))
     val cb = corpus.join(assigned, corpus(corpusId) === assigned("__id")).drop("__id")
     // nprobe nearest centroids per query, computed driver-side (queries are

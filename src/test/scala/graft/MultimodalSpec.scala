@@ -25,13 +25,76 @@ class MultimodalSpec extends SparkTestBase {
     assert(bounds.getInt(0) >= 16 && bounds.getInt(2) >= 1)
   }
 
-  test("stubbed feature extraction is deterministic and batch-shaped") {
+  test("feature extraction is deterministic and batch-shaped") {
     val f1 = Multimodal.extractFeatures(spark, media())
       .collect().map(r => (r.getLong(0), r.getSeq[Double](2))).sortBy(_._1).toSeq
     val f2 = Multimodal.extractFeatures(spark, media())
       .collect().map(r => (r.getLong(0), r.getSeq[Double](2))).sortBy(_._1).toSeq
     assert(f1 == f2)
     assert(f1.forall(_._2.size == 8))
+  }
+
+  test("PPM codec round-trips and image features match hand-computed values") {
+    import graft.operators.MediaCodec
+    // 2x1 image: pure red pixel + pure white pixel
+    val rgb = Array[Byte](255.toByte, 0, 0, 255.toByte, 255.toByte, 255.toByte)
+    val bytes = MediaCodec.encodePpm(MediaCodec.PpmImage(2, 1, rgb))
+    assert(new String(bytes.take(2)) == "P6")
+    val img = MediaCodec.decodePpm(bytes).get
+    assert(img.width == 2 && img.height == 1 && img.rgb.toSeq == rgb.toSeq)
+    // corrupted payloads are rejected, not mis-parsed
+    assert(MediaCodec.decodePpm(bytes.dropRight(1)).isEmpty)
+    assert(MediaCodec.decodePpm("P5\n1 1\n255\nx".getBytes).isEmpty)
+    // features: meanR = (1+1)/2 = 1.0, meanG = meanB = 0.5,
+    // luma(red)=0.299, luma(white)=1.0 -> meanLuma=0.6495
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "image", bytes,
+          org.apache.spark.sql.Row(2, 1, 3, null, null)))),
+      Multimodal.mediaSchema)
+    val f = Multimodal.extractFeatures(spark, media).collect().head.getSeq[Double](2)
+    assert(f(0) == 1.0 && f(1) == 0.5 && f(2) == 0.5)
+    assert(math.abs(f(3) - 0.6495) < 1e-6)
+    assert(f(5) == 2.0 && f(6) == 1.0 && f(7) == 3.0)
+  }
+
+  test("WAV codec round-trips and audio features match hand-computed values") {
+    import graft.operators.MediaCodec
+    // alternating full-scale square wave: rms=1 (almost), zcr=1
+    val samples = Array[Short](16384, -16384, 16384, -16384)
+    val bytes = MediaCodec.encodeWav(MediaCodec.WavAudio(8000, 1, samples))
+    assert(new String(bytes.take(4)) == "RIFF")
+    val wav = MediaCodec.decodeWav(bytes).get
+    assert(wav.sampleRate == 8000 && wav.channels == 1 && wav.samples.toSeq == samples.toSeq)
+    assert(MediaCodec.decodeWav(bytes.take(20)).isEmpty)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "audio", bytes,
+          org.apache.spark.sql.Row(null, null, 1, 8000, null)))),
+      Multimodal.mediaSchema)
+    val f = Multimodal.extractFeatures(spark, media).collect().head.getSeq[Double](2)
+    assert(f(0) == 0.0 && f(2) == 1.0) // mean 0, every step crosses zero
+    assert(math.abs(f(1) - 0.5) < 1e-6) // rms of +-16384/32768
+    assert(f(4) == 8000.0 && f(5) == 4.0)
+  }
+
+  test("synthetic image/audio payloads are real decodable formats") {
+    import graft.operators.MediaCodec
+    val rows = media().collect()
+    val images = rows.filter(_.getString(1) == "image")
+    val audios = rows.filter(_.getString(1) == "audio")
+    assert(images.nonEmpty && audios.nonEmpty)
+    images.foreach { r =>
+      val img = MediaCodec.decodePpm(r.getAs[Array[Byte]](2))
+      assert(img.isDefined, s"image payload for id ${r.getLong(0)} not decodable")
+      val meta = r.getStruct(3)
+      assert(img.get.width == meta.getInt(0) && img.get.height == meta.getInt(1))
+    }
+    audios.foreach { r =>
+      val wav = MediaCodec.decodeWav(r.getAs[Array[Byte]](2))
+      assert(wav.isDefined, s"audio payload for id ${r.getLong(0)} not decodable")
+      assert(wav.get.sampleRate == r.getStruct(3).getInt(3))
+    }
   }
 
   test("frame sampling respects stride and n_frames") {
