@@ -64,6 +64,64 @@ object StreamingOps {
       : Map[String, DataFrame] =
     tags.map { case (name, pred) => name -> stream.filter(pred) }
 
+  /** Streaming ParDo: the full DoFn lifecycle per micro-batch partition
+    * (one micro-batch partition = one bundle — the same contract as the
+    * batch layer; the reference's ParDo machinery is batch/stream-uniform,
+    * translator.py:180-206). Side inputs resolve through the same broadcast
+    * [[graft.core.SideInputView]]s as batch — build the view from a static
+    * (or slowly refreshed) PCollection and read it with `ctx.sideInput`
+    * inside the streaming DoFn (stream-static side input semantics,
+    * reference execution.py:469-525).
+    */
+  def parDoStream[I, O](stream: Dataset[I], fn: DoFn[I, O])(
+      implicit oe: Encoder[O]): Dataset[O] =
+    stream.mapPartitions { it =>
+      fn.setup(); fn.startBundle()
+      val ctx = new BufferingContext[O](0L, Seq(GlobalWindow))
+      val out = mutable.ArrayBuffer.empty[O]
+      it.foreach { e =>
+        ctx.buf.clear()
+        fn.process(e, ctx)
+        if (ctx.taggedBuf.nonEmpty)
+          throw new IllegalStateException(
+            "DoFn emitted tagged output from parDoStream — use parDoTaggedStream")
+        ctx.buf.foreach(o => out += o.value.asInstanceOf[O])
+      }
+      fn.finishBundle(o => out += o)
+      fn.teardown()
+      out.iterator
+    }
+
+  /** Streaming multi-output ParDo: one pass emits `(tag, value)` (main
+    * output under tag ""); filter per tag downstream. Mirrors the batch
+    * [[graft.api.PCollection.parDoTagged]] on unbounded input — the
+    * reference's TaggingReceiver treats both identically
+    * (translator.py:180-206).
+    *
+    * Note on sinks: a stream cannot materialize the demux point the way the
+    * batch path checkpoints it, so attaching N sinks to N filtered branches
+    * re-executes the DoFn N times; to run it once, attach ONE sink to this
+    * dataset (or use `foreachBatch` and split the batch DataFrame).
+    */
+  def parDoTaggedStream[I, O](stream: Dataset[I], fn: DoFn[I, O]): Dataset[(String, Any)] = {
+    implicit val enc: Encoder[(String, Any)] =
+      Encoders.tuple(Encoders.STRING, Encoders.kryo(classOf[Any]))
+    stream.mapPartitions { it =>
+      fn.setup(); fn.startBundle()
+      val ctx = new BufferingContext[O](0L, Seq(GlobalWindow))
+      val out = mutable.ArrayBuffer.empty[(String, Any)]
+      it.foreach { e =>
+        ctx.buf.clear(); ctx.taggedBuf.clear()
+        fn.process(e, ctx)
+        ctx.buf.foreach(o => out += (("", o.value)))
+        ctx.taggedBuf.foreach { case (tag, wv) => out += ((tag, wv.value)) }
+      }
+      fn.finishBundle(o => out += (("", o)))
+      fn.teardown()
+      out.iterator
+    }
+  }
+
   /** Micro-batch sink with a post-commit finalization callback — the
     * streaming analog of bundle finalization (reference
     * execution.py:131-139): `commit` writes the batch; `finalize` runs

@@ -188,6 +188,58 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("b", 9.0, 1L)), s"missing b-flush in $rows")
   }
 
+  test("streaming tagged-output ParDo demuxes per tag (MemoryStream)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Int]
+    val odd = Tag[Int]("odd")
+    val fn = new DoFn[Int, Int] {
+      def process(e: Int, ctx: ProcessContext[Int]): Unit =
+        if (e % 2 == 0) ctx.output(e) else ctx.outputTagged(odd, e)
+    }
+    val routed = StreamingOps.parDoTaggedStream(mem.toDS(), fn)
+    val evens = routed.filter(_._1 == "").map(_._2.asInstanceOf[Int])
+    val odds = routed.filter(_._1 == "odd").map(_._2.asInstanceOf[Int])
+    val qe = evens.writeStream.format("memory")
+      .queryName("evens_" + System.nanoTime()).outputMode("append").start()
+    val qo = odds.writeStream.format("memory")
+      .queryName("odds_" + System.nanoTime()).outputMode("append").start()
+    mem.addData(1, 2, 3, 4, 5, 6)
+    qe.processAllAvailable(); qo.processAllAvailable()
+    val evenRows = s.sql(s"SELECT * FROM ${qe.name}").collect().map(_.getInt(0)).toSeq
+    val oddRows = s.sql(s"SELECT * FROM ${qo.name}").collect().map(_.getInt(0)).toSeq
+    qe.stop(); qo.stop()
+    assertMultiset(evenRows, Seq(2, 4, 6))
+    assertMultiset(oddRows, Seq(1, 3, 5))
+  }
+
+  test("streaming ParDo reads a stream-static side input (broadcast view)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // side input built from a BATCH PCollection — the static side of the
+    // stream-static pattern (reference side-input commit execution.py:469-525)
+    val p = graft.api.Pipeline(s)
+    val rates = p.create(Seq(("usd", 1.0), ("eur", 1.1), ("gbp", 1.3))).asDict
+    val mem = MemoryStream[(String, Double)]
+    val fn = new DoFn[(String, Double), (String, Double)] {
+      def process(e: (String, Double), ctx: ProcessContext[(String, Double)]): Unit = {
+        val rate = ctx.sideInput(rates).getOrElse(e._1, 0.0)
+        ctx.output((e._1, e._2 * rate))
+      }
+    }
+    val out = StreamingOps.parDoStream(mem.toDS(), fn)
+    val q = out.toDF("ccy", "amount_usd").writeStream.format("memory")
+      .queryName("side_" + System.nanoTime()).outputMode("append").start()
+    mem.addData(("eur", 100.0), ("gbp", 10.0), ("jpy", 5.0))
+    q.processAllAvailable()
+    val rows = s.sql(s"SELECT ccy, amount_usd FROM ${q.name}")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    q.stop()
+    assertMultiset(rows, Seq(("eur", 110.00000000000001), ("gbp", 13.0), ("jpy", 0.0)))
+  }
+
   test("streaming stateful ParDo drops late data at/below the watermark") {
     val s = spark
     import s.implicits._
