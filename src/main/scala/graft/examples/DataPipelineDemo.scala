@@ -49,6 +49,23 @@ object DataPipelineDemo {
       emb.filter(col("vec_id") < 3).select(col("vec_id").as("q"), col("embedding").as("qv")),
       "q", "qv", k = 3)
     neighbors.show(9, false)
+
+    // 6. materialize the cleaned corpus as TFRecord-of-Example — the
+    // training-side handoff (file per partition, CRC-framed)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-pipeline-tfr").toString
+    val sp = spark; import sp.implicits._
+    val payloads = survivors
+      .select(col("doc_id").cast("long"), col("text"), col("n_tokens").cast("long"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nTokens) =>
+        graft.sources.TFExample.encode(Map(
+          "doc_id" -> graft.sources.TFExample.Int64List(Seq(id)),
+          "text" -> graft.sources.TFExample.BytesList(Seq(text.getBytes("UTF-8"))),
+          "n_tokens" -> graft.sources.TFExample.Int64List(Seq(nTokens))))
+      }
+    graft.sources.TFRecordIO.write(payloads, outDir)
+    val readBack = graft.sources.TFRecordIO.read(spark, outDir).count()
+    println(s"[pipeline] wrote $readBack training records to $outDir")
     spark.stop()
   }
 }
