@@ -611,6 +611,47 @@ object Queries {
     custs.except(ords).toDataset.toDF("k")
   }
 
+  /** Exact ANN with per-partition bounded-heap pruning (the 1000-executor
+    * exact path: shuffle carries ≤ k·partitions·|Q| rows, not |corpus|·|Q|).
+    * Scores are bit-identical to the brute-force cosine, so the DuckDB
+    * oracle applies.
+    */
+  def d51PartialTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    Similarity.partialTopK(s, emb, "vec_id", "embedding", queries, k = 10)
+  }
+
+  /** GroupIntoBatches census: inference-batching primitive under the oracle
+    * (batch count per key is ceil(n/batchSize); batch sizes are bounded).
+    */
+  def d52GroupBatches(s: SparkSession, d: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val p = Pipeline(s)
+    p.fromDataset(Tables.events(s, d).select(col("event_type")).as[String])
+      .map(e => (e, 1L))
+      .groupIntoBatches[String, Long](100)
+      .map { case (k, batch) => (k, batch.size.toLong) }
+      .toDataset.toDF("event_type", "batch_n")
+      .groupBy(col("event_type"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_batches"),
+        expr("CAST(SUM(batch_n) AS BIGINT)").as("n_events"),
+        expr("CAST(MAX(batch_n) AS BIGINT)").as("max_batch"))
+  }
+
+  /** Skew-safe salted aggregation under the oracle: two-phase (key, salt)
+    * partial + merge must equal the plain single-shuffle aggregate.
+    */
+  def d53SaltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScaleOps.saltedAggregate(
+      Tables.events(s, d), Seq("event_type"), saltBuckets = 32,
+      partials = Seq(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("s")),
+      merges = Seq(expr("CAST(SUM(n) AS BIGINT)").as("n_events"),
+        expr("CAST(SUM(s) AS DOUBLE)").as("sum_value")))
+
   /** CUBE grouping sets (all subtotal combinations — Catalyst-free). */
   def d43Cube(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -680,6 +721,9 @@ object Queries {
     "d48_json_extract" -> (d48JsonExtract _),
     "d49_intersect" -> (d49Intersect _),
     "d50_except" -> (d50Except _),
+    "d51_partial_topk" -> (d51PartialTopk _),
+    "d52_group_batches" -> (d52GroupBatches _),
+    "d53_salted_agg" -> (d53SaltedAgg _),
   )
 
   private val toksSql =
@@ -918,5 +962,25 @@ object Queries {
       """SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
         |EXCEPT
         |SELECT CAST(o_custkey AS BIGINT) AS k FROM orders""".stripMargin,
+    "d51_partial_topk" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        | c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings)
+        |SELECT query_id, corpus_id, score, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  ROUND(list_cosine_similarity(c.cv, q.qv), 6) AS score,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.vec_id) AS BIGINT) AS rnk
+        | FROM c, q) WHERE rnk <= 10""".stripMargin,
+    "d52_group_batches" ->
+      """SELECT event_type,
+        | CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS n_batches,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(LEAST(COUNT(*), 100) AS BIGINT) AS max_batch
+        |FROM events GROUP BY event_type""".stripMargin,
+    "d53_salted_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

@@ -47,9 +47,13 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: Seq[(Long, Array[Float])],
       k: Int): DataFrame = {
+    // precompute each query's sqrt(sum(y_i^2)) with the SAME accumulation
+    // order as CosineSimilarityExpr so scores are bit-identical to the
+    // brute-force/oracle cosine
     val qs = spark.sparkContext.broadcast(queries.map { case (id, v) =>
-      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-      (id, if (n > 0) v.map(x => (x / n).toFloat) else v)
+      var nb = 0.0; var i = 0
+      while (i < v.length) { val yi = v(i).toDouble; nb += yi * yi; i += 1 }
+      (id, v, math.sqrt(nb))
     })
     // project BEFORE dropping to RDD-land: the RDD conversion is a pruning
     // barrier, so without this select the parquet scan reads every corpus
@@ -60,19 +64,25 @@ object Similarity {
     val partial = projected.rdd.mapPartitions { it =>
       // one bounded heap per query; ordering: (score asc, id desc) so the
       // heap root is the eviction candidate
-      val heaps = qs.value.map { case (qid, _) =>
+      val heaps = qs.value.map { case (qid, _, _) =>
         qid -> mutable.PriorityQueue.empty[(Double, Long)](
           Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) })
       }.toMap
       it.foreach { r =>
         val cid = r.getLong(idIdx)
         val vec = r.getSeq[Float](vecIdx)
-        val n = math.sqrt(vec.map(x => x.toDouble * x).sum)
-        qs.value.foreach { case (qid, qv) =>
+        // na in its own pass (identical term order to the fused native loop)
+        var na = 0.0
+        var j = 0
+        while (j < vec.length) { val xi = vec(j).toDouble; na += xi * xi; j += 1 }
+        val sqrtNa = math.sqrt(na)
+        qs.value.foreach { case (qid, qv, sqrtNb) =>
           var dotv = 0.0
           var i = 0
-          while (i < qv.length && i < vec.length) { dotv += qv(i) * vec(i); i += 1 }
-          val score = if (n > 0) dotv / n else 0.0
+          val n = math.min(qv.length, vec.length)
+          while (i < n) { dotv += vec(i).toDouble * qv(i).toDouble; i += 1 }
+          val denom = sqrtNa * sqrtNb
+          val score = if (denom > 0) dotv / denom else 0.0
           val h = heaps(qid)
           if (h.size < k) h.enqueue((score, cid))
           else if (score > h.head._1 || (score == h.head._1 && cid < h.head._2)) {
