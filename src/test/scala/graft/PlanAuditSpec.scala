@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape audit: the properties that make these queries 100 TB-safe,
+  * pinned as assertions so a regression in plan quality fails CI, not a
+  * cluster bill. (Complements per-operator result specs — these check HOW
+  * the engine computes, not what.)
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val d = "/root/testdata/sf0.01"
+
+  private def planOf(df: DataFrame): String = {
+    df.queryExecution.toRdd.foreach(_ => ()) // run so AQE finalizes
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Column count of a `ReadSchema: struct<...>` plan line. */
+  private def readSchemaCols(line: String): Int = {
+    val body = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(line)
+      .map(_.group(1)).getOrElse(fail(s"no ReadSchema in: $line"))
+    if (body.isEmpty) 0 else body.count(_ == ',') + 1
+  }
+
+  test("q02: predicate pushdown and column pruning reach the parquet scan") {
+    val plan = planOf(Queries.q02FilterPushdown(spark, d))
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(!plan.contains("PushedFilters: []"), "filters not pushed:\n" + plan.take(2000))
+    // scan must not read all 16 lineitem columns for this aggregate
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchemaCols(readSchema) <= 4, s"scan reads too many columns: $readSchema")
+  }
+
+  test("q03: small dimension tables are broadcast, never shuffled") {
+    val plan = planOf(Queries.q03JoinRevenue(spark, d))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("q05: top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Queries.q05TopkOrders(spark, d))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q01: aggregation is one partial/final HashAggregate pair over one exchange") {
+    val plan = planOf(Queries.q01PricingSummary(spark, d))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    // AQE toString repeats the plan under "== Initial Plan =="; count final only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"unexpected extra shuffles ($exchanges):\n" + plan.take(3000))
+    // `*(n)` operator prefix = inside a WholeStageCodegen stage
+    assert(plan.contains("*("), "aggregation fell out of codegen:\n" + plan.take(2000))
+  }
+
+  test("d26: brute-force ANN broadcasts the query side (no corpus shuffle)") {
+    val plan = planOf(Queries.d26EmbedTopk(spark, d))
+    assert(plan.contains("Broadcast"), plan.take(3000))
+  }
+
+  test("d49: dataflow set-op bridge prunes the scan to the single used column") {
+    val df = Queries.d49Intersect(spark, d)
+    val scans = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty)
+    scans.foreach { line =>
+      assert(line.contains("custkey") && readSchemaCols(line) == 1,
+        s"set-op scan reads more than the key column: $line")
+    }
+  }
+
+  test("d21: exact dedup is a single hash shuffle") {
+    val plan = planOf(Queries.d21DedupExact(spark, d))
+    val exchanges = plan.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"exact dedup shuffled $exchanges times:\n" + plan.take(3000))
+  }
+}
