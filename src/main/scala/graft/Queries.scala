@@ -641,6 +641,17 @@ object Queries {
         expr("CAST(MAX(batch_n) AS BIGINT)").as("max_batch"))
   }
 
+  /** Int8-quantized two-stage ANN (no SQL oracle: screening is approximate
+    * by construction; surviving scores are exact — see the recall spec).
+    */
+  def d54QuantizedTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    Similarity.quantizedTopK(s, emb, "vec_id", "embedding", queries, k = 10)
+  }
+
   /** Skew-safe salted aggregation under the oracle: two-phase (key, salt)
     * partial + merge must equal the plain single-shuffle aggregate.
     */
@@ -724,6 +735,7 @@ object Queries {
     "d51_partial_topk" -> (d51PartialTopk _),
     "d52_group_batches" -> (d52GroupBatches _),
     "d53_salted_agg" -> (d53SaltedAgg _),
+    "d54_quantized_topk" -> (d54QuantizedTopk _),
   )
 
   private val toksSql =

@@ -158,6 +158,90 @@ object Similarity {
         round(col("score"), 6).as("score"), col("rnk"))
   }
 
+  /** Scalar int8 quantization of an embedding column: per-vector symmetric
+    * scale (`maxAbs/127`), returning (id, q binary, scale). At corpus scale
+    * the quantized table is ~4x smaller than float32 — the memory-bandwidth
+    * lever for exhaustive scoring passes.
+    */
+  def quantizeInt8(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val projected = corpus.select(col(idCol), col(vecCol))
+    val rdd = projected.rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1)
+      var maxAbs = 0f
+      v.foreach(x => if (math.abs(x) > maxAbs) maxAbs = math.abs(x))
+      val scale = if (maxAbs > 0) maxAbs / 127f else 1f
+      val q = new Array[Byte](v.length)
+      var i = 0
+      while (i < v.length) { q(i) = math.round(v(i) / scale).toByte; i += 1 }
+      Row(id, q, scale.toDouble)
+    })
+    corpus.sparkSession.createDataFrame(rdd, StructType(Seq(
+      StructField("__id", LongType), StructField("__q", BinaryType),
+      StructField("__scale", DoubleType))))
+  }
+
+  /** Two-stage quantized ANN: (1) int8 dot-product screening with bounded
+    * per-partition heaps over the quantized corpus keeps `k * rerankFactor`
+    * candidates per query; (2) exact float cosine rescores only those
+    * candidates. Approximate (quantization error can reorder near-ties in
+    * stage 1) — rerankFactor buys recall; the rescore stage makes surviving
+    * scores exact.
+    */
+  def quantizedTopK(
+      spark: SparkSession,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int, rerankFactor: Int = 4): DataFrame = {
+    val screenK = k * rerankFactor
+    val qQuant = queries.map { case (id, v) =>
+      var maxAbs = 0f
+      v.foreach(x => if (math.abs(x) > maxAbs) maxAbs = math.abs(x))
+      val scale = if (maxAbs > 0) maxAbs / 127f else 1f
+      (id, v.map(x => math.round(x / scale).toByte))
+    }
+    val qs = spark.sparkContext.broadcast(qQuant)
+    val quantized = quantizeInt8(corpus, corpusId, corpusVec)
+    val screened = quantized.rdd.mapPartitions { it =>
+      val heaps = qs.value.map { case (qid, _) =>
+        qid -> mutable.PriorityQueue.empty[(Long, Long)](
+          Ordering.by[(Long, Long), (Long, Long)] { case (s, id) => (-s, id) })
+      }.toMap
+      it.foreach { r =>
+        val cid = r.getLong(0)
+        val cq = r.getAs[Array[Byte]](1)
+        qs.value.foreach { case (qid, qv) =>
+          // integer dot of int8 codes: sign-preserving, scale-free screening
+          var dot = 0L
+          var i = 0
+          val n = math.min(cq.length, qv.length)
+          while (i < n) { dot += cq(i).toLong * qv(i).toLong; i += 1 }
+          val h = heaps(qid)
+          if (h.size < screenK) h.enqueue((dot, cid))
+          else if (dot > h.head._1 || (dot == h.head._1 && cid < h.head._2)) {
+            h.dequeue(); h.enqueue((dot, cid))
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (_, cid) => Row(qid, cid) } }
+    }
+    val candidates = spark.createDataFrame(screened, StructType(Seq(
+      StructField("query_id", LongType), StructField("corpus_id", LongType))))
+      .dropDuplicates("query_id", "corpus_id")
+    // stage 2: exact rescore of the small candidate set
+    val s2 = corpus.sparkSession
+    import s2.implicits._
+    val qDf = queries.toDF("query_id", "__qvec")
+    val rescored = candidates
+      .join(corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("__cvec")), "corpus_id")
+      .join(broadcast(qDf), "query_id")
+      .withColumn("score", graft.plans.NativeExpressions.cosine(col("__cvec"), col("__qvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("corpus_id"))
+    rescored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("score"), 6).as("score"), col("rnk"))
+  }
+
   /** LSH/IVF-style ANN: bucket corpus and queries with the same seeded
     * random-hyperplane signature; score only same-bucket candidates. Recall
     * grows with `probes` (multi-probe = flip each of the lowest `probes`

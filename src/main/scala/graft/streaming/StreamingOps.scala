@@ -122,6 +122,18 @@ object StreamingOps {
     }
   }
 
+  /** Streaming exact dedup: first occurrence per key wins across
+    * micro-batches (the ingest-side dedup gate of a training-data pipeline).
+    * State is watermark-bounded: a key older than the watermark delay is
+    * evicted, so state size tracks the dedup window, not the stream history
+    * — the only shape that survives an unbounded 100 TB ingest.
+    */
+  def dedupExactStream(
+      stream: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermarkDelay: String): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Micro-batch sink with a post-commit finalization callback — the
     * streaming analog of bundle finalization (reference
     * execution.py:131-139): `commit` writes the batch; `finalize` runs

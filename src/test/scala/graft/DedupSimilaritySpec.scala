@@ -122,6 +122,34 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall $recall too low; brute=${brute.size} approx=${approx.size}")
   }
 
+  test("quantizedTopK (int8 screen + exact rescore) recall vs brute force") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q"), col("embedding").as("qv"))
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = asSet(Similarity.bruteForceTopK(emb, "vec_id", "embedding", qs, "q", "qv", 10))
+    val quant = Similarity.quantizedTopK(spark, emb, "vec_id", "embedding", queries, k = 10)
+    val qSet = asSet(quant)
+    // int8 screening at 4x rerank keeps near-all true neighbors; the exact
+    // rescore stage means surviving scores equal the brute-force cosine
+    val recall = (brute & qSet).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall too low")
+    // rescored scores are exact: every overlapping (query, corpus) pair
+    // carries the identical rounded score
+    val bruteScores = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qs, "q", "qv", 10)
+      .select("query_id", "corpus_id", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    quant.select("query_id", "corpus_id", "score").collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteScores.get(key).foreach(s => assert(s == r.getDouble(2), s"score drift at $key"))
+    }
+  }
+
   test("connectedComponents: transitive clusters adopt min id") {
     val s = spark
     import s.implicits._

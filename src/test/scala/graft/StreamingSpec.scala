@@ -240,6 +240,25 @@ class StreamingSpec extends SparkTestBase {
     assertMultiset(rows, Seq(("eur", 110.00000000000001), ("gbp", 13.0), ("jpy", 0.0)))
   }
 
+  test("streaming exact dedup: first occurrence wins, watermark bounds state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val stream = mem.toDS()
+      .select(col("_1").as("k"), timestamp_millis(col("_2")).as("et"))
+    val deduped = StreamingOps.dedupExactStream(stream, Seq("k"), "et", "10 seconds")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_" + System.nanoTime()).outputMode("append").start()
+    mem.addData(("a", 1000L), ("a", 2000L), ("b", 1000L)) // in-batch dup
+    q.processAllAvailable()
+    mem.addData(("a", 3000L), ("c", 3000L)) // cross-batch dup within window
+    q.processAllAvailable()
+    val rows = s.sql(s"SELECT k FROM ${q.name}").collect().map(_.getString(0)).toSeq
+    q.stop()
+    assertMultiset(rows, Seq("a", "b", "c"))
+  }
+
   test("streaming stateful ParDo drops late data at/below the watermark") {
     val s = spark
     import s.implicits._
