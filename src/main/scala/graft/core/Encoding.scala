@@ -15,8 +15,11 @@ import scala.reflect.runtime.universe.TypeTag
 final class BoundedWindowUDT extends UserDefinedType[BoundedWindow] {
   override def sqlType: DataType =
     StructType(Seq(StructField("start", LongType), StructField("end", LongType)))
+  // shared row for the (immutable) global-window encoding: downstream
+  // projections copy values out, so one instance serves every row
+  private val globalRow = InternalRow(Long.MinValue, Long.MaxValue)
   override def serialize(w: BoundedWindow): InternalRow = w match {
-    case GlobalWindow => InternalRow(Long.MinValue, Long.MaxValue)
+    case GlobalWindow => globalRow
     case IntervalWindow(s, e) => InternalRow(s, e)
   }
   override def deserialize(datum: Any): BoundedWindow = datum match {
