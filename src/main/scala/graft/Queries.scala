@@ -350,7 +350,11 @@ object Queries {
     * doubles the most expensive stage. Keyed by dataset dir; the pair list
     * is already `localCheckpoint`ed (small, lineage-free), so reuse is a
     * block read, not a recompute. d23 always refreshes the memo (so its
-    * own timing stays honest); d45 reuses when present.
+    * own timing stays honest); d45 reuses when present. Keyed by
+    * (application, dir) so a new SparkSession never receives a DataFrame
+    * bound to a stopped one; a replaced entry's blocks are NOT released
+    * eagerly (a caller may still hold the old DataFrame) — the
+    * ContextCleaner frees them when the last reference is collected.
     */
   private val minhashPairMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -359,11 +363,13 @@ object Queries {
     Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text",
       shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
 
+  private def memoKey(s: SparkSession, d: String): String =
+    s"${s.sparkContext.applicationId}:$d"
+
   /** MinHash-LSH near-dup candidate pairs (no SQL oracle: xxhash-based). */
   def d23MinhashPairs(s: SparkSession, d: String): DataFrame = {
-    Option(minhashPairMemo.get(d)).foreach(Dedup.releaseCheckpoint)
     val pairs = computeMinhashPairs(s, d)
-    minhashPairMemo.put(d, pairs)
+    minhashPairMemo.put(memoKey(s, d), pairs)
     pairs
   }
 
@@ -546,7 +552,7 @@ object Queries {
     * MinHash pair graph (no SQL oracle: xxhash-based candidates).
     */
   def d45DedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairMemo.computeIfAbsent(d, dir => computeMinhashPairs(s, dir))
+    val pairs = minhashPairMemo.computeIfAbsent(memoKey(s, d), _ => computeMinhashPairs(s, d))
     Dedup.connectedComponents(pairs)
       .groupBy(col("cluster_id"))
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_members"))

@@ -116,11 +116,16 @@ final class PCollection[T](
   }
 
   /** Multi-output ParDo: emits (tag, value) once, then one filter per tag
-    * over an eagerly checkpointed intermediate — the same demux strategy as
+    * over a lazily checkpointed intermediate — the same demux strategy as
     * the reference (TaggingReceiver translator.py:180-206; demux
-    * translator.py:559-576). `localCheckpoint` (not `persist`) so the
-    * blocks are context-cleaned once the branches are garbage-collected
-    * instead of leaking for the session lifetime.
+    * translator.py:559-576). Lazy `localCheckpoint(false)` (not `persist`):
+    * graph construction stays side-effect free (the DoFn runs on first
+    * branch materialization, once), and the blocks are context-cleaned when
+    * the branches are garbage-collected instead of leaking for the session
+    * lifetime. Local-checkpoint blocks are not recomputable on executor
+    * loss — on a real cluster this trades re-run-the-stage for
+    * run-the-DoFn-once; swap for `persist` if the DoFn is idempotent and
+    * executors are preemptible.
     */
   def parDoTagged[O](fn: DoFn[T, O], tags: Seq[Tag[_]],
       name: String = "")(
@@ -152,7 +157,7 @@ final class PCollection[T](
       }
       out.iterator
     }(Encoders.tuple(Encoders.STRING, kryoEnc[WindowedValue[Any]]))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val main = next(tagged.filter(_._1 == "").map(_._2.asInstanceOf[WindowedValue[O]])(oe.enc))
     val sides = tags.map { t =>
       t.name -> next(tagged.filter(_._1 == t.name).map(_._2)(kryoEnc[WindowedValue[Any]]))

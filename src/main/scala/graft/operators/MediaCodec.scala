@@ -55,13 +55,17 @@ object MediaCodec {
       h <- readInt()
       maxval <- readInt()
       if maxval == 255 && w > 0 && h > 0
+      // Long arithmetic: adversarial header dims must not overflow Int and
+      // sneak past the payload-length guard (65536*65536*3 wraps to 0)
+      payloadLen = w.toLong * h.toLong * 3L
+      if payloadLen <= Int.MaxValue
       // exactly one whitespace byte separates header from payload
       if pos < bytes.length && (bytes(pos) == '\n' || bytes(pos) == ' ' ||
         bytes(pos) == '\t' || bytes(pos) == '\r')
       payload = {
         pos += 1
-        if (bytes.length - pos >= w * h * 3)
-          Some(java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3))
+        if (bytes.length - pos >= payloadLen.toInt)
+          Some(java.util.Arrays.copyOfRange(bytes, pos, pos + payloadLen.toInt))
         else None
       }
       rgb <- payload

@@ -108,27 +108,30 @@ object Similarity {
     * Training uses Spark MLlib KMeans (seeded → deterministic); assignment
     * is one `transform` pass; the probe join broadcasts (query, cell) pairs.
     *
-    * `trainSampleRows` caps the k-means TRAINING set: centroids only need a
-    * representative sample, so training reads `min(corpus, sample)` rows
-    * (seeded sample → deterministic) while ASSIGNMENT still covers the full
-    * corpus. At 100 TB you train on ~1e6 rows and persist the model; a full
-    * corpus fit would iterate the whole dataset `maxIter` times.
+    * `trainSampleBytes` caps the k-means TRAINING set: centroids only need
+    * a representative sample, so the seeded sample fraction is derived from
+    * plan statistics (parquet metadata — no extra counting pass) while
+    * ASSIGNMENT still covers the full corpus. At 100 TB you train on a few
+    * hundred MB and persist the model; a full-corpus fit would iterate the
+    * whole dataset `maxIter` times.
     */
   def ivfTopK(
       spark: SparkSession,
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4,
-      trainSampleRows: Long = 100000L): DataFrame = {
+      trainSampleBytes: Long = 256L << 20): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val full = corpus.select(col(corpusId).as("__id"),
       array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
-    val corpusRows = corpus.count()
+    val sizeBytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    val fraction =
+      if (sizeBytes <= 0) 1.0
+      else (BigDecimal(trainSampleBytes) / BigDecimal(sizeBytes)).min(1).toDouble
     val train =
-      if (corpusRows <= trainSampleRows) full
-      else full.sample(withReplacement = false,
-        trainSampleRows.toDouble / corpusRows, seed = 42L)
+      if (fraction >= 1.0) full
+      else full.sample(withReplacement = false, fraction, seed = 42L)
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(train)
     val assigned = model.transform(full)
       .select(col("__id"), col("prediction").as("__cell"))
@@ -163,18 +166,25 @@ object Similarity {
     * the quantized table is ~4x smaller than float32 — the memory-bandwidth
     * lever for exhaustive scoring passes.
     */
+  /** Quantize one vector: symmetric per-vector scale `maxAbs/127`. Single
+    * definition shared by corpus- and query-side quantization so clamping /
+    * zero-scale behavior can never diverge.
+    */
+  private[operators] def quantizeVec(v: Seq[Float]): (Array[Byte], Float) = {
+    var maxAbs = 0f
+    v.foreach(x => if (math.abs(x) > maxAbs) maxAbs = math.abs(x))
+    val scale = if (maxAbs > 0) maxAbs / 127f else 1f
+    val q = new Array[Byte](v.length)
+    var i = 0
+    while (i < v.length) { q(i) = math.round(v(i) / scale).toByte; i += 1 }
+    (q, scale)
+  }
+
   def quantizeInt8(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val projected = corpus.select(col(idCol), col(vecCol))
     val rdd = projected.rdd.mapPartitions(_.map { r =>
-      val id = r.getLong(0)
-      val v = r.getSeq[Float](1)
-      var maxAbs = 0f
-      v.foreach(x => if (math.abs(x) > maxAbs) maxAbs = math.abs(x))
-      val scale = if (maxAbs > 0) maxAbs / 127f else 1f
-      val q = new Array[Byte](v.length)
-      var i = 0
-      while (i < v.length) { q(i) = math.round(v(i) / scale).toByte; i += 1 }
-      Row(id, q, scale.toDouble)
+      val (q, scale) = quantizeVec(r.getSeq[Float](1))
+      Row(r.getLong(0), q, scale.toDouble)
     })
     corpus.sparkSession.createDataFrame(rdd, StructType(Seq(
       StructField("__id", LongType), StructField("__q", BinaryType),
@@ -194,12 +204,7 @@ object Similarity {
       queries: Seq[(Long, Array[Float])],
       k: Int, rerankFactor: Int = 4): DataFrame = {
     val screenK = k * rerankFactor
-    val qQuant = queries.map { case (id, v) =>
-      var maxAbs = 0f
-      v.foreach(x => if (math.abs(x) > maxAbs) maxAbs = math.abs(x))
-      val scale = if (maxAbs > 0) maxAbs / 127f else 1f
-      (id, v.map(x => math.round(x / scale).toByte))
-    }
+    val qQuant = queries.map { case (id, v) => (id, quantizeVec(v)._1) }
     val qs = spark.sparkContext.broadcast(qQuant)
     val quantized = quantizeInt8(corpus, corpusId, corpusVec)
     val screened = quantized.rdd.mapPartitions { it =>

@@ -29,13 +29,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    sub-ranges — initial splitting for parallelism, like the SDF's
   *    `split` (ray_runner_test.py:604-655);
   *  - truncate-on-drain (reference `OffsetRangeProviderWithTruncate`,
-  *    ray_runner_test.py:764-819, :2017-2024): writing `drain` into the
-  *    control file freezes the range — `latestOffset` stops growing, every
-  *    in-flight claim completes, and the stream quiesces at a clean offset.
+  *    ray_runner_test.py:764-819, :2017-2024): writing `drain <N>` into the
+  *    control file freezes the range at N — `latestOffset` stops growing,
+  *    every in-flight claim completes, the stream quiesces at a clean
+  *    offset, and the published data stays readable (drain truncates
+  *    growth, it does not zero the range).
   *
   * Options: `controlPath` (required — text file holding the current range
-  * end, or `drain`), `numPartitions` (default 4), `maxRowsPerBatch`
-  * (default unlimited). Schema: `value BIGINT`.
+  * end `<N>`, or `drain <N>` to freeze), `numPartitions` (default 4),
+  * `maxRowsPerBatch` (default unlimited). Schema: `value BIGINT`.
   *
   * Usage: `spark.readStream.format("graft.sources.GrowingRangeSource")
   * .option("controlPath", f).load()`.
@@ -51,14 +53,21 @@ class GrowingRangeSource extends TableProvider {
 object GrowingRangeSource {
   val schema: StructType = StructType(Seq(StructField("value", LongType, nullable = false)))
 
-  /** Current committed end of the range: parse the control file; `drain`
-    * (or a missing/garbled file) freezes the range at `fallback`.
+  /** Current committed end of the range. Control file grammar:
+    * `<N>` publishes end N; `drain <N>` freezes the range AT N (truncate on
+    * drain: the published data stays readable, growth stops — reference
+    * `OffsetRangeProviderWithTruncate` freezes, it does not zero); bare
+    * `drain` (or a missing/garbled file) freezes at `fallback`.
     */
   def readControl(path: String, fallback: Long): Long =
     try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path))).trim
-      if (txt.equalsIgnoreCase("drain")) fallback else txt.toLong
+      val toks = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path))).trim.split("\\s+")
+      toks match {
+        case Array(n) if !n.equalsIgnoreCase("drain") => n.toLong
+        case Array(d, n) if d.equalsIgnoreCase("drain") => n.toLong
+        case _ => fallback
+      }
     } catch { case _: Exception => fallback }
 }
 

@@ -103,7 +103,14 @@ object TFRecordIO {
       .binaryFiles(s"$dir/part-*.tfrecord")
       .flatMap { case (_, pds) =>
         val in = pds.open()
-        readStreamFully(in) // stream fully consumed per task; FS stream GC-closed
+        // close at task end even if the iterator is not fully drained —
+        // leaked handles accumulate across thousands of part files
+        Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
+          new org.apache.spark.util.TaskCompletionListener {
+            override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
+              try in.close() catch { case _: Exception => () }
+          }))
+        readStreamFully(in)
       }
     spark.createDataset(rdd)(Encoders.BINARY)
   }

@@ -231,11 +231,12 @@ object StreamingOps {
     }
     if (!state.hasTimedOut) {
       // Beam late-data semantics (reference watermark manager,
-      // execution.py:374-390): elements at or below the current watermark
-      // are late beyond allowed lateness and are dropped, not processed.
-      // (Spark delivers them to flatMapGroupsWithState regardless.)
+      // execution.py:374-390): elements strictly BEFORE the current
+      // watermark are late beyond allowed lateness and are dropped; an
+      // element AT the watermark is still on time. (Spark delivers late
+      // rows to flatMapGroupsWithState regardless.)
       val wmIn = state.getCurrentWatermarkMs()
-      rows.toVector.filter(_._3 > wmIn).sortBy(_._3).foreach { case (_, v, ts) =>
+      rows.toVector.filter(_._3 >= wmIn).sortBy(_._3).foreach { case (_, v, ts) =>
         ctx.curTs = ts
         fn.process(key, v, ctx)
       }

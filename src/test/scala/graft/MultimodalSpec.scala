@@ -45,6 +45,10 @@ class MultimodalSpec extends SparkTestBase {
     // corrupted payloads are rejected, not mis-parsed
     assert(MediaCodec.decodePpm(bytes.dropRight(1)).isEmpty)
     assert(MediaCodec.decodePpm("P5\n1 1\n255\nx".getBytes).isEmpty)
+    // adversarial header dims: w*h*3 overflowing Int must reject, not crash
+    // or wrap to an accepted empty image
+    assert(MediaCodec.decodePpm("P6\n65536 65536\n255\nxxx".getBytes).isEmpty)
+    assert(MediaCodec.decodePpm("P6\n46341 46341\n255\nxxx".getBytes).isEmpty)
     // features: meanR = (1+1)/2 = 1.0, meanG = meanB = 0.5,
     // luma(red)=0.299, luma(white)=1.0 -> meanLuma=0.6495
     val media = spark.createDataFrame(

@@ -79,12 +79,16 @@ class SdfExtensionsSpec extends SparkTestBase {
     // resumed stream must emit ONLY the residual 12..14
     assertMultiset(resumed.toArray(Array.empty[java.lang.Long]).toSeq.map(_.toLong),
       Seq(12L, 13L, 14L))
-    // truncate-on-drain: freeze the range; the stream quiesces, no new rows
-    publish("drain")
+    // truncate-on-drain: freeze the range at 15; the stream quiesces with
+    // no new rows, and the published data stays readable afterwards
+    publish("drain 15")
     q2.processAllAvailable()
     assertMultiset(resumed.toArray(Array.empty[java.lang.Long]).toSeq.map(_.toLong),
       Seq(12L, 13L, 14L))
     q2.stop()
+    val afterDrain = s.read.format("graft.sources.GrowingRangeSource")
+      .option("controlPath", control).load()
+    assert(afterDrain.count() == 15L, "drained source must keep published data readable")
   }
 
   test("DSv2 growing-range source: batch read covers the published range") {
