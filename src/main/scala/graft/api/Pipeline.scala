@@ -70,6 +70,8 @@ final class Pipeline(val spark: SparkSession) {
       .option("inferSchema", "true").csv(path))
   def readJson(path: String): PCollection[Row] =
     fromDataFrame(spark.read.json(path))
+  def readOrc(path: String): PCollection[Row] =
+    fromDataFrame(spark.read.orc(path))
 
   /** Bridge from any typed Dataset into the dataflow layer. */
   def fromDataset[T](ds: Dataset[T])(implicit e: GEnc[WindowedValue[T]]): PCollection[T] =

@@ -142,6 +142,21 @@ class GroupCombineSpec extends SparkTestBase {
     assert(rows.size == 5)
   }
 
+  test("csv / json / orc round-trip through the dataflow layer") {
+    val p = Pipeline(spark)
+    val base = Tables.region(spark, "/root/testdata/sf0.001")
+      .select("r_regionkey", "r_name")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    base.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    base.write.mode("overwrite").json(s"$dir/json")
+    base.write.mode("overwrite").orc(s"$dir/orc")
+    val expected = base.collect().map(_.getString(1)).toSeq
+    assertMultiset(p.readCsv(s"$dir/csv").map(_.getString(1)).collect(), expected)
+    assertMultiset(p.readJson(s"$dir/json")
+      .map(r => r.getString(r.fieldIndex("r_name"))).collect(), expected)
+    assertMultiset(p.readOrc(s"$dir/orc").map(_.getString(1)).collect(), expected)
+  }
+
   test("countPerKey composite") {
     val p = Pipeline(spark)
     assertMultiset(
