@@ -88,7 +88,11 @@ final class PCollection[T](
       fn.startBundle()
       val ctx = new BufferingContext[O](0L, Seq(GlobalWindow))
       val out = mutable.ArrayBuffer.empty[WindowedValue[O]]
-      it.foreach { wv =>
+      // process per (element, window): a multi-window element (sliding
+      // assignment) is k logical elements in Beam's model — window-sensitive
+      // context (sideInput window mapping, output window) must resolve per
+      // window, not against windows.head for all of them
+      it.foreach(_.explode.foreach { wv =>
         ctx.currentTs = wv.timestamp; ctx.currentWindows = wv.windows
         ctx.buf.clear()
         fn.process(wv.value, ctx)
@@ -97,7 +101,7 @@ final class PCollection[T](
             s"DoFn emitted tagged output (${ctx.taggedBuf.map(_._1).distinct.mkString(",")}) " +
               "from a plain parDo — use parDoTagged so tagged outputs are routed, not dropped")
         ctx.buf.foreach(o => out += o.asInstanceOf[WindowedValue[O]])
-      }
+      })
       fn.finishBundle(o => out += WindowedValue.of(o))
       fn.teardown()
       // bundle finalization: after the task commits its outputs, at-least-
@@ -138,13 +142,13 @@ final class PCollection[T](
       fn.setup(); fn.startBundle()
       val ctx = new BufferingContext[O](0L, Seq(GlobalWindow))
       val out = mutable.ArrayBuffer.empty[(String, WindowedValue[Any])]
-      it.foreach { wv =>
+      it.foreach(_.explode.foreach { wv => // per (element, window) — see parDo
         ctx.currentTs = wv.timestamp; ctx.currentWindows = wv.windows
         ctx.buf.clear(); ctx.taggedBuf.clear()
         fn.process(wv.value, ctx)
         ctx.buf.foreach(o => out += (("", o)))
         ctx.taggedBuf.foreach(out += _)
-      }
+      })
       fn.finishBundle(o => out += (("", WindowedValue.of(o))))
       fn.teardown()
       if (ctx.finalizers.nonEmpty) {

@@ -40,14 +40,18 @@ final class DistributionAccumulator
   def value: DistributionResult = DistributionResult(_sum, _count, _min, _max)
 }
 
-/** Gauge: latest value wins (merge picks the max update-timestamp). */
+/** Gauge: latest value wins. "Latest" is wall-clock (`System.nanoTime`), so
+  * merging copies from different tasks picks the most recent SET, not the
+  * copy with the most set calls (a per-instance counter would do the
+  * latter). Cross-executor clock skew makes this approximate — same as the
+  * reference's latest-wins consolidation.
+  */
 final class GaugeAccumulator extends AccumulatorV2[Long, Long] {
   private var _v = 0L; private var _at = Long.MinValue
-  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
   def isZero: Boolean = _at == Long.MinValue
   def copy(): GaugeAccumulator = { val c = new GaugeAccumulator; c._v = _v; c._at = _at; c }
   def reset(): Unit = { _v = 0; _at = Long.MinValue }
-  def add(v: Long): Unit = { _v = v; _at = seq.incrementAndGet() }
+  def add(v: Long): Unit = { _v = v; _at = System.nanoTime() }
   def merge(other: AccumulatorV2[Long, Long]): Unit = other match {
     case o: GaugeAccumulator => if (o._at >= _at) { _v = o._v; _at = o._at }
   }
@@ -56,11 +60,17 @@ final class GaugeAccumulator extends AccumulatorV2[Long, Long] {
 
 /** Per-pipeline metric registry; the query surface mirrors the reference's
   * `pipeline_result.metrics().query(...)` (examples/word_count_metrics.py:144-156).
+  *
+  * Deliberately NOT Serializable: the registry is a driver-side factory
+  * holding the SparkContext. Obtain metric HANDLES (counter/distribution/
+  * gauge — each a serializable accumulator) on the driver and capture those
+  * in DoFn closures; capturing the registry itself fails fast at closure
+  * serialization with a clear error instead of a confusing executor-side NPE.
   */
-final class MetricsRegistry(sc: SparkContext) extends Serializable {
-  @transient private lazy val _counters = TrieMap.empty[(String, String), LongAccumulator]
-  @transient private lazy val _dists = TrieMap.empty[(String, String), DistributionAccumulator]
-  @transient private lazy val _gauges = TrieMap.empty[(String, String), GaugeAccumulator]
+final class MetricsRegistry(sc: SparkContext) {
+  private val _counters = TrieMap.empty[(String, String), LongAccumulator]
+  private val _dists = TrieMap.empty[(String, String), DistributionAccumulator]
+  private val _gauges = TrieMap.empty[(String, String), GaugeAccumulator]
 
   def counter(ns: String, name: String): LongAccumulator =
     _counters.getOrElseUpdate((ns, name), {

@@ -82,7 +82,13 @@ private[graft] final class StateCells extends Serializable {
       cells.getOrElseUpdate(spec.name, mutable.ArrayBuffer.empty[T])
         .asInstanceOf[mutable.ArrayBuffer[T]]
     def add(t: T): Unit = cur += t
-    def read(): Iterable[T] = cur.toList
+    // read must NOT materialize an empty cell: the streaming wrapper
+    // persists `cells`, so a read-only key would otherwise carry state
+    // forever and the store would grow with every key ever observed
+    def read(): Iterable[T] = cells.get(spec.name) match {
+      case Some(b) => b.asInstanceOf[mutable.ArrayBuffer[T]].toList
+      case None => Nil
+    }
     def clear(): Unit = cells.remove(spec.name)
   }
   def value[T](spec: ValueStateSpec[T]): ValueState[T] = new ValueState[T] {

@@ -67,6 +67,9 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 128,
       bands: Int = 32, threshold: Double = 0.7,
       maxBucketSize: Int = 5000): DataFrame = {
+    require(bands > 0 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
+        "a zero rowsPerBand would silently bucket every doc together")
     val rowsPerBand = numHashes / bands
     // signatures feed three plan branches (banding + two pair joins) —
     // cache so the tokenize+hash pass runs once (at cluster scale this is a

@@ -2,11 +2,25 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
+
+/** Input-type contracts shared by the native expressions: every expression
+  * declares `ExpectsInputTypes` so a wrong-typed argument (reachable through
+  * the registered SQL functions, e.g. `graft_cosine(array<int>, ...)`) is an
+  * ANALYSIS error instead of an unchecked unsafe-buffer read returning
+  * silent garbage.
+  */
+private[plans] object NativeInputTypes {
+  type AbstractType = ColumnBridge.AbstractType
+  val stringArray: AbstractType = ArrayType(StringType)
+  val longArray: AbstractType = ArrayType(LongType)
+  val numericArray: AbstractType =
+    ColumnBridge.typeCollection(ArrayType(DoubleType), ArrayType(FloatType))
+}
 
 /** Native Catalyst expressions for the dedup/similarity hot loops.
   *
@@ -88,7 +102,8 @@ object NativeExpressions {
   * single pass.
   */
 case class MinHashSignatureExpr(child: Expression, numHashes: Int, seed: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(NativeInputTypes.stringArray)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -116,7 +131,8 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int, seed: Long)
   * hash votes ±1; output = sign bits.
   */
 case class SimHash64Expr(child: Expression, seed: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(NativeInputTypes.stringArray)
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -153,14 +169,20 @@ case class SimHash64Expr(child: Expression, seed: Long)
   * around it.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] =
+    Seq(NativeInputTypes.numericArray, NativeInputTypes.numericArray)
   override def dataType: DataType = DoubleType
+  // length mismatch (a corrupt/truncated embedding) yields NULL, never a
+  // plausible-looking score over the common prefix
+  override def nullable: Boolean = true
   private lazy val lf = NativeExpressions.isFloatArray(left)
   private lazy val rf = NativeExpressions.isFloatArray(right)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -184,15 +206,19 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val nb = ctx.freshName("nb"); val den = ctx.freshName("den")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.$lGet($i);
-         |  double $yi = (double) $b.$rGet($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $a.$lGet($i);
+         |    double $yi = (double) $b.$rGet($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  ${ev.value} = $den > 0 ? $dot / $den : 0.0;
          |}
-         |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = $den > 0 ? $dot / $den : 0.0;
          |""".stripMargin
     })
   }
@@ -202,14 +228,18 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 
 /** Dot product with full codegen (see [[CosineSimilarityExpr]]). */
 case class DotProductExpr(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] =
+    Seq(NativeInputTypes.numericArray, NativeInputTypes.numericArray)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // see CosineSimilarityExpr
   private lazy val lf = NativeExpressions.isFloatArray(left)
   private lazy val rf = NativeExpressions.isFloatArray(right)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -228,12 +258,16 @@ case class DotProductExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
          |""".stripMargin
     })
   }
@@ -247,17 +281,29 @@ case class DotProductExpr(left: Expression, right: Expression)
   * TextFunctions.wordShingles' fallback.
   */
 case class MinHashShingleSigExpr(child: Expression, shingleSize: Int, numHashes: Int, seed: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(NativeInputTypes.stringArray)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0) {
+      // wordShingles' fallback gives an EMPTY doc one empty shingle; mirror
+      // that (a real signature, not a sentinel) so empty docs still collapse
+      // together and pair as exact duplicates
+      val sh = XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8, seed)
+      val out = new Array[Long](numHashes)
+      var j = 0
+      while (j < numHashes) { out(j) = XXH64.hashLong(sh, j); j += 1 }
+      return new GenericArrayData(out)
+    }
     val th = new Array[Long](n)
     var i = 0
     while (i < n) { th(i) = XXH64.hashUTF8String(arr.getUTF8String(i), seed); i += 1 }
     val out = new Array[Long](numHashes)
     java.util.Arrays.fill(out, Long.MaxValue)
-    val windows = math.max(n - shingleSize + 1, if (n > 0) 1 else 0)
+    val windows = math.max(n - shingleSize + 1, 1)
     var w = 0
     while (w < windows) {
       var sh = th(w)
@@ -281,10 +327,17 @@ case class MinHashShingleSigExpr(child: Expression, shingleSize: Int, numHashes:
   * [[NativeExpressions.bandBuckets]]).
   */
 case class BandBucketsExpr(child: Expression, bands: Int, rowsPerBand: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  require(bands > 0 && rowsPerBand > 0,
+    s"bandBuckets needs bands > 0 and rowsPerBand > 0 (got $bands, $rowsPerBand)")
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(NativeInputTypes.longArray)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
     val sig = input.asInstanceOf[ArrayData]
+    if (sig.numElements() < bands * rowsPerBand)
+      throw new IllegalArgumentException(
+        s"signature has ${sig.numElements()} slots but bands=$bands x rowsPerBand=$rowsPerBand " +
+          s"needs ${bands * rowsPerBand} — unsafe reads past the array are not performed")
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -305,17 +358,24 @@ case class BandBucketsExpr(child: Expression, bands: Int, rowsPerBand: Int)
 
 /** In-bucket candidate pair expansion: all {min,max} pairs of distinct ids. */
 case class IdPairsExpr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(NativeInputTypes.longArray)
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("id1", LongType, nullable = false),
       StructField("id2", LongType, nullable = false))), containsNull = false)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // n*(n-1)/2 overflows Int at n >= 46342 — fail with a clear message
+    // instead of NegativeArraySizeException (callers cap bucket sizes;
+    // this guards direct API use)
+    val pairCount = n.toLong * (n - 1) / 2
+    require(pairCount <= Int.MaxValue,
+      s"idPairs over $n ids would expand to $pairCount pairs; cap the bucket first")
     val ids = new Array[Long](n)
     var i = 0
     while (i < n) { ids(i) = arr.getLong(i); i += 1 }
-    val out = new Array[Any](n * (n - 1) / 2)
+    val out = new Array[Any](pairCount.toInt)
     var k = 0
     i = 0
     while (i < n) {
@@ -335,7 +395,8 @@ case class IdPairsExpr(child: Expression)
 
 /** Lexicon-vote language ID over a (lowercased) token array. */
 case class LangIdExpr(child: Expression, lexicons: Seq[(String, Seq[String])])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(NativeInputTypes.stringArray)
   override def dataType: DataType = StringType
   @transient private lazy val names =
     lexicons.map(l => org.apache.spark.unsafe.types.UTF8String.fromString(l._1)).toArray
@@ -375,8 +436,9 @@ case class LangIdExpr(child: Expression, lexicons: Seq[(String, Seq[String])])
   * executor, no stored model.
   */
 case class LshBucketExpr(child: Expression, bits: Int, seed: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
   require(bits <= 63)
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(NativeInputTypes.numericArray)
   override def dataType: DataType = LongType
   private lazy val isFloat = NativeExpressions.isFloatArray(child)
   override def nullSafeEval(input: Any): Any = {

@@ -86,6 +86,7 @@ object TopKPerKey {
     */
   def apply(df: DataFrame, keyCols: Seq[String],
       orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k > 0, s"topKPerKey needs k > 0 (got $k)") // exec heaps assume non-empty capacity
     val plan = df.queryExecution.analyzed
     def attr(n: String): Attribute = plan.output.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(s"no column $n"))

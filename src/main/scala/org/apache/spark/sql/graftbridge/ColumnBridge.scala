@@ -20,4 +20,12 @@ object ColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** `AbstractDataType`/`TypeCollection` are `private[sql]`; expressions in
+    * graft.plans declare `ExpectsInputTypes` contracts through these
+    * aliases.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+  def typeCollection(ts: org.apache.spark.sql.types.DataType*): AbstractType =
+    org.apache.spark.sql.types.TypeCollection(ts: _*)
 }

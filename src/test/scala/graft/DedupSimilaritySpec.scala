@@ -150,6 +150,16 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("cosine/dot return NULL for length-mismatched vectors (corruption surfaces)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    val r = df.select(
+      graft.plans.NativeExpressions.cosine(col("a"), col("b")).as("c"),
+      graft.plans.NativeExpressions.dot(col("a"), col("b")).as("d")).first()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("connectedComponents: transitive clusters adopt min id") {
     val s = spark
     import s.implicits._

@@ -116,4 +116,20 @@ class SdfExtensionsSpec extends SparkTestBase {
       "SELECT graft_band_buckets(graft_minhash(array('a','b'), 16), 4, 4) AS bb").first()
     assert(r5.getSeq[Long](0).size == 4)
   }
+
+  test("SQL functions reject wrong-typed arguments at analysis time") {
+    // int arrays must be an analysis error, not an unsafe-buffer misread
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cosine(array(1, 2), array(3, 4))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_simhash64(array(1, 2))").collect()
+    }
+    // signature too short for the banding scheme: clear runtime error
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_band_buckets(graft_minhash(array('a'), 8), 4, 4)").collect()
+    }
+    def chain(t: Throwable): List[Throwable] = if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(t => Option(t.getMessage).exists(_.contains("slots"))))
+  }
 }

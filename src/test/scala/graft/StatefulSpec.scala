@@ -26,6 +26,14 @@ object StatefulSpecFixtures {
 class StatefulSpec extends SparkTestBase {
   import StatefulSpecFixtures._
 
+  test("bag read on an empty cell does not materialize state (store stays cleanable)") {
+    val cells = new graft.core.StateCells
+    assert(cells.bag(BagStateSpec[Int]("b")).read().isEmpty)
+    assert(cells.cells.isEmpty, "read-only access must not create a state entry")
+    cells.bag(BagStateSpec[Int]("b")).add(1)
+    assert(cells.cells.nonEmpty)
+  }
+
   test("bag state add/read/clear (ray_runner_test.py:508-575)") {
     val p = Pipeline(spark)
     val out = p.create(Seq(("k", 1), ("k", 2), ("k", 3)))
