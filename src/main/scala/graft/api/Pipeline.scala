@@ -73,6 +73,13 @@ final class Pipeline(val spark: SparkSession) {
   def readOrc(path: String): PCollection[Row] =
     fromDataFrame(spark.read.orc(path))
 
+  /** TFRecord payload bytes into the dataflow layer (container parsing in
+    * [[graft.sources.TFRecordIO]]; pair with `TFExample.decode` in a ParDo
+    * for feature records).
+    */
+  def readTFRecords(dir: String): PCollection[Array[Byte]] =
+    fromDataset(graft.sources.TFRecordIO.read(spark, dir))
+
   /** Bridge from any typed Dataset into the dataflow layer. */
   def fromDataset[T](ds: Dataset[T])(implicit e: GEnc[WindowedValue[T]]): PCollection[T] =
     new PCollection[T](this, ds.mapPartitions(_.map(WindowedValue.of))(e.enc), GlobalWindows)

@@ -59,6 +59,8 @@ class TFRecordSpec extends SparkTestBase {
     assert(files.nonEmpty)
     val back = TFRecordIO.read(s, dir).collect().toSeq
     assert(back.size.toLong == n)
+    // dataflow-layer bridge sees the same records
+    assert(graft.api.Pipeline(s).readTFRecords(dir).count() == n)
     val ids = back.map { bytes =>
       TFExample.decode(bytes)("doc_id") match {
         case TFExample.Int64List(Seq(id)) => id
