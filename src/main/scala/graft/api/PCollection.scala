@@ -79,20 +79,29 @@ final class PCollection[T](
     val ds = data.mapPartitions { it0 =>
       val t0 = System.nanoTime()
       val it = PCollection.instrument(it0, elems, bytes)
+      var toreDown = false
+      // val (not def): a nested def lifts to an instance method and the
+      // Spark closure would capture the non-serializable PCollection
+      val teardownOnce: () => Unit =
+        () => if (!toreDown) { toreDown = true; fn.teardown() }
+      // teardown is exception-safe: if process() throws mid-iteration the
+      // task-completion listener still runs it (Beam's best-effort contract)
       Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
         new org.apache.spark.util.TaskCompletionListener {
-          override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
+          override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit = {
+            try teardownOnce() catch { case _: Throwable => () }
             msecs.add((System.nanoTime() - t0) / 1000000L)
+          }
         }))
       fn.setup()
       fn.startBundle()
       val ctx = new BufferingContext[O](0L, Seq(GlobalWindow))
-      val out = mutable.ArrayBuffer.empty[WindowedValue[O]]
-      // process per (element, window): a multi-window element (sliding
-      // assignment) is k logical elements in Beam's model — window-sensitive
-      // context (sideInput window mapping, output window) must resolve per
-      // window, not against windows.head for all of them
-      it.foreach(_.explode.foreach { wv =>
+      // STREAMING output: per-element emissions flow through lazily (peak
+      // heap is one element's output, not the partition's — the 100 TB
+      // constraint); process per (element, window) — a multi-window element
+      // is k logical elements in Beam's model, so window-sensitive context
+      // (sideInput mapping, output window) resolves per window
+      val mainOut = it.flatMap(_.explode.iterator.flatMap { wv =>
         ctx.currentTs = wv.timestamp; ctx.currentWindows = wv.windows
         ctx.buf.clear()
         fn.process(wv.value, ctx)
@@ -100,21 +109,26 @@ final class PCollection[T](
           throw new IllegalStateException(
             s"DoFn emitted tagged output (${ctx.taggedBuf.map(_._1).distinct.mkString(",")}) " +
               "from a plain parDo — use parDoTagged so tagged outputs are routed, not dropped")
-        ctx.buf.foreach(o => out += o.asInstanceOf[WindowedValue[O]])
+        ctx.buf.toList.asInstanceOf[List[WindowedValue[O]]]
       })
-      fn.finishBundle(o => out += WindowedValue.of(o))
-      fn.teardown()
-      // bundle finalization: after the task commits its outputs, at-least-
-      // once, exceptions swallowed (execution.py:131-139)
-      if (ctx.finalizers.nonEmpty) {
-        val cbs = ctx.finalizers.toList
-        Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
-          new org.apache.spark.util.TaskCompletionListener {
-            override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
-              cbs.foreach(cb => try cb() catch { case _: Throwable => () })
-          }))
+      // finishBundle/teardown run lazily after the last element (Iterator.++
+      // is by-name); finalization callbacks fire post task commit,
+      // at-least-once, exceptions swallowed (execution.py:131-139)
+      val tail: () => Iterator[WindowedValue[O]] = () => {
+        val buf = mutable.ArrayBuffer.empty[WindowedValue[O]]
+        fn.finishBundle(o => buf += WindowedValue.of(o))
+        teardownOnce()
+        if (ctx.finalizers.nonEmpty) {
+          val cbs = ctx.finalizers.toList
+          Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
+            new org.apache.spark.util.TaskCompletionListener {
+              override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
+                cbs.foreach(cb => try cb() catch { case _: Throwable => () })
+            }))
+        }
+        buf.iterator
       }
-      out.iterator
+      mainOut ++ tail()
     }(oe.enc)
     next(ds)
   }
@@ -137,29 +151,47 @@ final class PCollection[T](
     val opName = if (name.nonEmpty) name else s"op${PCollection.nextOpId()}"
     val elems = pipeline.metrics.counter("graft.system", s"elements.$opName")
     val bytes = pipeline.metrics.distribution("graft.system", s"sampledByteSize.$opName")
+    val declaredTags = tags.map(_.name).toSet
     val tagged: Dataset[(String, WindowedValue[Any])] = data.mapPartitions { it0 =>
       val it = PCollection.instrument(it0, elems, bytes)
+      var toreDown = false
+      val teardownOnce: () => Unit = // val, not def — see parDo
+        () => if (!toreDown) { toreDown = true; fn.teardown() }
+      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
+        new org.apache.spark.util.TaskCompletionListener {
+          override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
+            try teardownOnce() catch { case _: Throwable => () }
+        }))
       fn.setup(); fn.startBundle()
       val ctx = new BufferingContext[O](0L, Seq(GlobalWindow))
-      val out = mutable.ArrayBuffer.empty[(String, WindowedValue[Any])]
-      it.foreach(_.explode.foreach { wv => // per (element, window) — see parDo
+      val mainOut = it.flatMap(_.explode.iterator.flatMap { wv => // streaming; see parDo
         ctx.currentTs = wv.timestamp; ctx.currentWindows = wv.windows
         ctx.buf.clear(); ctx.taggedBuf.clear()
         fn.process(wv.value, ctx)
-        ctx.buf.foreach(o => out += (("", o)))
-        ctx.taggedBuf.foreach(out += _)
+        // an emission to an UNDECLARED tag would otherwise vanish: no branch
+        // downstream filters for it (same hazard parDo guards against)
+        ctx.taggedBuf.foreach { case (tag, _) =>
+          if (!declaredTags.contains(tag))
+            throw new IllegalStateException(
+              s"DoFn emitted to undeclared tag '$tag' (declared: ${declaredTags.mkString(",")})")
+        }
+        ctx.buf.toList.map(o => ("", o)) ++ ctx.taggedBuf.toList
       })
-      fn.finishBundle(o => out += (("", WindowedValue.of(o))))
-      fn.teardown()
-      if (ctx.finalizers.nonEmpty) {
-        val cbs = ctx.finalizers.toList
-        Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
-          new org.apache.spark.util.TaskCompletionListener {
-            override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
-              cbs.foreach(cb => try cb() catch { case _: Throwable => () })
-          }))
+      val tail: () => Iterator[(String, WindowedValue[Any])] = () => {
+        val buf = mutable.ArrayBuffer.empty[(String, WindowedValue[Any])]
+        fn.finishBundle(o => buf += (("", WindowedValue.of(o))))
+        teardownOnce()
+        if (ctx.finalizers.nonEmpty) {
+          val cbs = ctx.finalizers.toList
+          Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
+            new org.apache.spark.util.TaskCompletionListener {
+              override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
+                cbs.foreach(cb => try cb() catch { case _: Throwable => () })
+            }))
+        }
+        buf.iterator
       }
-      out.iterator
+      mainOut ++ tail()
     }(Encoders.tuple(Encoders.STRING, kryoEnc[WindowedValue[Any]]))
       .localCheckpoint(false)
     val main = next(tagged.filter(_._1 == "").map(_._2.asInstanceOf[WindowedValue[O]])(oe.enc))
@@ -358,16 +390,16 @@ final class PCollection[T](
       }(oe.enc)
       next(ds)
     } else {
-      // merging windows: group the union under the MERGING side's windowFn
-      // so both inputs' windows merge together (Beam CoGBK requires
-      // compatible windowing across inputs; mixing two different merging
-      // fns is rejected)
-      val mergingWfn =
-        if (wfn.isMerging && other.windowFn.isMerging) {
-          require(wfn == other.windowFn,
-            s"coGroupByKey inputs have incompatible merging WindowFns: $wfn vs ${other.windowFn}")
-          wfn
-        } else if (wfn.isMerging) wfn else other.windowFn
+      // merging windows: group the union under the shared merging windowFn
+      // so both inputs' windows merge together. Beam CoGBK requires
+      // COMPATIBLE windowing across inputs: a merging side joined with a
+      // non-merging side would regroup the non-merging side's windows under
+      // foreign merge semantics and every group would see one side empty —
+      // reject at construction instead of silently producing that
+      require(wfn.isMerging && other.windowFn.isMerging && wfn == other.windowFn,
+        s"coGroupByKey inputs have incompatible WindowFns: $wfn vs ${other.windowFn} " +
+          "(both sides must share the same merging WindowFn, or both be non-merging)")
+      val mergingWfn = wfn
       val left: PCollection[(K, Either[V, W])] =
         map { t => val kv = ev(t); (kv._1, Left(kv._2): Either[V, W]) }
       val right: PCollection[(K, Either[V, W])] =

@@ -43,18 +43,29 @@ final class Pipeline(val spark: SparkSession) {
   }
 
   /** Text source with header skipping (reference: RayRead translator.py:122-144,
-    * `skip_header_lines` at :138-140). Spark-native: the lines arrive from
-    * FileSourceScanExec; header skip drops the first N lines of the file.
+    * `skip_header_lines` at :138-140). Header skip is PER FILE (globs and
+    * directories drop N lines from every file, like the reference): the
+    * Hadoop input split exposes its file offset, so only the partition at
+    * offset 0 of each file skips — no global ordering pass.
     */
   def readText(path: String, skipHeaderLines: Int = 0): PCollection[String] = {
     import spark.implicits._
-    val base = spark.read.textFile(path)
     val ds =
-      if (skipHeaderLines == 0) base
+      if (skipHeaderLines == 0) spark.read.textFile(path)
       else {
         val n = skipHeaderLines
-        // zipWithIndex is per-file-order stable for a single text file
-        base.rdd.zipWithIndex.filter(_._2 >= n).map(_._1).toDS()
+        val hadoopRdd = spark.sparkContext
+          .hadoopFile(path, classOf[org.apache.hadoop.mapred.TextInputFormat],
+            classOf[org.apache.hadoop.io.LongWritable], classOf[org.apache.hadoop.io.Text])
+          .asInstanceOf[org.apache.spark.rdd.HadoopRDD[
+            org.apache.hadoop.io.LongWritable, org.apache.hadoop.io.Text]]
+        val lines = hadoopRdd.mapPartitionsWithInputSplit({ (split, it) =>
+          val isFileStart =
+            split.asInstanceOf[org.apache.hadoop.mapred.FileSplit].getStart == 0L
+          val strs = it.map(_._2.toString)
+          if (isFileStart) strs.drop(n) else strs
+        }, preservesPartitioning = true)
+        spark.createDataset(lines)
       }
     fromDataset(ds)
   }
@@ -92,11 +103,20 @@ final class Pipeline(val spark: SparkSession) {
     */
   def fromDataFrameTimestamped(df: DataFrame, tsCol: String): PCollection[Row] = {
     import org.apache.spark.sql.functions._
-    val withTs = df.withColumn("__graft_ts", unix_millis(col(tsCol)))
+    // unique helper column name: a pre-existing __graft_ts would be REPLACED
+    // in place by withColumn and the drop-by-position below would truncate
+    // user columns
+    val helper = Iterator.from(0).map(i => s"__graft_ts_$i")
+      .find(n => !df.columns.contains(n)).get
+    val withTs = df.withColumn(helper, unix_millis(col(tsCol)))
     val enc = kryoWvEncoder[Row]
-    val idx = withTs.schema.fieldIndex("__graft_ts")
+    val idx = withTs.schema.fieldIndex(helper)
+    val tsName = tsCol
     val ds = withTs.mapPartitions { it =>
       it.map { r =>
+        if (r.isNullAt(idx))
+          throw new IllegalArgumentException(
+            s"null event timestamp in column '$tsName' — filter or default nulls first")
         // drop the appended helper column so user rows keep their schema
         WindowedValue.timestamped(Row.fromSeq(r.toSeq.take(idx)), r.getLong(idx))
       }

@@ -33,7 +33,9 @@ object Dedup {
     }
 
   /** Exact dedup: keep the row with the smallest `tieBreaker` per key group.
-    * Single shuffle (window on the dedup key).
+    * Single shuffle (window on the dedup key). `tieBreaker` must be UNIQUE
+    * within each key group (a row id) — ties would otherwise fall back to
+    * partition arrival order and re-runs could keep different survivors.
     */
   def exact(df: DataFrame, keyCols: Seq[String], tieBreaker: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreaker))

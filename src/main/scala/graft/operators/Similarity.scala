@@ -77,16 +77,21 @@ object Similarity {
         while (j < vec.length) { val xi = vec(j).toDouble; na += xi * xi; j += 1 }
         val sqrtNa = math.sqrt(na)
         qs.value.foreach { case (qid, qv, sqrtNb) =>
-          var dotv = 0.0
-          var i = 0
-          val n = math.min(qv.length, vec.length)
-          while (i < n) { dotv += vec(i).toDouble * qv(i).toDouble; i += 1 }
-          val denom = sqrtNa * sqrtNb
-          val score = if (denom > 0) dotv / denom else 0.0
-          val h = heaps(qid)
-          if (h.size < k) h.enqueue((score, cid))
-          else if (score > h.head._1 || (score == h.head._1 && cid < h.head._2)) {
-            h.dequeue(); h.enqueue((score, cid))
+          // length mismatch = corrupt embedding: EXCLUDED, matching the
+          // native cosine's NULL-on-mismatch (brute force and this exact
+          // tier must agree row for row)
+          if (vec.length == qv.length) {
+            var dotv = 0.0
+            var i = 0
+            val n = qv.length
+            while (i < n) { dotv += vec(i).toDouble * qv(i).toDouble; i += 1 }
+            val denom = sqrtNa * sqrtNb
+            val score = if (denom > 0) dotv / denom else 0.0
+            val h = heaps(qid)
+            if (h.size < k) h.enqueue((score, cid))
+            else if (score > h.head._1 || (score == h.head._1 && cid < h.head._2)) {
+              h.dequeue(); h.enqueue((score, cid))
+            }
           }
         }
       }
@@ -183,12 +188,15 @@ object Similarity {
   def quantizeInt8(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val projected = corpus.select(col(idCol), col(vecCol))
     val rdd = projected.rdd.mapPartitions(_.map { r =>
-      val (q, scale) = quantizeVec(r.getSeq[Float](1))
-      Row(r.getLong(0), q, scale.toDouble)
+      val v = r.getSeq[Float](1)
+      val (q, scale) = quantizeVec(v)
+      var n2 = 0.0
+      v.foreach { x => val xd = x.toDouble; n2 += xd * xd }
+      Row(r.getLong(0), q, scale.toDouble, math.sqrt(n2))
     })
     corpus.sparkSession.createDataFrame(rdd, StructType(Seq(
       StructField("__id", LongType), StructField("__q", BinaryType),
-      StructField("__scale", DoubleType))))
+      StructField("__scale", DoubleType), StructField("__norm", DoubleType))))
   }
 
   /** Two-stage quantized ANN: (1) int8 dot-product screening with bounded
@@ -209,22 +217,32 @@ object Similarity {
     val quantized = quantizeInt8(corpus, corpusId, corpusVec)
     val screened = quantized.rdd.mapPartitions { it =>
       val heaps = qs.value.map { case (qid, _) =>
-        qid -> mutable.PriorityQueue.empty[(Long, Long)](
-          Ordering.by[(Long, Long), (Long, Long)] { case (s, id) => (-s, id) })
+        qid -> mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) })
       }.toMap
       it.foreach { r =>
         val cid = r.getLong(0)
         val cq = r.getAs[Array[Byte]](1)
+        val cScale = r.getDouble(2)
+        val cNorm = r.getDouble(3)
         qs.value.foreach { case (qid, qv) =>
-          // integer dot of int8 codes: sign-preserving, scale-free screening
-          var dot = 0L
-          var i = 0
-          val n = math.min(cq.length, qv.length)
-          while (i < n) { dot += cq(i).toLong * qv(i).toLong; i += 1 }
-          val h = heaps(qid)
-          if (h.size < screenK) h.enqueue((dot, cid))
-          else if (dot > h.head._1 || (dot == h.head._1 && cid < h.head._2)) {
-            h.dequeue(); h.enqueue((dot, cid))
+          if (cq.length == qv.length && cNorm > 0) { // corrupt lengths excluded
+            // screen score ∝ true cosine: code-dot x the row's stored scale
+            // recovers the real dot (codes alone are inf-norm-normalized —
+            // a long low-magnitude vector would otherwise outrank the true
+            // nearest neighbor regardless of rerank factor), and dividing
+            // by the stored L2 norm ranks by cosine (the query's scale and
+            // norm are per-query constants that cannot change its order)
+            var dot = 0L
+            var i = 0
+            val n = qv.length
+            while (i < n) { dot += cq(i).toLong * qv(i).toLong; i += 1 }
+            val score = dot * cScale / cNorm
+            val h = heaps(qid)
+            if (h.size < screenK) h.enqueue((score, cid))
+            else if (score > h.head._1 || (score == h.head._1 && cid < h.head._2)) {
+              h.dequeue(); h.enqueue((score, cid))
+            }
           }
         }
       }

@@ -79,16 +79,17 @@ object StreamingOps {
       fn.setup(); fn.startBundle()
       val ctx = new BufferingContext[O](0L, Seq(GlobalWindow))
       val out = mutable.ArrayBuffer.empty[O]
-      it.foreach { e =>
-        ctx.buf.clear()
-        fn.process(e, ctx)
-        if (ctx.taggedBuf.nonEmpty)
-          throw new IllegalStateException(
-            "DoFn emitted tagged output from parDoStream — use parDoTaggedStream")
-        ctx.buf.foreach(o => out += o.value.asInstanceOf[O])
-      }
-      fn.finishBundle(o => out += o)
-      fn.teardown()
+      try {
+        it.foreach { e =>
+          ctx.buf.clear()
+          fn.process(e, ctx)
+          if (ctx.taggedBuf.nonEmpty)
+            throw new IllegalStateException(
+              "DoFn emitted tagged output from parDoStream — use parDoTaggedStream")
+          ctx.buf.foreach(o => out += o.value.asInstanceOf[O])
+        }
+        fn.finishBundle(o => out += o)
+      } finally fn.teardown() // best-effort teardown even when process throws
       out.iterator
     }
 
@@ -110,14 +111,15 @@ object StreamingOps {
       fn.setup(); fn.startBundle()
       val ctx = new BufferingContext[O](0L, Seq(GlobalWindow))
       val out = mutable.ArrayBuffer.empty[(String, Any)]
-      it.foreach { e =>
-        ctx.buf.clear(); ctx.taggedBuf.clear()
-        fn.process(e, ctx)
-        ctx.buf.foreach(o => out += (("", o.value)))
-        ctx.taggedBuf.foreach { case (tag, wv) => out += ((tag, wv.value)) }
-      }
-      fn.finishBundle(o => out += (("", o)))
-      fn.teardown()
+      try {
+        it.foreach { e =>
+          ctx.buf.clear(); ctx.taggedBuf.clear()
+          fn.process(e, ctx)
+          ctx.buf.foreach(o => out += (("", o.value)))
+          ctx.taggedBuf.foreach { case (tag, wv) => out += ((tag, wv.value)) }
+        }
+        fn.finishBundle(o => out += (("", o)))
+      } finally fn.teardown()
       out.iterator
     }
   }
