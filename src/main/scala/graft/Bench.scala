@@ -20,18 +20,24 @@ object Bench {
     // queries, not first-touch setup
     Tables.lineitem(spark, sfDir).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         // Consume the FULL plan distributed-side: `toRdd.foreach` materializes
         // every output row (count() would let Catalyst prune projections and
         // under-measure map-heavy queries — NOTES.md "performance lessons").
-        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None // a failed rep must NOT contribute a bogus-fast wall time
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // all reps failed -> -1.0 sentinel: unmistakably broken in the
+      // baseline, never a silently-improved total
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

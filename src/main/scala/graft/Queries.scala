@@ -814,14 +814,20 @@ object Queries {
     "q13_mean_combine" ->
       "SELECT event_type, ROUND(SUM(value) / COUNT(*), 4) AS mean_value FROM events GROUP BY event_type",
     "q14_side_input_dict" ->
-      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+      // LEFT JOIN + COALESCE mirrors the engine's getOrElse(nk, "UNKNOWN"):
+      // an orphan c_nationkey lands in the UNKNOWN bucket on BOTH sides
+      // instead of being silently dropped by an inner join
+      """SELECT COALESCE(n_name, 'UNKNOWN') AS n_name, CAST(COUNT(*) AS BIGINT) AS n_cust
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY COALESCE(n_name, 'UNKNOWN')""".stripMargin,
     "q15_tagged_outputs" ->
+      // HAVING matches the engine's combinePerKey, which emits NO row for a
+      // label with zero events (an ungrouped aggregate would emit (0, NULL))
       """SELECT 'purchase' AS label, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
-        |FROM events WHERE event_type = 'purchase'
+        |FROM events WHERE event_type = 'purchase' HAVING COUNT(*) > 0
         |UNION ALL
         |SELECT 'error' AS label, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
-        |FROM events WHERE event_type = 'error'""".stripMargin,
+        |FROM events WHERE event_type = 'error' HAVING COUNT(*) > 0""".stripMargin,
     "q16_cogroup" ->
       """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders, c_acctbal AS acctbal
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey

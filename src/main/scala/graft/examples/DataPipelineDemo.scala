@@ -26,14 +26,17 @@ object DataPipelineDemo {
     val quality = scored.filter(col("quality") >= 0.3 && col("n_tokens") >= 10)
     println(s"[pipeline] after quality gate: ${quality.count()}")
 
-    // 2. exact dedup (min-id survivor per identical text)
-    val exact = Dedup.exact(quality, Seq("text"), "doc_id")
+    // 2. exact dedup (min-id survivor per identical text). Persist here:
+    // everything downstream (pair generation, survivor filter, report,
+    // TFRecord write) consumes this frontier — without it each action
+    // re-runs the stats+gate+dedup lineage over the full corpus
+    val exact = Dedup.exact(quality, Seq("text"), "doc_id").persist()
     println(s"[pipeline] after exact dedup: ${exact.count()}")
 
     // 3. MinHash-LSH near-dedup (capped candidate generation)
     val pairs = Dedup.minHashLshPairs(exact, "doc_id", "text",
       shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.6)
-    val survivors = Dedup.keepMinIdSurvivors(exact, "doc_id", pairs)
+    val survivors = Dedup.keepMinIdSurvivors(exact, "doc_id", pairs).persist()
     println(s"[pipeline] near-dup pairs: ${pairs.count()}; survivors: ${survivors.count()}")
 
     // 4. per-language yield report
@@ -66,6 +69,7 @@ object DataPipelineDemo {
     graft.sources.TFRecordIO.write(payloads, outDir)
     val readBack = graft.sources.TFRecordIO.read(spark, outDir).count()
     println(s"[pipeline] wrote $readBack training records to $outDir")
+    survivors.unpersist(); exact.unpersist()
     spark.stop()
   }
 }

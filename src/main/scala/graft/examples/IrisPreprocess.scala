@@ -33,9 +33,9 @@ object IrisPreprocess {
 
     val raw = spark.read.option("header", "true").option("inferSchema", "true").csv(input)
     // analyze phase: per-feature min/max (preprocessing.py:57-68 scale_to_0_1)
-    val stats = raw.agg(
-      Features.flatMap(f => Seq(min(col(f)).as(s"${f}_min"), max(col(f)).as(s"${f}_max"))).head,
-      Features.flatMap(f => Seq(min(col(f)).as(s"${f}_min"), max(col(f)).as(s"${f}_max"))).tail: _*)
+    val aggs = Features.flatMap(f =>
+      Seq(min(col(f)).as(s"${f}_min"), max(col(f)).as(s"${f}_max")))
+    val stats = raw.agg(aggs.head, aggs.tail: _*)
     // transform phase: broadcast the stats row, scale each feature
     val scaled = raw.crossJoin(broadcast(stats))
       .select(

@@ -54,11 +54,14 @@ object StreamingDemo {
       .queryName("state").outputMode("append").start()
 
     Thread.sleep(runSeconds * 1000L)
-    q1.processAllAvailable(); q2.processAllAvailable()
+    // stop BEFORE reading the sinks: processAllAvailable on a live rate
+    // source can block forever (new data always pending); stopping drains
+    // the in-flight micro-batch and leaves the memory tables readable
+    q1.stop(); q2.stop()
     println("[streaming] closed windows:")
     spark.sql("SELECT * FROM win ORDER BY window_start, k").show(8, false)
     println("[streaming] timer flushes:")
     spark.sql("SELECT * FROM state ORDER BY k").show(8, false)
-    q1.stop(); q2.stop(); spark.stop()
+    spark.stop()
   }
 }
