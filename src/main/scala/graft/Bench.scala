@@ -16,6 +16,10 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Benchmark honesty: disable cross-query work sharing (d23/d45 MinHash
+    // pair memo) so each query's wall time is its FULL standalone pipeline,
+    // comparable across rounds regardless of battery order.
+    Queries.pairMemoEnabled = false
     // warm the JVM + parquet footers once so per-query numbers measure the
     // queries, not first-touch setup
     Tables.lineitem(spark, sfDir).count()

@@ -355,7 +355,15 @@ object Queries {
     * bound to a stopped one; a replaced entry's blocks are NOT released
     * eagerly (a caller may still hold the old DataFrame) — the
     * ContextCleaner frees them when the last reference is collected.
+    *
+    * Benchmark honesty: with the memo on, d45's wall time excludes the LSH
+    * pair stage whenever d23 ran earlier in the same JVM, so its number
+    * measures the cluster stage only and is not comparable to a standalone
+    * run. `Bench` therefore sets [[pairMemoEnabled]] = false so every
+    * benchmarked query pays its full pipeline; Verify/library callers keep
+    * the sharing (correctness is identical either way).
     */
+  @volatile var pairMemoEnabled: Boolean = true
   private val minhashPairMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -369,7 +377,7 @@ object Queries {
   /** MinHash-LSH near-dup candidate pairs (no SQL oracle: xxhash-based). */
   def d23MinhashPairs(s: SparkSession, d: String): DataFrame = {
     val pairs = computeMinhashPairs(s, d)
-    minhashPairMemo.put(memoKey(s, d), pairs)
+    if (pairMemoEnabled) minhashPairMemo.put(memoKey(s, d), pairs)
     pairs
   }
 
@@ -552,7 +560,10 @@ object Queries {
     * MinHash pair graph (no SQL oracle: xxhash-based candidates).
     */
   def d45DedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairMemo.computeIfAbsent(memoKey(s, d), _ => computeMinhashPairs(s, d))
+    val pairs =
+      if (pairMemoEnabled)
+        minhashPairMemo.computeIfAbsent(memoKey(s, d), _ => computeMinhashPairs(s, d))
+      else computeMinhashPairs(s, d)
     Dedup.connectedComponents(pairs)
       .groupBy(col("cluster_id"))
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_members"))

@@ -40,18 +40,19 @@ final class DistributionAccumulator
   def value: DistributionResult = DistributionResult(_sum, _count, _min, _max)
 }
 
-/** Gauge: latest value wins. "Latest" is wall-clock (`System.nanoTime`), so
-  * merging copies from different tasks picks the most recent SET, not the
-  * copy with the most set calls (a per-instance counter would do the
-  * latter). Cross-executor clock skew makes this approximate — same as the
-  * reference's latest-wins consolidation.
+/** Gauge: latest value wins. "Latest" is true wall-clock
+  * (`System.currentTimeMillis` — NOT `nanoTime`, whose origin is arbitrary
+  * per JVM, making cross-executor comparison meaningless), so merging copies
+  * from different tasks picks the most recent SET, not the copy with the
+  * most set calls. Cross-executor clock skew makes this approximate — same
+  * as the reference's latest-wins consolidation.
   */
 final class GaugeAccumulator extends AccumulatorV2[Long, Long] {
   private var _v = 0L; private var _at = Long.MinValue
   def isZero: Boolean = _at == Long.MinValue
   def copy(): GaugeAccumulator = { val c = new GaugeAccumulator; c._v = _v; c._at = _at; c }
   def reset(): Unit = { _v = 0; _at = Long.MinValue }
-  def add(v: Long): Unit = { _v = v; _at = System.nanoTime() }
+  def add(v: Long): Unit = { _v = v; _at = System.currentTimeMillis() }
   def merge(other: AccumulatorV2[Long, Long]): Unit = other match {
     case o: GaugeAccumulator => if (o._at >= _at) { _v = o._v; _at = o._at }
   }

@@ -42,11 +42,21 @@ object TFRecordIO {
     out.array()
   }
 
-  /** Write a dataset of payloads as one TFRecord file per partition. */
+  /** Write a dataset of payloads as one TFRecord file per partition.
+    * Overwrite semantics: stale `part-*.tfrecord` files from a previous run
+    * into the same dir are deleted first — otherwise a re-run with fewer
+    * partitions would leave old part files that `read()`'s glob silently
+    * mixes back into the dataset.
+    */
   def write(ds: Dataset[Array[Byte]], dir: String): Unit = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       ds.sparkSession.sparkContext.hadoopConfiguration)
     val dirPath = dir
+    val outDir = new Path(dir)
+    val fs = outDir.getFileSystem(conf.value)
+    if (fs.exists(outDir))
+      fs.globStatus(new Path(outDir, "part-*.tfrecord"))
+        .foreach(st => fs.delete(st.getPath, false))
     ds.foreachPartition { (it: Iterator[Array[Byte]]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val path = new Path(dirPath, f"part-$pid%05d.tfrecord")
@@ -184,67 +194,145 @@ object TFExample {
     example.toByteArray
   }
 
-  // --- decoding (for round-trip verification) ---
+  // --- decoding: a tolerant proto walker ---
+  // Valid tf.train.Example payloads from OTHER producers may carry unknown
+  // fields, non-packed repeated scalars, or value lists split across several
+  // length-delimited chunks (proto merge semantics concatenate repeated
+  // fields). The walker dispatches on (field number, wire type), skips what
+  // it does not know, accepts both packed and unpacked scalar encodings, and
+  // concatenates repeated chunks. Malformed input (truncated varint,
+  // out-of-range length) raises a clean IOException — never an
+  // ArrayIndexOutOfBounds from a task.
+  private def malformed(msg: String): Nothing = throw new java.io.IOException(
+    s"malformed tf.train.Example: $msg")
+
   private final class Reader(bytes: Array[Byte], var pos: Int, val end: Int) {
     def readVarint(): Long = {
       var shift = 0; var v = 0L
-      while ({ val b = bytes(pos); pos += 1
-        v |= (b & 0x7fL) << shift; shift += 7; (b & 0x80) != 0 }) ()
+      var more = true
+      while (more) {
+        if (pos >= end) malformed("truncated varint")
+        if (shift > 63) malformed("varint over 10 bytes")
+        val b = bytes(pos); pos += 1
+        v |= (b & 0x7fL) << shift; shift += 7; more = (b & 0x80) != 0
+      }
       v
     }
+    def readLen(): Int = {
+      val n = readVarint()
+      if (n < 0 || pos + n > end) malformed(s"length $n exceeds remaining ${end - pos}")
+      n.toInt
+    }
     def readBytes(n: Int): Array[Byte] = {
+      if (n < 0 || pos + n > end) malformed(s"length $n exceeds remaining ${end - pos}")
       val r = java.util.Arrays.copyOfRange(bytes, pos, pos + n); pos += n; r
+    }
+    /** Skip one value of the given wire type (unknown-field tolerance). */
+    def skip(wire: Int): Unit = wire match {
+      case 0 => readVarint(); ()
+      case 1 => if (pos + 8 > end) malformed("truncated fixed64"); pos += 8
+      case 2 => val n = readLen(); pos += n
+      case 5 => if (pos + 4 > end) malformed("truncated fixed32"); pos += 4
+      case w => malformed(s"unsupported wire type $w") // 3/4 (groups) deprecated
     }
     def hasMore: Boolean = pos < end
   }
 
-  private def decodeFeature(bytes: Array[Byte]): Feature = {
-    val r = new Reader(bytes, 0, bytes.length)
-    val key = r.readVarint()
-    val len = r.readVarint().toInt
-    val body = r.readBytes(len)
-    (key >> 3).toInt match {
-      case 1 =>
-        val br = new Reader(body, 0, body.length)
-        val vs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-        while (br.hasMore) { br.readVarint(); vs += br.readBytes(br.readVarint().toInt) }
-        BytesList(vs.toSeq)
-      case 2 =>
-        val br = new Reader(body, 0, body.length)
-        br.readVarint()
-        val packed = br.readBytes(br.readVarint().toInt)
-        val bb = ByteBuffer.wrap(packed).order(ByteOrder.LITTLE_ENDIAN)
-        FloatList(Array.fill(packed.length / 4)(bb.getFloat).toSeq)
-      case 3 =>
-        val br = new Reader(body, 0, body.length)
-        br.readVarint()
-        val packed = br.readBytes(br.readVarint().toInt)
-        val pr = new Reader(packed, 0, packed.length)
-        val vs = scala.collection.mutable.ArrayBuffer.empty[Long]
-        while (pr.hasMore) vs += pr.readVarint()
-        Int64List(vs.toSeq)
+  /** Walk a submessage's fields, dispatching each (field, wire) pair. */
+  private def walkFields(body: Array[Byte])(f: (Int, Int, Reader) => Boolean): Unit = {
+    val r = new Reader(body, 0, body.length)
+    while (r.hasMore) {
+      val key = r.readVarint()
+      val field = (key >>> 3).toInt
+      val wire = (key & 7).toInt
+      if (!f(field, wire, r)) r.skip(wire)
     }
   }
 
-  /** Decode a serialized `tf.train.Example` back to its feature map. */
-  def decode(bytes: Array[Byte]): Map[String, Feature] = {
-    val r = new Reader(bytes, 0, bytes.length)
-    r.readVarint() // Example.features key
-    val flen = r.readVarint().toInt
-    val fr = new Reader(bytes, r.pos, r.pos + flen)
-    val out = Map.newBuilder[String, Feature]
-    while (fr.hasMore) {
-      fr.readVarint() // Features.feature key
-      val elen = fr.readVarint().toInt
-      val er = new Reader(bytes, fr.pos, fr.pos + elen)
-      fr.pos += elen
-      er.readVarint()
-      val name = new String(er.readBytes(er.readVarint().toInt),
-        java.nio.charset.StandardCharsets.UTF_8)
-      er.readVarint()
-      val feat = decodeFeature(er.readBytes(er.readVarint().toInt))
-      out += (name -> feat)
+  private def decodeFeature(bytes: Array[Byte]): Feature = {
+    // Feature is a oneof; proto merge semantics say a later member of a
+    // DIFFERENT kind clears the earlier one, while repeated chunks of the
+    // SAME kind concatenate.
+    val bl = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val fl = scala.collection.mutable.ArrayBuffer.empty[Float]
+    val il = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var kind = 0
+    def switchTo(k: Int): Unit =
+      if (kind != k) { bl.clear(); fl.clear(); il.clear(); kind = k }
+    walkFields(bytes) {
+      case (1, 2, r) => // bytes_list
+        switchTo(1)
+        walkFields(r.readBytes(r.readLen())) {
+          case (1, 2, br) => bl += br.readBytes(br.readLen()); true
+          case _ => false
+        }
+        true
+      case (2, 2, r) => // float_list: packed chunk(s) or unpacked fixed32
+        switchTo(2)
+        walkFields(r.readBytes(r.readLen())) {
+          case (1, 2, br) =>
+            val packed = br.readBytes(br.readLen())
+            if (packed.length % 4 != 0) malformed("packed float chunk not 4-aligned")
+            val bb = ByteBuffer.wrap(packed).order(ByteOrder.LITTLE_ENDIAN)
+            var i = 0
+            while (i < packed.length / 4) { fl += bb.getFloat; i += 1 }
+            true
+          case (1, 5, br) =>
+            fl += ByteBuffer.wrap(br.readBytes(4)).order(ByteOrder.LITTLE_ENDIAN).getFloat
+            true
+          case _ => false
+        }
+        true
+      case (3, 2, r) => // int64_list: packed chunk(s) or unpacked varints
+        switchTo(3)
+        walkFields(r.readBytes(r.readLen())) {
+          case (1, 2, br) =>
+            val chunk = br.readBytes(br.readLen())
+            val pr = new Reader(chunk, 0, chunk.length)
+            while (pr.hasMore) il += pr.readVarint()
+            true
+          case (1, 0, br) => il += br.readVarint(); true
+          case _ => false
+        }
+        true
+      case _ => false
     }
-    out.result()
+    kind match {
+      case 1 => BytesList(bl.toSeq)
+      case 2 => FloatList(fl.toSeq)
+      case 3 => Int64List(il.toSeq)
+      case _ => BytesList(Nil) // empty/unknown-only Feature
+    }
+  }
+
+  /** Decode a serialized `tf.train.Example` back to its feature map.
+    * Tolerant of unknown fields and producer variations (see walker note);
+    * repeated map entries for the same key keep the last value (proto map
+    * merge semantics). Raises IOException on malformed bytes.
+    */
+  def decode(bytes: Array[Byte]): Map[String, Feature] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Feature]
+    walkFields(bytes) {
+      case (1, 2, r) => // Example.features
+        walkFields(r.readBytes(r.readLen())) {
+          case (1, 2, fr) => // Features.feature map entry
+            var name: String = null
+            var feat: Feature = null
+            walkFields(fr.readBytes(fr.readLen())) {
+              case (1, 2, er) =>
+                name = new String(er.readBytes(er.readLen()),
+                  java.nio.charset.StandardCharsets.UTF_8)
+                true
+              case (2, 2, er) => feat = decodeFeature(er.readBytes(er.readLen())); true
+              case _ => false
+            }
+            if (name != null) out += (name -> (if (feat != null) feat else BytesList(Nil)))
+            true
+          case _ => false
+        }
+        true
+      case _ => false
+    }
+    out.toMap
   }
 }

@@ -62,6 +62,11 @@ object CodecLawsProps extends Properties("CodecLaws") {
     Gen.nonEmptyListOf(Gen.chooseNum(-1e6f, 1e6f)).map(TFExample.FloatList(_)),
     Gen.nonEmptyListOf(Gen.long).map(TFExample.Int64List(_)))
 
+  property("tf.train.Example decode is total over garbage") = forAll(bytesGen) { b =>
+    try { TFExample.decode(b); true }
+    catch { case _: java.io.IOException => true } // clean failure, never AIOOBE
+  }
+
   property("tf.train.Example encode/decode round-trips") =
     forAll(Gen.mapOf(Gen.zip(Gen.identifier, featureGen))) { features =>
       val decoded = TFExample.decode(TFExample.encode(features))

@@ -69,4 +69,61 @@ class TFRecordSpec extends SparkTestBase {
     }
     assertMultiset(ids, docs.collect().map(_._1).toSeq)
   }
+
+  // --- proto helpers for forging what OTHER producers legally emit ---
+  private def varint(v0: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+    out.toByteArray
+  }
+  private def lenDelim(field: Int, body: Array[Byte]): Array[Byte] =
+    varint((field.toLong << 3) | 2) ++ varint(body.length.toLong) ++ body
+  private def fixed32(field: Int, f: Float): Array[Byte] =
+    varint((field.toLong << 3) | 5) ++ java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(f).array()
+  private def varintField(field: Int, v: Long): Array[Byte] =
+    varint(field.toLong << 3) ++ varint(v)
+
+  test("decode tolerates foreign producers: unknown fields, unpacked scalars, split chunks") {
+    // FloatList written UNPACKED (legal proto2 repeated fixed32), plus an
+    // unknown field the decoder must skip
+    val floatFeature = lenDelim(2, // Feature.float_list
+      fixed32(1, 1.5f) ++ fixed32(1, -2.5f) ++ varintField(9, 7L))
+    // Int64List split across a packed chunk and an unpacked varint, then the
+    // whole int64_list repeated as a second chunk (proto merge concatenates)
+    val int64Feature =
+      lenDelim(3, lenDelim(1, varint(1L) ++ varint(2L)) ++ varintField(1, 3L)) ++
+        lenDelim(3, lenDelim(1, varint(4L)))
+    // BytesList with an unknown sibling field inside the Feature
+    val bytesFeature = varintField(8, 99L) ++
+      lenDelim(1, lenDelim(1, "abc".getBytes))
+    def entry(name: String, feat: Array[Byte]): Array[Byte] =
+      lenDelim(1, lenDelim(1, name.getBytes) ++ lenDelim(2, feat))
+    val example =
+      varintField(5, 42L) ++ // unknown Example field
+        lenDelim(1, entry("f", floatFeature) ++ entry("i", int64Feature) ++
+          entry("b", bytesFeature))
+    val decoded = TFExample.decode(example)
+    assert(decoded("f") == TFExample.FloatList(Seq(1.5f, -2.5f)))
+    assert(decoded("i") == TFExample.Int64List(Seq(1L, 2L, 3L, 4L)))
+    decoded("b") match {
+      case TFExample.BytesList(vs) => assert(vs.map(_.toSeq) == Seq("abc".getBytes.toSeq))
+      case other => fail(s"wrong shape $other")
+    }
+  }
+
+  test("write cleans stale part files from a previous run with more partitions") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfr-ow").toFile.getAbsolutePath
+    TFRecordIO.write(s.range(100).map(i => s"old-$i".getBytes).repartition(8), dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".tfrecord")) == 8)
+    TFRecordIO.write(s.range(3).map(i => s"new-$i".getBytes).repartition(1), dir)
+    // stale part-00001..7 must be gone; read() sees only the new records
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".tfrecord")) == 1)
+    val back = TFRecordIO.read(s, dir).collect().map(new String(_)).toSeq.sorted
+    assert(back == Seq("new-0", "new-1", "new-2"))
+  }
 }
