@@ -135,14 +135,47 @@ object Dedup {
     out
   }
 
-  /** Transitive near-dup clusters from a pair list: iterative min-label
+  /** Transitive near-dup clusters from a pair list. Returns (id, cluster_id)
+    * where cluster_id = min id of the component.
+    *
+    * Hybrid execution: the pair list is the OUTPUT of an LSH dedup pass —
+    * exact-dup-collapsed and similarity-thresholded, orders of magnitude
+    * smaller than the corpus — so up to `maxDriverEdges` edges (16 bytes
+    * each; the default bounds the collect at ~64 MB) a driver-side
+    * union-find answers in one job. Above the threshold: iterative min-label
     * propagation (each node adopts the smallest id reachable through the
     * pair graph; converges in O(component diameter) rounds, each one
     * edge-join + aggregate — the standard large-scale connected-components
-    * loop, lineage-truncated per round). Returns (id, cluster_id) where
-    * cluster_id = min id of the component.
+    * loop, lineage-truncated per round).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      maxDriverEdges: Long = 1L << 22): DataFrame = {
+    val pairList = pairs.select(col("id1"), col("id2"))
+    val nPairs = pairList.limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).count()
+    if (nPairs <= maxDriverEdges) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p) // path halving
+          x = parent(x)
+        }
+        x
+      }
+      val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      pairList.collect().foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        if (!parent.contains(a)) { parent(a) = a; nodes += a }
+        if (!parent.contains(b)) { parent(b) = b; nodes += b }
+        val ra = find(a); val rb = find(b)
+        // union by min id so the root IS the cluster label
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val s = pairs.sparkSession
+      import s.implicits._
+      return nodes.toSeq.map(id => (id, find(id))).toDF("id", "cluster_id")
+    }
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct().persist()
@@ -201,17 +234,22 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, via
     * block-probing: split the 64-bit fingerprint into `maxHamming + 1`
     * blocks; by pigeonhole two fingerprints within the distance share at
-    * least one exact block → join per block, then verify.
+    * least one exact block. Same one-sided shape as [[minHashLshPairs]]:
+    * singleton-block prefilter (most blocks hold one doc at corpus scale),
+    * then ONE groupBy collects each surviving block's (id, fingerprint)
+    * members — 16 bytes/doc, cheap to carry — and expands + Hamming-verifies
+    * pairs in a single native loop. No self-join, no fingerprint join-back.
+    * `maxBlockSize` caps the quadratic worst case of a degenerate block.
     */
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBlockSize: Int = 5000): DataFrame = {
     val nBlocks = maxHamming + 1
     val blockBits = 64 / nBlocks
-    // fingerprints feed nBlocks join branches — hash once, cache. Identical
-    // fingerprints collapse to their min-id representative first (see the
-    // minHashLshPairs note: duplicate-heavy corpora otherwise produce
-    // quadratic hamming-0 pair lists).
+    // fingerprints feed two branches (block census + member collection) —
+    // hash once, cache. Identical fingerprints collapse to their min-id
+    // representative first (see the minHashLshPairs note: duplicate-heavy
+    // corpora otherwise produce quadratic hamming-0 pair lists).
     val fp = df
       .select(col(idCol).as("__docid"),
         graft.plans.NativeExpressions.simHash64(
@@ -224,12 +262,18 @@ object Dedup {
         call_function("shiftright", col("__fp"), lit(b * blockBits))
           .bitwiseAND(lit((1L << blockBits) - 1)).as("v"))
     }: _*)))
-    val pairs = blocked.as("a").join(blocked.as("b"),
-        col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
-        Hashing.hammingDistance64(col("a.__fp"), col("b.__fp")).as("hamming"))
+    val liveBlocks = blocked.groupBy(col("__blk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBlockSize))
+      .select(col("__blk"))
+    val pairs = blocked.join(liveBlocks, Seq("__blk"), "left_semi")
+      .groupBy(col("__blk"))
+      .agg(collect_list(struct(col("__id").as("id"), col("__fp").as("fp"))).as("members"))
+      .select(explode(graft.plans.NativeExpressions.hammingPairs(
+        col("members"), maxHamming)).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.hamming").as("hamming"))
       .dropDuplicates("id1", "id2")
-      .filter(col("hamming") <= maxHamming)
     // materialize the small pair list, release the fingerprint cache (see
     // the minHashLshPairs note on method-local persists)
     val out = pairs.localCheckpoint()

@@ -110,40 +110,40 @@ object Similarity {
     * Unlike the stateless hyperplane LSH below, the index adapts to the data
     * distribution — the scale path when the corpus is clustered.
     *
-    * Training uses Spark MLlib KMeans (seeded → deterministic); assignment
-    * is one `transform` pass; the probe join broadcasts (query, cell) pairs.
+    * Training is a seeded in-JVM [[KMeansLite]] fit over a bounded
+    * driver-side sample: the coarse quantizer needs a few hundred points per
+    * cell, not a distributed `maxIter`-job MLlib fit. Assignment is a single
+    * join-free column ([[graft.plans.NativeExpressions.nearestCentroid]]
+    * with the centroids riding along as a plan constant); the probe join
+    * broadcasts (query, cell) pairs.
     *
-    * `trainSampleBytes` caps the k-means TRAINING set: centroids only need
-    * a representative sample, so the seeded sample fraction is derived from
-    * plan statistics (parquet metadata — no extra counting pass) while
-    * ASSIGNMENT still covers the full corpus. At 100 TB you train on a few
-    * hundred MB and persist the model; a full-corpus fit would iterate the
-    * whole dataset `maxIter` times.
+    * `trainSampleBytes`/`trainRowCap` bound the TRAINING sample: the seeded
+    * sample fraction is derived from plan statistics (parquet metadata — no
+    * extra counting pass) while ASSIGNMENT still covers the full corpus. At
+    * 100 TB you train on a few MB of sample and broadcast the centroids; a
+    * full-corpus fit would iterate the whole dataset per round.
     */
   def ivfTopK(
       spark: SparkSession,
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4,
-      trainSampleBytes: Long = 256L << 20): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val full = corpus.select(col(corpusId).as("__id"),
-      array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
+      trainSampleBytes: Long = 64L << 20, trainRowCap: Int = 1 << 16): DataFrame = {
     val sizeBytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
     val fraction =
       if (sizeBytes <= 0) 1.0
       else (BigDecimal(trainSampleBytes) / BigDecimal(sizeBytes)).min(1).toDouble
+    val vecsOnly = corpus.select(col(corpusVec))
     val train =
-      if (fraction >= 1.0) full
-      else full.sample(withReplacement = false, fraction, seed = 42L)
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(train)
-    val assigned = model.transform(full)
-      .select(col("__id"), col("prediction").as("__cell"))
-    val cb = corpus.join(assigned, corpus(corpusId) === assigned("__id")).drop("__id")
+      if (fraction >= 1.0) vecsOnly
+      else vecsOnly.sample(withReplacement = false, fraction, seed = 42L)
+    val sample = train.limit(trainRowCap).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = KMeansLite.fit(sample, nlist, maxIter = 10, seed = 42L)
+    val cb = corpus.withColumn("__cell",
+      graft.plans.NativeExpressions.nearestCentroid(col(corpusVec), centroids))
     // nprobe nearest centroids per query, computed driver-side (queries are
     // small by contract — they are broadcast anyway)
-    val centroids = model.clusterCenters.map(_.toArray)
     val qRows = queries.select(col(queryId), col(queryVec)).collect()
     val probes = qRows.flatMap { r =>
       val qv = r.getSeq[Float](1).map(_.toDouble).toArray

@@ -79,6 +79,21 @@ object NativeExpressions {
   def idPairs(ids: Column): Column =
     ColumnBridge.column(IdPairsExpr(ColumnBridge.expression(ids)))
 
+  /** Pair expansion with inline Hamming verification over an
+    * array<struct<id:long, fp:long>> block bucket: emits only pairs with
+    * popcount(fp1 ^ fp2) <= maxHamming. Carrying the 8-byte fingerprint
+    * through the bucket makes the verify step join-free.
+    */
+  def hammingPairs(members: Column, maxHamming: Int): Column =
+    ColumnBridge.column(HammingPairsExpr(ColumnBridge.expression(members), maxHamming))
+
+  /** Index of the nearest centroid (squared Euclidean, ties -> lowest index)
+    * — the IVF cell-assignment hot loop, join-free (centroids ride along as
+    * a plan constant, the broadcast-small-model pattern).
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroidExpr(ColumnBridge.expression(vec), centroids))
+
   /** Native language-ID: token-count votes per lexicon, first strictly
     * greatest wins (exact semantics of TextFunctions.langId's fold and the
     * DuckDB oracle CASE).
@@ -390,6 +405,90 @@ case class IdPairsExpr(child: Expression)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(newChild: Expression): IdPairsExpr =
+    copy(child = newChild)
+}
+
+/** In-block pair expansion + Hamming verification in one loop: input is the
+  * collected (id, fingerprint) members of one 16-bit-block bucket; output
+  * pairs (min id, max id, hamming) with hamming <= maxHamming. Fingerprints
+  * never need a join-back — they travel with the bucket (8 bytes/doc).
+  */
+case class HammingPairsExpr(child: Expression, maxHamming: Int)
+  extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(ArrayType(
+    StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id1", LongType, nullable = false),
+      StructField("id2", LongType, nullable = false),
+      StructField("hamming", IntegerType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val pairCount = n.toLong * (n - 1) / 2
+    require(pairCount <= Int.MaxValue,
+      s"hammingPairs over $n members would expand to $pairCount pairs; cap the block first")
+    val ids = new Array[Long](n)
+    val fps = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0); fps(i) = row.getLong(1)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val h = java.lang.Long.bitCount(fps(i) ^ fps(j))
+        if (h <= maxHamming) {
+          val a = ids(i); val b = ids(j)
+          out += InternalRow(math.min(a, b), math.max(a, b), h)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): HammingPairsExpr =
+    copy(child = newChild)
+}
+
+/** IVF cell assignment: argmin over centroids of squared Euclidean distance
+  * to the input vector (float or double array). Dimensions beyond the
+  * shorter of (vector, centroid) are ignored — same contract as the
+  * driver-side probe loop, so assignment and probing can never disagree on
+  * a malformed row.
+  */
+case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]])
+  extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  require(centroids.nonEmpty, "nearestCentroid needs at least one centroid")
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(NativeInputTypes.numericArray)
+  override def dataType: DataType = IntegerType
+  private lazy val isFloat = NativeExpressions.isFloatArray(child)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(cen.length, len)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val x = NativeExpressions.numAt(arr, i, isFloat) - cen(i)
+        d += x * x; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
     copy(child = newChild)
 }
 

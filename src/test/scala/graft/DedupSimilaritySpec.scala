@@ -170,6 +170,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(cc == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
   }
 
+  test("connectedComponents: distributed label-propagation path agrees with union-find") {
+    val s = spark
+    import s.implicits._
+    // long chain (worst diameter) + island + reversed-order edges
+    val pairs = (Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (20L, 21L)))
+      .toDF("id1", "id2")
+    val driver = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val distributed = Dedup.connectedComponents(pairs, maxDriverEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (20L, 20L), (21L, 20L))
+    assert(driver == expected)
+    assert(distributed == expected)
+  }
+
   test("ivfTopK recall vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val qs = emb.filter(col("vec_id") < 4)
