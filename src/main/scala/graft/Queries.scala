@@ -52,12 +52,14 @@ object Queries {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
-        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_base_price"),
-        expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)").as("sum_disc_price"),
-        expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)").as("sum_charge"),
-        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").as("avg_qty"),
-        expr("CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").as("avg_disc"),
+        // graft_money_sum == SUM(CAST(x AS DECIMAL(18,s))) exactly, evaluated
+        // on 128-bit longs instead of byte-array decimals (FixedPointSum)
+        expr("CAST(graft_money_sum(l_quantity, 2) AS DOUBLE)").as("sum_qty"),
+        expr("CAST(graft_money_sum(l_extendedprice, 2) AS DOUBLE)").as("sum_base_price"),
+        expr("CAST(graft_money_sum(l_extendedprice * (1 - l_discount), 4) AS DOUBLE)").as("sum_disc_price"),
+        expr("CAST(graft_money_sum(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DOUBLE)").as("sum_charge"),
+        expr("CAST(graft_money_sum(l_quantity, 2) AS DOUBLE) / COUNT(*)").as("avg_qty"),
+        expr("CAST(graft_money_sum(l_discount, 2) AS DOUBLE) / COUNT(*)").as("avg_disc"),
         expr("CAST(COUNT(*) AS BIGINT)").as("count_order"))
 
   /** Predicate + projection pushdown to the parquet scan. */
@@ -67,7 +69,7 @@ object Queries {
       .groupBy(col("l_returnflag"))
       .agg(
         expr("CAST(COUNT(*) AS BIGINT)").as("n"),
-        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"))
+        expr("CAST(graft_money_sum(l_extendedprice, 2) AS DOUBLE)").as("sum_price"))
 
   /** Star join: fact orders ⋈ customer, broadcast dims nation/region. */
   def q03JoinRevenue(s: SparkSession, d: String): DataFrame =
@@ -77,7 +79,7 @@ object Queries {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("revenue"),
+        expr("CAST(graft_money_sum(o_totalprice, 2) AS DOUBLE)").as("revenue"),
         expr("CAST(COUNT(*) AS BIGINT)").as("n_orders"))
 
   /** Left-semi join (EXISTS). */
@@ -137,7 +139,7 @@ object Queries {
   def q11NationProfile(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("cnk"))
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_cust"),
-        expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").as("sum_bal"))
+        expr("CAST(graft_money_sum(c_acctbal, 2) AS DOUBLE)").as("sum_bal"))
     val sup = Tables.supplier(s, d).groupBy(col("s_nationkey").as("snk"))
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_supp"))
     Tables.nation(s, d)
@@ -578,7 +580,7 @@ object Queries {
     s.sql(
       """SELECT c_custkey, c_nationkey FROM customer c
         |WHERE c_acctbal > (
-        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  SELECT CAST(graft_money_sum(c_acctbal, 2) AS DOUBLE) / COUNT(*)
         |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
   }
 
@@ -685,7 +687,7 @@ object Queries {
     Tables.customer(s, d)
       .cube(col("c_mktsegment"), col("c_nationkey"))
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n"),
-        expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").as("sum_bal"))
+        expr("CAST(graft_money_sum(c_acctbal, 2) AS DOUBLE)").as("sum_bal"))
 
   /** Custom whole-operator plan: per-key top-k via partial/final
     * TopKPerKeyExec (graft.plans) — the scale-safe form of q09's

@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - graft_dot(array<num>, array<num>)                → double
   *  - graft_lsh_bucket(array<num>, bits)               → bigint
   *  - graft_lang_id(array<string>)                     → string
+  *  - graft_money_sum(x, scale)  [aggregate]           → decimal(38,scale)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -55,5 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => LshBucketExpr(args.head, intLit(args(1), "bits"), 42L)))
     ext.injectFunction((FunctionIdentifier("graft_lang_id"), info("graft_lang_id"),
       (args: Seq[Expression]) => LangIdExpr(args.head, TextFunctions.LangLexicon)))
+    // aggregate: the analyzer wraps a bare AggregateFunction from a SQL
+    // builder in its AggregateExpression
+    ext.injectFunction((FunctionIdentifier("graft_money_sum"), info("graft_money_sum"),
+      (args: Seq[Expression]) => FixedPointSum(args.head, intLit(args(1), "scale"))))
   }
 }

@@ -87,6 +87,14 @@ object NativeExpressions {
   def hammingPairs(members: Column, maxHamming: Int): Column =
     ColumnBridge.column(HammingPairsExpr(ColumnBridge.expression(members), maxHamming))
 
+  /** Exact fixed-point money SUM (see [[FixedPointSum]]): same value as
+    * `CAST(SUM(CAST(x AS DECIMAL(18,scale))) AS ...)` on primitive-long
+    * 128-bit accumulation instead of Spark's byte-array DECIMAL(28) path.
+    */
+  def moneySum(x: Column, scale: Int): Column =
+    ColumnBridge.column(
+      FixedPointSum(ColumnBridge.expression(x), scale).toAggregateExpression())
+
   /** Index of the nearest centroid (squared Euclidean, ties -> lowest index)
     * — the IVF cell-assignment hot loop, join-free (centroids ride along as
     * a plan constant, the broadcast-small-model pattern).
