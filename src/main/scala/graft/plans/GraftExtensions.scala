@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator custom plan: TopKPerKeyNode → partial/final TopKPerKeyExec
     ext.injectPlannerStrategy(_ => new TopKStrategy)
+    // optimizer rule: window-rank top-k idiom → TopKPerKeyNode pre-pruning
+    ext.injectOptimizerRule(_ => new WindowRankToTopK)
     ext.injectFunction((FunctionIdentifier("graft_minhash"), info("graft_minhash"),
       (args: Seq[Expression]) =>
         MinHashSignatureExpr(args.head, intLit(args(1), "numHashes"), 42L)))

@@ -12,10 +12,13 @@ class TopKPerKeySpec extends SparkTestBase {
       .repartition(8)
     val custom = TopKPerKey(df, Seq("k"), Seq(("v", false), ("id", true)), 3)
       .select("k", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
-      .orderBy(col("v").desc, col("id"))
-    val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-      .select("k", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // independent driver-side expectation (the window idiom itself now plans
+    // through TopKPerKeyExec via the WindowRankToTopK rule, so it would not
+    // be an independent check anymore)
+    val expected = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy { case (_, id, v) => (-v, id) }.take(3).map(t => (t._1, t._2))
+      }
     assertMultiset(custom, expected)
   }
 
