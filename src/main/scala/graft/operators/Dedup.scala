@@ -83,10 +83,21 @@ object Dedup {
     // yields d(d-1)/2 identical pairs per bucket — quadratic in the very
     // duplicates dedup exists to remove. Exact clusters are recovered
     // separately ([[exactGroups]]); the pair output relates representatives.
-    val sigs = df.select(col(idCol).as("__docid"),
+    // fanOut: the signature pass is the CPU-heavy stage — spread a
+    // few-partition scan across all slots (no-op on a many-split corpus).
+    // The identical-signature collapse groups by a 128-bit HASH of the
+    // signature, not the 128-slot array itself: array grouping keys force
+    // sort/object-based aggregation with interpreted comparisons, while two
+    // long keys stay in codegen'd HashAggregate. Within a hash group every
+    // signature is identical (128-bit collision odds are ~1e-14 even at 1e12
+    // distinct signatures), so first(__sig) is deterministic.
+    val sigs = ScaleOps.fanOut(df.select(col(idCol).as("__docid"), col(textCol)))
+      .select(col("__docid"),
         graft.plans.NativeExpressions.minHashShingleSignature(
           TextFunctions.tokens(lower(col(textCol))), shingleSize, numHashes).as("__sig"))
-      .groupBy(col("__sig")).agg(min(col("__docid")).as("__id"))
+      .groupBy(xxhash64(col("__sig")).as("__h1"),
+        xxhash64(col("__sig"), lit(1)).as("__h2"))
+      .agg(min(col("__docid")).as("__id"), first(col("__sig")).as("__sig"))
       .select(col("__id"), col("__sig"))
       .persist()
     // band-explode only (id, band, bucket) — the heavy signature array is
@@ -250,8 +261,8 @@ object Dedup {
     // hash once, cache. Identical fingerprints collapse to their min-id
     // representative first (see the minHashLshPairs note: duplicate-heavy
     // corpora otherwise produce quadratic hamming-0 pair lists).
-    val fp = df
-      .select(col(idCol).as("__docid"),
+    val fp = ScaleOps.fanOut(df.select(col(idCol).as("__docid"), col(textCol)))
+      .select(col("__docid"),
         graft.plans.NativeExpressions.simHash64(
           TextFunctions.tokens(lower(col(textCol)))).as("__fp"))
       .groupBy(col("__fp")).agg(min(col("__docid")).as("__id"))

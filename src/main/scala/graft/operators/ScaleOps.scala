@@ -15,6 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Fan a narrow input out to the cluster's parallelism before heavy
+    * per-row compute (signature hashing, feature extraction) when the scan
+    * yields fewer partitions than compute slots — a small single-file input
+    * is ONE parquet row group, so Spark cannot split it and the whole
+    * compute stage runs in one task. At real corpus scale the scan already
+    * has thousands of splits and this is a no-op (the partition-count check
+    * is planning-only, no job); project to the needed columns BEFORE calling
+    * so the repartition only ever moves what the compute reads.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target)
+  }
+
   /** Two-phase salted aggregation for skew-heavy keys: phase 1 aggregates on
     * (key, salt) spreading a hot key over `saltBuckets` reducers; phase 2
     * merges the per-salt partials. Correct for any algebraic aggregate
