@@ -91,12 +91,18 @@ object Dedup {
     // long keys stay in codegen'd HashAggregate. Within a hash group every
     // signature is identical (128-bit collision odds are ~1e-14 even at 1e12
     // distinct signatures), so first(__sig) is deterministic.
+    // INDEPENDENCE of the two hashes matters: Spark's multi-arg xxhash64
+    // CHAINS column hashes (each column's hash seeds the next), so
+    // xxhash64(sig, lit(1)) would be a pure function of xxhash64(sig) and
+    // the pair would carry only 64 bits. Putting the lit FIRST —
+    // xxhash64(lit(1), sig) — hashes sig under a different effective seed,
+    // making the pair genuinely 128-bit.
     val sigs = ScaleOps.fanOut(df.select(col(idCol).as("__docid"), col(textCol)))
       .select(col("__docid"),
         graft.plans.NativeExpressions.minHashShingleSignature(
           TextFunctions.tokens(lower(col(textCol))), shingleSize, numHashes).as("__sig"))
       .groupBy(xxhash64(col("__sig")).as("__h1"),
-        xxhash64(col("__sig"), lit(1)).as("__h2"))
+        xxhash64(lit(1L), col("__sig")).as("__h2"))
       .agg(min(col("__docid")).as("__id"), first(col("__sig")).as("__sig"))
       .select(col("__id"), col("__sig"))
       .persist()
@@ -161,9 +167,12 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       maxDriverEdges: Long = 1L << 22): DataFrame = {
-    val pairList = pairs.select(col("id1"), col("id2"))
-    val nPairs = pairList.limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).count()
-    if (nPairs <= maxDriverEdges) {
+    // ONE bounded collect decides the path AND feeds union-find — a separate
+    // count() job would run the (possibly un-checkpointed) pair pipeline
+    // twice and open a count/collect consistency window
+    val capLimit = math.min(maxDriverEdges, Int.MaxValue.toLong - 1).toInt
+    val capped = pairs.select(col("id1"), col("id2")).limit(capLimit + 1).collect()
+    if (capped.length <= capLimit) {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x0: Long): Long = {
         var x = x0
@@ -175,7 +184,7 @@ object Dedup {
         x
       }
       val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
-      pairList.collect().foreach { r =>
+      capped.foreach { r =>
         val a = r.getLong(0); val b = r.getLong(1)
         if (!parent.contains(a)) { parent(a) = a; nodes += a }
         if (!parent.contains(b)) { parent(b) = b; nodes += b }
@@ -250,7 +259,17 @@ object Dedup {
     * then ONE groupBy collects each surviving block's (id, fingerprint)
     * members — 16 bytes/doc, cheap to carry — and expands + Hamming-verifies
     * pairs in a single native loop. No self-join, no fingerprint join-back.
-    * `maxBlockSize` caps the quadratic worst case of a degenerate block.
+    *
+    * `maxBlockSize` caps the quadratic worst case of a degenerate block —
+    * the same deliberate recall trade [[minHashLshPairs]] makes with
+    * `maxBucketSize`: a pair is LOST only if EVERY block the two
+    * fingerprints share exceeds the cap (pairs usually share several
+    * blocks; collapsed-identical fingerprints never re-inflate a block).
+    * The pre-cap pigeonhole guarantee was exact; at corpus scale an
+    * uncapped degenerate block (e.g. a zero block from short templated
+    * docs) is an O(n²) pair explosion that would dominate the job, so the
+    * cap is the scale-safe default. Raise it (≤ 46341, the pair-expansion
+    * Int ceiling) where exact recall matters more than the worst case.
     */
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String,

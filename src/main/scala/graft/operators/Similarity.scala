@@ -137,8 +137,11 @@ object Similarity {
     val train =
       if (fraction >= 1.0) vecsOnly
       else vecsOnly.sample(withReplacement = false, fraction, seed = 42L)
+    // Number, not Float: the vector column may be array<float> or
+    // array<double> (NearestCentroidExpr and the cosine scorer accept both;
+    // training must too)
     val sample = train.limit(trainRowCap).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     val centroids = KMeansLite.fit(sample, nlist, maxIter = 10, seed = 42L)
     val cb = corpus.withColumn("__cell",
       graft.plans.NativeExpressions.nearestCentroid(col(corpusVec), centroids))

@@ -106,6 +106,13 @@ case class Int128ToDecimal(left: Expression, right: Expression, scale: Int)
   extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(LongType, LongType)
   override def dataType: DataType = DecimalType(38, scale)
+  // MUST be nullable even though the children (buffer slots) are not:
+  // toDecimal can return null on >38-digit overflow, and — the subtle part —
+  // nullSafeCodeGen only DECLARES the isNull variable for nullable
+  // expressions; with nullable=false the generated assignment below would
+  // reference an undeclared symbol, fail Janino compilation, and silently
+  // fall back to interpreted execution (defeating this class's point).
+  override def nullable: Boolean = true
   override def nullSafeEval(h: Any, l: Any): Any =
     Int128ToDecimal.toDecimal(h.asInstanceOf[Long], l.asInstanceOf[Long], scale)
   override protected def doGenCode(

@@ -38,6 +38,22 @@ class TopKStrategy extends SparkStrategy {
   }
 }
 
+/** Memory contract (the part that must survive a 100 TB run with
+  * high-cardinality keys — e.g. exact dedup via the rank=1 idiom, where
+  * nearly every key is distinct):
+  *
+  *  - PARTIAL: bounded heaps with FLUSH — when the buffered row count
+  *    passes [[TopKPerKeyExec.MaxBufferedRows]], emit everything and start
+  *    over. A partial stage may emit a superset (the final stage prunes
+  *    exactly), so flushing is always correct; memory is bounded regardless
+  *    of key cardinality, and on hostile inputs the stage degrades toward a
+  *    pass-through instead of an OOM.
+  *  - FINAL: requires input sorted by (keys, order) — EnsureRequirements
+  *    inserts a spillable external SortExec after the exchange — and
+  *    streams each key group, emitting the first k rows. O(1) state beyond
+  *    the sort; never holds a partition's keys in memory the way a
+  *    heap-map would.
+  */
 final case class TopKPerKeyExec(
     k: Int, keys: Seq[Expression], order: Seq[SortOrder],
     partial: Boolean, child: SparkPlan)
@@ -47,37 +63,83 @@ final case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     // EnsureRequirements inserts the hash exchange between partial and final
     if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(keys))
+  private def groupedOrdering: Seq[SortOrder] =
+    keys.map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)) ++ order
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil) else Seq(groupedOrdering)
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else groupedOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output
-    child.execute().mapPartitions({ it =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ord = RowOrdering.create(sortOrder, childOutput)
-      // max-heap per key: root = worst kept row (eviction candidate)
-      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      it.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.getOrElse(key, null) match {
-          case null =>
-            val h = mutable.PriorityQueue.empty[InternalRow](ord)
-            heaps.put(key.copy(), h)
-            h
-          case h => h
+    if (partial) {
+      val maxBuffered = TopKPerKeyExec.MaxBufferedRows
+      child.execute().mapPartitions({ it =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val ord = RowOrdering.create(sortOrder, childOutput)
+        // max-heap per key: root = worst kept row (eviction candidate)
+        val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+        var buffered = 0
+        var flushed: Iterator[InternalRow] = Iterator.empty
+        def flush(): Iterator[InternalRow] = {
+          val out = heaps.values.toArray.iterator.flatMap(_.iterator)
+          heaps.clear(); buffered = 0
+          out
         }
-        if (heap.size < kLocal) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
+        val pruned = it.flatMap { row =>
+          val key = keyProj(row)
+          val heap = heaps.getOrElse(key, null) match {
+            case null =>
+              val h = mutable.PriorityQueue.empty[InternalRow](ord)
+              heaps.put(key.copy(), h)
+              h
+            case h => h
+          }
+          if (heap.size < kLocal) { heap.enqueue(row.copy()); buffered += 1 }
+          else if (ord.compare(row, heap.head) < 0) {
+            heap.dequeue(); heap.enqueue(row.copy())
+          }
+          if (buffered >= maxBuffered) flush() else Iterator.empty
         }
-      }
-      heaps.valuesIterator.flatMap(_.iterator)
-    }, preservesPartitioning = true)
+        pruned ++ new Iterator[InternalRow] {
+          private var tail: Iterator[InternalRow] = null
+          private def t: Iterator[InternalRow] = {
+            if (tail == null) tail = flush() // materialized AFTER pruned drains
+            tail
+          }
+          def hasNext: Boolean = t.hasNext
+          def next(): InternalRow = t.next()
+        }
+      }, preservesPartitioning = true)
+    } else {
+      child.execute().mapPartitions({ it =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        // rows arrive grouped by key (required ordering): stream and count
+        var curKey: UnsafeRow = null
+        var emitted = 0
+        it.flatMap { row =>
+          val key = keyProj(row)
+          if (curKey == null || key != curKey) { curKey = key.copy(); emitted = 0 }
+          if (emitted < kLocal) { emitted += 1; Iterator.single(row) }
+          else Iterator.empty
+        }
+      }, preservesPartitioning = true)
+    }
   }
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
     copy(child = c)
+}
+
+object TopKPerKeyExec {
+  /** Partial-stage flush threshold (buffered rows per task). Bounds task
+    * memory at roughly this many UnsafeRow copies independent of key
+    * cardinality.
+    */
+  val MaxBufferedRows: Int = 1 << 18
 }
 
 object TopKPerKey {

@@ -22,10 +22,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Fires only on the exact safe shape: a single row_number window
   * expression, non-empty partition AND order specs, and a `rnk <= k` /
   * `rnk < k` / `rnk = 1` conjunct (direct or through an integral cast) with
-  * a positive literal bound of at most [[WindowRankToTopK.MaxK]] (the heaps
-  * hold k rows per key per task — the idiom's WindowExec buffers whole
-  * partitions, so this is strictly less memory, but an absurd k means the
-  * idiom was not a top-k query).
+  * a positive literal bound of at most [[WindowRankToTopK.MaxK]] (an absurd
+  * k means the idiom was not a top-k query). Memory-safe at ANY key
+  * cardinality — including the rank=1-over-unique-keys dedup shape — because
+  * [[TopKPerKeyExec]]'s partial stage flushes at a bounded row count and its
+  * final stage streams over sorted input (see its memory contract).
   */
 class WindowRankToTopK extends Rule[LogicalPlan] with PredicateHelper {
 

@@ -12,6 +12,12 @@ class FixedPointSumSpec extends SparkTestBase {
   test("matches SUM(CAST AS DECIMAL) on mixed-sign data across partitions") {
     val s = spark
     import s.implicits._
+    // fail loudly if the generated aggregate code does not COMPILE — a
+    // Janino error here would otherwise silently fall back to interpreted
+    // eval and defeat the whole point of the expression (regression guard
+    // for the undeclared-isNull bug in Int128ToDecimal's codegen)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
     val rnd = new scala.util.Random(3)
     // mixed magnitudes and signs; 64 partitions forces partial/final merges
     val data = Seq.fill(20000)((rnd.nextInt(5), (rnd.nextDouble() - 0.5) * 2e6))
@@ -25,6 +31,12 @@ class FixedPointSumSpec extends SparkTestBase {
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       assert(got == want, s"scale $scale")
     }
+    // global (no grouping key) aggregation takes a different codegen path
+    // for evaluateExpression — cover it under fallback=false too
+    val g = df.agg(NativeExpressions.moneySum($"x", 2).cast("double")).head().getDouble(0)
+    val w = df.agg(expr("CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)")).head().getDouble(0)
+    assert(g == w)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
   test("null handling matches SUM: nulls skipped, all-null group -> NULL") {
