@@ -76,7 +76,7 @@ final case class TopKPerKeyExec(
     val sortOrder = order
     val childOutput = child.output
     if (partial) {
-      val maxBuffered = TopKPerKeyExec.MaxBufferedRows
+      val maxBuffered = TopKPerKeyExec.maxBufferedRows
       child.execute().mapPartitions({ it =>
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
         val ord = RowOrdering.create(sortOrder, childOutput)
@@ -137,9 +137,12 @@ final case class TopKPerKeyExec(
 object TopKPerKeyExec {
   /** Partial-stage flush threshold (buffered rows per task). Bounds task
     * memory at roughly this many UnsafeRow copies independent of key
-    * cardinality.
+    * cardinality. Overridable through the `graft.topk.maxBufferedRows`
+    * system property (read per execution — lets tests exercise the flush
+    * path with a tiny buffer).
     */
-  val MaxBufferedRows: Int = 1 << 18
+  def maxBufferedRows: Int =
+    sys.props.get("graft.topk.maxBufferedRows").map(_.toInt).getOrElse(1 << 18)
 }
 
 object TopKPerKey {

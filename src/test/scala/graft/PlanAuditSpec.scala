@@ -53,6 +53,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("*("), "aggregation fell out of codegen:\n" + plan.take(2000))
   }
 
+  test("q09: window-rank idiom rewrites onto partial/final TopKPerKey pre-pruning") {
+    val plan = planOf(Queries.q09WindowRank(spark, d))
+    assert("TopKPerKey \\d".r.findAllIn(plan.split("== Initial Plan ==").head).size == 2,
+      plan.take(2000))
+  }
+
+  test("d22: exact dedup (rank=1 policy) pre-prunes before its shuffle too") {
+    val plan = planOf(Queries.d22DedupSurvivors(spark, d))
+    assert(plan.contains("TopKPerKey"), plan.take(2000))
+  }
+
   test("d26: brute-force ANN broadcasts the query side (no corpus shuffle)") {
     val plan = planOf(Queries.d26EmbedTopk(spark, d))
     assert(plan.contains("Broadcast"), plan.take(3000))

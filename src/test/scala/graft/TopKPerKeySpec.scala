@@ -31,6 +31,22 @@ class TopKPerKeySpec extends SparkTestBase {
     assertMultiset(out, Seq(("a", 1L), ("a", 2L)))
   }
 
+  test("partial-stage flush (bounded memory) emits a superset; final prunes exactly") {
+    val s = spark
+    import s.implicits._
+    // ~1000 distinct keys in ONE partition with a 7-row flush buffer:
+    // the partial stage flushes ~dozens of times; results must be identical
+    sys.props("graft.topk.maxBufferedRows") = "7"
+    try {
+      val df = (1 to 3000).map(i => (s"k${i % 997}", i.toLong)).toDF("k", "v").coalesce(1)
+      val out = TopKPerKey(df, Seq("k"), Seq(("v", false)), 2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val expected = (1 to 3000).map(i => (s"k${i % 997}", i.toLong))
+        .groupBy(_._1).toSeq.flatMap { case (_, rows) => rows.sortBy(-_._2).take(2) }
+      assertMultiset(out, expected)
+    } finally sys.props.remove("graft.topk.maxBufferedRows")
+  }
+
   test("physical plan is partial topk -> exchange -> final topk") {
     val s = spark
     import s.implicits._
