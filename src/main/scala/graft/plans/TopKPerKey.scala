@@ -43,7 +43,7 @@ class TopKStrategy extends SparkStrategy {
   * nearly every key is distinct):
   *
   *  - PARTIAL: bounded heaps with FLUSH — when the buffered row count
-  *    passes [[TopKPerKeyExec.MaxBufferedRows]], emit everything and start
+  *    passes [[TopKPerKeyExec.maxBufferedRows]], emit everything and start
   *    over. A partial stage may emit a superset (the final stage prunes
   *    exactly), so flushing is always correct; memory is bounded regardless
   *    of key cardinality, and on hostile inputs the stage degrades toward a
@@ -70,6 +70,12 @@ final case class TopKPerKeyExec(
   override def outputOrdering: Seq[SortOrder] =
     if (partial) Nil else groupedOrdering
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    if (partial) Map("numFlushes" ->
+      org.apache.spark.sql.execution.metric.SQLMetrics.createMetric(
+        sparkContext, "mid-stream buffer flushes"))
+    else Map.empty
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val keyExprs = keys
@@ -77,13 +83,13 @@ final case class TopKPerKeyExec(
     val childOutput = child.output
     if (partial) {
       val maxBuffered = TopKPerKeyExec.maxBufferedRows
+      val flushMetric = longMetric("numFlushes")
       child.execute().mapPartitions({ it =>
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
         val ord = RowOrdering.create(sortOrder, childOutput)
         // max-heap per key: root = worst kept row (eviction candidate)
         val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
         var buffered = 0
-        var flushed: Iterator[InternalRow] = Iterator.empty
         def flush(): Iterator[InternalRow] = {
           val out = heaps.values.toArray.iterator.flatMap(_.iterator)
           heaps.clear(); buffered = 0
@@ -102,7 +108,7 @@ final case class TopKPerKeyExec(
           else if (ord.compare(row, heap.head) < 0) {
             heap.dequeue(); heap.enqueue(row.copy())
           }
-          if (buffered >= maxBuffered) flush() else Iterator.empty
+          if (buffered >= maxBuffered) { flushMetric += 1; flush() } else Iterator.empty
         }
         pruned ++ new Iterator[InternalRow] {
           private var tail: Iterator[InternalRow] = null
@@ -137,12 +143,18 @@ final case class TopKPerKeyExec(
 object TopKPerKeyExec {
   /** Partial-stage flush threshold (buffered rows per task). Bounds task
     * memory at roughly this many UnsafeRow copies independent of key
-    * cardinality. Overridable through the `graft.topk.maxBufferedRows`
-    * system property (read per execution — lets tests exercise the flush
-    * path with a tiny buffer).
+    * cardinality. Session-scoped override: `spark.conf.set(
+    * "graft.topk.maxBufferedRows", n)` — read per execution on the driver
+    * (SQLConf.get), so concurrent sessions keep independent values.
+    * Malformed or nonpositive settings fall back to the default rather
+    * than failing the query or degrading to per-row flushing.
     */
-  def maxBufferedRows: Int =
-    sys.props.get("graft.topk.maxBufferedRows").map(_.toInt).getOrElse(1 << 18)
+  def maxBufferedRows: Int = {
+    val default = 1 << 18
+    scala.util.Try(org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("graft.topk.maxBufferedRows", default.toString).toInt)
+      .toOption.filter(_ > 0).getOrElse(default)
+  }
 }
 
 object TopKPerKey {

@@ -36,15 +36,47 @@ class TopKPerKeySpec extends SparkTestBase {
     import s.implicits._
     // ~1000 distinct keys in ONE partition with a 7-row flush buffer:
     // the partial stage flushes ~dozens of times; results must be identical
-    sys.props("graft.topk.maxBufferedRows") = "7"
+    spark.conf.set("graft.topk.maxBufferedRows", "7")
     try {
-      val df = (1 to 3000).map(i => (s"k${i % 997}", i.toLong)).toDF("k", "v").coalesce(1)
-      val out = TopKPerKey(df, Seq("k"), Seq(("v", false)), 2)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val q = TopKPerKey((1 to 3000).map(i => (s"k${i % 997}", i.toLong))
+        .toDF("k", "v").coalesce(1), Seq("k"), Seq(("v", false)), 2)
+      val out = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val expected = (1 to 3000).map(i => (s"k${i % 997}", i.toLong))
         .groupBy(_._1).toSeq.flatMap { case (_, rows) => rows.sortBy(-_._2).take(2) }
       assertMultiset(out, expected)
-    } finally sys.props.remove("graft.topk.maxBufferedRows")
+      // the test must not pass vacuously: prove the flush path actually ran.
+      // AQE wraps stages in QueryStageExec LEAF nodes, so a plain collect
+      // stops at stage boundaries — descend explicitly.
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val through = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(qs.plan)
+          case other => other.children
+        }
+        p +: through.flatMap(allNodes)
+      }
+      val flushes = allNodes(q.queryExecution.executedPlan).collect {
+        case t: graft.plans.TopKPerKeyExec if t.partial => t.metrics("numFlushes").value
+      }
+      assert(flushes.nonEmpty && flushes.sum > 0,
+        s"flush metric absent or zero: $flushes\n${q.queryExecution.executedPlan}")
+    } finally spark.conf.unset("graft.topk.maxBufferedRows")
+  }
+
+  test("malformed or nonpositive flush-threshold conf falls back to the default") {
+    val s = spark
+    import s.implicits._
+    for (bad <- Seq("256k", "-5", "0")) {
+      spark.conf.set("graft.topk.maxBufferedRows", bad)
+      try {
+        val out = TopKPerKey(Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v"),
+          Seq("k"), Seq(("v", true)), 1)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        assert(out == Set(("a", 1L), ("b", 3L)), s"conf=$bad")
+      } finally spark.conf.unset("graft.topk.maxBufferedRows")
+    }
   }
 
   test("physical plan is partial topk -> exchange -> final topk") {
