@@ -671,6 +671,32 @@ object Queries {
     Similarity.quantizedTopK(s, emb, "vec_id", "embedding", queries, k = 10)
   }
 
+  /** Deterministic stratified sampling (the training-mix rebalancing
+    * primitive): per-language keep fractions gated on xxhash64(doc_id) —
+    * no SQL oracle (DuckDB has no xxhash64), but fully deterministic:
+    * re-runs select identical rows (ScaleOpsSpec asserts determinism +
+    * fraction tolerance).
+    */
+  def d55StratifiedSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScaleOps.deterministicStratifiedSample(
+        Tables.documents(s, d), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1), defaultFraction = 0.05)
+      .groupBy(col("lang"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_sampled"),
+        expr("CAST(MIN(doc_id) AS BIGINT)").as("first_id"))
+
+  /** Approximate percentiles (GK sketch — the bounded-memory path when
+    * exact `percentile` would buffer per-group values at corpus scale).
+    * No SQL oracle (approximate by construction); the spec bounds its
+    * error against the exact d40 answer.
+    */
+  def d56ApproxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("p50"),
+        round(expr("approx_percentile(value, 0.95, 1000)"), 4).as("p95"),
+        round(expr("approx_percentile(value, 0.99, 1000)"), 4).as("p99"))
+
   /** Skew-safe salted aggregation under the oracle: two-phase (key, salt)
     * partial + merge must equal the plain single-shuffle aggregate.
     */
@@ -755,6 +781,8 @@ object Queries {
     "d52_group_batches" -> (d52GroupBatches _),
     "d53_salted_agg" -> (d53SaltedAgg _),
     "d54_quantized_topk" -> (d54QuantizedTopk _),
+    "d55_stratified_sample" -> (d55StratifiedSample _),
+    "d56_approx_percentiles" -> (d56ApproxPercentiles _),
   )
 
   private val toksSql =

@@ -30,6 +30,31 @@ object ScaleOps {
     else df.repartition(target)
   }
 
+  /** Deterministic stratified sampling — the data-mixing primitive of a
+    * training corpus (per-language / per-source rebalancing). Each row's
+    * fate is a pure function of its id: keep iff
+    * `xxhash64(id) mod 1e6 < fraction(stratum) * 1e6`. No RNG state, no
+    * shuffle, one codegen'd filter; re-runs and retried tasks pick the SAME
+    * rows (sampling that changes under task retry silently corrupts a
+    * training mix), and upstream/downstream runs can reproduce the split
+    * from the ids alone.
+    *
+    * `fractions` maps stratum value -> keep fraction [0, 1]; strata not
+    * listed keep `defaultFraction`.
+    */
+  def deterministicStratifiedSample(
+      df: DataFrame, stratumCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0, 1]: $fractions default=$defaultFraction")
+    val Scale = 1000000L
+    val threshold = fractions.foldLeft(lit((defaultFraction * Scale).toLong)) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === lit(stratum), lit((f * Scale).toLong)).otherwise(acc)
+    }
+    df.filter(pmod(xxhash64(col(idCol)), lit(Scale)) < threshold)
+  }
+
   /** Two-phase salted aggregation for skew-heavy keys: phase 1 aggregates on
     * (key, salt) spreading a hot key over `saltBuckets` reducers; phase 2
     * merges the per-salt partials. Correct for any algebraic aggregate

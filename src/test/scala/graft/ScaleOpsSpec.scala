@@ -23,6 +23,40 @@ class ScaleOpsSpec extends SparkTestBase {
     assertMultiset(salted, plain)
   }
 
+  test("deterministicStratifiedSample: reproducible, fraction-accurate, stratum-scoped") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 20000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+      .toDF("id", "lang")
+    def run() = ScaleOps.deterministicStratifiedSample(df, "lang", "id",
+        Map("en" -> 0.5, "de" -> 0.1), defaultFraction = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = run(); val b = run()
+    assert(a == b, "sampling must be deterministic across runs")
+    // zero-fraction stratum fully excluded
+    assert(!a.exists(_._2 == "xx"))
+    // per-stratum rates within a loose tolerance (hash-gate binomial)
+    val en = a.count(_._2 == "en").toDouble / (20000 / 3)
+    val de = a.count(_._2 == "de").toDouble / (20000 / 3 + 1)
+    assert(math.abs(en - 0.5) < 0.05, s"en rate $en")
+    assert(math.abs(de - 0.1) < 0.05, s"de rate $de")
+  }
+
+  test("approx_percentile stays within sketch tolerance of the exact answer (d56 vs d40)") {
+    val d = "/root/testdata/sf0.001"
+    val exact = Queries.d40Percentiles(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Queries.d56ApproxPercentiles(spark, d).collect().foreach { r =>
+      val (p50, p95) = exact(r.getString(0))
+      // GK sketch with accuracy 1000 -> rank error <= 1/1000; on this data
+      // a generous value-space tolerance of 10% relative
+      assert(math.abs(r.getDouble(1) - p50) <= math.abs(p50) * 0.1 + 1e-6,
+        s"${r.getString(0)} p50 ${r.getDouble(1)} vs $p50")
+      assert(math.abs(r.getDouble(2) - p95) <= math.abs(p95) * 0.1 + 1e-6,
+        s"${r.getString(0)} p95 ${r.getDouble(2)} vs $p95")
+    }
+  }
+
   test("bundle finalization runs after task commit, exceptions swallowed (ray_runner_test.py:1021-1081)") {
     val p = Pipeline(spark)
     val fired = p.metrics.counter("fin", "fired-" + System.nanoTime() % 100000)
