@@ -33,6 +33,12 @@ class WindowRankToTopK extends Rule[LogicalPlan] with PredicateHelper {
   import WindowRankToTopK.MaxK
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // Re-evaluation safety: TopKPerKeyExec evaluates key/order expressions
+    // in three places (partial heaps, the inserted sort, the final stream).
+    // That is sound because post-analysis window specs are ALWAYS
+    // deterministic — the analyzer's PullOutNondeterministic materializes
+    // e.g. orderBy(rand()) into a child Project and the spec references the
+    // materialized attribute, so all three passes see one frozen value.
     case f @ Filter(cond, w: Window)
         if !w.child.isInstanceOf[TopKPerKeyNode] && w.partitionSpec.nonEmpty &&
           w.orderSpec.nonEmpty =>

@@ -68,6 +68,14 @@ class WindowRankRewriteSpec extends SparkTestBase {
     val hugeK = data().withColumn("r", row_number().over(w))
       .filter(col("r") <= 10000000)
     assert(!usesTopK(hugeK))
+    // orderBy(rand()) DOES rewrite — and is safe: the analyzer pulls the
+    // nondeterministic expression into a child Project, so every operator
+    // pass reads the same materialized value (row count stays exact)
+    val nondet = data()
+      .withColumn("r", row_number().over(Window.partitionBy("k").orderBy(rand(7))))
+      .filter(col("r") <= 3)
+    assert(usesTopK(nondet))
+    assert(nondet.count() == 7 * 3)
   }
 
   test("battery q09 plans through the custom operator") {
