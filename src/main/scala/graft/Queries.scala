@@ -472,12 +472,17 @@ object Queries {
         round(sum(element_at(col("features"), 1)), 4).as("sum_f0"))
   }
 
-  /** Video frame-sampling plan (no SQL oracle: metadata is xxhash-derived). */
+  /** Video frame sampling with REAL container decode: every 4th frame is
+    * extracted from the AVI payload (no SQL oracle: payloads are
+    * splitmix64-derived). The index plan and the decoded extraction must
+    * agree on the sampled count — the aggregate exposes both.
+    */
   def d34FrameSampling(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.syntheticMedia(s, Tables.embeddings(s, d), "vec_id")
-    Multimodal.sampleFrameIndices(media, 10)
+    Multimodal.sampleFrames(s, media, 4)
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_sampled"),
-        expr("CAST(SUM(frame_idx) AS BIGINT)").as("sum_idx"))
+        expr("CAST(SUM(frame_idx) AS BIGINT)").as("sum_idx"),
+        expr("CAST(SUM(LENGTH(frame_bytes)) AS BIGINT)").as("sum_frame_bytes"))
   }
 
   /** As-of join (temporal join the reference/Spark lack natively): each

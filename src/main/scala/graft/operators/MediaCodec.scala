@@ -135,4 +135,107 @@ object MediaCodec {
       Some(WavAudio(sampleRate, channels, samples))
     else None
   }
+
+  // --- AVI (RIFF container, uncompressed 00db frame chunks) -----------------
+
+  /** An AVI video: dimensions, frame period, and raw frame payloads (24-bit
+    * DIB bytes in the uncompressed profile this codec writes; the parser
+    * accepts any `00db`/`00dc` chunk payload so foreign uncompressed or
+    * compressed-stream files still yield their frame boundaries).
+    */
+  final case class AviVideo(width: Int, height: Int, microSecPerFrame: Int,
+      frames: Seq[Array[Byte]])
+
+  private def fourCC(s: String): Array[Byte] = s.getBytes(US_ASCII)
+
+  /** Write a spec-conformant minimal AVI: RIFF('AVI ') { LIST hdrl [ avih,
+    * LIST strl [ strh(vids), strf(BITMAPINFOHEADER) ] ], LIST movi
+    * [ 00db* ] }. Chunks are word-aligned per RIFF rules.
+    */
+  def encodeAvi(video: AviVideo): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val out = ByteBuffer.allocate(8 + body.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+      out.put(fourCC(id)).putInt(body.length).put(body)
+      out.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourCC(kind) ++ body)
+    val avih = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(video.microSecPerFrame).putInt(0).putInt(0).putInt(0)
+        .putInt(video.frames.length).putInt(0).putInt(1).putInt(0)
+        .putInt(video.width).putInt(video.height)
+      b.array()
+    }
+    val strh = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(fourCC("vids")).put(fourCC("DIB ")).putInt(0).putInt(0).putInt(0)
+        .putInt(1).putInt(1000000).putInt(0) // scale 1 / rate ~ fps placeholder
+        .putInt(video.frames.length).putInt(0).putInt(-1).putInt(0)
+      b.array()
+    }
+    val strf = {
+      val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(video.width).putInt(video.height)
+        .putShort(1).putShort(24).putInt(0)
+        .putInt(video.width * video.height * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", video.frames.toArray.flatMap(f => chunk("00db", f)))
+    chunk("RIFF", fourCC("AVI ") ++ hdrl ++ movi)
+  }
+
+  /** Parse an AVI container: RIFF walk collecting the `avih` header and the
+    * `movi` list's `00db`/`00dc` frame chunks. Tolerant of unknown chunks
+    * (idx1, INFO, vendor lists); total over garbage (None on any structural
+    * violation).
+    */
+  def decodeAvi(bytes: Array[Byte]): Option[AviVideo] = {
+    if (bytes.length < 12) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val riff = new Array[Byte](4); buf.get(riff)
+    if (!java.util.Arrays.equals(riff, fourCC("RIFF"))) return None
+    buf.getInt // riff size (unchecked, as in decodeWav)
+    val kind = new Array[Byte](4); buf.get(kind)
+    if (!java.util.Arrays.equals(kind, fourCC("AVI "))) return None
+    var width = -1; var height = -1; var usPerFrame = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // walk(limit): parse sibling chunks until `limit`; descend into LISTs
+    def walk(limit: Int): Boolean = {
+      while (buf.position() + 8 <= limit) {
+        val id = new Array[Byte](4); buf.get(id)
+        val size = buf.getInt
+        if (size < 0 || buf.position() + size > limit) return false
+        val end = buf.position() + size + (size & 1)
+        val idStr = new String(id, US_ASCII)
+        if (idStr == "LIST") {
+          if (size < 4) return false
+          val lk = new Array[Byte](4); buf.get(lk) // list kind; walk contents
+          if (!walk(buf.position() + size - 4)) return false
+        } else if (idStr == "avih") {
+          if (size < 40) return false
+          val start = buf.position()
+          usPerFrame = buf.getInt
+          buf.position(start + 32)
+          width = buf.getInt
+          height = buf.getInt
+          buf.position(start)
+        } else if (idStr == "00db" || idStr == "00dc") {
+          val f = new Array[Byte](size)
+          buf.get(f)
+          frames += f
+          buf.position(end - size - (size & 1)) // rewind to re-skip uniformly
+        }
+        if (end > limit) return false
+        buf.position(math.min(end, limit))
+      }
+      true
+    }
+    if (!walk(bytes.length)) return None
+    if (width > 0 && height > 0 && usPerFrame >= 0) Some(AviVideo(width, height, usPerFrame, frames.toSeq))
+    else None
+  }
 }

@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling (builder-prompt extension): image/audio/video
   * as opaque `binary` columns plus typed metadata structs.
   *
-  * Image and audio payloads are REAL formats decoded by pure-JVM parsers
-  * ([[MediaCodec]]: binary PPM, PCM-16 WAV) — synthesis writes conformant
-  * files and feature extraction parses them back, so the schema, batched
-  * partition processing, and feature shape run against genuine decode work.
-  * Video decode remains a documented stub (no container/codec libs in pure
-  * JVM): undecodable payloads fall back to a deterministic byte-histogram
-  * feature so the pipeline is total.
+  * All three modalities are REAL formats decoded by pure-JVM parsers
+  * ([[MediaCodec]]: binary PPM images, PCM-16 WAV audio, RIFF/AVI video
+  * containers) — synthesis writes conformant files and feature extraction /
+  * frame sampling parse them back, so the schema, batched partition
+  * processing, and feature shape run against genuine decode work. Payloads
+  * no parser recognizes fall back to a deterministic byte-histogram feature
+  * so the pipeline is total. (Compressed codecs inside containers — H.264
+  * etc. — are out of scope for a pure-JVM engine; frame payloads are
+  * surfaced as bytes for a downstream decoder.)
   */
 object Multimodal {
 
@@ -52,6 +54,19 @@ object Multimodal {
     (MediaCodec.encodePpm(MediaCodec.PpmImage(w, h, rgb)), w, h)
   }
 
+  /** Deterministic AVI video for an id: small RGB frames of splitmix64
+    * noise in a real RIFF/AVI container (uncompressed 00db profile).
+    */
+  private[operators] def makeVideo(id: Long): (Array[Byte], Int, Int, Int) = {
+    val w = 8 + (mix(id, 5) & 7).toInt
+    val h = 8 + (mix(id, 6) & 7).toInt
+    val nFrames = 2 + (mix(id, 4) & 13).toInt
+    val frames = (0 until nFrames).map { f =>
+      Array.tabulate[Byte](w * h * 3)(i => (mix(id, 3000 + f * 100000 + i) & 0xff).toByte)
+    }
+    (MediaCodec.encodeAvi(MediaCodec.AviVideo(w, h, 40000, frames)), w, h, nFrames)
+  }
+
   /** Deterministic mono PCM-16 WAV for an id. */
   private[operators] def makeAudio(id: Long): (Array[Byte], Int, Int) = {
     val sr = 16000
@@ -67,8 +82,8 @@ object Multimodal {
 
   /** Build a deterministic synthetic media table from any id column — used
     * by tests/battery and as the reference shape for real ingestion. Image
-    * rows carry real PPM bytes, audio rows real WAV bytes (decodable by
-    * [[MediaCodec]]); video rows carry opaque pseudo-bytes (decode stub).
+    * rows carry real PPM bytes, audio rows real WAV bytes, video rows real
+    * AVI containers — all decodable by [[MediaCodec]].
     */
   def syntheticMedia(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
     val ids = df.select(col(idCol).cast("long").as("media_id"))
@@ -81,11 +96,9 @@ object Multimodal {
         case 1 => // audio
           val (bytes, sr, n) = makeAudio(id)
           Row(id, "audio", bytes, Row(null, null, 1, sr, null))
-        case 2 => // video: opaque payload, plan-level metadata only
-          val nFrames = 1 + (mix(id, 4) & 255).toInt
-          val bytes = Array.tabulate[Byte](64)(i => (mix(id, 200 + i) & 0xff).toByte)
-          Row(id, "video", bytes, Row(16 + (mix(id, 5) & 1023).toInt,
-            16 + (mix(id, 6) & 1023).toInt, 3, null, nFrames))
+        case 2 => // video: real AVI container, metadata mirrors the payload
+          val (bytes, w, h, nFrames) = makeVideo(id)
+          Row(id, "video", bytes, Row(w, h, 3, null, nFrames))
       }
     })
     spark.createDataFrame(rdd, mediaSchema)
@@ -146,10 +159,33 @@ object Multimodal {
       round6(maxAbs), a.sampleRate.toDouble, n.toDouble, a.channels.toDouble, 0.0)
   }
 
+  /** Real video features from decoded AVI frames:
+    * [width, height, nFrames, fps, meanFrameByte, stdFrameByte,
+    * meanFrameBytes, 1.0].
+    */
+  private def videoFeatures(v: MediaCodec.AviVideo): Array[Double] = {
+    var sum = 0.0; var sum2 = 0.0; var n = 0L; var totalBytes = 0L
+    v.frames.foreach { f =>
+      totalBytes += f.length
+      var i = 0
+      while (i < f.length) {
+        val x = (f(i) & 0xff) / 255.0
+        sum += x; sum2 += x * x; n += 1; i += 1
+      }
+    }
+    val mean = if (n > 0) sum / n else 0.0
+    val fps = if (v.microSecPerFrame > 0) 1e6 / v.microSecPerFrame else 0.0
+    Array(v.width.toDouble, v.height.toDouble, v.frames.length.toDouble,
+      round6(fps), round6(mean),
+      round6(math.sqrt(math.max(0, (if (n > 0) sum2 / n else 0.0) - mean * mean))),
+      if (v.frames.nonEmpty) round6(totalBytes.toDouble / v.frames.length) else 0.0, 1.0)
+  }
+
   /** Decode-dispatch: real parser by payload magic, stub histogram otherwise. */
   private[operators] def decodeFeatures(bytes: Array[Byte]): Array[Double] =
     MediaCodec.decodePpm(bytes).map(imageFeatures)
       .orElse(MediaCodec.decodeWav(bytes).map(audioFeatures))
+      .orElse(MediaCodec.decodeAvi(bytes).map(videoFeatures))
       .getOrElse(byteHistogramFeatures(bytes))
 
   /** Feature-extract over media rows in partition-sized batches. Returns
@@ -181,4 +217,30 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(stride))))
       .select(col("media_id"), col("frame_idx"))
+
+  /** REAL frame extraction: decode each video container and emit every
+    * `stride`-th frame's payload — (media_id, frame_idx, frame_bytes).
+    * Undecodable rows are dropped (count them upstream via
+    * [[sampleFrameIndices]] if totals must reconcile). Same mapPartitions
+    * batch shape as [[extractFeatures]].
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    val projected = media.filter(col("media_type") === "video")
+      .select(col("media_id"), col("bytes"))
+    val rdd = projected.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        MediaCodec.decodeAvi(r.getAs[Array[Byte]](1)).iterator.flatMap { v =>
+          v.frames.iterator.zipWithIndex.collect {
+            case (f, i) if i % stride == 0 => Row(id, i, f)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_bytes", BinaryType))))
+  }
 }

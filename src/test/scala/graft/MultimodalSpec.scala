@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Multimodal, ScaleOps}
+import graft.operators.{MediaCodec, Multimodal, ScaleOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -19,10 +19,10 @@ class MultimodalSpec extends SparkTestBase {
     assert(s("meta").dataType.isInstanceOf[StructType])
     val types = m.select("media_type").distinct().collect().map(_.getString(0)).toSet
     assert(types.subsetOf(Set("image", "audio", "video")))
-    // metadata within the documented bounds
+    // metadata within the documented bounds (images 16-31 px, videos 8-15)
     val bounds = m.agg(min(col("meta.width")), max(col("meta.width")),
       min(col("meta.n_frames"))).first()
-    assert(bounds.getInt(0) >= 16 && bounds.getInt(2) >= 1)
+    assert(bounds.getInt(0) >= 8 && bounds.getInt(2) >= 1)
   }
 
   test("feature extraction is deterministic and batch-shaped") {
@@ -109,6 +109,33 @@ class MultimodalSpec extends SparkTestBase {
       .collect()
     assert(joined.nonEmpty)
     assert(joined.forall(r => r.getInt(1) < r.getInt(2) && r.getInt(1) % 10 == 0))
+  }
+
+  test("video payloads are real AVI containers; extraction agrees with the index plan") {
+    val m = media()
+    val videos = m.filter(col("media_type") === "video").collect()
+    assert(videos.nonEmpty)
+    videos.foreach { r =>
+      val avi = MediaCodec.decodeAvi(r.getAs[Array[Byte]](2))
+      assert(avi.isDefined, s"video payload for id ${r.getLong(0)} not decodable")
+      val meta = r.getStruct(3)
+      assert(avi.get.width == meta.getInt(0) && avi.get.height == meta.getInt(1) &&
+        avi.get.frames.length == meta.getInt(4))
+      // every frame carries the full uncompressed raster
+      assert(avi.get.frames.forall(_.length == avi.get.width * avi.get.height * 3))
+    }
+    // decoded extraction emits exactly the rows the metadata plan predicts
+    val planned = Multimodal.sampleFrameIndices(m, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val extracted = Multimodal.sampleFrames(spark, m, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(extracted == planned, s"plan/extract divergence: ${planned.diff(extracted)}")
+    // determinism: re-extraction yields byte-identical frames
+    val once = Multimodal.sampleFrames(spark, m, 3).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getAs[Array[Byte]](2).toSeq)).toMap
+    val twice = Multimodal.sampleFrames(spark, m, 3).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getAs[Array[Byte]](2).toSeq)).toMap
+    assert(once == twice)
   }
 
   test("shufflePartitionsFor sizes by target bytes with a parallelism floor") {
