@@ -136,6 +136,87 @@ object StreamingOps {
     stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Per-bucket streaming LSH state: the last `maxBucketMembers` (id,
+    * signature) pairs seen in one band bucket.
+    */
+  final case class LshBucketState(members: List[(Long, Array[Long])])
+
+  /** Streaming MinHash-LSH near-duplicate candidates — the ingest-side
+    * NEAR-dup gate ([[dedupExactStream]] is the exact one): each arriving
+    * doc is signed and banded exactly like the batch
+    * `Dedup.minHashLshPairs`, and per band-bucket state holds the recent
+    * members; an arrival emits (id1, id2, jaccard_est) against stored
+    * members clearing `threshold`.
+    *
+    * State is doubly bounded — the shape that survives an unbounded ingest:
+    * per bucket at most `maxBucketMembers` members (newest win; the cap is
+    * also the batch operator's degenerate-bucket defense), and idle buckets
+    * expire `stateTtlMs` past the event-time watermark (EventTimeTimeout).
+    * A pair may surface once per shared band; sink-side
+    * `dropDuplicates(id1, id2)` (cheap on the tiny candidate stream)
+    * restores uniqueness.
+    */
+  def nearDupCandidatesStream(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+      watermarkDelay: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5, maxBucketMembers: Int = 256,
+      stateTtlMs: Long = 3600L * 1000): DataFrame = {
+    require(bands > 0 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val s = docs.sparkSession
+    import s.implicits._
+    val banded = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).cast("long").as("__id"),
+        graft.plans.NativeExpressions.minHashShingleSignature(
+          graft.functions.TextFunctions.tokens(lower(col(textCol))),
+          shingleSize, numHashes).as("__sig"),
+        col(tsCol).as("__ts"))
+      .select(col("__id"), col("__sig"), col("__ts"),
+        posexplode(graft.plans.NativeExpressions.bandBuckets(
+          col("__sig"), bands, numHashes / bands)))
+      .as[(Long, Seq[Long], java.sql.Timestamp, Int, Long)]
+    implicit val stateEnc: Encoder[LshBucketState] =
+      Encoders.kryo(classOf[LshBucketState])
+    def jaccardEst(a: Array[Long], b: Array[Long]): Double = {
+      val n = math.min(a.length, b.length)
+      if (n == 0) return 0.0
+      var eq = 0; var i = 0
+      while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / n
+    }
+    banded
+      .groupByKey { case (_, _, _, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long), it: Iterator[(Long, Seq[Long], java.sql.Timestamp, Int, Long)],
+            state: GroupState[LshBucketState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            val out = mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            it.foreach { case (id, sig, _, _, _) =>
+              val sa = sig.toArray
+              members.foreach { case (mid, msig) =>
+                if (mid != id) {
+                  val j = jaccardEst(sa, msig)
+                  if (j >= threshold)
+                    out += ((math.min(id, mid), math.max(id, mid),
+                      math.round(j * 1e6) / 1e6))
+                }
+              }
+              if (!members.exists(_._1 == id))
+                members = ((id, sa) :: members).take(maxBucketMembers)
+            }
+            state.update(LshBucketState(members))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, 0L) + stateTtlMs)
+            out.iterator
+          }
+        })
+      .toDF("id1", "id2", "jaccard_est")
+  }
+
   /** Micro-batch sink with a post-commit finalization callback — the
     * streaming analog of bundle finalization (reference
     * execution.py:131-139): `commit` writes the batch; `finalize` runs

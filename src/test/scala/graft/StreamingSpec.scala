@@ -259,6 +259,34 @@ class StreamingSpec extends SparkTestBase {
     assertMultiset(rows, Seq("a", "b", "c"))
   }
 
+  test("streaming near-dup candidates: cross-batch LSH state finds the pair, distinct docs stay clean") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val near1 = "the quick brown fox jumps over the lazy dog again and again every day"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again every night"
+    val far = "completely unrelated text about spark catalyst optimizer internals and shuffles"
+    val stream = mem.toDS()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_millis(col("_3")).as("et"))
+    val pairs = StreamingOps.nearDupCandidatesStream(
+      stream, "doc_id", "text", "et", "10 seconds",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.3)
+    val q = pairs.writeStream.format("memory")
+      .queryName("neardup_" + System.nanoTime()).outputMode("append").start()
+    mem.addData((1L, near1, 1000L), (10L, far, 1000L))
+    q.processAllAvailable()
+    mem.addData((2L, near2, 2000L)) // near-dup arrives a BATCH later
+    q.processAllAvailable()
+    val got = s.sql(s"SELECT DISTINCT id1, id2 FROM ${q.name}")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got.contains((1L, 2L)), s"cross-batch near-dup pair missing: $got")
+    assert(!got.exists(p => p._1 == 10L || p._2 == 10L),
+      s"unrelated doc paired: $got")
+  }
+
   test("streaming stateful ParDo drops late data at/below the watermark") {
     val s = spark
     import s.implicits._
