@@ -474,15 +474,20 @@ object Queries {
 
   /** Video frame sampling with REAL container decode: every 4th frame is
     * extracted from the AVI payload (no SQL oracle: payloads are
-    * splitmix64-derived). The index plan and the decoded extraction must
-    * agree on the sampled count — the aggregate exposes both.
+    * splitmix64-derived). The metadata index PLAN and the decoded
+    * EXTRACTION both run; n_planned == n_sampled in the single output row
+    * reconciles them (a divergence = undecodable payloads silently
+    * dropped).
     */
   def d34FrameSampling(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.syntheticMedia(s, Tables.embeddings(s, d), "vec_id")
-    Multimodal.sampleFrames(s, media, 4)
+    val extracted = Multimodal.sampleFrames(s, media, 4)
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_sampled"),
         expr("CAST(SUM(frame_idx) AS BIGINT)").as("sum_idx"),
         expr("CAST(SUM(LENGTH(frame_bytes)) AS BIGINT)").as("sum_frame_bytes"))
+    val planned = Multimodal.sampleFrameIndices(media, 4)
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_planned"))
+    extracted.crossJoin(planned)
   }
 
   /** As-of join (temporal join the reference/Spark lack natively): each

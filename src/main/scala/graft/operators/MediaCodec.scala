@@ -170,8 +170,11 @@ object MediaCodec {
     }
     val strh = {
       val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      // dwScale/dwRate must agree with avih's micro-sec-per-frame (frame
+      // period = scale/rate seconds); standard consumers read THESE as the
+      // normative fps source
       b.put(fourCC("vids")).put(fourCC("DIB ")).putInt(0).putInt(0).putInt(0)
-        .putInt(1).putInt(1000000).putInt(0) // scale 1 / rate ~ fps placeholder
+        .putInt(video.microSecPerFrame).putInt(1000000).putInt(0)
         .putInt(video.frames.length).putInt(0).putInt(-1).putInt(0)
       b.array()
     }
@@ -208,7 +211,10 @@ object MediaCodec {
       while (buf.position() + 8 <= limit) {
         val id = new Array[Byte](4); buf.get(id)
         val size = buf.getInt
-        if (size < 0 || buf.position() + size > limit) return false
+        // compare against the REMAINING span — `position + size` would
+        // integer-overflow on a hostile declared size and escape as
+        // OOM/underflow instead of the documented None
+        if (size < 0 || size > limit - buf.position()) return false
         val end = buf.position() + size + (size & 1)
         val idStr = new String(id, US_ASCII)
         if (idStr == "LIST") {

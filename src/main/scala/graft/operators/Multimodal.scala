@@ -60,7 +60,7 @@ object Multimodal {
   private[operators] def makeVideo(id: Long): (Array[Byte], Int, Int, Int) = {
     val w = 8 + (mix(id, 5) & 7).toInt
     val h = 8 + (mix(id, 6) & 7).toInt
-    val nFrames = 2 + (mix(id, 4) & 13).toInt
+    val nFrames = 2 + (mix(id, 4) & 15).toInt
     val frames = (0 until nFrames).map { f =>
       Array.tabulate[Byte](w * h * 3)(i => (mix(id, 3000 + f * 100000 + i) & 0xff).toByte)
     }
