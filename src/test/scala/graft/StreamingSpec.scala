@@ -287,6 +287,39 @@ class StreamingSpec extends SparkTestBase {
       s"unrelated doc paired: $got")
   }
 
+  test("streaming near-dup state expires past the TTL: stale members stop pairing") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val text1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val text2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    val stream = mem.toDS()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_millis(col("_3")).as("et"))
+    val pairs = StreamingOps.nearDupCandidatesStream(
+      stream, "doc_id", "text", "et", "0 seconds",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.3,
+      stateTtlMs = 1000L)
+    val q = pairs.writeStream.format("memory")
+      .queryName("neardup_ttl_" + System.nanoTime()).outputMode("append").start()
+    mem.addData((1L, text1, 1000L))
+    q.processAllAvailable()
+    // push the watermark far past doc 1's bucket TTL (1 s), then once more
+    // so the timeout callbacks actually fire and remove the state
+    mem.addData((50L, "totally different words entirely unrelated content here", 100000L))
+    q.processAllAvailable()
+    mem.addData((51L, "still nothing in common with anything else at all", 200000L))
+    q.processAllAvailable()
+    // doc 2 is a near-dup of doc 1 — but doc 1's state is long expired
+    mem.addData((2L, text2, 201000L))
+    q.processAllAvailable()
+    val got = s.sql(s"SELECT DISTINCT id1, id2 FROM ${q.name}")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(!got.contains((1L, 2L)), s"expired member still paired: $got")
+  }
+
   test("streaming stateful ParDo drops late data at/below the watermark") {
     val s = spark
     import s.implicits._
