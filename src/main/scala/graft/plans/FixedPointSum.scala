@@ -65,14 +65,20 @@ case class FixedPointSum(child: Expression, scale: Int) extends DeclarativeAggre
   }
 
   override lazy val updateExpressions: Seq[Expression] = {
-    // identical rounding to SUM(CAST(x AS DECIMAL(18,s))): same Cast, then
-    // the unscaled long (overflowing casts are null -> skipped, as in SUM).
+    // identical rounding to SUM(CAST(x AS DECIMAL(18,s))): DOUBLE inputs go
+    // through [[DoubleUnscaled]] (guarded fast path, exact-Cast fallback,
+    // value-identical); anything else through the literal Cast. Overflowing
+    // casts are null -> skipped, as in SUM.
     // BRANCH-FREE null skip (coalesce to adding zero) rather than
-    // If(IsNull(u), keep, add): the Cast is the expensive term and appears
-    // in several sub-expressions — unconditional forms let codegen's
-    // common-subexpression elimination evaluate it once per row, while
-    // expressions under conditional branches are re-evaluated per use.
-    val u = UnscaledValue(Cast(child, DecimalType(18, scale)))
+    // If(IsNull(u), keep, add): the unscale is the expensive term and
+    // appears in several sub-expressions — unconditional forms let
+    // codegen's common-subexpression elimination evaluate it once per row,
+    // while expressions under conditional branches are re-evaluated per
+    // use.
+    val u = child.dataType match {
+      case DoubleType => DoubleUnscaled(child, scale)
+      case _ => UnscaledValue(Cast(child, DecimalType(18, scale)))
+    }
     val vLo = Coalesce(Seq(u, Literal(0L)))
     val vHi = ShiftRight(vLo, Literal(63)) // sign extension
     val (newHi, newLo) = add128(hi, lo, vHi, vLo)
@@ -95,6 +101,74 @@ case class FixedPointSum(child: Expression, scale: Int) extends DeclarativeAggre
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): FixedPointSum =
     copy(child = newChildren.head)
+}
+
+/** Unscaled long of `CAST(x AS DECIMAL(18, scale))` for a DOUBLE input,
+  * with a guarded fast path. Spark's Cast goes through
+  * `BigDecimal.valueOf(d)` — a Double.toString parse per row, the dominant
+  * cost of the fixed-point sum. The fast path rounds in double space, which
+  * is only valid when no rounding boundary can fall between the double's
+  * TRUE value and its shortest-decimal representation (what BigDecimal
+  * sees): both differ from the scaled double by at most
+  * `ulp(d)*10^s/2 + ulp(d*10^s)/2`, so when the scaled value's distance to
+  * the nearest half-integer exceeds that bound, nearest-integer rounding in
+  * double space provably equals the HALF_UP decimal cast. Inside the window
+  * (ties like 1.005, and values past 2^52) it falls back to the EXACT
+  * Spark Cast path — so the expression is value-identical to
+  * `UnscaledValue(Cast(x AS DECIMAL(18,s)))` on every input
+  * (FixedPointSumProps pins this with adversarial tie generators).
+  */
+case class DoubleUnscaled(child: Expression, scale: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(scale >= 0 && scale < DoubleUnscaled.Pow10.length, s"unsupported scale $scale")
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // NaN/Inf/overflow -> null, like Cast
+  override def nullSafeEval(input: Any): Any =
+    DoubleUnscaled.toUnscaled(input.asInstanceOf[Double], scale)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, d => {
+      s"""
+         |java.lang.Long boxed = graft.plans.DoubleUnscaled.toUnscaled($d, $scale);
+         |${ev.isNull} = boxed == null;
+         |${ev.value} = boxed == null ? 0L : boxed.longValue();
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): DoubleUnscaled =
+    copy(child = newChild)
+}
+
+object DoubleUnscaled {
+  private[plans] val Pow10: Array[Double] =
+    Array(1.0, 1e1, 1e2, 1e3, 1e4, 1e5, 1e6, 1e7, 1e8, 1e9)
+  private val Max18 = 999999999999999999L
+
+  /** Exact reference path: Spark's own double->decimal cast semantics. */
+  private def slow(d: Double, scale: Int): java.lang.Long = {
+    val dec = Decimal(d)
+    if (dec.changePrecision(18, scale)) java.lang.Long.valueOf(dec.toUnscaledLong)
+    else null
+  }
+
+  def toUnscaled(d: Double, scale: Int): java.lang.Long = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return null
+    val f = Pow10(scale)
+    val r = d * f
+    // inside double-exact integer range, away from the tie window -> the
+    // nearest integer of r equals the HALF_UP cast of the shortest repr
+    if (math.abs(r) < 4.0e15) {
+      val fl = math.floor(r)
+      val frac = r - fl
+      val eps = Math.ulp(d) * f + Math.ulp(r)
+      if (math.abs(frac - 0.5) > eps) {
+        val n = (if (frac > 0.5) fl + 1.0 else fl).toLong
+        if (n > Max18 || n < -Max18) null else java.lang.Long.valueOf(n)
+      } else slow(d, scale)
+    } else slow(d, scale)
+  }
 }
 
 /** (hi, lo) 128-bit signed integer -> Decimal(38, scale). Needs real codegen
