@@ -734,6 +734,70 @@ object Queries {
       Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
       Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
 
+  /** Benchmark decontamination: training docs sharing >= 3 verbatim
+    * 8-grams with the eval slice (sources src0/src1). Eval grams broadcast;
+    * corpus side map-only + one combinable count shuffle.
+    */
+  def d57Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isEval = col("source").isin("src0", "src1")
+    graft.operators.Decontaminate.overlap(
+        docs.filter(!isEval), docs.filter(isEval), "doc_id", "text",
+        n = 8, minShared = 3)
+      .select(col("doc_id"), expr("CAST(n_shared AS BIGINT)").as("n_shared"))
+  }
+
+  /** Incremental ingest dedup: the doc_id%5=4 slice is the "new batch",
+    * the rest the standing corpus; bloom prefilter + broadcast exact verify
+    * on the normalized (sorted distinct token set) content key. Exact
+    * answer — the oracle is the plain anti-join semantics.
+    */
+  def d58IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("__key", Dedup.normalizedContentKey(col("text")))
+    val isNew = col("doc_id") % 5 === 4
+    Dedup.dedupAgainstCorpus(
+        docs.filter(isNew), docs.filter(!isNew), "doc_id", "__key",
+        expectedCorpusItems = 1 << 16)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Sequence packing into ~512-token training shards, contiguous per
+    * source stream (ScaleOps.packSequences); output = per-shard manifest.
+    */
+  def d59PackSequences(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScaleOps.packSequences(
+        Tables.documents(s, d), "source", "doc_id",
+        TextFunctions.tokenCount(col("text")).cast("long"), budget = 512)
+      .groupBy(col("source"), col("bin_id"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_docs"),
+        expr("CAST(SUM(n_tokens) AS BIGINT)").as("sum_tokens"),
+        expr("CAST(MIN(doc_id) AS BIGINT)").as("first_doc"),
+        expr("CAST(MAX(doc_id) AS BIGINT)").as("last_doc"))
+
+  /** Gopher-style rule-based quality gate: survivors must clear token
+    * count, mean word length, stopword mass, and repetition (distinct-token
+    * ratio) thresholds. The filter comparisons run on the raw doubles (both
+    * engines compute identical quotients of identical integers); only the
+    * REPORTED metrics are rounded.
+    */
+  def d60GopherFilter(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(t).as("__nt"),
+        TextFunctions.meanTokenLength(t).as("__mwl"),
+        TextFunctions.stopwordRatio(t).as("__sr"),
+        TextFunctions.distinctTokenRatio(t).as("__dr"))
+      .filter(col("__nt") >= 20 && col("__mwl").between(3.0, 10.0) &&
+        col("__sr") >= 0.05 && col("__dr") >= 0.5)
+      .select(col("doc_id"),
+        expr("CAST(__nt AS BIGINT)").as("n_tokens"),
+        round(col("__mwl"), 6).as("mean_wlen"),
+        round(col("__sr"), 6).as("stop_ratio"),
+        round(col("__dr"), 6).as("distinct_ratio"))
+  }
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -793,6 +857,10 @@ object Queries {
     "d54_quantized_topk" -> (d54QuantizedTopk _),
     "d55_stratified_sample" -> (d55StratifiedSample _),
     "d56_approx_percentiles" -> (d56ApproxPercentiles _),
+    "d57_decontaminate" -> (d57Decontaminate _),
+    "d58_incremental_dedup" -> (d58IncrementalDedup _),
+    "d59_pack_sequences" -> (d59PackSequences _),
+    "d60_gopher_filter" -> (d60GopherFilter _),
   )
 
   private val toksSql =
@@ -1057,5 +1125,41 @@ object Queries {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "d57_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksLowerSql AS ws FROM documents),
+         |g AS (SELECT doc_id, source, unnest(list_distinct(
+         |  CASE WHEN len(ws) >= 8
+         |   THEN list_transform(range(1, len(ws) - 6), i -> array_to_string(ws[i:i+7], ' '))
+         |   ELSE [array_to_string(ws, ' ')] END)) AS gram FROM t),
+         |e AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0','src1'))
+         |SELECT doc_id, n_shared FROM (
+         | SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         | FROM g JOIN e USING(gram) WHERE g.source NOT IN ('src0','src1') GROUP BY 1)
+         |WHERE n_shared >= 3""".stripMargin,
+    "d58_incremental_dedup" ->
+      s"""WITH t AS (SELECT doc_id, lang, source,
+         |  array_to_string(list_sort(list_distinct($toksLowerSql)), ' ') AS k FROM documents)
+         |SELECT a.doc_id, a.lang, a.source FROM t a
+         |WHERE a.doc_id % 5 = 4 AND NOT EXISTS (
+         | SELECT 1 FROM t b WHERE b.doc_id % 5 <> 4 AND b.k = a.k)""".stripMargin,
+    "d59_pack_sequences" ->
+      s"""WITH t AS (SELECT source, doc_id, len($toksSql) AS ntok FROM documents),
+         |c AS (SELECT source, doc_id, ntok,
+         |  SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t)
+         |SELECT source, (cum - ntok) // 512 AS bin_id,
+         | CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+         | CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(MAX(doc_id) AS BIGINT) AS last_doc
+         |FROM c GROUP BY 1, 2""".stripMargin,
+    "d60_gopher_filter" ->
+      s"""WITH m AS (SELECT doc_id, len($toksSql) AS nt,
+         |  CAST(list_sum(list_transform($toksSql, x -> length(x))) AS DOUBLE)
+         |    / len($toksSql) AS mwl,
+         |  CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, lower(t)))) AS DOUBLE)
+         |    / len($toksSql) AS sr,
+         |  CAST(len(list_distinct($toksLowerSql)) AS DOUBLE) / len($toksLowerSql) AS dr
+         | FROM documents WHERE len($toksSql) > 0)
+         |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, ROUND(mwl, 6) AS mean_wlen,
+         | ROUND(sr, 6) AS stop_ratio, ROUND(dr, 6) AS distinct_ratio
+         |FROM m WHERE nt >= 20 AND mwl BETWEEN 3.0 AND 10.0 AND sr >= 0.05 AND dr >= 0.5""".stripMargin,
   )
 }

@@ -67,6 +67,15 @@ object TextFunctions {
     when(size(ts) > 0, size(stops).cast("double") / size(ts)).otherwise(lit(0.0))
   }
 
+  /** Distinct-token ratio — the Gopher-style repetition signal (near 0 =
+    * the same tokens looped over and over, a classic crawl-spam shape).
+    */
+  def distinctTokenRatio(text: Column): Column = {
+    val ts = tokens(lower(text))
+    when(size(ts) > 0, size(array_distinct(ts)).cast("double") / size(ts))
+      .otherwise(lit(0.0))
+  }
+
   /** Composite quality score in [0,1]: favors mid-length documents with
     * prose-like stopword mass and low punctuation noise. Deterministic and
     * fully codegen'd.

@@ -326,4 +326,53 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"), col("cosine"))
   }
+
+  /** Normalized content key: the sorted distinct lowercase token set as one
+    * string. Order- and multiplicity-insensitive, so re-worded shuffles of
+    * the same bag of words collapse — the cheap "near-exact" key between
+    * byte-exact md5 and MinHash.
+    */
+  def normalizedContentKey(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(" ", array_sort(array_distinct(TextFunctions.tokens(lower(text)))))
+
+  /** Incremental exact dedup of a NEW batch against an EXISTING corpus — the
+    * steady-state shape of a production ingest (the corpus is 100 TB, the
+    * daily batch is not). Returns the new-batch rows whose `keyCol` content
+    * key does not appear in the corpus.
+    *
+    * Plan shape, designed so the corpus is never shuffled:
+    *  1. build a Bloom filter over xxhash64(corpus key) — one map-only pass
+    *     folded with treeAggregate (in production, built once and persisted
+    *     alongside the corpus, then updated incrementally);
+    *  2. probe it over the new batch (codegen'd
+    *     [[graft.plans.BloomMightContainExpr]]): bloom-negatives are PROVEN
+    *     new and pass through with no join at all;
+    *  3. bloom-positives (true dups + ~fpp of the batch, small by contract)
+    *     broadcast to a second map-only corpus scan that emits only the keys
+    *     actually present (`hits`), and a broadcast anti-join against `hits`
+    *     finishes exactly.
+    * A 64-bit hash collision can only turn a true negative into a "maybe" —
+    * step 3 compares full keys, so the result is exact, not probabilistic.
+    */
+  def dedupAgainstCorpus(
+      newBatch: DataFrame, corpus: DataFrame, idCol: String, keyCol: String,
+      expectedCorpusItems: Long = 1 << 20, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val corpusKeys = corpus.select(col(keyCol).as("__k"))
+    val bloom = corpusKeys
+      .select(xxhash64(col("__k")).as("__h"))
+      .select("__h").as(org.apache.spark.sql.Encoders.scalaLong).rdd
+      .treeAggregate(BloomFilter.create(expectedCorpusItems, fpp))(
+        (f, h) => { f.putLong(h); f },
+        (a, b) => { a.mergeInPlace(b); a })
+    val keyed = newBatch.withColumn("__maybe",
+      graft.plans.NativeExpressions.bloomMightContain(xxhash64(col(keyCol)), bloom))
+    val negatives = keyed.filter(!col("__maybe")).drop("__maybe")
+    val positives = keyed.filter(col("__maybe")).drop("__maybe")
+    val hits = corpusKeys
+      .join(broadcast(positives.select(col(keyCol).as("__k")).distinct()), "__k")
+      .distinct()
+    negatives.unionByName(
+      positives.join(broadcast(hits), col(keyCol) === col("__k"), "left_anti"))
+  }
 }

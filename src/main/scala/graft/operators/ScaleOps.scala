@@ -110,4 +110,35 @@ object ScaleOps {
       targetBytes: Long = 128L << 20): Int =
     math.max(spark.sparkContext.defaultParallelism,
       (inputBytes / math.max(targetBytes, 1L)).toInt)
+
+  /** Sequence packing: assign each row a training-shard bin of ~`budget`
+    * tokens, packing contiguously in `orderCol` order within each
+    * `streamCol` stream. bin = token-start-offset div budget, so a document
+    * lands in the bin where its first token falls (bins may overflow by at
+    * most one document — the standard contiguous-packing contract; no
+    * document is split).
+    *
+    * Deterministic: the assignment is a pure function of the stream's
+    * (orderCol, tokens) sequence — re-runs, retries, and different cluster
+    * layouts produce identical shards, so shard N can be re-materialized
+    * from scratch for a mid-training restart.
+    *
+    * Scale: one shuffle, `Window.partitionBy(streamCol)` — streams pack in
+    * parallel. A stream must fit one reducer's spillable sort, which is what
+    * the streams ARE for: at 100 TB you pack per (source, date) or per
+    * bucket, never one global stream (a global orderBy would funnel the
+    * corpus through one task).
+    */
+  def packSequences(
+      df: DataFrame, streamCol: String, orderCol: String, tokenCount: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(streamCol)).orderBy(col(orderCol))
+    df.withColumn("__ntok", tokenCount)
+      .withColumn("__start", sum(col("__ntok")).over(w) - col("__ntok"))
+      .withColumn("bin_id", expr(s"__start div ${budget}L"))
+      .drop("__start")
+      .withColumnRenamed("__ntok", "n_tokens")
+  }
 }

@@ -109,6 +109,20 @@ object NativeExpressions {
   def langIdOver(tokens: Column, lexicons: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(tokens), lexicons))
 
+  /** Bloom-filter membership over a 64-bit hash column. The filter ships as
+    * serialized bytes inside the expression (plan constant — Spark
+    * broadcasts the task binary once per executor, the small-model pattern
+    * of [[nearestCentroid]]) and deserializes once per JVM.
+    */
+  def bloomMightContain(hash64: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    }
+    ColumnBridge.column(BloomMightContainExpr(ColumnBridge.expression(hash64), bytes))
+  }
+
   /** Read element i of a numeric array column as double (float or double). */
   private[plans] def numAt(arr: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
@@ -568,5 +582,35 @@ case class LshBucketExpr(child: Expression, bits: Int, seed: Long)
     bucket
   }
   override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
+}
+
+/** Bloom-filter membership probe for a LongType hash column, full codegen:
+  * the probe is one virtual call inside the surrounding WholeStageCodegen
+  * span, so a bloom-prefiltered scan stays a single map-only stage. The
+  * filter bytes are a plan constant; deserialization happens once per JVM
+  * on first touch (transient lazy), NOT per task.
+  *
+  * False positives are by construction fine (callers verify positives
+  * exactly); false negatives are impossible, so a `false` here is a proof
+  * of absence from the corpus the filter was built on.
+  */
+case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+  def mightContain(h: Long): Boolean = bloom.mightContainLong(h)
+  override def nullSafeEval(h: Any): Any = mightContain(h.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bloomExpr", this, classOf[BloomMightContainExpr].getName)
+    defineCodeGen(ctx, ev, h => s"$ref.mightContain($h)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
     copy(child = newChild)
 }
