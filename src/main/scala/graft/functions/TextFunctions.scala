@@ -137,8 +137,18 @@ object TextFunctions {
       .otherwise(array(s))
   }
 
-  /** Word n-gram (shingle) set for MinHash / Jaccard. */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Word n-gram (shingle) set for MinHash / Jaccard / decontamination —
+    * native single-pass expression (graft.plans.WordNgramsExpr).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.plans.NativeExpressions.wordNgrams(tokens(lower(text)), n)
+
+  /** Column-function formulation of wordShingles, kept as executable
+    * documentation of the semantics the native expression implements
+    * (distinct space-joined n-token windows; short docs collapse to the
+    * whole doc as one gram).
+    */
+  def wordShinglesColumns(text: Column, n: Int): Column = {
     val ts = tokens(lower(text))
     array_distinct(
       when(size(ts) >= n,

@@ -123,6 +123,12 @@ object NativeExpressions {
     ColumnBridge.column(BloomMightContainExpr(ColumnBridge.expression(hash64), bytes))
   }
 
+  /** Distinct word n-grams (space-joined) of a token array, one native
+    * pass — see [[WordNgramsExpr]].
+    */
+  def wordNgrams(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(tokens), n))
+
   /** Read element i of a numeric array column as double (float or double). */
   private[plans] def numAt(arr: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
@@ -612,5 +618,44 @@ case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
     defineCodeGen(ctx, ev, h => s"$ref.mightContain($h)")
   }
   override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+    copy(child = newChild)
+}
+
+/** Distinct word n-grams of a token array as space-joined strings — the
+  * decontamination gram generator. One pass, one hash set; replaces an
+  * interpreted transform/sequence/slice/concat_ws/array_distinct HOF chain
+  * (each step re-allocating per window). Short docs (< n tokens) collapse
+  * to the whole doc as a single gram, exactly like the column formulation
+  * in TextFunctions.wordShingles.
+  */
+case class WordNgramsExpr(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  require(n >= 1, s"n must be positive: $n")
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(NativeInputTypes.stringArray)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val sep = UTF8String.fromString(" ")
+    if (m < n) {
+      val whole = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { whole(i) = arr.getUTF8String(i); i += 1 }
+      new GenericArrayData(Array[Any](UTF8String.concatWs(sep, whole: _*)))
+    } else {
+      val out = new java.util.LinkedHashSet[UTF8String]
+      val window = new Array[UTF8String](n)
+      var i = 0
+      while (i <= m - n) {
+        var j = 0
+        while (j < n) { window(j) = arr.getUTF8String(i + j); j += 1 }
+        out.add(UTF8String.concatWs(sep, window: _*))
+        i += 1
+      }
+      new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
     copy(child = newChild)
 }

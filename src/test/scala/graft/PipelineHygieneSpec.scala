@@ -114,6 +114,25 @@ class PipelineHygieneSpec extends SparkTestBase {
       ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 1L), ("b", 1L, 0L)))
   }
 
+  test("native wordShingles matches the column formulation on edge shapes") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      "", " ", "one", "one two", "a b c d e f g h",      // below/at n boundary
+      "a b c d e f g h i j k",                            // above n
+      "x x x x x x x x x x x x",                          // all-duplicate grams
+      "  padded   whitespace  runs   between   tokens  here  now  ok  fine ")
+    val df = texts.toDF("text")
+    val rows = df.select(
+        TextFunctions.wordShingles(col("text"), 8).as("native"),
+        TextFunctions.wordShinglesColumns(col("text"), 8).as("cols"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0).sorted == r.getSeq[String](1).sorted,
+        s"native=${r.getSeq[String](0)} cols=${r.getSeq[String](1)}")
+    }
+  }
+
   test("gopher signals: distinct-token ratio catches repetition") {
     val s = spark
     import s.implicits._
