@@ -798,6 +798,43 @@ object Queries {
         round(col("__dr"), 6).as("distinct_ratio"))
   }
 
+  /** TF-IDF top-3 terms per document: two-level aggregation (term
+    * frequencies, then document frequencies), broadcast idf join, and a
+    * per-doc top-k that the WindowRankToTopK rule pre-prunes. Rank compares
+    * the ROUNDED score (then term) so the ordering is engine-portable.
+    */
+  def d61TfIdf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), expr("CAST(tf AS BIGINT)").as("tf"),
+        expr("CAST(df AS BIGINT)").as("df"), col("tfidf"),
+        expr("CAST(rnk AS BIGINT)").as("rnk"))
+  }
+
+  /** Per-label embedding centroids via the typed vector-sum Aggregator
+    * (one map-side-combinable shuffle of numLabels x dim doubles); the tiny
+    * aggregated result is posexploded only for the oracle-comparable
+    * (label, dim, avg) shape.
+    */
+  def d62EmbedCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .groupBy(col("label"))
+      .agg(graft.functions.VectorFunctions.vectorAvg(col("v")).as("centroid"),
+        expr("CAST(COUNT(*) AS BIGINT)").as("n_vecs"))
+      .select(col("label"), col("n_vecs"), posexplode(col("centroid")))
+      .select(col("label"), expr("CAST(pos AS BIGINT)").as("dim"),
+        round(col("col"), 4).as("avg_v"), col("n_vecs"))
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -861,6 +898,8 @@ object Queries {
     "d58_incremental_dedup" -> (d58IncrementalDedup _),
     "d59_pack_sequences" -> (d59PackSequences _),
     "d60_gopher_filter" -> (d60GopherFilter _),
+    "d61_tfidf" -> (d61TfIdf _),
+    "d62_embed_centroids" -> (d62EmbedCentroids _),
   )
 
   private val toksSql =
@@ -1161,5 +1200,24 @@ object Queries {
          |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, ROUND(mwl, 6) AS mean_wlen,
          | ROUND(sr, 6) AS stop_ratio, ROUND(dr, 6) AS distinct_ratio
          |FROM m WHERE nt >= 20 AND mwl BETWEEN 3.0 AND 10.0 AND sr >= 0.05 AND dr >= 0.5""".stripMargin,
+    "d61_tfidf" ->
+      s"""WITH terms AS (SELECT doc_id, unnest($toksLowerSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term, tf, df,
+         |  ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+         | FROM tf JOIN dfq USING(term) CROSS JOIN n)
+         |SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+         | SELECT *, CAST(ROW_NUMBER() OVER (
+         |   PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk FROM sc)
+         |WHERE rnk <= 3""".stripMargin,
+    "d62_embed_centroids" ->
+      """WITH x AS (SELECT label,
+        |  unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v,
+        |  unnest(range(0, len(embedding))) AS dim FROM embeddings)
+        |SELECT label, dim, ROUND(SUM(v) / COUNT(*), 4) AS avg_v,
+        | CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |FROM x GROUP BY label, dim""".stripMargin,
   )
 }

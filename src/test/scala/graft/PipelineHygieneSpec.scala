@@ -133,6 +133,31 @@ class PipelineHygieneSpec extends SparkTestBase {
     }
   }
 
+  test("vectorAvg aggregator: dimension-wise mean across partitions") {
+    val s = spark
+    import s.implicits._
+    val df2 = Seq(
+      (0, Seq(1.0, 2.0, 3.0)), (0, Seq(3.0, 2.0, 1.0)),
+      (1, Seq(10.0, 0.0, -10.0)))
+      .toDF("label", "v").repartition(3) // force partial/merge across partitions
+    val out = df2.groupBy(col("label"))
+      .agg(graft.functions.VectorFunctions.vectorAvg(col("v")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+    assert(out(0) == Seq(2.0, 2.0, 2.0))
+    assert(out(1) == Seq(10.0, 0.0, -10.0))
+  }
+
+  test("vectorAvg fails fast on mismatched vector lengths") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((0, Seq(1.0, 2.0)), (0, Seq(1.0, 2.0, 3.0))).toDF("label", "v")
+    val e = intercept[Exception] {
+      bad.groupBy(col("label"))
+        .agg(graft.functions.VectorFunctions.vectorAvg(col("v")).as("c")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("gopher signals: distinct-token ratio catches repetition") {
     val s = spark
     import s.implicits._
