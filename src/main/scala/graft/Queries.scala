@@ -835,6 +835,18 @@ object Queries {
       .select(col("label"), expr("CAST(pos AS BIGINT)").as("dim"),
         round(col("col"), 4).as("avg_v"), col("n_vecs"))
 
+  /** Overlapping token chunking (chunkSize 32, overlap 8): per-chunk
+    * manifest rows — the map-only explode that precedes embedding/indexing
+    * in a RAG or context-window pipeline.
+    */
+  def d63ChunkDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokenChunks(col("text"), chunkSize = 32, overlap = 8)))
+      .select(col("doc_id"), expr("CAST(pos AS BIGINT)").as("chunk_id"),
+        col("col").as("chunk"),
+        TextFunctions.tokenCount(col("col")).cast("long").as("n_chunk_tokens"))
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -900,6 +912,7 @@ object Queries {
     "d60_gopher_filter" -> (d60GopherFilter _),
     "d61_tfidf" -> (d61TfIdf _),
     "d62_embed_centroids" -> (d62EmbedCentroids _),
+    "d63_chunk_docs" -> (d63ChunkDocs _),
   )
 
   private val toksSql =
@@ -1219,5 +1232,14 @@ object Queries {
         |SELECT label, dim, ROUND(SUM(v) / COUNT(*), 4) AS avg_v,
         | CAST(COUNT(*) AS BIGINT) AS n_vecs
         |FROM x GROUP BY label, dim""".stripMargin,
+    "d63_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents),
+         |c AS (SELECT doc_id, ws, len(ws) AS n,
+         |  unnest(range(0, CASE WHEN len(ws) > 8 THEN 1 + (len(ws) - 9) // 24 ELSE 1 END)) AS k
+         | FROM t)
+         |SELECT doc_id, k AS chunk_id,
+         | array_to_string(ws[k*24 + 1 : k*24 + 32], ' ') AS chunk,
+         | CAST(LEAST(32, n - k*24) AS BIGINT) AS n_chunk_tokens
+         |FROM c""".stripMargin,
   )
 }

@@ -157,6 +157,15 @@ object TextFunctions {
         .otherwise(array(concat_ws(" ", ts))))
   }
 
+  /** Overlapping fixed-token chunks (RAG / context-window pre-processing):
+    * chunk k covers tokens [k*(chunkSize-overlap), ...+chunkSize); trailing
+    * windows adding no new tokens beyond the overlap are dropped. Native
+    * single pass (graft.plans.TokenChunksExpr); pair with posexplode for
+    * (chunk_id, chunk) rows.
+    */
+  def tokenChunks(text: Column, chunkSize: Int, overlap: Int): Column =
+    graft.plans.NativeExpressions.tokenChunks(tokens(text), chunkSize, chunkSize - overlap)
+
   /** Convenience: attach the standard text-stats columns to a documents DF. */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -129,6 +129,10 @@ object NativeExpressions {
   def wordNgrams(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(tokens), n))
 
+  /** Overlapping token-window chunks — see [[TokenChunksExpr]]. */
+  def tokenChunks(tokens: Column, chunkSize: Int, stride: Int): Column =
+    ColumnBridge.column(TokenChunksExpr(ColumnBridge.expression(tokens), chunkSize, stride))
+
   /** Read element i of a numeric array column as double (float or double). */
   private[plans] def numAt(arr: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
@@ -657,5 +661,41 @@ case class WordNgramsExpr(child: Expression, n: Int)
     }
   }
   override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+}
+
+/** Overlapping token-window chunks (space-joined) — the RAG / context-window
+  * pre-processing step. Chunk k covers tokens [k*stride, k*stride+chunkSize)
+  * clamped to the doc; trailing windows that would only repeat the previous
+  * chunk's overlap (start + overlap >= n) are not emitted. Empty/short docs
+  * yield exactly one chunk (possibly ""). One pass, no interpreted HOFs.
+  */
+case class TokenChunksExpr(child: Expression, chunkSize: Int, stride: Int)
+  extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+    s"need 1 <= stride <= chunkSize: chunkSize=$chunkSize stride=$stride")
+  private def overlap: Int = chunkSize - stride
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(NativeInputTypes.stringArray)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sep = UTF8String.fromString(" ")
+    val count = if (n > overlap) 1 + (n - overlap - 1) / stride else 1
+    val out = new Array[Any](count)
+    var k = 0
+    while (k < count) {
+      val start = k * stride
+      val end = math.min(start + chunkSize, n)
+      val window = new Array[UTF8String](math.max(end - start, 0))
+      var i = start
+      while (i < end) { window(i - start) = arr.getUTF8String(i); i += 1 }
+      out(k) = UTF8String.concatWs(sep, window: _*)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): TokenChunksExpr =
     copy(child = newChild)
 }

@@ -158,6 +158,27 @@ class PipelineHygieneSpec extends SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("tokenChunks: stride coverage, clamped tail, no overlap-only windows") {
+    val s = spark
+    import s.implicits._
+    // 10 tokens, chunkSize 4, overlap 1 (stride 3): [0,4) [3,7) [6,10); the
+    // start-9 window would add nothing beyond the overlap and is dropped
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = Seq((1L, ten), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokenChunks(col("text"), chunkSize = 4, overlap = 1)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assertMultiset(out, Seq(
+      (1L, 0, "t1 t2 t3 t4"), (1L, 1, "t4 t5 t6 t7"), (1L, 2, "t7 t8 t9 t10"),
+      (2L, 0, "a b"), (3L, 0, "")))
+    // every token appears in at least one chunk; consecutive chunks share
+    // exactly `overlap` tokens when full-width
+    val chunks = out.filter(_._1 == 1L).sortBy(_._2).map(_._3.split(" ").toSeq)
+    assert(chunks.flatten.distinct.size == 10)
+    assert(chunks.sliding(2).forall { case Seq(a, b) => a.takeRight(1) == b.take(1) })
+  }
+
   test("gopher signals: distinct-token ratio catches repetition") {
     val s = spark
     import s.implicits._
