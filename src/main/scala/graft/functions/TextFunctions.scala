@@ -138,10 +138,14 @@ object TextFunctions {
   }
 
   /** Word n-gram (shingle) set for MinHash / Jaccard / decontamination —
-    * native single-pass expression (graft.plans.WordNgramsExpr).
+    * native single-pass expression (graft.plans.WordNgramsExpr). NULL text
+    * yields [""] (the empty-document shingle), matching the column
+    * formulation: null-text rows must still collapse as duplicates of each
+    * other in the dedup paths, not silently vanish from band explosion.
     */
   def wordShingles(text: Column, n: Int): Column =
-    graft.plans.NativeExpressions.wordNgrams(tokens(lower(text)), n)
+    graft.plans.NativeExpressions.wordNgrams(
+      coalesce(tokens(lower(text)), typedlit(Seq.empty[String])), n)
 
   /** Column-function formulation of wordShingles, kept as executable
     * documentation of the semantics the native expression implements
@@ -163,8 +167,11 @@ object TextFunctions {
     * single pass (graft.plans.TokenChunksExpr); pair with posexplode for
     * (chunk_id, chunk) rows.
     */
-  def tokenChunks(text: Column, chunkSize: Int, overlap: Int): Column =
+  def tokenChunks(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize: chunkSize=$chunkSize overlap=$overlap")
     graft.plans.NativeExpressions.tokenChunks(tokens(text), chunkSize, chunkSize - overlap)
+  }
 
   /** Convenience: attach the standard text-stats columns to a documents DF. */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -54,7 +54,10 @@ object VectorFunctions {
       Seq[Double], VectorAvgAgg.Buf, Seq[Double]] {
     import VectorAvgAgg.Buf
     def zero: Buf = Buf(Array.empty, 0L)
-    def reduce(b: Buf, v: Seq[Double]): Buf = add(b, v.toArray, 1L)
+    def reduce(b: Buf, v: Seq[Double]): Buf = {
+      require(v != null, "null vector in vectorAvg input — filter or impute nulls first")
+      add(b, v.toArray, 1L)
+    }
     def merge(a: Buf, b: Buf): Buf =
       if (b.n == 0) a else add(a, b.sum, b.n)
     private def add(b: Buf, v: Array[Double], n: Long): Buf = {

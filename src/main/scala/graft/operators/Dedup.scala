@@ -344,13 +344,13 @@ object Dedup {
     *  1. build a Bloom filter over xxhash64(corpus key) — one map-only pass
     *     folded with treeAggregate (in production, built once and persisted
     *     alongside the corpus, then updated incrementally);
-    *  2. probe it over the new batch (codegen'd
-    *     [[graft.plans.BloomMightContainExpr]]): bloom-negatives are PROVEN
-    *     new and pass through with no join at all;
-    *  3. bloom-positives (true dups + ~fpp of the batch, small by contract)
-    *     broadcast to a second map-only corpus scan that emits only the keys
-    *     actually present (`hits`), and a broadcast anti-join against `hits`
-    *     finishes exactly.
+    *  2. probe it over the batch's key projection (codegen'd
+    *     [[graft.plans.BloomMightContainExpr]]): bloom-negative keys are
+    *     PROVEN new and never leave the executor;
+    *  3. the positive keys (true dups + ~fpp of the batch, small by
+    *     contract) broadcast to a map-only corpus scan that emits only the
+    *     keys actually present (`hits`), and one broadcast anti-join of the
+    *     batch against `hits` finishes exactly.
     * A 64-bit hash collision can only turn a true negative into a "maybe" —
     * step 3 compares full keys, so the result is exact, not probabilistic.
     */
@@ -365,14 +365,19 @@ object Dedup {
       .treeAggregate(BloomFilter.create(expectedCorpusItems, fpp))(
         (f, h) => { f.putLong(h); f },
         (a, b) => { a.mergeInPlace(b); a })
-    val keyed = newBatch.withColumn("__maybe",
-      graft.plans.NativeExpressions.bloomMightContain(xxhash64(col(keyCol)), bloom))
-    val negatives = keyed.filter(!col("__maybe")).drop("__maybe")
-    val positives = keyed.filter(col("__maybe")).drop("__maybe")
-    val hits = corpusKeys
-      .join(broadcast(positives.select(col(keyCol).as("__k")).distinct()), "__k")
+    // bloom-positive keys (true dups + ~fpp of the batch) — the only slice
+    // that needs corpus confirmation. This narrow projection is the ONLY
+    // branch that evaluates the bloom probe; the final pass below is a
+    // plain anti-join on the key.
+    val positiveKeys = newBatch
+      .select(col(keyCol).as("__k"))
+      .filter(graft.plans.NativeExpressions.bloomMightContain(xxhash64(col("__k")), bloom))
       .distinct()
-    negatives.unionByName(
-      positives.join(broadcast(hits), col(keyCol) === col("__k"), "left_anti"))
+    // map-only corpus scan: which positive keys actually exist?
+    val hits = corpusKeys.join(broadcast(positiveKeys), "__k").distinct()
+    // survivors = batch \ hits. Correct for every slice: bloom-negatives are
+    // proven absent (never in hits), true dups are in hits, bloom false
+    // positives are not. One pass over the batch, no per-row probe here.
+    newBatch.join(broadcast(hits), col(keyCol) === col("__k"), "left_anti")
   }
 }

@@ -109,18 +109,14 @@ object NativeExpressions {
   def langIdOver(tokens: Column, lexicons: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(tokens), lexicons))
 
-  /** Bloom-filter membership over a 64-bit hash column. The filter ships as
-    * serialized bytes inside the expression (plan constant — Spark
-    * broadcasts the task binary once per executor, the small-model pattern
-    * of [[nearestCentroid]]) and deserializes once per JVM.
+  /** Bloom-filter membership over a 64-bit hash column. The filter ships
+    * as a Spark Broadcast so the deserialized object is cached once per
+    * executor JVM (see [[BloomMightContainExpr]]).
     */
   def bloomMightContain(hash64: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
-    val bytes = {
-      val out = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(out)
-      out.toByteArray
-    }
-    ColumnBridge.column(BloomMightContainExpr(ColumnBridge.expression(hash64), bytes))
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    ColumnBridge.column(BloomMightContainExpr(
+      ColumnBridge.expression(hash64), sc.broadcast(bloom)))
   }
 
   /** Distinct word n-grams (space-joined) of a token array, one native
@@ -598,21 +594,22 @@ case class LshBucketExpr(child: Expression, bits: Int, seed: Long)
 /** Bloom-filter membership probe for a LongType hash column, full codegen:
   * the probe is one virtual call inside the surrounding WholeStageCodegen
   * span, so a bloom-prefiltered scan stays a single map-only stage. The
-  * filter bytes are a plan constant; deserialization happens once per JVM
-  * on first touch (transient lazy), NOT per task.
+  * filter rides as a Spark Broadcast, NOT as plan-constant bytes: every
+  * task deserializes the plan (and would re-parse embedded bytes), while
+  * `broadcast.value` is fetched and cached once per executor JVM — the
+  * difference between per-task and per-executor cost for a corpus-scale
+  * filter of hundreds of MB.
   *
   * False positives are by construction fine (callers verify positives
   * exactly); false negatives are impossible, so a `false` here is a proof
   * of absence from the corpus the filter was built on.
   */
-case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
+case class BloomMightContainExpr(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
   extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(LongType)
   override def dataType: DataType = BooleanType
-  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bloomBytes))
-  def mightContain(h: Long): Boolean = bloom.mightContainLong(h)
+  def mightContain(h: Long): Boolean = bloom.value.mightContainLong(h)
   override def nullSafeEval(h: Any): Any = mightContain(h.asInstanceOf[Long])
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,

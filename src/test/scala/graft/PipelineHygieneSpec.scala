@@ -114,6 +114,20 @@ class PipelineHygieneSpec extends SparkTestBase {
       ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 1L), ("b", 1L, 0L)))
   }
 
+  test("wordShingles on NULL text yields the empty-doc shingle, not NULL") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, null: String), (2L, null: String), (3L, "real text here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 8).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    // null-text docs must still collapse as duplicates of each other in the
+    // dedup paths (shared [""] shingle), not vanish from band explosion
+    assert(rows(1L) == Seq(""))
+    assert(rows(2L) == Seq(""))
+    assert(rows(3L) == Seq("real text here"))
+  }
+
   test("native wordShingles matches the column formulation on edge shapes") {
     val s = spark
     import s.implicits._
