@@ -85,4 +85,41 @@ class PlanAuditSpec extends SparkTestBase {
     val exchanges = plan.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
     assert(exchanges <= 2, s"exact dedup shuffled $exchanges times:\n" + plan.take(3000))
   }
+
+  test("d57: decontamination joins eval grams by broadcast; corpus text never shuffles") {
+    val plan = planOf(Queries.d57Decontaminate(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the only hash exchange allowed is the per-doc count aggregate — the
+    // train-side gram stream itself must reach the join map-side
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"gram join shuffled ($exchanges exchanges):\n" + finalPlan.take(3000))
+  }
+
+  test("d58: incremental dedup never hash-shuffles the corpus (broadcast joins only)") {
+    val plan = planOf(Queries.d58IncrementalDedup(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!finalPlan.contains("SortMergeJoin"),
+      "corpus fell into a sort-merge join:\n" + finalPlan.take(3000))
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // distinct on the (small) positive-keys / hits sides only
+    assert(exchanges <= 3, s"unexpected shuffles ($exchanges):\n" + finalPlan.take(3000))
+  }
+
+  test("d63: chunk explode is map-only — no exchange anywhere in the plan") {
+    val plan = planOf(Queries.d63ChunkDocs(spark, d))
+    assert(!plan.contains("Exchange"), "chunking should not shuffle:\n" + plan.take(3000))
+  }
+
+  test("d62: centroid aggregation is partial/final over ONE exchange of group buffers") {
+    val plan = planOf(Queries.d62EmbedCentroids(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"vector aggregation should shuffle once, got $exchanges:\n" + finalPlan.take(3000))
+    assert(!plan.contains("Generate explode") ||
+      plan.indexOf("Generate") > plan.indexOf("Aggregate"),
+      "posexplode must run on the aggregated result, not the input")
+  }
 }
