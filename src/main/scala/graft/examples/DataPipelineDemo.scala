@@ -21,8 +21,16 @@ object DataPipelineDemo {
     val docs = Tables.documents(spark, sfDir)
     println(s"[pipeline] corpus: ${docs.count()} docs")
 
+    // 0. benchmark decontamination: drop training docs sharing verbatim
+    // 8-grams with the held-out eval slice (broadcast eval grams, corpus
+    // side map-only)
+    val isEval = col("source").isin("src0", "src1")
+    val train = graft.operators.Decontaminate.clean(
+      docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", n = 8, minShared = 3)
+    println(s"[pipeline] after decontamination: ${train.count()}")
+
     // 1. quality gate: codegen'd text stats, keep prose-like documents
-    val scored = TextFunctions.withTextStats(docs)
+    val scored = TextFunctions.withTextStats(train)
     val quality = scored.filter(col("quality") >= 0.3 && col("n_tokens") >= 10)
     println(s"[pipeline] after quality gate: ${quality.count()}")
 
@@ -53,7 +61,22 @@ object DataPipelineDemo {
       "q", "qv", k = 3)
     neighbors.show(9, false)
 
-    // 6. materialize the cleaned corpus as TFRecord-of-Example — the
+    // 6. shard manifest: pack the cleaned corpus into ~512-token training
+    // shards (contiguous per source, deterministic across re-runs)
+    val packed = graft.operators.ScaleOps.packSequences(
+      survivors, "source", "doc_id",
+      TextFunctions.tokenCount(col("text")).cast("long"), budget = 512,
+      tokenOutCol = "pack_tokens") // survivors already carries n_tokens
+    val shards = packed.groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pack_tokens")).as("shard_tokens"))
+    println(s"[pipeline] training shards: ${shards.count()}")
+
+    // 7. context-window chunking for the embedding/indexing side
+    val chunks = survivors.select(col("doc_id"),
+      posexplode(TextFunctions.tokenChunks(col("text"), chunkSize = 64, overlap = 16)))
+    println(s"[pipeline] chunks: ${chunks.count()}")
+
+    // 8. materialize the cleaned corpus as TFRecord-of-Example — the
     // training-side handoff (file per partition, CRC-framed)
     val outDir = java.nio.file.Files.createTempDirectory("graft-pipeline-tfr").toString
     val sp = spark; import sp.implicits._

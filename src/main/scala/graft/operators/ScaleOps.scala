@@ -131,14 +131,17 @@ object ScaleOps {
     */
   def packSequences(
       df: DataFrame, streamCol: String, orderCol: String, tokenCount: Column,
-      budget: Long): DataFrame = {
+      budget: Long, tokenOutCol: String = "n_tokens"): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    require(!df.columns.contains(tokenOutCol) && !df.columns.contains("bin_id"),
+      s"output columns ($tokenOutCol, bin_id) collide with the input schema — " +
+        "pass a different tokenOutCol or drop/rename the existing columns")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(streamCol)).orderBy(col(orderCol))
     df.withColumn("__ntok", tokenCount)
       .withColumn("__start", sum(col("__ntok")).over(w) - col("__ntok"))
       .withColumn("bin_id", expr(s"__start div ${budget}L"))
       .drop("__start")
-      .withColumnRenamed("__ntok", "n_tokens")
+      .withColumnRenamed("__ntok", tokenOutCol)
   }
 }

@@ -19,6 +19,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - graft_dot(array<num>, array<num>)                → double
   *  - graft_lsh_bucket(array<num>, bits)               → bigint
   *  - graft_lang_id(array<string>)                     → string
+  *  - graft_word_ngrams(tokens, n)                     → array<string>
+  *  - graft_token_chunks(tokens, chunkSize, stride)    → array<string>
   *  - graft_money_sum(x, scale)  [aggregate]           → decimal(38,scale)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -58,6 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => LshBucketExpr(args.head, intLit(args(1), "bits"), 42L)))
     ext.injectFunction((FunctionIdentifier("graft_lang_id"), info("graft_lang_id"),
       (args: Seq[Expression]) => LangIdExpr(args.head, TextFunctions.LangLexicon)))
+    ext.injectFunction((FunctionIdentifier("graft_word_ngrams"), info("graft_word_ngrams"),
+      (args: Seq[Expression]) => WordNgramsExpr(args.head, intLit(args(1), "n"))))
+    ext.injectFunction((FunctionIdentifier("graft_token_chunks"), info("graft_token_chunks"),
+      (args: Seq[Expression]) => TokenChunksExpr(args.head,
+        intLit(args(1), "chunkSize"), intLit(args(2), "stride"))))
     // aggregate: the analyzer wraps a bare AggregateFunction from a SQL
     // builder in its AggregateExpression
     ext.injectFunction((FunctionIdentifier("graft_money_sum"), info("graft_money_sum"),

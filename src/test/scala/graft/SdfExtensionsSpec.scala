@@ -115,6 +115,12 @@ class SdfExtensionsSpec extends SparkTestBase {
     val r5 = spark.sql(
       "SELECT graft_band_buckets(graft_minhash(array('a','b'), 16), 4, 4) AS bb").first()
     assert(r5.getSeq[Long](0).size == 4)
+    val r6 = spark.sql(
+      "SELECT graft_word_ngrams(array('a','b','c','d'), 3) AS g").first()
+    assert(r6.getSeq[String](0) == Seq("a b c", "b c d"))
+    val r7 = spark.sql(
+      "SELECT graft_token_chunks(array('a','b','c','d','e'), 3, 2) AS c").first()
+    assert(r7.getSeq[String](0) == Seq("a b c", "c d e"))
   }
 
   test("SQL functions reject wrong-typed arguments at analysis time") {
