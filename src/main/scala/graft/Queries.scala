@@ -881,6 +881,43 @@ object Queries {
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_active"))
   }
 
+  /** Price deciles per order priority (NTILE): partitioned window — each
+    * priority sorts independently (no global sort), unique (price, key)
+    * ordering makes tile assignment engine-portable.
+    */
+  def d66PriceDeciles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("o_orderpriority"), col("decile").cast("long").as("decile"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n"),
+        expr("CAST(graft_money_sum(o_totalprice, 2) AS DOUBLE)").as("sum_price"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+  }
+
+  /** Customer re-order cadence (LAG): per-customer consecutive order gaps
+    * in whole days, averaged per customer — the sequential-window pattern
+    * partitioned by key (parallel across customers, no global sort).
+    */
+  def d67OrderGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      // o_orderdate is TIMESTAMP_NTZ; the session runs UTC (GraftSession),
+      // so the NTZ->TIMESTAMP cast is the same instant DuckDB's epoch_ms
+      // assigns the naive timestamp
+      .withColumn("ms", expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .filter(col("prev_ms").isNotNull)
+      .withColumn("gap_days", expr("(ms - prev_ms) div 86400000"))
+      .groupBy(col("o_custkey"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_gaps"),
+        round(sum(col("gap_days")).cast("double") / count(lit(1)), 4).as("avg_gap_days"),
+        expr("CAST(MAX(gap_days) AS BIGINT)").as("max_gap_days"))
+  }
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -949,6 +986,8 @@ object Queries {
     "d63_chunk_docs" -> (d63ChunkDocs _),
     "d64_funnel" -> (d64Funnel _),
     "d65_retention" -> (d65Retention _),
+    "d66_price_deciles" -> (d66PriceDeciles _),
+    "d67_order_gaps" -> (d67OrderGaps _),
   )
 
   private val toksSql =
@@ -1293,5 +1332,26 @@ object Queries {
         |SELECT cohort_week, week - cohort_week AS weeks_since,
         | CAST(COUNT(*) AS BIGINT) AS n_active
         |FROM uw JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "d66_price_deciles" ->
+      """WITH t AS (SELECT o_orderpriority, o_totalprice,
+        |  NTILE(10) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS decile
+        | FROM orders)
+        |SELECT o_orderpriority, CAST(decile AS BIGINT) AS decile,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | ROUND(MIN(o_totalprice), 2) AS min_price,
+        | ROUND(MAX(o_totalprice), 2) AS max_price
+        |FROM t GROUP BY 1, 2""".stripMargin,
+    "d67_order_gaps" ->
+      """WITH t AS (SELECT o_custkey,
+        |  epoch_ms(o_orderdate) AS ms,
+        |  LAG(epoch_ms(o_orderdate)) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_ms
+        | FROM orders)
+        |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        | ROUND(CAST(SUM((ms - prev_ms) // 86400000) AS DOUBLE) / COUNT(*), 4) AS avg_gap_days,
+        | CAST(MAX((ms - prev_ms) // 86400000) AS BIGINT) AS max_gap_days
+        |FROM t WHERE prev_ms IS NOT NULL GROUP BY 1""".stripMargin,
   )
 }
