@@ -847,37 +847,43 @@ object Queries {
         col("col").as("chunk"),
         TextFunctions.tokenCount(col("col")).cast("long").as("n_chunk_tokens"))
 
-  /** Sequential conversion funnel signup → click → purchase: each stage is
-    * a keyed min-aggregate joined to the previous stage's frontier (join
-    * strategy left to AQE — per-user frontiers are orders of magnitude
-    * smaller than the event log and broadcast at any realistic user count;
-    * above that the join co-partitions on user_id).
+  /** Sequential conversion funnel signup → click(24h) → purchase(24h):
+    * each stage is a keyed min-aggregate joined to the previous stage's
+    * frontier, with a conversion window so the stages genuinely attrit
+    * (join strategy left to AQE — per-user frontiers are orders of
+    * magnitude smaller than the event log and broadcast at any realistic
+    * user count; above that the join co-partitions on user_id).
     */
   def d64Funnel(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts_ms"))
     val s1 = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts_ms")).as("m1"))
+    val W = 86400000L // 24h conversion window per stage
     val s2 = ev.filter(col("event_type") === "click")
-      .join(s1, "user_id").filter(col("ts_ms") >= col("m1"))
+      .join(s1, "user_id")
+      .filter(col("ts_ms") >= col("m1") && col("ts_ms") < col("m1") + W)
       .groupBy(col("user_id")).agg(min(col("ts_ms")).as("m2"))
     val s3 = ev.filter(col("event_type") === "purchase")
-      .join(s2, "user_id").filter(col("ts_ms") >= col("m2"))
+      .join(s2, "user_id")
+      .filter(col("ts_ms") >= col("m2") && col("ts_ms") < col("m2") + W)
       .groupBy(col("user_id")).agg(min(col("ts_ms")).as("m3"))
     s1.agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_signup"))
       .crossJoin(s2.agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_signup_click")))
       .crossJoin(s3.agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_full_funnel")))
   }
 
-  /** Cohort retention matrix: cohort = first active week per user; one
-    * distinct pass over (user, week), then a user-keyed join back and a
-    * combinable count per (cohort, offset) cell.
+  /** Cohort retention matrix: cohort = first active DAY per user; one
+    * distinct pass over (user, day), then a user-keyed join back and a
+    * combinable count per (cohort, offset) cell. Daily granularity keeps
+    * the matrix discriminating at the oracle scale (weekly collapses the
+    * whole corpus into one cohort cell).
     */
   def d65Retention(s: SparkSession, d: String): DataFrame = {
-    val uw = Tables.events(s, d)
-      .select(col("user_id"), expr("ts_ms div 604800000").as("week")).distinct()
-    val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
-    uw.join(cohort, "user_id")
-      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day")).distinct()
+    val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ud.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("days_since"))
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_active"))
   }
 
@@ -1320,18 +1326,20 @@ object Queries {
       """WITH s1 AS (SELECT user_id, MIN(epoch_ms(ts)) AS m1 FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),
         |s2 AS (SELECT e.user_id, MIN(epoch_ms(e.ts)) AS m2 FROM events e JOIN s1 USING (user_id)
-        |  WHERE e.event_type = 'click' AND epoch_ms(e.ts) >= m1 GROUP BY 1),
+        |  WHERE e.event_type = 'click' AND epoch_ms(e.ts) >= m1
+        |    AND epoch_ms(e.ts) < m1 + 86400000 GROUP BY 1),
         |s3 AS (SELECT e.user_id, MIN(epoch_ms(e.ts)) AS m3 FROM events e JOIN s2 USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= m2 GROUP BY 1)
+        |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= m2
+        |    AND epoch_ms(e.ts) < m2 + 86400000 GROUP BY 1)
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_signup,
         | (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_signup_click,
         | (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_full_funnel""".stripMargin,
     "d65_retention" ->
-      """WITH uw AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week FROM events),
-        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
-        |SELECT cohort_week, week - cohort_week AS weeks_since,
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS days_since,
         | CAST(COUNT(*) AS BIGINT) AS n_active
-        |FROM uw JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+        |FROM ud JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
     "d66_price_deciles" ->
       """WITH t AS (SELECT o_orderpriority, o_totalprice,
         |  NTILE(10) OVER (PARTITION BY o_orderpriority

@@ -133,7 +133,8 @@ object ScaleOps {
       df: DataFrame, streamCol: String, orderCol: String, tokenCount: Column,
       budget: Long, tokenOutCol: String = "n_tokens"): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    require(!df.columns.contains(tokenOutCol) && !df.columns.contains("bin_id"),
+    require(tokenOutCol != "bin_id" && !df.columns.contains(tokenOutCol) &&
+      !df.columns.contains("bin_id"),
       s"output columns ($tokenOutCol, bin_id) collide with the input schema — " +
         "pass a different tokenOutCol or drop/rename the existing columns")
     val w = org.apache.spark.sql.expressions.Window

@@ -118,8 +118,12 @@ class PlanAuditSpec extends SparkTestBase {
     val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1,
       s"vector aggregation should shuffle once, got $exchanges:\n" + finalPlan.take(3000))
-    assert(!plan.contains("Generate explode") ||
-      plan.indexOf("Generate") > plan.indexOf("Aggregate"),
-      "posexplode must run on the aggregated result, not the input")
+    // plans print root-first: the Generate (posexplode) must sit ABOVE the
+    // aggregation — i.e. consume its output, never explode the raw input
+    val gen = finalPlan.indexOf("Generate")
+    val agg = finalPlan.indexOf("HashAggregate")
+    assert(gen >= 0 && agg >= 0 && gen < agg,
+      s"posexplode must consume the aggregated result (gen=$gen agg=$agg):\n" +
+        finalPlan.take(3000))
   }
 }
