@@ -136,6 +136,24 @@ object StreamingOps {
     stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming decontamination gate: drop arriving docs sharing any
+    * verbatim word n-gram with the (static, small-by-contract) eval set —
+    * the ingest-side twin of `operators.Decontaminate`. Stateless and
+    * per-row: the eval grams ride the plan as a literal array probed by the
+    * codegen'd `arrays_overlap`, so the gate adds no shuffle, no state, and
+    * works in any output mode. For an eval set too big for a plan literal,
+    * swap the probe for `NativeExpressions.bloomMightContain` over
+    * per-gram hashes (false positives then over-drop — acceptable for a
+    * hygiene gate, never for the batch oracle path).
+    */
+  def decontaminateStream(
+      docs: DataFrame, textCol: String, evalGrams: Seq[String], n: Int): DataFrame = {
+    require(evalGrams.nonEmpty, "empty eval gram set would pass everything")
+    docs.filter(!arrays_overlap(
+      graft.functions.TextFunctions.wordShingles(col(textCol), n),
+      typedlit(evalGrams)))
+  }
+
   /** Per-bucket streaming LSH state: the last `maxBucketMembers` (id,
     * signature) pairs seen in one band bucket.
     */

@@ -259,6 +259,27 @@ class StreamingSpec extends SparkTestBase {
     assertMultiset(rows, Seq("a", "b", "c"))
   }
 
+  test("streaming decontamination gate drops eval-overlapping docs, stateless") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evalGrams = Seq("alpha beta gamma delta") // one eval 4-gram
+    val mem = MemoryStream[(Long, String)]
+    val gated = StreamingOps.decontaminateStream(
+      mem.toDS().select(col("_1").as("doc_id"), col("_2").as("text")),
+      "text", evalGrams, n = 4)
+    val q = gated.writeStream.format("memory")
+      .queryName("decon_" + System.nanoTime()).outputMode("append").start()
+    mem.addData(
+      (1L, "prefix alpha beta gamma delta suffix words"), // contaminated
+      (2L, "alpha beta entirely different gamma delta"),  // shared words, no 4-gram
+      (3L, "clean document with no overlap at all"))
+    q.processAllAvailable()
+    val rows = s.sql(s"SELECT doc_id FROM ${q.name}").collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assertMultiset(rows, Seq(2L, 3L))
+  }
+
   test("streaming near-dup candidates: cross-batch LSH state finds the pair, distinct docs stay clean") {
     val s = spark
     import s.implicits._
