@@ -4,6 +4,7 @@ import graft.api.Pipeline
 import graft.core._
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.plans.NativeExpressions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -924,6 +925,117 @@ object Queries {
         expr("CAST(MAX(gap_days) AS BIGINT)").as("max_gap_days"))
   }
 
+  /** Per-group bivariate statistics: Pearson correlation and sample /
+    * population covariance of quantity vs price. Single partial-aggregatable
+    * pass (co-moment accumulators combine map-side); the reported values are
+    * rounded because the two engines merge co-moments in different orders
+    * (err ~1e-12 relative — margins probed at well over 1e-4 of a rounding
+    * boundary at sf0.01).
+    */
+  def d68GroupCorr(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_rows"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 3).as("covar_s"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 3).as("covar_p"))
+
+  /** Gopher repetition signals: duplicate-word fraction and top-bigram mass
+    * per document, flagging repetitious docs. The counters come from ONE
+    * map-only native pass ([[graft.plans.RepetitionStatsExpr]]) — no explode,
+    * no shuffle until nothing is left to shuffle; the oracle rebuilds the
+    * same integers via unnest + group. Thresholds probed to be
+    * discriminating: at sf0.01 the dup-word gate alone flags 1 doc, the
+    * bigram gate alone 74, the OR 75 — dropping either predicate changes
+    * the answer.
+    */
+  def d69Repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        NativeExpressions.repetitionStats(TextFunctions.tokens(col("text"))).as("r"))
+      .select(col("doc_id"), col("lang"),
+        col("r.n_tokens").cast("double").as("__n"),
+        col("r.n_distinct").cast("double").as("__nd"),
+        col("r.top_bigram").cast("double").as("__tb"))
+      .filter(col("__n") >= 2 &&
+        (lit(1.0) - col("__nd") / col("__n") > 0.72 ||
+          col("__tb") / (col("__n") - 1.0) > 0.06))
+      .select(col("doc_id"), col("lang"),
+        col("__n").cast("long").as("n_tokens"),
+        round(lit(1.0) - col("__nd") / col("__n"), 6).as("dup_word_frac"),
+        round(col("__tb") / (col("__n") - 1.0), 6).as("top_bigram_frac"))
+
+  /** ORC source/sink round-trip: project the needed columns, materialize as
+    * ORC (Spark-native writer), read back, aggregate. Proves the second
+    * columnar format end-to-end — the aggregate must be bit-identical to the
+    * parquet-direct oracle because ORC stores doubles losslessly.
+    */
+  def d70OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_orc_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_rows"),
+        expr("CAST(graft_money_sum(l_quantity, 2) AS DOUBLE)").as("sum_qty"),
+        expr("CAST(graft_money_sum(l_extendedprice, 2) AS DOUBLE)").as("sum_price"))
+  }
+
+  /** Fixed-width histogram of event values per type (bin = floor(value/50)):
+    * the one-pass distribution profile. Bin assignment divides identical
+    * raw doubles in both engines (closest value sits 2e-4 from a boundary);
+    * per-bin mass is an exact DECIMAL sum.
+    */
+  def d71Histogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        floor(col("value") / 50.0).cast("long").as("bin"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_events"),
+        expr("CAST(graft_money_sum(value, 2) AS DOUBLE)").as("sum_value"))
+
+  /** Z-score outlier detection: per-type mean/stddev computed once, rebroadcast
+    * to every event (tiny stats side → broadcast join, no second shuffle of
+    * the event stream), flag |z| > 3. The gate compares raw doubles — the
+    * nearest |z| sits 1.6e-3 from the threshold at sf0.01, far beyond the
+    * cross-engine co-moment ulps; only the reported z is rounded.
+    */
+  def d72Anomaly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("__m"), stddev_samp(col("value")).as("__sd"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("__z", (col("value") - col("__m")) / col("__sd"))
+      .filter(abs(col("__z")) > 3.0)
+      .select(expr("CAST(event_id AS BIGINT)").as("event_id"), col("event_type"),
+        col("value"), round(col("__z"), 4).as("z"))
+  }
+
+  /** Corpus-internal duplicated-8-gram census (the substring-level dedup
+    * signal from "Deduplicating Training Data Makes LMs Better"): inverted
+    * index over distinct word 8-grams, gram frequencies via a map-side
+    * combinable count, then a same-key join back — deliberately NOT
+    * collect_list-per-gram, so a stop-gram present in every document costs a
+    * counter, not a materialized posting list. Reports per-doc shared-gram
+    * counts for affected docs.
+    */
+  def d73DupNgrams(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), explode(
+        NativeExpressions.wordNgrams(TextFunctions.tokens(lower(col("text"))), 8)).as("gram"))
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("__ndw"))
+    grams.join(freq, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__ng"),
+        sum(when(col("__ndw") > 1, 1L).otherwise(0L)).as("__ns"))
+      .filter(col("__ns") > 0)
+      .select(col("doc_id"),
+        expr("CAST(__ng AS BIGINT)").as("n_grams"),
+        expr("CAST(__ns AS BIGINT)").as("n_shared"),
+        round(col("__ns").cast("double") / col("__ng"), 6).as("shared_frac"))
+  }
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -994,6 +1106,12 @@ object Queries {
     "d65_retention" -> (d65Retention _),
     "d66_price_deciles" -> (d66PriceDeciles _),
     "d67_order_gaps" -> (d67OrderGaps _),
+    "d68_group_corr" -> (d68GroupCorr _),
+    "d69_repetition" -> (d69Repetition _),
+    "d70_orc_roundtrip" -> (d70OrcRoundtrip _),
+    "d71_histogram" -> (d71Histogram _),
+    "d72_anomaly" -> (d72Anomaly _),
+    "d73_dup_ngrams" -> (d73DupNgrams _),
   )
 
   private val toksSql =
@@ -1361,5 +1479,62 @@ object Queries {
         | ROUND(CAST(SUM((ms - prev_ms) // 86400000) AS DOUBLE) / COUNT(*), 4) AS avg_gap_days,
         | CAST(MAX((ms - prev_ms) // 86400000) AS BIGINT) AS max_gap_days
         |FROM t WHERE prev_ms IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "d68_group_corr" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | ROUND(covar_samp(l_quantity, l_extendedprice), 3) AS covar_s,
+        | ROUND(covar_pop(l_quantity, l_extendedprice), 3) AS covar_p
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "d69_repetition" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS ws FROM documents),
+         |big AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |  i -> ws[i] || ' ' || ws[i+1])) AS g FROM t WHERE len(ws) >= 2),
+         |topb AS (SELECT doc_id, max(c) AS topc FROM (
+         |  SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2) GROUP BY 1),
+         |p AS (SELECT t.doc_id, t.lang, len(ws) AS n,
+         |  len(list_distinct(ws)) AS nd, coalesce(topc, 0) AS topc
+         | FROM t LEFT JOIN topb ON t.doc_id = topb.doc_id)
+         |SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+         | ROUND(1.0 - nd * 1.0 / n, 6) AS dup_word_frac,
+         | ROUND(topc * 1.0 / (n - 1), 6) AS top_bigram_frac
+         |FROM p WHERE n >= 2
+         | AND (1.0 - nd * 1.0 / n > 0.72 OR topc * 1.0 / (n - 1) > 0.06)""".stripMargin,
+
+    "d70_orc_roundtrip" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "d71_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "d72_anomaly" ->
+      """WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        | FROM events GROUP BY 1)
+        |SELECT CAST(event_id AS BIGINT) AS event_id, event_type, value,
+        | ROUND((value - m) / sd, 4) AS z
+        |FROM events JOIN s USING (event_type)
+        |WHERE abs((value - m) / sd) > 3.0""".stripMargin,
+
+    "d73_dup_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(ws) >= 8
+         |   THEN list_transform(range(1, len(ws) - 6), i -> array_to_string(ws[i:i+7], ' '))
+         |   ELSE [array_to_string(ws, ' ')] END)) AS gram FROM t),
+         |f AS (SELECT gram, count(*) AS ndw FROM g GROUP BY 1),
+         |p AS (SELECT doc_id, count(*) AS n_grams,
+         |  sum(CASE WHEN ndw > 1 THEN 1 ELSE 0 END) AS n_shared
+         | FROM g JOIN f USING (gram) GROUP BY 1)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        | CAST(n_shared AS BIGINT) AS n_shared,
+        | ROUND(n_shared * 1.0 / n_grams, 6) AS shared_frac
+        |FROM p WHERE n_shared > 0""".stripMargin,
   )
 }

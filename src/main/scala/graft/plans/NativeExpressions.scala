@@ -129,6 +129,12 @@ object NativeExpressions {
   def tokenChunks(tokens: Column, chunkSize: Int, stride: Int): Column =
     ColumnBridge.column(TokenChunksExpr(ColumnBridge.expression(tokens), chunkSize, stride))
 
+  /** Single-pass repetition counters over a token array — see
+    * [[RepetitionStatsExpr]].
+    */
+  def repetitionStats(tokens: Column): Column =
+    ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(tokens)))
+
   /** Read element i of a numeric array column as double (float or double). */
   private[plans] def numAt(arr: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
@@ -694,5 +700,51 @@ case class TokenChunksExpr(child: Expression, chunkSize: Int, stride: Int)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(newChild: Expression): TokenChunksExpr =
+    copy(child = newChild)
+}
+
+/** Repetition counters for Gopher-style quality filtering (the repetition
+  * family of rules: "fraction of duplicate words" and "fraction of bigram
+  * occurrences taken by the most common bigram"), computed in ONE pass over
+  * the token array instead of an explode + two shuffled aggregations per
+  * document. Returns struct<n_tokens, n_distinct, top_bigram> (ints; the
+  * fractions are derived in the query layer from these exact counters so
+  * both engines divide identical integers).
+  *
+  * Map-only by construction: the whole per-document tally lives in two
+  * small hash maps sized by the document, so the operator scales with
+  * corpus bytes, never with corpus cardinality.
+  */
+case class RepetitionStatsExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(NativeInputTypes.stringArray)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_bigram", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val words = new java.util.HashSet[UTF8String](math.max(n * 2, 4))
+    val bigrams = new java.util.HashMap[UTF8String, Int](math.max(n * 2, 4))
+    val sep = UTF8String.fromString(" ")
+    var top = 0
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      val tok = arr.getUTF8String(i)
+      words.add(tok)
+      if (prev != null) {
+        val bg = UTF8String.concatWs(sep, prev, tok)
+        val c = bigrams.merge(bg, 1, (a, b) => a + b)
+        if (c > top) top = c
+      }
+      prev = tok
+      i += 1
+    }
+    InternalRow(n, words.size, top)
+  }
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
     copy(child = newChild)
 }

@@ -112,6 +112,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), "chunking should not shuffle:\n" + plan.take(3000))
   }
 
+  test("d69: repetition gate is map-only — no exchange anywhere in the plan") {
+    val plan = planOf(Queries.d69Repetition(spark, d))
+    assert(!plan.contains("Exchange"),
+      "per-doc repetition counters should not shuffle:\n" + plan.take(3000))
+  }
+
+  test("d72: per-type stats rebroadcast to events — the event stream is never hash-shuffled twice") {
+    val plan = planOf(Queries.d72Anomaly(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!finalPlan.contains("SortMergeJoin"),
+      "stats join fell into a sort-merge join:\n" + finalPlan.take(3000))
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1,
+      s"only the stats aggregate may shuffle, got $exchanges:\n" + finalPlan.take(3000))
+  }
+
+  test("d73: inverted-index census shuffles gram keys and doc keys, nothing else") {
+    val plan = planOf(Queries.d73DupNgrams(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") && !finalPlan.contains("BroadcastNestedLoopJoin"),
+      "census must never go quadratic:\n" + finalPlan.take(3000))
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 4, s"unexpected shuffles ($exchanges):\n" + finalPlan.take(3000))
+  }
+
   test("d62: centroid aggregation is partial/final over ONE exchange of group buffers") {
     val plan = planOf(Queries.d62EmbedCentroids(spark, d))
     val finalPlan = plan.split("== Initial Plan ==").head

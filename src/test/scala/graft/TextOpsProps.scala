@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{TokenChunksExpr, WordNgramsExpr}
+import graft.plans.{RepetitionStatsExpr, TokenChunksExpr, WordNgramsExpr}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.BoundReference
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -45,6 +45,19 @@ object TextOpsProps extends Properties("TextOps") {
       }
       val covered = n == 0 || (chunks.length - 1) * stride + size >= n
       chunks.length == expectedCount && shapesMatch && covered
+    }
+
+  property("repetitionStats: counters equal the collections-library reference") =
+    forAll(tokensGen) { toks =>
+      val arr = new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any).toArray)
+      val row = RepetitionStatsExpr(childRef).eval(InternalRow(arr))
+        .asInstanceOf[InternalRow]
+      val expectedTop =
+        if (toks.length < 2) 0
+        else toks.sliding(2).map(_.mkString(" ")).toSeq.groupBy(identity).values.map(_.size).max
+      row.getInt(0) == toks.length &&
+        row.getInt(1) == toks.distinct.length &&
+        row.getInt(2) == expectedTop
     }
 
   property("wordNgrams: distinct sliding windows; whole doc when short") =
