@@ -2,7 +2,7 @@ package graft
 
 import graft.api.Pipeline
 import graft.core._
-import graft.functions.TextFunctions
+import graft.functions.{FrequencySketch, TextFunctions}
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.plans.NativeExpressions
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1036,6 +1036,123 @@ object Queries {
         round(col("__ns").cast("double") / col("__ng"), 6).as("shared_frac"))
   }
 
+  /** Time-based moving aggregate: a RANGE frame over event time (24 h
+    * lookback per user) — the frame family d47's running sum (ROWS) does not
+    * cover. RANGE includes all ts peers on both engines, so the result is
+    * deterministic even under timestamp ties; the frame mass is an exact
+    * DECIMAL sum. Partitioned by user — no global sort.
+    */
+  def d74MovingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(expr("CAST(event_id AS BIGINT)").as("event_id"),
+        expr("CAST(user_id AS BIGINT)").as("user_id"), col("ts_ms"),
+        expr("CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_ms " +
+          "RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS BIGINT)").as("mov_events"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts_ms " +
+          "RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS DOUBLE)").as("mov_value"))
+
+  /** Gap-based sessionization in the analytics layer (vs q18's dataflow
+    * session WINDOWS): LAG flags a session break after >6 h of silence, a
+    * running sum numbers the sessions, then one aggregate per session. The
+    * 6 h gap is probed to be discriminating (5725 sessions at sf0.01 —
+    * a 30 min gap would degenerate to one session per event on this data).
+    * Ordering is total (ts_ms, event_id), so both engines assign identical
+    * session ids.
+    */
+  def d75Sessionize(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("__prev", lag(col("ts_ms"), 1).over(wOrd))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("ts_ms") - col("__prev") > 21600000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__brk")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_events"),
+        expr("CAST(MIN(ts_ms) AS BIGINT)").as("start_ms"),
+        expr("CAST(MAX(ts_ms) - MIN(ts_ms) AS BIGINT)").as("duration_ms"),
+        expr("CAST(graft_money_sum(value, 2) AS DOUBLE)").as("sum_value"))
+      .select(expr("CAST(user_id AS BIGINT)").as("user_id"),
+        expr("CAST(session_id AS BIGINT)").as("session_id"),
+        col("n_events"), col("start_ms"), col("duration_ms"), col("sum_value"))
+  }
+
+  /** PIVOT: long-to-wide with an explicit value list (no extra
+    * value-discovery job — the list is part of the query, as it must be on
+    * a cluster where a scan costs real money). Missing cells are zero, not
+    * null, to match the CASE-sum oracle.
+    */
+  def d76Pivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val wide = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    wide.select(expr("CAST(user_id AS BIGINT)").as("user_id") +:
+      types.map(t => coalesce(col(t), lit(0L)).cast("long").as(s"n_$t")): _*)
+  }
+
+  /** UNPIVOT/melt: wide-to-long over the per-flag money aggregates. The
+    * Dataset.unpivot operator is the engine surface under test; the values
+    * themselves are exact DECIMAL sums.
+    */
+  def d77Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("CAST(graft_money_sum(l_quantity, 2) AS DOUBLE)").as("sum_qty"),
+        expr("CAST(graft_money_sum(l_extendedprice, 2) AS DOUBLE)").as("sum_price"),
+        expr("CAST(graft_money_sum(l_tax, 2) AS DOUBLE)").as("sum_tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_tax")),
+        "metric", "amount")
+
+  /** Exact global top terms: one distinct-term shuffle, then
+    * TakeOrderedAndProject (never a global sort). Deterministic LIMIT via
+    * the (count desc, term) tiebreak. This is the exact baseline d79's
+    * sketch approximates when term cardinality outgrows the shuffle.
+    */
+  def d78TopTerms(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("term"))
+      .limit(20)
+
+  /** Misra-Gries heavy-hitter candidates over the token stream
+    * ([[graft.functions.FrequencySketch]]): bounded state (k counters per
+    * partial aggregate, ONE shuffle of at most k counters per partition)
+    * instead of d78's per-distinct-term shuffle row. Emits the provably
+    * heavy candidates (est > n/(k+1)); estimates depend boundedly on
+    * partition layout, so this is a rows-only battery entry — the error
+    * laws are pinned in FrequencySketchSpec.
+    */
+  def d79HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val k = 100
+    Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      .agg(FrequencySketch.heavyHitters(k)(col("term")).as("hh"),
+        count(lit(1)).as("__n"))
+      .select(explode(col("hh")).as(Seq("term", "est_count")), col("__n"))
+      .filter(col("est_count") > col("__n").cast("double") / (k + 1))
+      .select(col("term"), expr("CAST(est_count AS BIGINT)").as("est_count"))
+      .orderBy(col("est_count").desc, col("term"))
+  }
+
+  /** GROUPING SETS — the explicit multi-granularity aggregate (cube d43 and
+    * rollup q10 are its closed forms): one expand + one shuffle computes the
+    * (flag, status), (flag), and grand-total granularities in a single pass.
+    */
+  def d80GroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n"),
+        expr("CAST(graft_money_sum(l_quantity, 2) AS DOUBLE)").as("sum_qty"))
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1112,6 +1229,13 @@ object Queries {
     "d71_histogram" -> (d71Histogram _),
     "d72_anomaly" -> (d72Anomaly _),
     "d73_dup_ngrams" -> (d73DupNgrams _),
+    "d74_moving_window" -> (d74MovingWindow _),
+    "d75_sessionize" -> (d75Sessionize _),
+    "d76_pivot" -> (d76Pivot _),
+    "d77_unpivot" -> (d77Unpivot _),
+    "d78_top_terms" -> (d78TopTerms _),
+    "d79_heavy_hitters" -> (d79HeavyHitters _),
+    "d80_grouping_sets" -> (d80GroupingSets _),
   )
 
   private val toksSql =
@@ -1536,5 +1660,65 @@ object Queries {
         | CAST(n_shared AS BIGINT) AS n_shared,
         | ROUND(n_shared * 1.0 / n_grams, 6) AS shared_frac
         |FROM p WHERE n_shared > 0""".stripMargin,
+
+    "d74_moving_window" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        | CAST(user_id AS BIGINT) AS user_id, epoch_ms(ts) AS ts_ms,
+        | CAST(COUNT(*) OVER w AS BIGINT) AS mov_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        | RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "d75_sessionize" ->
+      """WITH f AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+        |  CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL
+        |    OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 21600000
+        |   THEN 1 ELSE 0 END AS brk
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |sid AS (SELECT user_id, value, ts_ms,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM f)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        | CAST(session_id AS BIGINT) AS session_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(MIN(ts_ms) AS BIGINT) AS start_ms,
+        | CAST(MAX(ts_ms) - MIN(ts_ms) AS BIGINT) AS duration_ms,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sid GROUP BY user_id, session_id""".stripMargin,
+
+    "d76_pivot" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "d77_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_tax
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS amount FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS amount FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_tax' AS metric, sum_tax AS amount FROM a""".stripMargin,
+
+    "d78_top_terms" ->
+      s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |FROM (SELECT unnest($toksLowerSql) AS term FROM documents)
+         |GROUP BY 1 ORDER BY n_occurrences DESC, term LIMIT 20""".stripMargin,
+
+    "d80_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
   )
 }

@@ -21,6 +21,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - graft_lang_id(array<string>)                     → string
   *  - graft_word_ngrams(tokens, n)                     → array<string>
   *  - graft_token_chunks(tokens, chunkSize, stride)    → array<string>
+  *  - graft_repetition_stats(tokens)                   → struct<n_tokens,n_distinct,top_bigram>
   *  - graft_money_sum(x, scale)  [aggregate]           → decimal(38,scale)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -65,6 +66,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_token_chunks"), info("graft_token_chunks"),
       (args: Seq[Expression]) => TokenChunksExpr(args.head,
         intLit(args(1), "chunkSize"), intLit(args(2), "stride"))))
+    ext.injectFunction((FunctionIdentifier("graft_repetition_stats"), info("graft_repetition_stats"),
+      (args: Seq[Expression]) => RepetitionStatsExpr(args.head)))
     // aggregate: the analyzer wraps a bare AggregateFunction from a SQL
     // builder in its AggregateExpression
     ext.injectFunction((FunctionIdentifier("graft_money_sum"), info("graft_money_sum"),

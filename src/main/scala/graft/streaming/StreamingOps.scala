@@ -154,6 +154,28 @@ object StreamingOps {
       typedlit(evalGrams)))
   }
 
+  /** Streaming z-score anomaly gate — the online twin of the batch
+    * `d72_anomaly` query: arriving events are scored against per-key
+    * baseline statistics (mean/stddev computed offline on the standing
+    * corpus) and only outliers pass. The baseline joins stream-static with
+    * an explicit `broadcast()`: every micro-batch probes a hashed relation
+    * that ships once per executor — no per-batch shuffle of the event
+    * stream, no state. Re-fitting the baseline is a planned (daily-style)
+    * batch job, which is how a production monitor separates the slow fit
+    * path from the fast score path.
+    */
+  def anomalyGateStream(
+      events: DataFrame, keyCol: String, valueCol: String,
+      baseline: DataFrame, zThreshold: Double): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be positive: $zThreshold")
+    val stats = baseline.select(col(keyCol),
+      col("m").cast("double").as("__m"), col("sd").cast("double").as("__sd"))
+    events.join(broadcast(stats), keyCol)
+      .withColumn("z", (col(valueCol) - col("__m")) / col("__sd"))
+      .filter(abs(col("z")) > zThreshold)
+      .drop("__m", "__sd")
+  }
+
   /** Per-bucket streaming LSH state: the last `maxBucketMembers` (id,
     * signature) pairs seen in one band bucket.
     */

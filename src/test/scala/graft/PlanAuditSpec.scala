@@ -138,6 +138,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges <= 4, s"unexpected shuffles ($exchanges):\n" + finalPlan.take(3000))
   }
 
+  test("d74/d75: event-time windows partition by user — never a global sort") {
+    for (q <- Seq(Queries.d74MovingWindow _, Queries.d75Sessionize _)) {
+      val plan = planOf(q(spark, d))
+      val finalPlan = plan.split("== Initial Plan ==").head
+      assert(!finalPlan.contains("Exchange rangepartitioning"),
+        "windowed query fell into a global sort:\n" + finalPlan.take(3000))
+      val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 2, s"unexpected shuffles ($exchanges):\n" + finalPlan.take(3000))
+    }
+  }
+
+  test("d76: pivot with an explicit value list plans the two-phase aggregate, no value-discovery job") {
+    val df = Queries.d76Pivot(spark, d)
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // Spark's pivot is deliberately two-phase: a partial/final count on the
+    // compound (user, type) key collapses the stream BEFORE pivotfirst
+    // re-keys by user — both exchanges move already-aggregated rows, which
+    // is the scale-safe shape. What must NOT appear is a third job that
+    // scans for distinct pivot values (the explicit value list preempts it).
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"pivot should plan two aggregate exchanges, got $exchanges:\n" +
+      finalPlan.take(3000))
+    assert(finalPlan.contains("pivotfirst"), "pivot operator missing:\n" + finalPlan.take(3000))
+  }
+
   test("d62: centroid aggregation is partial/final over ONE exchange of group buffers") {
     val plan = planOf(Queries.d62EmbedCentroids(spark, d))
     val finalPlan = plan.split("== Initial Plan ==").head

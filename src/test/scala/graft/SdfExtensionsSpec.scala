@@ -121,6 +121,10 @@ class SdfExtensionsSpec extends SparkTestBase {
     val r7 = spark.sql(
       "SELECT graft_token_chunks(array('a','b','c','d','e'), 3, 2) AS c").first()
     assert(r7.getSeq[String](0) == Seq("a b c", "c d e"))
+    val r8 = spark.sql(
+      "SELECT graft_repetition_stats(array('a','b','a','b','a')) AS r").first()
+    val rep = r8.getStruct(0)
+    assert((rep.getInt(0), rep.getInt(1), rep.getInt(2)) == ((5, 2, 2)))
   }
 
   test("SQL functions reject wrong-typed arguments at analysis time") {

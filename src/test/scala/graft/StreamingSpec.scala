@@ -280,6 +280,31 @@ class StreamingSpec extends SparkTestBase {
     assertMultiset(rows, Seq(2L, 3L))
   }
 
+  test("streaming anomaly gate passes only out-of-band values against a static baseline") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // baseline: click ~ N(10, 1); error ~ N(100, 5)
+    val baseline = Seq(("click", 10.0, 1.0), ("error", 100.0, 5.0))
+      .toDF("event_type", "m", "sd")
+    val mem = MemoryStream[(Long, String, Double)]
+    val gated = StreamingOps.anomalyGateStream(
+      mem.toDS().select(col("_1").as("event_id"), col("_2").as("event_type"),
+        col("_3").as("value")),
+      "event_type", "value", baseline, zThreshold = 3.0)
+    val q = gated.writeStream.format("memory")
+      .queryName("anom_" + System.nanoTime()).outputMode("append").start()
+    mem.addData(
+      (1L, "click", 10.5),  // z = 0.5 — normal
+      (2L, "click", 14.0),  // z = 4.0 — outlier
+      (3L, "error", 96.0),  // z = -0.8 — normal
+      (4L, "error", 60.0))  // z = -8.0 — outlier
+    q.processAllAvailable()
+    val rows = s.sql(s"SELECT event_id FROM ${q.name}").collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assertMultiset(rows, Seq(2L, 4L))
+  }
+
   test("streaming near-dup candidates: cross-batch LSH state finds the pair, distinct docs stay clean") {
     val s = spark
     import s.implicits._
