@@ -969,10 +969,17 @@ object Queries {
     * ORC (Spark-native writer), read back, aggregate. Proves the second
     * columnar format end-to-end — the aggregate must be bit-identical to the
     * parquet-direct oracle because ORC stores doubles losslessly.
+    *
+    * Unlike every other battery entry this is deliberately NOT a pure plan
+    * builder: constructing the DataFrame runs the write job (a round-trip
+    * has to materialize). The path is keyed by (applicationId, data dir) so
+    * concurrent sessions over the same data never race on one directory;
+    * within a session, sequential re-runs overwrite their own files.
     */
   def d70OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_orc_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      "graft_orc_" + s.sparkContext.applicationId + "_" +
+        Integer.toHexString(d.hashCode)).getAbsolutePath
     Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
       .write.mode("overwrite").orc(path)
@@ -999,13 +1006,18 @@ object Queries {
     * to every event (tiny stats side → broadcast join, no second shuffle of
     * the event stream), flag |z| > 3. The gate compares raw doubles — the
     * nearest |z| sits 1.6e-3 from the threshold at sf0.01, far beyond the
-    * cross-engine co-moment ulps; only the reported z is rounded.
+    * cross-engine co-moment ulps; only the reported z is rounded. The
+    * explicit `__sd > 0` guard pins the degenerate all-identical-values
+    * group OUT on both engines (division by a zero stddev is NULL in Spark
+    * but NaN — which sorts above every number — in DuckDB, so without the
+    * guard the two engines disagree on exactly that group).
     */
   def d72Anomaly(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val stats = ev.groupBy(col("event_type"))
       .agg(avg(col("value")).as("__m"), stddev_samp(col("value")).as("__sd"))
     ev.join(broadcast(stats), "event_type")
+      .filter(col("__sd") > 0)
       .withColumn("__z", (col("value") - col("__m")) / col("__sd"))
       .filter(abs(col("__z")) > 3.0)
       .select(expr("CAST(event_id AS BIGINT)").as("event_id"), col("event_type"),
@@ -1644,7 +1656,7 @@ object Queries {
         |SELECT CAST(event_id AS BIGINT) AS event_id, event_type, value,
         | ROUND((value - m) / sd, 4) AS z
         |FROM events JOIN s USING (event_type)
-        |WHERE abs((value - m) / sd) > 3.0""".stripMargin,
+        |WHERE sd > 0 AND abs((value - m) / sd) > 3.0""".stripMargin,
 
     "d73_dup_ngrams" ->
       s"""WITH t AS (SELECT doc_id, $toksLowerSql AS ws FROM documents),

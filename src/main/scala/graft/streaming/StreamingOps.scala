@@ -156,23 +156,38 @@ object StreamingOps {
 
   /** Streaming z-score anomaly gate — the online twin of the batch
     * `d72_anomaly` query: arriving events are scored against per-key
-    * baseline statistics (mean/stddev computed offline on the standing
-    * corpus) and only outliers pass. The baseline joins stream-static with
-    * an explicit `broadcast()`: every micro-batch probes a hashed relation
-    * that ships once per executor — no per-batch shuffle of the event
-    * stream, no state. Re-fitting the baseline is a planned (daily-style)
-    * batch job, which is how a production monitor separates the slow fit
-    * path from the fast score path.
+    * baseline statistics (mean `meanCol` / stddev `sdCol`, computed offline
+    * on the standing corpus) and only out-of-band events pass. The baseline
+    * joins stream-static with an explicit `broadcast()`: every micro-batch
+    * probes a hashed relation that ships once per executor — no per-batch
+    * shuffle of the event stream, no state. Re-fitting the baseline is a
+    * planned (daily-style) batch job, which is how a production monitor
+    * separates the slow fit path from the fast score path.
+    *
+    * Edge policy — a monitor must never silently swallow the loudest
+    * signals, so both degenerate cases surface as anomalies (`z` = NULL):
+    *  - a key with NO baseline row (novel key since the last fit) passes
+    *    when `passUnknownKeys` is set (the default);
+    *  - a degenerate baseline (sd <= 0 or NULL) passes any value that
+    *    deviates from the mean at all — the key never varied during the
+    *    fit, so any deviation is infinitely out-of-band.
     */
   def anomalyGateStream(
       events: DataFrame, keyCol: String, valueCol: String,
-      baseline: DataFrame, zThreshold: Double): DataFrame = {
+      baseline: DataFrame, zThreshold: Double,
+      meanCol: String = "m", sdCol: String = "sd",
+      passUnknownKeys: Boolean = true): DataFrame = {
     require(zThreshold > 0, s"zThreshold must be positive: $zThreshold")
     val stats = baseline.select(col(keyCol),
-      col("m").cast("double").as("__m"), col("sd").cast("double").as("__sd"))
-    events.join(broadcast(stats), keyCol)
-      .withColumn("z", (col(valueCol) - col("__m")) / col("__sd"))
-      .filter(abs(col("z")) > zThreshold)
+      col(meanCol).cast("double").as("__m"), col(sdCol).cast("double").as("__sd"))
+    events.join(broadcast(stats), Seq(keyCol), "left_outer")
+      .withColumn("z",
+        when(col("__sd") > 0, (col(valueCol) - col("__m")) / col("__sd")))
+      .filter(
+        (col("__m").isNull && lit(passUnknownKeys)) ||
+        (col("__m").isNotNull && (col("__sd").isNull || col("__sd") <= 0) &&
+          col(valueCol) =!= col("__m")) ||
+        abs(col("z")) > zThreshold)
       .drop("__m", "__sd")
   }
 

@@ -54,13 +54,25 @@ class FrequencySketchSpec extends SparkTestBase {
     }
   }
 
-  test("merge compaction keeps at most k counters and total mass is monotone") {
+  test("merge compaction: over-full union subtracts the (k+1)-st count, keeps <= k, never overcounts") {
     val agg = new FrequencySketch.MisraGriesAgg(5)
-    val a = FrequencySketch.sketch(Seq.fill(30)("x") ++ (0 until 5).map(i => s"a$i"), 5)
-    val b = FrequencySketch.sketch(Seq.fill(20)("y") ++ (0 until 5).map(i => s"b$i"), 5)
+    // both inputs hold exactly k counters with DISTINCT exact counts (only k
+    // distinct items each, so no decrement noise) — the union has 2k
+    // counters and MUST take the compaction branch, not the early return
+    val a = FrequencySketch.sketch(
+      (0 until 5).flatMap(i => Seq.fill((i + 1) * 10)(s"a$i")), 5)
+    val b = FrequencySketch.sketch(
+      (0 until 5).flatMap(i => Seq.fill((i + 1) * 10 + 5)(s"b$i")), 5)
+    assert(a.counts.size == 5 && b.counts.size == 5)
     val m = agg.merge(a, b)
-    assert(m.counts.size <= 5)
+    // counts: a 10,20,30,40,50; b 15,25,35,45,55 → 6th largest = 30 is the
+    // cut; survivors are exactly the five counts above it, reduced by 30
+    assert(m.counts.size <= 5, s"compaction kept ${m.counts.size} counters")
     assert(m.n == a.n + b.n)
-    assert(m.counts.contains("x") && m.counts.contains("y"))
+    assert(m.counts == Map("b4" -> 25L, "a4" -> 20L, "b3" -> 15L, "a3" -> 10L, "b2" -> 5L),
+      s"unexpected compaction result: ${m.counts}")
+    // one-sided error: every estimate undercounts its true frequency
+    val exact = Map("b4" -> 55L, "a4" -> 50L, "b3" -> 45L, "a3" -> 40L, "b2" -> 35L)
+    for ((t, est) <- m.counts) assert(est <= exact(t), s"$t overcounted")
   }
 }

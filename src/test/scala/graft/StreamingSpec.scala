@@ -305,6 +305,31 @@ class StreamingSpec extends SparkTestBase {
     assertMultiset(rows, Seq(2L, 4L))
   }
 
+  test("streaming anomaly gate surfaces novel keys and degenerate baselines instead of swallowing them") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // 'flat' never varied during the fit (sd = 0); 'oom' has no baseline row
+    val baseline = Seq(("click", 10.0, 1.0), ("flat", 5.0, 0.0))
+      .toDF("event_type", "m", "sd")
+    val mem = MemoryStream[(Long, String, Double)]
+    val gated = StreamingOps.anomalyGateStream(
+      mem.toDS().select(col("_1").as("event_id"), col("_2").as("event_type"),
+        col("_3").as("value")),
+      "event_type", "value", baseline, zThreshold = 3.0)
+    val q = gated.writeStream.format("memory")
+      .queryName("anomedge_" + System.nanoTime()).outputMode("append").start()
+    mem.addData(
+      (1L, "click", 10.1),  // normal — dropped
+      (2L, "oom", 1.0),     // novel key since the fit — must surface
+      (3L, "flat", 5.0),    // degenerate baseline, AT the mean — normal
+      (4L, "flat", 500.0))  // degenerate baseline, off the mean — must surface
+    q.processAllAvailable()
+    val rows = s.sql(s"SELECT event_id FROM ${q.name}").collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assertMultiset(rows, Seq(2L, 4L))
+  }
+
   test("streaming near-dup candidates: cross-batch LSH state finds the pair, distinct docs stay clean") {
     val s = spark
     import s.implicits._
