@@ -1165,6 +1165,19 @@ object Queries {
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n"),
         expr("CAST(graft_money_sum(l_quantity, 2) AS DOUBLE)").as("sum_qty"))
 
+  /** Engine-portable deterministic sampling: gate on an md5 prefix of the
+    * id — both engines produce the identical lowercase hex, so the SAMPLE
+    * ITSELF is oracle-checked row-for-row (d55's xxhash64 gate is the
+    * faster native variant but engine-specific, hence rows-only there).
+    * '29'/'100' ≈ a 16% rate; shuffle-free, retry-stable, and reproducible
+    * by any system that can compute md5 — the audit story for "which exact
+    * docs were in the training mix".
+    */
+  def d81PortableSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "29")
+      .select(col("doc_id"), col("source"), col("lang"))
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1248,6 +1261,7 @@ object Queries {
     "d78_top_terms" -> (d78TopTerms _),
     "d79_heavy_hitters" -> (d79HeavyHitters _),
     "d80_grouping_sets" -> (d80GroupingSets _),
+    "d81_portable_sample" -> (d81PortableSample _),
   )
 
   private val toksSql =
@@ -1732,5 +1746,9 @@ object Queries {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+
+    "d81_portable_sample" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'""".stripMargin,
   )
 }

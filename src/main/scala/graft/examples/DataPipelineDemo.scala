@@ -29,16 +29,26 @@ object DataPipelineDemo {
       docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", n = 8, minShared = 3)
     println(s"[pipeline] after decontamination: ${train.count()}")
 
-    // 1. quality gate: codegen'd text stats, keep prose-like documents
+    // 1. quality gate: codegen'd text stats, keep prose-like documents;
+    // then the repetition gate (map-only native counters — duplicate-word
+    // fraction and top-bigram mass, the Gopher repetition rule family)
     val scored = TextFunctions.withTextStats(train)
     val quality = scored.filter(col("quality") >= 0.3 && col("n_tokens") >= 10)
     println(s"[pipeline] after quality gate: ${quality.count()}")
+    val rep = quality.withColumn("__r",
+      graft.plans.NativeExpressions.repetitionStats(TextFunctions.tokens(col("text"))))
+    val unrepetitious = rep.filter(
+      col("__r.n_tokens") < 2 ||
+        (lit(1.0) - col("__r.n_distinct") / col("__r.n_tokens") <= 0.72 &&
+          col("__r.top_bigram") / (col("__r.n_tokens") - lit(1.0)) <= 0.06))
+      .drop("__r")
+    println(s"[pipeline] after repetition gate: ${unrepetitious.count()}")
 
     // 2. exact dedup (min-id survivor per identical text). Persist here:
     // everything downstream (pair generation, survivor filter, report,
     // TFRecord write) consumes this frontier — without it each action
     // re-runs the stats+gate+dedup lineage over the full corpus
-    val exact = Dedup.exact(quality, Seq("text"), "doc_id").persist()
+    val exact = Dedup.exact(unrepetitious, Seq("text"), "doc_id").persist()
     println(s"[pipeline] after exact dedup: ${exact.count()}")
 
     // 3. MinHash-LSH near-dedup (capped candidate generation)
