@@ -1178,6 +1178,44 @@ object Queries {
       .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "29")
       .select(col("doc_id"), col("source"), col("lang"))
 
+  /** CSV source/sink round-trip (same materialization contract as d70's
+    * ORC): write with header, read back with an EXPLICIT schema (schema
+    * inference is a second scan a 100 TB pipeline never runs), aggregate.
+    * Doubles survive text round-trips exactly because Spark writes the
+    * shortest representation that re-parses to the same bits.
+    */
+  def d82CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_csv_" + s.sparkContext.applicationId + "_" +
+        Integer.toHexString(d.hashCode)).getAbsolutePath
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    s.read.option("header", "true")
+      .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .csv(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_orders"),
+        expr("CAST(graft_money_sum(o_totalprice, 2) AS DOUBLE)").as("sum_total"))
+  }
+
+  /** JSON-lines source/sink round-trip, explicit schema on read — the
+    * interchange format every ingest edge speaks.
+    */
+  def d83JsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_json_" + s.sparkContext.applicationId + "_" +
+        Integer.toHexString(d.hashCode)).getAbsolutePath
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .write.mode("overwrite").json(path)
+    s.read.schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+      .json(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_customers"),
+        expr("CAST(graft_money_sum(c_acctbal, 2) AS DOUBLE)").as("sum_bal"))
+  }
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1262,6 +1300,8 @@ object Queries {
     "d79_heavy_hitters" -> (d79HeavyHitters _),
     "d80_grouping_sets" -> (d80GroupingSets _),
     "d81_portable_sample" -> (d81PortableSample _),
+    "d82_csv_roundtrip" -> (d82CsvRoundtrip _),
+    "d83_json_roundtrip" -> (d83JsonRoundtrip _),
   )
 
   private val toksSql =
@@ -1750,5 +1790,15 @@ object Queries {
     "d81_portable_sample" ->
       """SELECT doc_id, source, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'""".stripMargin,
+
+    "d82_csv_roundtrip" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "d83_json_roundtrip" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY 1""".stripMargin,
   )
 }
