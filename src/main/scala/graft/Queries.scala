@@ -1216,6 +1216,28 @@ object Queries {
         expr("CAST(graft_money_sum(c_acctbal, 2) AS DOUBLE)").as("sum_bal"))
   }
 
+  /** Mergeable distinct-count infrastructure: per-(type, day) HLL sketches
+    * built once, then UNIONED to the per-type total without touching the
+    * event stream again — the pre-aggregation pattern that turns "distinct
+    * users last quarter" from a 100 TB re-scan into a merge of kilobyte
+    * sketches. Oracle-checkable here because lgK=14 keeps every per-group
+    * cardinality in the DataSketches coupon (exact) regime — promotion to
+    * estimation mode happens near 2k distincts at this lgK, and the test
+    * SFs top out at 1500 users per type (probed: exact through 1500,
+    * estimate-only from ~3000) — so the estimate IS the exact count. At
+    * production cardinalities the same query returns small-relative-error
+    * estimates, which is the point.
+    */
+  def d84HllRollup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day", expr("ts_ms div 86400000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("__sk"))
+      .groupBy(col("event_type"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_days"),
+        expr("CAST(hll_sketch_estimate(hll_union_agg(__sk, false)) AS BIGINT)")
+          .as("n_users"))
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1302,6 +1324,7 @@ object Queries {
     "d81_portable_sample" -> (d81PortableSample _),
     "d82_csv_roundtrip" -> (d82CsvRoundtrip _),
     "d83_json_roundtrip" -> (d83JsonRoundtrip _),
+    "d84_hll_rollup" -> (d84HllRollup _),
   )
 
   private val toksSql =
@@ -1800,5 +1823,11 @@ object Queries {
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
         | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY 1""".stripMargin,
+
+    "d84_hll_rollup" ->
+      """SELECT event_type,
+        | CAST(COUNT(DISTINCT epoch_ms(ts) // 86400000) AS BIGINT) AS n_days,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }

@@ -95,6 +95,27 @@ object ScaleOps {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Size-controlled sorted export — the physical file layout a 100 TB
+    * training-data handoff needs: hive-partitioned by `partitionCols` (for
+    * partition pruning downstream), rows sorted by `sortCols` INSIDE every
+    * file (merge-friendly sequential reads), and `maxRecordsPerFile`
+    * capping file size so a downstream loader never gets one 500 GB file
+    * per partition. One repartition by the partition keys co-locates each
+    * output partition's rows; the sort is partition-local (no global sort).
+    */
+  def writeShards(
+      df: DataFrame, path: String, partitionCols: Seq[String],
+      sortCols: Seq[String], maxRecordsPerFile: Long): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    require(maxRecordsPerFile > 0, s"maxRecordsPerFile must be positive: $maxRecordsPerFile")
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Range-partitioned write for time-ordered data: partition pruning on the
     * partition column + ordered files for merge-friendly scans.
     */

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Plan-shape audit: the properties that make these queries 100 TB-safe,
   * pinned as assertions so a regression in plan quality fails CI, not a
@@ -161,6 +162,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges == 2, s"pivot should plan two aggregate exchanges, got $exchanges:\n" +
       finalPlan.take(3000))
     assert(finalPlan.contains("pivotfirst"), "pivot operator missing:\n" + finalPlan.take(3000))
+  }
+
+  test("runtime bloom filter: a selective dim predicate prunes the fact scan of a shuffle join") {
+    // On a cluster the fact side dwarfs the broadcast threshold and the
+    // bloom-filter rewrite fires on its default thresholds; at test scale
+    // we force the same regime (no broadcast, zero size gates) and pin
+    // that the engine injects the runtime filter on the fact side.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val li = Tables.lineitem(spark, d)
+      val ord = Tables.orders(spark, d).filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val plan = planOf(joined)
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        "no runtime bloom filter injected on the fact side:\n" + plan.take(4000))
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
   test("d62: centroid aggregation is partial/final over ONE exchange of group buffers") {

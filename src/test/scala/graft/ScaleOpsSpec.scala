@@ -7,6 +7,29 @@ import org.apache.spark.sql.functions._
 
 class ScaleOpsSpec extends SparkTestBase {
 
+  test("writeShards: hive partitions, bounded file sizes, sorted within every file") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val df = Tables.events(s, "/root/testdata/sf0.01")
+      .select(col("event_type"), col("event_id"), col("ts_ms"))
+    ScaleOps.writeShards(df, dir, Seq("event_type"), Seq("ts_ms"),
+      maxRecordsPerFile = 500)
+    // hive layout: one directory per event_type
+    val partDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+    assert(partDirs.length == 5, s"expected 5 partitions, got ${partDirs.map(_.getName).toSeq}")
+    // every data file respects the record cap AND is internally sorted
+    for (pd <- partDirs; f <- pd.listFiles() if f.getName.endsWith(".parquet")) {
+      val rows = s.read.parquet(f.getAbsolutePath).select(col("ts_ms"))
+        .collect().map(_.getLong(0))
+      assert(rows.length <= 500, s"${f.getName}: ${rows.length} rows exceed cap")
+      assert(rows.sameElements(rows.sorted), s"${f.getName} not sorted by ts_ms")
+    }
+    // nothing lost in the reshaping
+    assert(s.read.parquet(dir).count() == df.count())
+  }
+
   test("saltedAggregate equals plain aggregate on a skewed key") {
     val s = spark
     import s.implicits._
