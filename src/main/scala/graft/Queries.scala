@@ -1238,6 +1238,141 @@ object Queries {
         expr("CAST(hll_sketch_estimate(hll_union_agg(__sk, false)) AS BIGINT)")
           .as("n_users"))
 
+  /** Quality-weighted deterministic sampling (engine-portable): each doc's
+    * keep probability is its length ratio `n_chars / max(n_chars)` — the
+    * data-mixing primitive where weight varies per row, not per stratum
+    * (d55 covers that). The md5-prefix gate and integer-rational threshold
+    * make the kept set bit-reproducible on ANY md5-capable engine: the
+    * oracle recomputes the exact sample, not just its size.
+    */
+  def d85WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg(max(col("n_chars")).as("__mx"))
+    graft.operators.ScaleOps.deterministicWeightedSample(
+        docs.crossJoin(broadcast(mx)), "doc_id", col("n_chars"), col("__mx"))
+      .groupBy(col("lang"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_kept"),
+        expr("CAST(SUM(n_chars) AS BIGINT)").as("sum_chars"))
+  }
+
+  /** Distribution drift between the first and second half of the month
+    * (Population Stability Index over 10 fixed value bins, Laplace-smoothed
+    * so empty bins are defined). The report-only PSI is rounded; slice
+    * membership, bin assignment and all counts are integer/IEEE-exact both
+    * engines. Empty bins still contribute (the +1 smoothing) — the bin grid
+    * is generated, not observed.
+    */
+  def d86DriftPsi(s: SparkSession, d: String): DataFrame = {
+    val SplitMs = 1705363200000L // 2024-01-16T00:00:00Z — mid-month
+    val ev = Tables.events(s, d).select(col("event_type"),
+      (col("ts_ms") < lit(SplitMs)).as("__a"),
+      least(lit(9), floor(col("value") / 50.0)).cast("int").as("__bin"))
+    val counts = ev.groupBy(col("event_type"), col("__bin"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("nb"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(s.range(10).select(col("id").cast("int").as("__bin")))
+    val filled = grid.join(counts, Seq("event_type", "__bin"), "left")
+      .na.fill(0L, Seq("na", "nb"))
+    val totals = filled.groupBy(col("event_type"))
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    filled.join(totals, "event_type")
+      .withColumn("p", (col("na") + lit(1)).cast("double") / (col("ta") + lit(10)))
+      .withColumn("q", (col("nb") + lit(1)).cast("double") / (col("tb") + lit(10)))
+      .groupBy(col("event_type"))
+      .agg(expr("CAST(MAX(ta) AS BIGINT)").as("n_before"),
+        expr("CAST(MAX(tb) AS BIGINT)").as("n_after"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4).as("psi"))
+  }
+
+  /** Regexp scrubbing census (the PII-scan shape on PII-free synthetic
+    * text): per language, total matches and matching-doc count for an
+    * ASCII word pattern. `\b` and the quantifier behave identically in
+    * Java regex (Spark) and RE2 (DuckDB) on ASCII input.
+    */
+  def d87RegexCensus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).groupBy(col("lang"))
+      .agg(
+        expr("""CAST(SUM(regexp_count(text, '\\b[a-z]{6}\\b')) AS BIGINT)""")
+          .as("n_hits"),
+        expr("""CAST(SUM(CASE WHEN text RLIKE '\\b[a-z]{6}\\b' THEN 1 ELSE 0 END) AS BIGINT)""")
+          .as("n_docs_hit"),
+        expr("CAST(COUNT(*) AS BIGINT)").as("n_docs"))
+
+  /** Language-model typicality score: mean corpus frequency of a doc's word
+    * bigrams (EVERY occurrence counts — [[graft.plans.NativeExpressions.wordNgramsAll]],
+    * not the distinct-shingle dedup formulation). High = built from common
+    * transitions (template/repetitive risk), low = rare transitions (noise
+    * risk) — the cheap rational-arithmetic stand-in for LM perplexity
+    * filtering: integer frequency sums and ONE double division keep the
+    * score engine-exact. At 100 TB the model side is a sampled + broadcast
+    * count table; here it is exact so DuckDB can recompute it.
+    */
+  def d88LmTypicality(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d).select(col("doc_id"),
+      explode(graft.plans.NativeExpressions.wordNgramsAll(
+        TextFunctions.tokens(lower(col("text"))), 2)).as("gram"))
+    val model = grams.groupBy(col("gram")).agg(count(lit(1)).as("gfreq"))
+    grams.join(model, "gram")
+      .groupBy(col("doc_id"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_bigrams"),
+        round(sum(col("gfreq")).cast("double") / count(lit(1)), 6).as("typicality"))
+  }
+
+  /** Image perceptual near-dup (dHash): synthetic PPM images plus
+    * deterministically perturbed copies (id + 1e6, a few ±24 channel
+    * tweaks); per perturbed image, the Hamming distance between its dHash
+    * and the original's, and whether the generic 64-bit block-probing
+    * engine ([[Dedup.hammingPairs64]]) recovered the link — hamming-0
+    * twins collapse to one representative there by design, so recovery is
+    * `hamming == 0 OR pair emitted`. No SQL oracle (binary decode), but
+    * every output value is deterministic; MultimodalSpec pins the
+    * semantics.
+    */
+  def d89ImageDhash(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(s, Tables.embeddings(s, d), "vec_id")
+      .filter(col("media_type") === "image")
+    val base = media.filter(col("media_id") < 60)
+    val pert = s.createDataFrame(
+      base.select(col("media_id"), col("media_type"), col("bytes"), col("meta"))
+        .rdd.map { r =>
+          org.apache.spark.sql.Row(
+            r.getLong(0) + 1000000L, r.getString(1),
+            Multimodal.perturbPpm(r.getAs[Array[Byte]](2), 6, 24, r.getLong(0)),
+            r.get(3))
+        }, Multimodal.mediaSchema)
+    val hashes = Multimodal.imageDHashes(s, media.unionByName(pert)).cache()
+    val pairs = Dedup.hammingPairs64(hashes, "media_id", "dhash", maxHamming = 3)
+    val linked = hashes.filter(col("media_id") >= 1000000L)
+      .select((col("media_id") - 1000000L).as("media_id"), col("dhash").as("__hp"))
+      .join(hashes.filter(col("media_id") < 1000000L), Seq("media_id"))
+      .select(col("media_id"),
+        expr("CAST(bit_count(dhash ^ __hp) AS INT)").as("hamming"))
+    val out = linked.join(
+        pairs.select(col("id1").as("media_id"), lit(true).as("__found")),
+        Seq("media_id"), "left")
+      .select(col("media_id"),
+        col("hamming").cast("long").as("hamming"),
+        (col("hamming") === 0 || coalesce(col("__found"), lit(false))).as("recovered"))
+      .localCheckpoint()
+    hashes.unpersist()
+    out
+  }
+
+  /** SemDeDup semantic near-dup census: k-means-bounded cosine pairs over
+    * the embedding table, min-id survivor policy, survivors per label.
+    * No SQL oracle (clustering bounds the candidate set); the spec checks
+    * pair correctness against unblocked all-pairs cosine.
+    */
+  def d90SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val pairs = Similarity.semanticDedupPairs(
+      emb, "vec_id", "embedding", nClusters = 16, threshold = 0.3)
+    Dedup.keepMinIdSurvivors(emb, "vec_id", pairs)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_survivors"))
+  }
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1325,6 +1460,12 @@ object Queries {
     "d82_csv_roundtrip" -> (d82CsvRoundtrip _),
     "d83_json_roundtrip" -> (d83JsonRoundtrip _),
     "d84_hll_rollup" -> (d84HllRollup _),
+    "d85_weighted_sample" -> (d85WeightedSample _),
+    "d86_drift_psi" -> (d86DriftPsi _),
+    "d87_regex_census" -> (d87RegexCensus _),
+    "d88_lm_typicality" -> (d88LmTypicality _),
+    "d89_image_dhash" -> (d89ImageDhash _),
+    "d90_semantic_dedup" -> (d90SemanticDedup _),
   )
 
   private val toksSql =
@@ -1829,5 +1970,55 @@ object Queries {
         | CAST(COUNT(DISTINCT epoch_ms(ts) // 86400000) AS BIGINT) AS n_days,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "d85_weighted_sample" ->
+      """WITH m AS (SELECT max(n_chars) AS mx FROM documents),
+        |s AS (SELECT lang, n_chars FROM documents, m
+        |      WHERE '0' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |            < lpad(lower(hex((CAST(n_chars AS BIGINT) * 16777216) // mx)), 7, '0'))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "d86_drift_psi" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_ms(ts) < 1705363200000 AS a,
+        |    least(9, CAST(floor(value / 50.0) AS INT)) AS bin FROM events),
+        |g AS (SELECT event_type, bin
+        |      FROM (SELECT DISTINCT event_type FROM e),
+        |           (SELECT unnest(range(0, 10)) AS bin)),
+        |c AS (SELECT event_type, bin,
+        |        SUM(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+        |        SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS nb
+        |      FROM e GROUP BY 1, 2),
+        |f AS (SELECT g.event_type, g.bin,
+        |        coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |      FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.bin = c.bin),
+        |t AS (SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb FROM f GROUP BY 1)
+        |SELECT f.event_type,
+        | CAST(MAX(ta) AS BIGINT) AS n_before, CAST(MAX(tb) AS BIGINT) AS n_after,
+        | ROUND(SUM(((na + 1.0) / (ta + 10) - (nb + 1.0) / (tb + 10))
+        |   * ln(((na + 1.0) / (ta + 10)) / ((nb + 1.0) / (tb + 10)))), 4) AS psi
+        |FROM f JOIN t USING (event_type) GROUP BY 1""".stripMargin,
+
+    "d87_regex_census" ->
+      """SELECT lang,
+        | CAST(SUM(len(regexp_extract_all(text, '\b[a-z]{6}\b'))) AS BIGINT) AS n_hits,
+        | CAST(SUM(CASE WHEN regexp_matches(text, '\b[a-z]{6}\b')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d88_lm_typicality" ->
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+         |  THEN list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' '))
+         |  ELSE [array_to_string(ws, ' ')] END) AS gram FROM t),
+         |m AS (SELECT gram, count(*) AS gfreq FROM g GROUP BY 1),
+         |p AS (SELECT doc_id, count(*) AS nb, sum(gfreq) AS tot
+         |      FROM g JOIN m USING (gram) GROUP BY 1)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+        | ROUND(CAST(tot AS DOUBLE) / nb, 6) AS typicality
+        |FROM p""".stripMargin,
   )
 }

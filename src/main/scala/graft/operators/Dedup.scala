@@ -274,23 +274,62 @@ object Dedup {
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBlockSize: Int = 5000): DataFrame = {
+    // fingerprints are collapsed + paired by the generic 64-bit Hamming
+    // engine below; this wrapper only supplies the TEXT fingerprint
+    // (one-pass native simHash64 over lowercase tokens). fanOut: the
+    // hashing pass is the CPU-heavy stage — spread a few-partition scan
+    // across all slots (no-op on a many-split corpus).
+    hammingPairs64(
+      ScaleOps.fanOut(df.select(col(idCol).as("__docid"), col(textCol)))
+        .select(col("__docid").as("__id"),
+          graft.plans.NativeExpressions.simHash64(
+            TextFunctions.tokens(lower(col(textCol)))).as("__fp")),
+      "__id", "__fp", maxHamming, maxBlockSize)
+  }
+
+  /** Generic near-dup pairs over ANY precomputed 64-bit signature column
+    * with Hamming distance ≤ `maxHamming` — the block-probing core shared
+    * by text SimHash ([[simHashPairs]]) and image perceptual dHash
+    * ([[Multimodal.imageDHashes]]). Split the 64 bits into `maxHamming + 1`
+    * blocks; by pigeonhole two signatures within the distance share at
+    * least one exact block. Identical signatures collapse to their min-id
+    * representative first (duplicate-heavy inputs otherwise produce
+    * quadratic hamming-0 pair lists), then: singleton-block prefilter (most
+    * blocks hold one row at corpus scale), ONE groupBy collecting each
+    * surviving block's (id, sig) members — 16 bytes/row — and a single
+    * native expand-and-verify loop. No self-join, no signature join-back.
+    *
+    * `maxBlockSize` caps the quadratic worst case of a degenerate block —
+    * a pair is LOST only if EVERY block the two signatures share exceeds
+    * the cap (pairs usually share several blocks; collapsed-identical
+    * signatures never re-inflate a block). The pre-cap pigeonhole guarantee
+    * was exact; at corpus scale an uncapped degenerate block (e.g. a zero
+    * block from short templated docs) is an O(n²) pair explosion that
+    * would dominate the job, so the cap is the scale-safe default. Raise it
+    * (≤ 46341, the pair-expansion Int ceiling) where exact recall matters
+    * more than the worst case.
+    */
+  def hammingPairs64(
+      sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, maxBlockSize: Int = 5000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63] (needs >= 1 bit per block): $maxHamming")
     val nBlocks = maxHamming + 1
     val blockBits = 64 / nBlocks
-    // fingerprints feed two branches (block census + member collection) —
-    // hash once, cache. Identical fingerprints collapse to their min-id
-    // representative first (see the minHashLshPairs note: duplicate-heavy
-    // corpora otherwise produce quadratic hamming-0 pair lists).
-    val fp = ScaleOps.fanOut(df.select(col(idCol).as("__docid"), col(textCol)))
-      .select(col("__docid"),
-        graft.plans.NativeExpressions.simHash64(
-          TextFunctions.tokens(lower(col(textCol)))).as("__fp"))
+    // JVM shifts are mod 64: a single 64-bit block (maxHamming = 0) needs
+    // an explicit all-ones mask, (1L << 64) - 1 would be 0
+    val blockMask = if (blockBits == 64) -1L else (1L << blockBits) - 1
+    // signatures feed two branches (block census + member collection) —
+    // compute once, cache
+    val fp = sigs
+      .select(col(idCol).cast("long").as("__docid"), col(sigCol).cast("long").as("__fp"))
       .groupBy(col("__fp")).agg(min(col("__docid")).as("__id"))
       .select(col("__id"), col("__fp"))
       .persist()
     val blocked = fp.withColumn("__blk", explode(array((0 until nBlocks).map { b =>
       struct(lit(b).as("i"),
         call_function("shiftright", col("__fp"), lit(b * blockBits))
-          .bitwiseAND(lit((1L << blockBits) - 1)).as("v"))
+          .bitwiseAND(lit(blockMask)).as("v"))
     }: _*)))
     val liveBlocks = blocked.groupBy(col("__blk"))
       .agg(count(lit(1)).as("__n"))
@@ -304,7 +343,7 @@ object Dedup {
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
         col("p.hamming").as("hamming"))
       .dropDuplicates("id1", "id2")
-    // materialize the small pair list, release the fingerprint cache (see
+    // materialize the small pair list, release the signature cache (see
     // the minHashLshPairs note on method-local persists)
     val out = pairs.localCheckpoint()
     fp.unpersist()

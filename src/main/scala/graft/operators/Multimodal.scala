@@ -209,6 +209,106 @@ object Multimodal {
       StructField("features", ArrayType(DoubleType)))))
   }
 
+  /** Perceptual difference hash (dHash) of a decoded image: luma plane →
+    * 9×8 box-downsample → 64 bits, bit (gx, gy) set iff cell (gx, gy) is
+    * brighter than its right neighbor. Near-identical images (small noise,
+    * re-encodes, minor crops) land within a few bits of Hamming distance;
+    * pair detection is then the SAME block-probing engine text SimHash uses
+    * ([[Dedup.hammingPairs64]]).
+    *
+    * Fully integer: luma is `299r + 587g + 114b` (no division), box means
+    * compare as cross-multiplied rationals (`sumA·cntB > sumB·cntA`) — the
+    * hash is bit-reproducible on any platform, so incremental re-runs and
+    * task retries always agree. Works for any image ≥ 1×1 (boxes are
+    * index-mapped, never empty).
+    */
+  private[graft] def dHash64(img: MediaCodec.PpmImage): Long = {
+    val w = img.width; val h = img.height
+    val Gw = 9; val Gh = 8
+    val sums = new Array[Long](Gw * Gh)
+    val counts = new Array[Long](Gw * Gh)
+    var gy = 0
+    while (gy < Gh) {
+      val y0 = gy * h / Gh
+      val y1 = math.max(y0 + 1, (gy + 1) * h / Gh)
+      var gx = 0
+      while (gx < Gw) {
+        val x0 = gx * w / Gw
+        val x1 = math.max(x0 + 1, (gx + 1) * w / Gw)
+        var s = 0L; var c = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val p = 3 * (y * w + x)
+            s += 299L * (img.rgb(p) & 0xff) + 587L * (img.rgb(p + 1) & 0xff) +
+              114L * (img.rgb(p + 2) & 0xff)
+            c += 1
+            x += 1
+          }
+          y += 1
+        }
+        sums(gy * Gw + gx) = s
+        counts(gy * Gw + gx) = math.max(c, 1L)
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    var bit = 0
+    gy = 0
+    while (gy < Gh) {
+      var gx = 0
+      while (gx < Gw - 1) {
+        val a = gy * Gw + gx
+        val b = a + 1
+        // exact rational compare: meanA > meanB  ⇔  sumA·cntB > sumB·cntA
+        if (sums(a) * counts(b) > sums(b) * counts(a)) hash |= 1L << bit
+        bit += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+  /** dHash signatures for the image rows of a media table:
+    * (media_id, dhash). Undecodable image payloads are dropped, same policy
+    * as [[sampleFrames]]. Pair with [[Dedup.hammingPairs64]] for near-dup
+    * pairs, or group on the raw hash for exact perceptual buckets.
+    */
+  def imageDHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    val projected = media.filter(col("media_type") === "image")
+      .select(col("media_id"), col("bytes"))
+    val rdd = projected.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        MediaCodec.decodePpm(r.getAs[Array[Byte]](1))
+          .map(img => Row(r.getLong(0), dHash64(img)))
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash", LongType))))
+  }
+
+  /** Deterministic small perturbation of a PPM payload (re-encode with
+    * `nPixels` single-channel ±delta tweaks seeded by `salt`) — the test /
+    * battery generator for "same image, slightly different bytes" near-dup
+    * rows. Non-PPM payloads pass through unchanged.
+    */
+  private[graft] def perturbPpm(bytes: Array[Byte], nPixels: Int, delta: Int,
+      salt: Long): Array[Byte] =
+    MediaCodec.decodePpm(bytes).map { img =>
+      val rgb = img.rgb.clone()
+      var i = 0
+      while (i < nPixels) {
+        val pos = math.floorMod(mix(salt, 7000 + i), rgb.length.toLong).toInt
+        val v = (rgb(pos) & 0xff) + (if ((mix(salt, 8000 + i) & 1L) == 0L) delta else -delta)
+        rgb(pos) = math.max(0, math.min(255, v)).toByte
+        i += 1
+      }
+      MediaCodec.encodePpm(MediaCodec.PpmImage(img.width, img.height, rgb))
+    }.getOrElse(bytes)
+
   /** Frame sampling plan for video rows: every `stride`-th frame index from
     * the metadata — pure expression, no decode needed to *plan* the work.
     */

@@ -55,6 +55,36 @@ object ScaleOps {
     df.filter(pmod(xxhash64(col(idCol)), lit(Scale)) < threshold)
   }
 
+  /** Deterministic QUALITY-WEIGHTED sampling, portable across engines — the
+    * curriculum / data-mixing primitive where each document's keep
+    * probability is its own weight (quality score, length ratio, source
+    * priority) rather than a per-stratum constant. Keep iff
+    * `uniform(id) < weight`, with both sides engine-portable:
+    *
+    *  - `uniform(id)` = first 6 hex digits of `md5(cast(id as string))`,
+    *    compared as a 7-char lowercase hex string (`'0' || prefix`) — md5 is
+    *    bit-identical everywhere (the d81 portable-sample contract);
+    *  - `weight` must be a RATIONAL `num/den` of nonneg integers (num <=
+    *    den): the threshold is `(num * 16^6) div den`, integer arithmetic
+    *    any engine reproduces exactly. The division here uses IEEE double
+    *    `floor(num*Scale / den)`, which is exact for `num*Scale < 2^53`:
+    *    exact quotients are correctly rounded to themselves, and inexact
+    *    ones sit >= 1/den away from an integer, far beyond double error.
+    *
+    * Shuffle-free, no RNG state: one codegen'd filter; task retries and
+    * re-runs keep the SAME rows, and any md5-capable system can audit
+    * exactly which rows a training mix kept.
+    */
+  def deterministicWeightedSample(
+      df: DataFrame, idCol: String, weightNum: Column, weightDen: Column): DataFrame = {
+    val Scale = 16777216L // 16^6: the space of 6-hex-digit md5 prefixes
+    val thr = floor(weightNum.cast("bigint") * lit(Scale) / weightDen.cast("bigint"))
+      .cast("bigint")
+    df.filter(
+      concat(lit("0"), substring(md5(col(idCol).cast("string")), 1, 6)) <
+        lpad(lower(hex(greatest(thr, lit(0L)))), 7, "0"))
+  }
+
   /** Two-phase salted aggregation for skew-heavy keys: phase 1 aggregates on
     * (key, salt) spreading a hot key over `saltBuckets` reducers; phase 2
     * merges the per-salt partials. Correct for any algebraic aggregate

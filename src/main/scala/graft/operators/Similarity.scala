@@ -169,6 +169,53 @@ object Similarity {
         round(col("score"), 6).as("score"), col("rnk"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means clusters bound the pair search — two
+    * documents are only compared when their embeddings land in the SAME
+    * cluster, turning the O(n²) all-pairs cosine into O(Σ cᵢ²) with
+    * cᵢ ≈ n/nClusters. The scale dial is `nClusters`: size it so an
+    * expected cluster fits a reducer (n/nClusters ≲ 10⁵), the same rule as
+    * the LSH bucket caps elsewhere in [[Dedup]].
+    *
+    * Training reuses the IVF recipe: seeded in-JVM [[KMeansLite]] over a
+    * bounded, statistics-derived sample (no extra counting pass); cluster
+    * assignment is the join-free [[graft.plans.NativeExpressions.nearestCentroid]]
+    * column over the FULL corpus. Within-cluster candidates come from one
+    * equi-join on the cell id — a plain shuffle join Spark plans well — and
+    * survive at exact cosine ≥ `threshold`.
+    *
+    * Returns (id1, id2, cosine) with id1 < id2; compose with
+    * [[Dedup.keepMinIdSurvivors]] or [[Dedup.connectedComponents]] for the
+    * dedup policy, exactly like the text pair generators.
+    */
+  def semanticDedupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, threshold: Double = 0.95,
+      trainSampleBytes: Long = 64L << 20, trainRowCap: Int = 1 << 16): DataFrame = {
+    require(nClusters >= 1, s"nClusters must be positive: $nClusters")
+    require(threshold >= -1 && threshold <= 1, s"cosine threshold out of range: $threshold")
+    val sizeBytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    val fraction =
+      if (sizeBytes <= 0) 1.0
+      else (BigDecimal(trainSampleBytes) / BigDecimal(sizeBytes)).min(1).toDouble
+    val vecsOnly = corpus.select(col(vecCol))
+    val train =
+      if (fraction >= 1.0) vecsOnly
+      else vecsOnly.sample(withReplacement = false, fraction, seed = 42L)
+    val sample = train.limit(trainRowCap).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    val centroids = KMeansLite.fit(sample, nClusters, maxIter = 10, seed = 42L)
+    val cells = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__cell",
+        graft.plans.NativeExpressions.nearestCentroid(col("__v"), centroids))
+    cells.as("a").join(cells.as("b"),
+        col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
+      .withColumn("cosine",
+        round(graft.plans.NativeExpressions.cosine(col("a.__v"), col("b.__v")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"), col("cosine"))
+  }
+
   /** Scalar int8 quantization of an embedding column: per-vector symmetric
     * scale (`maxAbs/127`), returning (id, q binary, scale). At corpus scale
     * the quantized table is ~4x smaller than float32 — the memory-bandwidth

@@ -125,6 +125,14 @@ object NativeExpressions {
   def wordNgrams(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(tokens), n))
 
+  /** ALL word n-grams in document order, duplicates kept — the language-model
+    * formulation (every occurrence counts), vs [[wordNgrams]]'s distinct
+    * set-of-shingles formulation (the dedup/decontamination one).
+    */
+  def wordNgramsAll(tokens: Column, n: Int): Column =
+    ColumnBridge.column(
+      WordNgramsExpr(ColumnBridge.expression(tokens), n, distinct = false))
+
   /** Overlapping token-window chunks — see [[TokenChunksExpr]]. */
   def tokenChunks(tokens: Column, chunkSize: Int, stride: Int): Column =
     ColumnBridge.column(TokenChunksExpr(ColumnBridge.expression(tokens), chunkSize, stride))
@@ -628,14 +636,16 @@ case class BloomMightContainExpr(child: Expression,
     copy(child = newChild)
 }
 
-/** Distinct word n-grams of a token array as space-joined strings — the
-  * decontamination gram generator. One pass, one hash set; replaces an
+/** Word n-grams of a token array as space-joined strings. `distinct = true`
+  * (the decontamination gram generator) emits each gram once via one hash
+  * set; `distinct = false` (the language-model formulation) emits every
+  * occurrence in document order. One pass either way; replaces an
   * interpreted transform/sequence/slice/concat_ws/array_distinct HOF chain
   * (each step re-allocating per window). Short docs (< n tokens) collapse
   * to the whole doc as a single gram, exactly like the column formulation
   * in TextFunctions.wordShingles.
   */
-case class WordNgramsExpr(child: Expression, n: Int)
+case class WordNgramsExpr(child: Expression, n: Int, distinct: Boolean = true)
   extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
   require(n >= 1, s"n must be positive: $n")
   override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(NativeInputTypes.stringArray)
@@ -650,7 +660,7 @@ case class WordNgramsExpr(child: Expression, n: Int)
       var i = 0
       while (i < m) { whole(i) = arr.getUTF8String(i); i += 1 }
       new GenericArrayData(Array[Any](UTF8String.concatWs(sep, whole: _*)))
-    } else {
+    } else if (distinct) {
       val out = new java.util.LinkedHashSet[UTF8String]
       val window = new Array[UTF8String](n)
       var i = 0
@@ -661,6 +671,17 @@ case class WordNgramsExpr(child: Expression, n: Int)
         i += 1
       }
       new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+    } else {
+      val out = new Array[Any](m - n + 1)
+      val window = new Array[UTF8String](n)
+      var i = 0
+      while (i <= m - n) {
+        var j = 0
+        while (j < n) { window(j) = arr.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(sep, window: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
     }
   }
   override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =

@@ -239,4 +239,69 @@ class DedupSimilaritySpec extends SparkTestBase {
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("hammingPairs64: pigeonhole recovery within budget, collapse of equals, 64-bit block edge") {
+    val s = spark
+    import s.implicits._
+    // base signature, a 2-bit-away neighbor, a far signature, an exact twin
+    val base = 0x0123456789abcdefL
+    val near = base ^ (1L << 3) ^ (1L << 40) // hamming 2, diffs in two blocks
+    val far = ~base // hamming 64
+    val sigs = Seq((10L, base), (11L, near), (12L, far), (13L, base))
+      .toDF("id", "sig")
+    val pairs = Dedup.hammingPairs64(sigs, "id", "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 13 collapses into 10 (identical sig); (10, 11) found at distance 2
+    assert(pairs == Set((10L, 11L, 2)))
+    // maxHamming = 0 → one 64-bit block (the (1L << 64) mask edge): equal
+    // sigs collapse to a single representative, so NO pairs — and crucially
+    // no crash / no everything-in-one-bucket degeneracy from a zero mask
+    val exact = Dedup.hammingPairs64(sigs, "id", "sig", maxHamming = 0).collect()
+    assert(exact.isEmpty)
+  }
+
+  test("semanticDedupPairs: subset of brute-force pairs; equals it with one cluster") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def brute(th: Double) = {
+      val v = emb.select(col("vec_id").as("__id"), col("embedding").as("__v"))
+      v.as("a").join(v.as("b"), col("a.__id") < col("b.__id"))
+        .withColumn("cosine",
+          round(graft.plans.NativeExpressions.cosine(col("a.__v"), col("b.__v")), 6))
+        .filter(col("cosine") >= th)
+        .select(col("a.__id"), col("b.__id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val all = brute(0.3)
+    assert(all.nonEmpty, "test data must contain cosine >= 0.3 pairs")
+    // one cluster = no blocking: must match brute force exactly
+    val one = Similarity.semanticDedupPairs(emb, "vec_id", "embedding",
+        nClusters = 1, threshold = 0.3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one == all)
+    // k-means blocking: every emitted pair is a true pair (precision 1);
+    // same-cluster near-dups give useful recall on clustered data, but
+    // random embeddings only guarantee the subset property
+    val blocked = Similarity.semanticDedupPairs(emb, "vec_id", "embedding",
+        nClusters = 8, threshold = 0.3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(all), s"false pairs: ${blocked -- all}")
+  }
+
+  test("semanticDedupPairs + keepMinIdSurvivors drops exactly the dominated ids") {
+    val s = spark
+    import s.implicits._
+    // two tight direction-clusters + one isolated vector
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.999f, 0.04f, 0.0f), 0), // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),
+      (4L, Array(0.02f, 0.999f, 0.0f), 1), // near-dup of 3
+      (5L, Array(0.0f, 0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.semanticDedupPairs(rows, "vec_id", "embedding",
+      nClusters = 3, threshold = 0.95)
+    val survivors = Dedup.keepMinIdSurvivors(rows, "vec_id", pairs)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 3L, 5L), s"survivors $survivors")
+  }
 }

@@ -49,6 +49,17 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.asInstanceOf[scala.collection.Seq[String]].toSet == Set("a b", "b c", "c a"))
   }
 
+  test("wordNgramsAll keeps duplicate grams in document order (LM formulation)") {
+    val Seq(r) = one(graft.plans.NativeExpressions.wordNgramsAll(
+      TextFunctions.tokens(col("text")), 2), Seq("a b c a b"))
+    assert(r.asInstanceOf[scala.collection.Seq[String]].toSeq ==
+      Seq("a b", "b c", "c a", "a b"))
+    // short doc collapses to the whole doc, same as the distinct form
+    val Seq(s1) = one(graft.plans.NativeExpressions.wordNgramsAll(
+      TextFunctions.tokens(col("text")), 2), Seq("solo"))
+    assert(s1.asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("solo"))
+  }
+
   test("charNgrams") {
     val Seq(r) = one(TextFunctions.charNgrams(col("text"), 2), Seq("abca"))
     assert(r.asInstanceOf[scala.collection.Seq[String]].toSet == Set("ab", "bc", "ca"))

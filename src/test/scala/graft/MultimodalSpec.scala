@@ -138,6 +138,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(once == twice)
   }
 
+  test("dHash: deterministic, perturbation-stable within the battery budget, discriminating") {
+    val imgs = media().filter(col("media_type") === "image")
+    val hashes = Multimodal.imageDHashes(spark, imgs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hashes.nonEmpty)
+    // deterministic re-hash
+    val again = Multimodal.imageDHashes(spark, imgs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hashes == again)
+    // the d89 battery contract: a 6-pixel ±24 perturbation stays within
+    // Hamming 3 of the original for every synthetic image here, while
+    // DIFFERENT images (independent noise) sit far away
+    val rows = imgs.select("media_id", "bytes").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    rows.foreach { case (id, bytes) =>
+      val p = Multimodal.perturbPpm(bytes, 6, 24, id)
+      assert(!java.util.Arrays.equals(p, bytes), s"perturbation was a no-op for $id")
+      val hp = Multimodal.dHash64(MediaCodec.decodePpm(p).get)
+      assert(ham(hashes(id), hp) <= 3,
+        s"perturbed $id drifted ${ham(hashes(id), hp)} bits")
+    }
+    val ids = rows.map(_._1)
+    for (a <- ids; b <- ids if a < b)
+      assert(ham(hashes(a), hashes(b)) > 3, s"distinct images $a,$b too close")
+  }
+
+  test("dHash edge shapes: tiny images hash without crashing; undecodable rows drop") {
+    // 1x1: no gradient anywhere → hash 0; 2x2 works via index-mapped boxes
+    val one = MediaCodec.PpmImage(1, 1, Array[Byte](10, 20, 30))
+    assert(Multimodal.dHash64(one) == 0L)
+    val two = MediaCodec.PpmImage(2, 2,
+      Array.tabulate[Byte](12)(i => (i * 20).toByte))
+    Multimodal.dHash64(two) // must not throw
+    val s = spark
+    import s.implicits._
+    val bad = Seq((99L, "image", "not a ppm".getBytes, null))
+      .toDF("media_id", "media_type", "bytes", "meta")
+    assert(Multimodal.imageDHashes(spark, bad).count() == 0)
+  }
+
   test("shufflePartitionsFor sizes by target bytes with a parallelism floor") {
     val n = ScaleOps.shufflePartitionsFor(spark, 100L << 30) // 100 GiB
     assert(n == 800) // 128 MiB target

@@ -80,6 +80,28 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("deterministicWeightedSample: reproducible, monotone in weight, exact at the extremes") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 2000L).map(i => (i, (i % 100) + 1)).toDF("id", "w")
+    def keep(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      ScaleOps.deterministicWeightedSample(rows, "id", num, den)
+        .select("id").collect().map(_.getLong(0)).toSet
+    // weight 0 keeps nothing; weight 1 (num == den) keeps everything
+    assert(keep(lit(0L), lit(100L)).isEmpty)
+    assert(keep(col("w"), col("w")).size == 2000)
+    // reproducible: same rows on a re-run (no RNG state)
+    val a = keep(col("w"), lit(100L))
+    assert(a == keep(col("w"), lit(100L)))
+    // monotone: halving every weight can only shrink the kept set, and the
+    // smaller set is a SUBSET (same per-id uniform, lower threshold)
+    val half = keep(col("w"), lit(200L))
+    assert(half.subsetOf(a), "lower weight must keep a subset")
+    assert(half.size < a.size)
+    // fraction accuracy: E[keep] = mean(w)/100 = 50.5% ± a few points
+    assert(math.abs(a.size / 2000.0 - 0.505) < 0.05, s"kept ${a.size}/2000")
+  }
+
   test("bundle finalization runs after task commit, exceptions swallowed (ray_runner_test.py:1021-1081)") {
     val p = Pipeline(spark)
     val fired = p.metrics.counter("fin", "fired-" + System.nanoTime() % 100000)

@@ -1,8 +1,12 @@
 #!/usr/bin/env python3
-"""Local emulation of the driver's correctness gate: run Verify's parquet
-dumps against the DuckDB oracle SQL and report per-query match.
+"""Local stand-in for the driver's DuckDB oracle compare.
 
-Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+Usage: compare_oracle.py <sfDir> <verifyOutDir> [query ...]
+
+Loads each <verifyOutDir>/<name> parquet dump, runs the matching oracle SQL
+from oracle_sql.json against the sf parquet tables in DuckDB, sorts columns
+by name and rows by all columns, and reports row/schema/value mismatches.
+Dev tool only (driver-side python); the engine itself never depends on it.
 """
 import json
 import math
@@ -10,56 +14,73 @@ import sys
 
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
 
 
 def canon(rows, cols):
-    """Sort columns by name, rows by value; normalize floats."""
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                # driver compares hashed string forms; normalize -0.0 and
+                # collapse float noise the same way a str() round-trip would
+                if v == 0:
+                    v = 0.0
+                vals.append(f"{v!r}")
+            else:
+                vals.append(repr(v))
+        out.append(tuple(vals))
+    return sorted(out), [cols[i] for i in order]
 
-    def norm(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            return f"{v:.9g}"
-        return str(v)
 
-    out = sorted(tuple(norm(r[i]) for i in idx) for r in rows)
-    return [c for c in sorted(cols)], out
-
-
-def main(sf_dir, out_dir):
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    ok = bad = 0
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
-        try:
-            exp = con.sql(sql)
-            exp_cols, exp_rows = canon(exp.fetchall(), exp.columns)
-            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_cols, got_rows = canon(got.fetchall(), got.columns)
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: ERROR {e}")
-            bad += 1
+        if only and name not in only:
             continue
-        if exp_cols != got_cols:
-            print(f"FAIL  {name}: cols exp={exp_cols} got={got_cols}")
-            bad += 1
-        elif exp_rows != got_rows:
-            diff1 = [r for r in exp_rows if r not in got_rows][:3]
-            diff2 = [r for r in got_rows if r not in exp_rows][:3]
-            print(f"FAIL  {name}: {len(exp_rows)} oracle vs {len(got_rows)} spark rows;"
-                  f" oracle-only={diff1} spark-only={diff2}")
-            bad += 1
+        try:
+            spark = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            s_rows, s_cols = spark.fetchall(), [d[0] for d in spark.description]
+        except Exception as e:
+            print(f"FAIL {name}: no spark dump ({e})")
+            n_bad += 1
+            continue
+        try:
+            duck = con.execute(sql)
+            d_rows, d_cols = duck.fetchall(), [d[0] for d in duck.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_bad += 1
+            continue
+        sc, scols = canon(s_rows, s_cols)
+        dc, dcols = canon(d_rows, d_cols)
+        if scols != dcols:
+            print(f"FAIL {name}: schema {scols} vs {dcols}")
+            n_bad += 1
+        elif len(sc) != len(dc):
+            print(f"FAIL {name}: rows {len(sc)} vs {len(dc)}")
+            n_bad += 1
+        elif sc != dc:
+            diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
+            print(f"FAIL {name}: values differ, first diffs: {diffs}")
+            n_bad += 1
         else:
-            print(f"OK    {name}: {len(got_rows)} rows")
-            ok += 1
-    print(f"== {ok} ok, {bad} fail ==")
-    return 1 if bad else 0
+            print(f"ok   {name}: {len(sc)} rows")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail ==")
+    sys.exit(1 if n_bad else 0)
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    main()
