@@ -1373,6 +1373,138 @@ object Queries {
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_survivors"))
   }
 
+  /** Per-domain frequency cap (the C4/RefinedWeb "at most N pages per
+    * host" rule, stratified here by (source, lang)): keep the first 5 docs
+    * per stratum in deterministic doc_id order, report the per-source
+    * surviving mass. The window is PARTITIONED — each stratum sorts
+    * locally after one hash shuffle; no global sort, no driver state. At
+    * 100 TB the same plan holds: strata are independent and the cap bounds
+    * every group's output regardless of skew.
+    */
+  def d91SourceCap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 5)
+      .groupBy(col("source"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_kept"),
+        expr("CAST(SUM(n_chars) AS BIGINT)").as("sum_chars"))
+  }
+
+  /** Vocabulary construction + OOV-rate profiling: build the top-10 global
+    * token vocabulary (count DESC, token ASC — deterministic under ties on
+    * any engine; 10 of 31 distinct tokens in this corpus, probed so the
+    * OOV mass is nonzero and varies per language), then measure each
+    * language's out-of-vocabulary token mass. Two aggregations and one
+    * broadcast: the vocab is tiny by construction (top-k of a
+    * TakeOrderedAndProject), so the join back is map-side; the corpus is
+    * scanned once per pass and never shuffled by token. Integer counts +
+    * ONE division keep the rate engine-exact.
+    */
+  def d92VocabOov(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("tok").asc)
+      .limit(10)
+      .select(col("tok"), lit(true).as("__inv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("lang"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_tokens"),
+        expr("CAST(SUM(CASE WHEN __inv IS NULL THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("n_oov"),
+        round(sum(when(col("__inv").isNull, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("oov_rate"))
+  }
+
+  /** Training-mixture rebalancing to a uniform language target: each
+    * language keeps with probability minCount/count_lang (an exact integer
+    * rational), gated by the engine-portable md5-prefix uniform — the
+    * two-pass data-mixing primitive (count strata → broadcast rates → one
+    * shuffle-free gate over the corpus). The oracle re-derives the exact
+    * kept SET, not just its size: the sample is bit-reproducible on any
+    * md5-capable engine, so a retried task or a different engine keeps
+    * identical rows.
+    */
+  def d93MixtureRebalance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__mn"))
+    graft.operators.ScaleOps.deterministicWeightedSample(
+        docs.join(broadcast(counts), "lang").crossJoin(broadcast(minN)),
+        "doc_id", col("__mn"), col("__n"))
+      .groupBy(col("lang"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_kept"),
+        expr("CAST(SUM(n_chars) AS BIGINT)").as("sum_chars"))
+  }
+
+  /** Continuous contamination scoring (the fraction refinement of d57's
+    * binary gate): per training doc, what fraction of its DISTINCT word
+    * 8-grams verbatim-overlap the eval slice. Eval grams are broadcast
+    * (the eval set is small by contract); the corpus side is map-only —
+    * explode + broadcast-join + per-doc aggregate, no corpus shuffle by
+    * gram. Integer counts + ONE division = engine-exact fraction.
+    */
+  def d94ContaminationFrac(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isEval = col("source").isin("src0", "src1")
+    val evalGrams = docs.filter(isEval)
+      .select(explode(TextFunctions.wordShingles(col("text"), 8)).as("gram"))
+      .distinct()
+      .select(col("gram"), lit(true).as("__hit"))
+    docs.filter(!isEval)
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("text"), 8)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_grams"),
+        expr("CAST(SUM(CASE WHEN __hit THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("n_shared"),
+        round(sum(when(col("__hit"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("contamination"))
+  }
+
+  /** Event-type co-occurrence (market-basket over (user, day) baskets):
+    * which event types fire together in a user-day. One shuffle builds the
+    * per-basket distinct type set (bounded by the event-type vocabulary,
+    * NOT by basket size — collect_set of a 5-value enum), pairs expand
+    * in-group from the sorted set (≤ k²/2 per basket), then a tiny
+    * aggregate. The self-join formulation would shuffle the event table
+    * twice and explode skewed users; this shape is one pass and
+    * skew-bounded by construction.
+    */
+  def d95EventPairs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("__day"),
+        col("event_type"))
+      .groupBy(col("user_id"), col("__day"))
+      .agg(sort_array(collect_set(col("event_type"))).as("__ts"))
+      .select(explode(expr(
+        """flatten(transform(__ts, (x, i) ->
+          |  transform(slice(__ts, i + 2, size(__ts)),
+          |            y -> struct(x AS t1, y AS t2))))""".stripMargin)).as("__p"))
+      .groupBy(col("__p.t1").as("t1"), col("__p.t2").as("t2"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_baskets"))
+
+  /** Length-outlier flagging via per-language percent_rank (the quantile
+    * normalization a mixed-language corpus needs before length filtering —
+    * a global cutoff over-prunes terse scripts like zh). percent_rank =
+    * (rank-1)/(n-1) over the unique (n_chars, doc_id) order: an exact
+    * integer rational, identical in any IEEE engine, so filtering on the
+    * RAW value is portable. Partitioned window — no global sort.
+    */
+  def d96LengthPercentile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") < 0.1)
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(n_chars AS BIGINT)").as("n_chars"),
+        round(col("__pr"), 6).as("pct_rank"))
+  }
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1466,6 +1598,12 @@ object Queries {
     "d88_lm_typicality" -> (d88LmTypicality _),
     "d89_image_dhash" -> (d89ImageDhash _),
     "d90_semantic_dedup" -> (d90SemanticDedup _),
+    "d91_source_cap" -> (d91SourceCap _),
+    "d92_vocab_oov" -> (d92VocabOov _),
+    "d93_mixture_rebalance" -> (d93MixtureRebalance _),
+    "d94_contamination_frac" -> (d94ContaminationFrac _),
+    "d95_event_pairs" -> (d95EventPairs _),
+    "d96_length_percentile" -> (d96LengthPercentile _),
   )
 
   private val toksSql =
@@ -2020,5 +2158,67 @@ object Queries {
         |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
         | ROUND(CAST(tot AS DOUBLE) / nb, 6) AS typicality
         |FROM p""".stripMargin,
+
+    "d91_source_cap" ->
+      """WITH r AS (SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM r WHERE rn <= 5 GROUP BY 1""".stripMargin,
+
+    "d92_vocab_oov" ->
+      s"""WITH t AS (SELECT lang, unnest($toksLowerSql) AS tok FROM documents),
+         |v AS (SELECT tok, TRUE AS inv FROM (
+         |  SELECT tok, count(*) AS c FROM t GROUP BY 1
+         |  ORDER BY c DESC, tok ASC LIMIT 10)),
+         |j AS (SELECT lang, inv FROM t LEFT JOIN v USING (tok))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        | CAST(SUM(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        | ROUND(CAST(SUM(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / COUNT(*), 6) AS oov_rate
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "d93_mixture_rebalance" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS mn FROM c),
+        |s AS (SELECT d.lang, d.n_chars FROM documents d JOIN c USING (lang), m
+        |      WHERE '0' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |            < lpad(lower(hex((CAST(mn AS BIGINT) * 16777216) // n)), 7, '0'))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "d94_contamination_frac" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksLowerSql AS ws FROM documents),
+         |g AS (SELECT doc_id, source, unnest(list_distinct(
+         |  CASE WHEN len(ws) >= 8
+         |   THEN list_transform(range(1, len(ws) - 6), i -> array_to_string(ws[i:i+7], ' '))
+         |   ELSE [array_to_string(ws, ' ')] END)) AS gram FROM t),
+         |e AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0','src1'))
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        | CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        | ROUND(CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / COUNT(*), 6) AS contamination
+        |FROM g LEFT JOIN e ON g.gram = e.gram
+        |WHERE g.source NOT IN ('src0','src1') GROUP BY 1""".stripMargin,
+
+    "d95_event_pairs" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    event_type FROM events)
+        |SELECT a.event_type AS t1, b.event_type AS t2,
+        | CAST(COUNT(*) AS BIGINT) AS n_baskets
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.day = b.day
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
+
+    "d96_length_percentile" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pr
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        | ROUND(pr, 6) AS pct_rank
+        |FROM r WHERE pr < 0.1""".stripMargin,
   )
 }

@@ -189,6 +189,47 @@ class PlanAuditSpec extends SparkTestBase {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("d91/d96: per-stratum windows partition by their keys — never a global sort") {
+    for (q <- Seq(Queries.d91SourceCap _, Queries.d96LengthPercentile _)) {
+      val plan = planOf(q(spark, d))
+      val finalPlan = plan.split("== Initial Plan ==").head
+      assert(!finalPlan.contains("Exchange rangepartitioning"),
+        "stratified window fell into a global sort:\n" + finalPlan.take(3000))
+    }
+  }
+
+  test("d92/d94: vocab and eval-gram joins are broadcast — the corpus token stream never hash-shuffles into the join") {
+    for (q <- Seq(Queries.d92VocabOov _, Queries.d94ContaminationFrac _)) {
+      val plan = planOf(q(spark, d))
+      val finalPlan = plan.split("== Initial Plan ==").head
+      assert(finalPlan.contains("BroadcastHashJoin"), plan.take(3000))
+      assert(!finalPlan.contains("SortMergeJoin"),
+        "tiny build side fell into a sort-merge join:\n" + finalPlan.take(3000))
+    }
+  }
+
+  test("d93: the mixture gate itself is shuffle-free — only the two tiny stratum counts aggregate") {
+    val plan = planOf(Queries.d93MixtureRebalance(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!finalPlan.contains("SortMergeJoin"),
+      "rate join fell into a sort-merge join:\n" + finalPlan.take(3000))
+    // allowed exchanges: lang-count aggregate + final per-lang report;
+    // the corpus row stream reaches the md5 gate without repartitioning
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"unexpected shuffles ($exchanges):\n" + finalPlan.take(3000))
+  }
+
+  test("d95: baskets build in ONE shuffle; pair expansion is in-group, never a self-join") {
+    val plan = planOf(Queries.d95EventPairs(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join"),
+      "pair expansion must not plan a join:\n" + finalPlan.take(3000))
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // basket collect_set + final pair count
+    assert(exchanges <= 2, s"unexpected shuffles ($exchanges):\n" + finalPlan.take(3000))
+  }
+
   test("d62: centroid aggregation is partial/final over ONE exchange of group buffers") {
     val plan = planOf(Queries.d62EmbedCentroids(spark, d))
     val finalPlan = plan.split("== Initial Plan ==").head
