@@ -1505,6 +1505,71 @@ object Queries {
         round(col("__pr"), 6).as("pct_rank"))
   }
 
+  /** Bucketed co-located join: both fact tables are written bucketed+sorted
+    * on the join key ([[graft.operators.ScaleOps.writeBucketed]]), then
+    * joined back — the layout that makes a repeated 100 TB fact-to-fact
+    * join shuffle-FREE (bucket n joins bucket n, no exchange on either
+    * side; BucketedJoinSpec pins that plan shape under forced-shuffle
+    * confs). The battery row checks the end-to-end result through the
+    * write→catalog→read→join path; money mass through the exact
+    * fixed-point SUM.
+    */
+  def d97BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = Integer.toHexString(d.hashCode)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bucketed_" + s.sparkContext.applicationId).getAbsolutePath
+    graft.operators.ScaleOps.writeBucketed(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+      s"graft_bo_$tag", s"$base/bo_$tag", Seq("o_orderkey"), 8)
+    graft.operators.ScaleOps.writeBucketed(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice")),
+      s"graft_bl_$tag", s"$base/bl_$tag", Seq("l_orderkey"), 8)
+    val o = s.table(s"graft_bo_$tag")
+    val l = s.table(s"graft_bl_$tag")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy((col("o_custkey") % 100).as("cust_bucket"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_items"),
+        expr("CAST(graft_money_sum(l_quantity, 2) AS DOUBLE)").as("sum_qty"),
+        expr("CAST(graft_money_sum(l_extendedprice, 2) AS DOUBLE)").as("sum_price"))
+  }
+
+  /** Full-outer reconciliation of two activity calendars (order days vs
+    * event days — DISJOINT ranges in this data, so the join type is
+    * maximally load-bearing: inner yields 0 rows, either one-sided outer
+    * drops a whole side). The day grains are pre-aggregated BEFORE the
+    * join — the outer join moves one row per day, not one per record,
+    * which is what keeps a calendar reconciliation cheap at 100 TB.
+    */
+  def d98FullOuter(s: SparkSession, d: String): DataFrame = {
+    val odays = Tables.orders(s, d)
+      // o_orderdate is TIMESTAMP_NTZ; the session runs UTC (GraftSession),
+      // so unix_millis(CAST(..)) == DuckDB epoch_ms, and `div` == `//` (floor)
+      .select(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")
+        .as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("__no"))
+    val edays = Tables.events(s, d)
+      .select(expr("ts_ms div 86400000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("__ne"))
+    odays.join(edays, Seq("day"), "full_outer")
+      .select(col("day"),
+        expr("CAST(coalesce(__no, 0) AS BIGINT)").as("n_orders"),
+        expr("CAST(coalesce(__ne, 0) AS BIGINT)").as("n_events"))
+  }
+
+  /** Regex redaction transform (the PII-scrub WRITE path; d87 is the scan):
+    * mask every standalone 6-letter lowercase word and report the redacted
+    * text plus how many characters survived. Map-only — the whole transform
+    * runs inside the scan stage's codegen; Java regex and RE2 agree on
+    * ASCII classes, so the redacted STRINGS (not just counts) hash-check
+    * across engines.
+    */
+  def d99Redact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "\\b[a-z]{6}\\b", "[MASK]").as("text_redacted"))
+      .withColumn("n_chars_redacted", length(col("text_redacted")).cast("long"))
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1604,6 +1669,9 @@ object Queries {
     "d94_contamination_frac" -> (d94ContaminationFrac _),
     "d95_event_pairs" -> (d95EventPairs _),
     "d96_length_percentile" -> (d96LengthPercentile _),
+    "d97_bucketed_join" -> (d97BucketedJoin _),
+    "d98_full_outer" -> (d98FullOuter _),
+    "d99_redact" -> (d99Redact _),
   )
 
   private val toksSql =
@@ -2220,5 +2288,30 @@ object Queries {
         |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
         | ROUND(pr, 6) AS pct_rank
         |FROM r WHERE pr < 0.1""".stripMargin,
+
+    "d97_bucketed_join" ->
+      """SELECT CAST(o_custkey % 100 AS BIGINT) AS cust_bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "d98_full_outer" ->
+      """WITH o AS (SELECT epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000
+        |    AS day, count(*) AS no FROM orders GROUP BY 1),
+        |e AS (SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS ne
+        |    FROM events GROUP BY 1)
+        |SELECT coalesce(o.day, e.day) AS day,
+        | CAST(coalesce(no, 0) AS BIGINT) AS n_orders,
+        | CAST(coalesce(ne, 0) AS BIGINT) AS n_events
+        |FROM o FULL OUTER JOIN e ON o.day = e.day""".stripMargin,
+
+    "d99_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(text, '\b[a-z]{6}\b', '[MASK]', 'g') AS text_redacted,
+        | CAST(length(regexp_replace(text, '\b[a-z]{6}\b', '[MASK]', 'g')) AS BIGINT)
+        |   AS n_chars_redacted
+        |FROM documents""".stripMargin,
   )
 }
