@@ -1570,6 +1570,51 @@ object Queries {
         regexp_replace(col("text"), "\\b[a-z]{6}\\b", "[MASK]").as("text_redacted"))
       .withColumn("n_chars_redacted", length(col("text_redacted")).cast("long"))
 
+  /** Deterministic RANDOM per-stratum cap (the variant of d91 real
+    * pipelines run: keep K random docs per domain, not the first K — head
+    * selection biases toward crawl order). "Random" is the md5 hex of the
+    * doc id: uniform, engine-portable, retry-stable, and the oracle
+    * re-derives the exact kept SET. Partitioned window, no global sort;
+    * doc_id tiebreak keeps the order total even under md5 collisions.
+    */
+  def d100RandomCap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 10)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(n_chars AS BIGINT)").as("n_chars"))
+  }
+
+  /** Snapshot novelty rate: what fraction of each NEW-batch doc's distinct
+    * word 8-grams are absent from the standing corpus (the crawl-value
+    * metric — a batch that is 95% seen content is not worth ingesting).
+    * Unlike d94 (tiny eval set → broadcast), the corpus gram set is
+    * corpus-sized, so this is the OTHER join regime: both sides hash-
+    * shuffle on the gram key (batch side exploded, corpus side distinct) —
+    * the shape that survives when the reference set cannot broadcast.
+    * Integer counts + ONE division keep the rate engine-exact.
+    */
+  def d101NoveltyRate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isNew = col("doc_id") % 7 === 0
+    val corpusGrams = docs.filter(!isNew)
+      .select(explode(TextFunctions.wordShingles(col("text"), 8)).as("gram"))
+      .distinct()
+      .select(col("gram"), lit(true).as("__seen"))
+    docs.filter(isNew)
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("text"), 8)).as("gram"))
+      .join(corpusGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_grams"),
+        expr("CAST(SUM(CASE WHEN __seen IS NULL THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("n_novel"),
+        round(sum(when(col("__seen").isNull, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("novelty"))
+  }
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1672,6 +1717,8 @@ object Queries {
     "d97_bucketed_join" -> (d97BucketedJoin _),
     "d98_full_outer" -> (d98FullOuter _),
     "d99_redact" -> (d99Redact _),
+    "d100_random_cap" -> (d100RandomCap _),
+    "d101_novelty_rate" -> (d101NoveltyRate _),
   )
 
   private val toksSql =
@@ -2313,5 +2360,27 @@ object Queries {
         | CAST(length(regexp_replace(text, '\b[a-z]{6}\b', '[MASK]', 'g')) AS BIGINT)
         |   AS n_chars_redacted
         |FROM documents""".stripMargin,
+
+    "d100_random_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM r WHERE rn <= 10""".stripMargin,
+
+    "d101_novelty_rate" ->
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(ws) >= 8
+         |   THEN list_transform(range(1, len(ws) - 6), i -> array_to_string(ws[i:i+7], ' '))
+         |   ELSE [array_to_string(ws, ' ')] END)) AS gram FROM t),
+         |c AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 <> 0)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        | CAST(SUM(CASE WHEN c.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        | ROUND(CAST(SUM(CASE WHEN c.gram IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / COUNT(*), 6) AS novelty
+        |FROM g LEFT JOIN c ON g.gram = c.gram
+        |WHERE g.doc_id % 7 = 0 GROUP BY 1""".stripMargin,
   )
 }

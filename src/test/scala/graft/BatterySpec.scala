@@ -8,13 +8,13 @@ class BatterySpec extends SparkTestBase {
   test("every oracle entry names a registered query; counts are consistent") {
     val dangling = Queries.oracles.keySet -- Queries.all.keySet
     assert(dangling.isEmpty, s"oracle SQL for unregistered queries: $dangling")
-    assert(Queries.all.size >= 99, s"battery shrank to ${Queries.all.size}")
-    assert(Queries.oracles.size >= 83, s"oracle coverage shrank to ${Queries.oracles.size}")
+    assert(Queries.all.size >= 101, s"battery shrank to ${Queries.all.size}")
+    assert(Queries.oracles.size >= 85, s"oracle coverage shrank to ${Queries.oracles.size}")
   }
 
   test("query names follow the qNN_/dNN_ convention with unique numbers") {
     val ids = Queries.all.keySet.map(_.takeWhile(_ != '_'))
     assert(ids.size == Queries.all.size, "duplicate query number prefixes")
-    assert(Queries.all.keySet.forall(_.matches("[qd]\\d{2}_[a-z0-9_]+")))
+    assert(Queries.all.keySet.forall(_.matches("[qd]\\d{2,3}_[a-z0-9_]+")))
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, length, lit, lpad, sum, when}
 
 /** Plan-shape audit: the properties that make these queries 100 TB-safe,
   * pinned as assertions so a regression in plan quality fails CI, not a
@@ -228,6 +228,49 @@ class PlanAuditSpec extends SparkTestBase {
     val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     // basket collect_set + final pair count
     assert(exchanges <= 2, s"unexpected shuffles ($exchanges):\n" + finalPlan.take(3000))
+  }
+
+  test("AQE skew join: a hot key splits into subpartitions at runtime instead of one straggler task") {
+    // On a cluster a hot join key turns one reducer into the whole job's
+    // critical path; AQE's skew-join rewrite splits that partition at
+    // runtime. At test scale we shrink the skew thresholds so the same
+    // machinery fires, and pin that the executed join actually ran in
+    // skew-handling mode.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 90% of the fact rows share one key — the canonical hot-key join
+      val fact = spark.range(0, 60000)
+        .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          lpad(col("id").cast("string"), 64, "x").as("pad"))
+      val dim = spark.range(0, 60000).select(col("id").as("k"),
+        lpad(col("id").cast("string"), 64, "y").as("dpad"))
+      // global aggregate downstream (AllTuples): a per-key aggregate would
+      // need hashpartitioning(k) and AQE refuses a skew split that adds a
+      // shuffle to satisfy it — which is itself correct behavior. The
+      // aggregate must CONSUME the pad columns: count(1) would let column
+      // pruning strip them from the shuffle and deflate the skew below
+      // the detection threshold.
+      val joined = fact.join(dim, "k")
+        .agg(sum(length(col("pad")) + length(col("dpad"))).as("n"))
+      val plan = planOf(joined)
+      assert(plan.contains("skew=true"),
+        "hot key did not trigger the AQE skew-join split:\n" + plan.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("d62: centroid aggregation is partial/final over ONE exchange of group buffers") {
