@@ -1513,11 +1513,18 @@ object Queries {
     * confs). The battery row checks the end-to-end result through the
     * write→catalog→read→join path; money mass through the exact
     * fixed-point SUM.
+    *
+    * The bucketed copies live at a FIXED per-(user, input-dir) path in
+    * overwrite mode — re-runs replace rather than accumulate (an
+    * applicationId-suffixed path would leak a full table copy per session).
+    * Single-writer contract: battery runs are sequential by construction;
+    * two concurrent sessions over the same input dir would race the
+    * overwrite, same as any shared external table.
     */
   def d97BucketedJoin(s: SparkSession, d: String): DataFrame = {
     val tag = Integer.toHexString(d.hashCode)
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_bucketed_" + s.sparkContext.applicationId).getAbsolutePath
+      "graft_bucketed_" + System.getProperty("user.name", "anon")).getAbsolutePath
     graft.operators.ScaleOps.writeBucketed(
       Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
       s"graft_bo_$tag", s"$base/bo_$tag", Seq("o_orderkey"), 8)
@@ -1544,7 +1551,9 @@ object Queries {
   def d98FullOuter(s: SparkSession, d: String): DataFrame = {
     val odays = Tables.orders(s, d)
       // o_orderdate is TIMESTAMP_NTZ; the session runs UTC (GraftSession),
-      // so unix_millis(CAST(..)) == DuckDB epoch_ms, and `div` == `//` (floor)
+      // so unix_millis(CAST(..)) == DuckDB epoch_ms. Spark `div` and DuckDB
+      // `//` BOTH truncate toward zero (neither is floor division) —
+      // identical here, and all epoch-ms values are positive anyway
       .select(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")
         .as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("__no"))
@@ -1728,6 +1737,18 @@ object Queries {
   private val stopwordsSql =
     "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are']"
   private val punctReSql = "'[!-/:-@\\[-`{-~]'"
+
+  /** DuckDB expansion of [[graft.functions.TextFunctions.wordShingles]] for
+    * n=8 over a token-list column `ws`: distinct space-joined 8-token
+    * windows; short docs collapse to the whole doc as one gram. ONE
+    * definition — d57/d73/d94/d101 all splice this, so the
+    * engine-equivalence-critical semantics can never diverge per-oracle.
+    */
+  private val gram8Sql =
+    """list_distinct(
+      |  CASE WHEN len(ws) >= 8
+      |   THEN list_transform(range(1, len(ws) - 6), i -> array_to_string(ws[i:i+7], ' '))
+      |   ELSE [array_to_string(ws, ' ')] END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1985,10 +2006,7 @@ object Queries {
         |FROM events GROUP BY event_type""".stripMargin,
     "d57_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, source, $toksLowerSql AS ws FROM documents),
-         |g AS (SELECT doc_id, source, unnest(list_distinct(
-         |  CASE WHEN len(ws) >= 8
-         |   THEN list_transform(range(1, len(ws) - 6), i -> array_to_string(ws[i:i+7], ' '))
-         |   ELSE [array_to_string(ws, ' ')] END)) AS gram FROM t),
+         |g AS (SELECT doc_id, source, unnest($gram8Sql) AS gram FROM t),
          |e AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0','src1'))
          |SELECT doc_id, n_shared FROM (
          | SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -2131,10 +2149,7 @@ object Queries {
 
     "d73_dup_ngrams" ->
       s"""WITH t AS (SELECT doc_id, $toksLowerSql AS ws FROM documents),
-         |g AS (SELECT doc_id, unnest(list_distinct(
-         |  CASE WHEN len(ws) >= 8
-         |   THEN list_transform(range(1, len(ws) - 6), i -> array_to_string(ws[i:i+7], ' '))
-         |   ELSE [array_to_string(ws, ' ')] END)) AS gram FROM t),
+         |g AS (SELECT doc_id, unnest($gram8Sql) AS gram FROM t),
          |f AS (SELECT gram, count(*) AS ndw FROM g GROUP BY 1),
          |p AS (SELECT doc_id, count(*) AS n_grams,
          |  sum(CASE WHEN ndw > 1 THEN 1 ELSE 0 END) AS n_shared
@@ -2306,10 +2321,7 @@ object Queries {
 
     "d94_contamination_frac" ->
       s"""WITH t AS (SELECT doc_id, source, $toksLowerSql AS ws FROM documents),
-         |g AS (SELECT doc_id, source, unnest(list_distinct(
-         |  CASE WHEN len(ws) >= 8
-         |   THEN list_transform(range(1, len(ws) - 6), i -> array_to_string(ws[i:i+7], ' '))
-         |   ELSE [array_to_string(ws, ' ')] END)) AS gram FROM t),
+         |g AS (SELECT doc_id, source, unnest($gram8Sql) AS gram FROM t),
          |e AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0','src1'))
         |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
         | CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
@@ -2371,10 +2383,7 @@ object Queries {
 
     "d101_novelty_rate" ->
       s"""WITH t AS (SELECT doc_id, $toksLowerSql AS ws FROM documents),
-         |g AS (SELECT doc_id, unnest(list_distinct(
-         |  CASE WHEN len(ws) >= 8
-         |   THEN list_transform(range(1, len(ws) - 6), i -> array_to_string(ws[i:i+7], ' '))
-         |   ELSE [array_to_string(ws, ' ')] END)) AS gram FROM t),
+         |g AS (SELECT doc_id, unnest($gram8Sql) AS gram FROM t),
          |c AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 <> 0)
         |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
         | CAST(SUM(CASE WHEN c.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
