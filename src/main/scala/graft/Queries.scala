@@ -1624,6 +1624,16 @@ object Queries {
           count(lit(1)), 6).as("novelty"))
   }
 
+  /** Substring-level span dedup (the token-granular pass AFTER doc-level
+    * dedup — [[graft.operators.Dedup.maskDuplicatedSpans]]): every token
+    * covered by a corpus-duplicated word 8-gram is removed, clean docs
+    * pass through untouched. The rebuilt TEXT itself hash-checks against
+    * the oracle, not just the counts.
+    */
+  def d102SpanDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.maskDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+      n = 8, minGlobalCount = 2)
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1728,6 +1738,7 @@ object Queries {
     "d99_redact" -> (d99Redact _),
     "d100_random_cap" -> (d100RandomCap _),
     "d101_novelty_rate" -> (d101NoveltyRate _),
+    "d102_span_dedup" -> (d102SpanDedup _),
   )
 
   private val toksSql =
@@ -2391,5 +2402,24 @@ object Queries {
         |   / COUNT(*), 6) AS novelty
         |FROM g LEFT JOIN c ON g.gram = c.gram
         |WHERE g.doc_id % 7 = 0 GROUP BY 1""".stripMargin,
+
+    "d102_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS ws FROM documents),
+         |g AS (SELECT doc_id, u.i - 1 AS pos,
+         |    CASE WHEN len(ws) >= 8 THEN array_to_string(ws[u.i:u.i+7], ' ')
+         |         ELSE array_to_string(ws, ' ') END AS gram
+         |  FROM t, unnest(CASE WHEN len(ws) >= 8 THEN range(1, len(ws) - 6)
+         |                      ELSE [CAST(1 AS BIGINT)] END) AS u(i)),
+         |dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+         |s AS (SELECT doc_id, list(DISTINCT pos) AS starts
+         |      FROM g JOIN dup USING (gram) GROUP BY 1),
+         |k AS (SELECT t.doc_id, ws,
+         |    list_filter(ws, (x, i) -> len(list_filter(coalesce(starts, []),
+         |      st -> (i - 1) >= st AND (i - 1) <= st + 7)) = 0) AS kept
+         |  FROM t LEFT JOIN s USING (doc_id))
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        | CAST(len(ws) - len(kept) AS BIGINT) AS n_masked,
+        | coalesce(array_to_string(kept, ' '), '') AS text_deduped
+        |FROM k""".stripMargin,
   )
 }

@@ -419,4 +419,50 @@ object Dedup {
     // positives are not. One pass over the batch, no per-row probe here.
     newBatch.join(broadcast(hits), col(keyCol) === col("__k"), "left_anti")
   }
+
+  /** Substring-level dedup ("Deduplicating Training Data Makes Language
+    * Models Better"-style span removal, the token-granular step AFTER
+    * doc-level dedup): drop every token covered by a word n-gram that
+    * occurs at least `minGlobalCount` times corpus-wide — every occurrence
+    * counts, including repeats inside one doc. Returns
+    * (id, n_tokens, n_masked, text_deduped) for EVERY input doc (clean
+    * docs pass through with n_masked = 0).
+    *
+    * Shape at 100 TB: positional n-grams explode map-side (native
+    * [[graft.plans.NativeExpressions.wordNgramsAll]] — one pass, no
+    * per-window string re-tokenize); the duplicated-gram table is
+    * corpus-sized, so the membership join hash-shuffles BOTH sides on the
+    * gram key (d73's inverted-index regime — never broadcast); covered
+    * spans come back as one collect_set per doc; the rebuild is per-row.
+    * Docs with fewer than n tokens emit their whole text as one gram at
+    * position 0 (matching the shingle convention), so a short doc
+    * duplicated anywhere is masked in full.
+    */
+  def maskDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minGlobalCount: Long = 2): DataFrame = {
+    val withToks = df.select(col(idCol),
+      coalesce(TextFunctions.tokens(lower(col(textCol))),
+        typedlit(Seq.empty[String])).as("__toks"))
+    val grams = withToks
+      .select(col(idCol),
+        posexplode(graft.plans.NativeExpressions.wordNgramsAll(col("__toks"), n)))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__gram")
+    val dupGrams = grams.groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__ng"))
+      .filter(col("__ng") >= minGlobalCount)
+      .select(col("__gram"))
+    val starts = grams.join(dupGrams, Seq("__gram"))
+      .groupBy(col(idCol)).agg(collect_set(col("__pos")).as("__starts"))
+    withToks.join(starts, Seq(idCol), "left")
+      // 0-based lambda index; a start s covers tokens [s, s + n - 1]
+      .withColumn("__kept", expr(
+        s"filter(__toks, (x, i) -> NOT exists(coalesce(__starts, array()), " +
+          s"s -> i >= s AND i <= s + ${n - 1}))"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_masked"),
+        concat_ws(" ", col("__kept")).as("text_deduped"))
+  }
 }

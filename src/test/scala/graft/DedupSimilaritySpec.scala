@@ -304,4 +304,44 @@ class DedupSimilaritySpec extends SparkTestBase {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(survivors == Set(1L, 3L, 5L), s"survivors $survivors")
   }
+
+  test("maskDuplicatedSpans removes exactly the corpus-duplicated span, everywhere it occurs") {
+    val s = spark
+    import s.implicits._
+    // docs 1 and 2 share the 4-gram "alpha beta gamma delta" at different
+    // offsets; doc 3 is clean; doc 4 repeats a 4-gram WITHIN itself
+    val rows = Seq(
+      (1L, "alpha beta gamma delta one two three four"),
+      (2L, "zero alpha beta gamma delta five six seven"),
+      (3L, "nothing here repeats at all anywhere truly"),
+      (4L, "x y z w p q x y z w")
+    ).toDF("doc_id", "text")
+    val out = Dedup.maskDuplicatedSpans(rows, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: start 0 covers tokens 0-3
+    assert(out(1L) == ((8L, 4L, "one two three four")), out(1L).toString)
+    // doc 2: start 1 covers tokens 1-4
+    assert(out(2L) == ((8L, 4L, "zero five six seven")), out(2L).toString)
+    // doc 3: untouched
+    assert(out(3L) == ((7L, 0L, "nothing here repeats at all anywhere truly")),
+      out(3L).toString)
+    // doc 4: "x y z w" occurs at starts 0 and 6 — covers 0-3 and 6-9;
+    // tokens 4,5 ("p q") survive
+    assert(out(4L) == ((10L, 8L, "p q")), out(4L).toString)
+  }
+
+  test("maskDuplicatedSpans: a short doc duplicated anywhere masks in full") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "tiny doc"), // < n tokens: whole text is its one gram
+      (2L, "tiny doc"),
+      (3L, "another short one")
+    ).toDF("doc_id", "text")
+    val out = Dedup.maskDuplicatedSpans(rows, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, "")) && out(2L) == ((2L, "")), out.toString)
+    assert(out(3L) == ((0L, "another short one")), out(3L).toString)
+  }
 }

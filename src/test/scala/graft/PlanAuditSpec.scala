@@ -273,6 +273,30 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("hive-partitioned layout: a partition-column predicate prunes directories, not just row groups") {
+    // writeShards' partitionBy layout exists FOR this: a filter on the
+    // partition column must resolve at planning time (PartitionFilters on
+    // the scan, directory-level pruning) — distinct from parquet row-group
+    // pushdown (PushedFilters), which still opens every file.
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_prune_" + System.getProperty("user.name", "anon")).getAbsolutePath
+    graft.operators.ScaleOps.writeShards(
+      Tables.documents(spark, d), out, Seq("lang"), Seq("doc_id"), 10000L)
+    val back = spark.read.parquet(out).filter(col("lang") === "zh")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val plan = planOf(back)
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail("no PartitionFilters on the scan:\n" + plan.take(3000)))
+    assert(scanLine.contains("lang"),
+      s"partition predicate did not reach directory pruning: $scanLine")
+    // the pruned value must not survive into the data filters — pruning
+    // happened at the listing level, not per-row
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(scanLine)
+      .map(_.group(1)).getOrElse("")
+    assert(!pushed.contains("lang"),
+      s"lang predicate fell through to row-group filters: $scanLine")
+  }
+
   test("d62: centroid aggregation is partial/final over ONE exchange of group buffers") {
     val plan = planOf(Queries.d62EmbedCentroids(spark, d))
     val finalPlan = plan.split("== Initial Plan ==").head
