@@ -1634,6 +1634,32 @@ object Queries {
     Dedup.maskDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
       n = 8, minGlobalCount = 2)
 
+  /** Edit-distance near-dup verification (the character-granular verify
+    * tier below d25's token Jaccard): blocked candidates (same lang +
+    * exact char length — the cheap equality block) are scored with
+    * Levenshtein, keeping pairs within 120 edits (probed discriminating:
+    * 19 of 73 blocked pairs survive). The distance is an INTEGER — the
+    * filter is engine-exact — and the reported similarity is one integer
+    * quotient. Spark and DuckDB both implement classic Levenshtein (no
+    * transpositions), so the scores hash-check.
+    */
+  def d103EditDistance(s: SparkSession, d: String): DataFrame = {
+    // fanOut the probe side: Levenshtein on ~500-char strings is the
+    // heaviest per-row compute in the battery, and a single-file scan
+    // would leave the whole O(L²) verify stage on one task
+    val t = graft.operators.ScaleOps.fanOut(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text")))
+    t.as("a").join(t.as("b"),
+        col("a.lang") === col("b.lang") && col("a.n_chars") === col("b.n_chars") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("edit_dist"),
+        col("a.n_chars").as("len"))
+      .filter(col("edit_dist") <= 120)
+      .select(col("id1"), col("id2"), col("edit_dist"),
+        round(lit(1.0) - col("edit_dist").cast("double") / col("len"), 6).as("sim"))
+  }
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1739,6 +1765,7 @@ object Queries {
     "d100_random_cap" -> (d100RandomCap _),
     "d101_novelty_rate" -> (d101NoveltyRate _),
     "d102_span_dedup" -> (d102SpanDedup _),
+    "d103_edit_distance" -> (d103EditDistance _),
   )
 
   private val toksSql =
@@ -2421,5 +2448,13 @@ object Queries {
         | CAST(len(ws) - len(kept) AS BIGINT) AS n_masked,
         | coalesce(array_to_string(kept, ' '), '') AS text_deduped
         |FROM k""".stripMargin,
+
+    "d103_edit_distance" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+        | ROUND(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) / a.n_chars, 6) AS sim
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 120""".stripMargin,
   )
 }

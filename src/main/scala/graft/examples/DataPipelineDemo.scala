@@ -54,8 +54,21 @@ object DataPipelineDemo {
     // 3. MinHash-LSH near-dedup (capped candidate generation)
     val pairs = Dedup.minHashLshPairs(exact, "doc_id", "text",
       shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.6)
-    val survivors = Dedup.keepMinIdSurvivors(exact, "doc_id", pairs).persist()
-    println(s"[pipeline] near-dup pairs: ${pairs.count()}; survivors: ${survivors.count()}")
+    val nearDeduped = Dedup.keepMinIdSurvivors(exact, "doc_id", pairs)
+    println(s"[pipeline] near-dup pairs: ${pairs.count()}")
+
+    // 3.5 substring-level span dedup: doc-level passes leave verbatim
+    // boilerplate spans shared across otherwise-distinct docs; remove
+    // every token covered by a corpus-duplicated 8-gram, drop docs that
+    // lose (almost) everything, and carry the cleaned text downstream
+    val masked = Dedup.maskDuplicatedSpans(nearDeduped, "doc_id", "text", n = 8)
+    val survivors = nearDeduped.drop("text", "n_tokens")
+      .join(masked.filter(col("n_tokens") - col("n_masked") >= 10)
+        .select(col("doc_id"), col("text_deduped").as("text"),
+          (col("n_tokens") - col("n_masked")).as("n_tokens")), "doc_id")
+      .persist()
+    val maskedTokens = masked.agg(sum(col("n_masked"))).first.getLong(0)
+    println(s"[pipeline] span-masked tokens: $maskedTokens; survivors: ${survivors.count()}")
 
     // 4. per-language yield report
     survivors.groupBy(col("lang"))
