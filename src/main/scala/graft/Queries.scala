@@ -1660,6 +1660,53 @@ object Queries {
         round(lit(1.0) - col("edit_dist").cast("double") / col("len"), 6).as("sim"))
   }
 
+  /** Robust outlier detection via median absolute deviation (the
+    * heavy-tail-safe complement of d72's z-score — mean/stddev are
+    * themselves dragged by the outliers they hunt; median/MAD are not).
+    * Two tiny per-type aggregates broadcast back to the event stream —
+    * the stream shuffles once per aggregate, never for the flagging pass.
+    * Both engines interpolate the exact percentile identically (proven by
+    * d40), deviations subtract identical doubles, so the `ad > 3 * mad`
+    * gate is engine-exact on raw values; only reported stats are rounded.
+    */
+  def d104MadOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("__med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("__ad", abs(col("value") - col("__med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(expr("CAST(SUM(CASE WHEN __ad > 3 * __mad THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("n_outliers"),
+        expr("CAST(COUNT(*) AS BIGINT)").as("n_events"),
+        round(max(col("__med")), 4).as("med"),
+        round(max(col("__mad")), 4).as("mad"))
+  }
+
+  /** Token-MASS-weighted median doc length per language (the length-budget
+    * planning stat: half the corpus BYTES sit in docs at least this long —
+    * the row-median under-weights the large docs that dominate training
+    * cost). No native weighted-percentile needed: a partitioned cumulative
+    * sum over the unique (n_chars, doc_id) order + one conditional min.
+    * All-integer arithmetic — engine-exact, no rounding anywhere.
+    */
+  def d105WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val wRun = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val wAll = Window.partitionBy(col("lang"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("__cum", sum(col("n_chars")).over(wRun))
+      .withColumn("__tot", sum(col("n_chars")).over(wAll))
+      .groupBy(col("lang"))
+      .agg(expr("CAST(MIN(CASE WHEN 2 * __cum >= __tot THEN n_chars END) AS BIGINT)")
+          .as("wmedian"),
+        expr("CAST(MAX(__tot) AS BIGINT)").as("total_chars"))
+  }
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1766,6 +1813,8 @@ object Queries {
     "d101_novelty_rate" -> (d101NoveltyRate _),
     "d102_span_dedup" -> (d102SpanDedup _),
     "d103_edit_distance" -> (d103EditDistance _),
+    "d104_mad_outliers" -> (d104MadOutliers _),
+    "d105_weighted_median" -> (d105WeightedMedian _),
   )
 
   private val toksSql =
@@ -2456,5 +2505,27 @@ object Queries {
         |FROM documents a JOIN documents b
         |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.text, b.text) <= 120""".stripMargin,
+
+    "d104_mad_outliers" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |    FROM events GROUP BY 1),
+        |a AS (SELECT e.event_type, abs(value - med) AS ad, med
+        |    FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM a GROUP BY 1)
+        |SELECT a.event_type,
+        | CAST(SUM(CASE WHEN ad > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | ROUND(MAX(med), 4) AS med, ROUND(MAX(mad), 4) AS mad
+        |FROM a JOIN md USING (event_type) GROUP BY 1""".stripMargin,
+
+    "d105_weighted_median" ->
+      """WITH w AS (SELECT lang, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS cum,
+        |    sum(n_chars) OVER (PARTITION BY lang) AS tot
+        |  FROM documents)
+        |SELECT lang,
+        | CAST(MIN(CASE WHEN 2 * cum >= tot THEN n_chars END) AS BIGINT) AS wmedian,
+        | CAST(MAX(tot) AS BIGINT) AS total_chars
+        |FROM w GROUP BY 1""".stripMargin,
   )
 }
