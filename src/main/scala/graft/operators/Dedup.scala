@@ -456,10 +456,12 @@ object Dedup {
     val starts = grams.join(dupGrams, Seq("__gram"))
       .groupBy(col(idCol)).agg(collect_set(col("__pos")).as("__starts"))
     withToks.join(starts, Seq(idCol), "left")
-      // 0-based lambda index; a start s covers tokens [s, s + n - 1]
-      .withColumn("__kept", expr(
-        s"filter(__toks, (x, i) -> NOT exists(coalesce(__starts, array()), " +
-          s"s -> i >= s AND i <= s + ${n - 1}))"))
+      // native two-pointer sweep (a start s covers tokens [s, s + n - 1]);
+      // clean docs arrive with NULL starts from the left join → empty
+      .withColumn("__kept", graft.plans.NativeExpressions.maskSpans(
+        col("__toks"),
+        coalesce(col("__starts"), typedlit(Seq.empty[Long])).cast("array<long>"),
+        n))
       .select(col(idCol),
         size(col("__toks")).cast("long").as("n_tokens"),
         (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_masked"),

@@ -137,6 +137,13 @@ object NativeExpressions {
   def tokenChunks(tokens: Column, chunkSize: Int, stride: Int): Column =
     ColumnBridge.column(TokenChunksExpr(ColumnBridge.expression(tokens), chunkSize, stride))
 
+  /** Tokens NOT covered by any n-token window starting at one of `starts`
+    * — see [[MaskSpansExpr]].
+    */
+  def maskSpans(tokens: Column, starts: Column, n: Int): Column =
+    ColumnBridge.column(MaskSpansExpr(
+      ColumnBridge.expression(tokens), ColumnBridge.expression(starts), n))
+
   /** Single-pass repetition counters over a token array — see
     * [[RepetitionStatsExpr]].
     */
@@ -722,6 +729,48 @@ case class TokenChunksExpr(child: Expression, chunkSize: Int, stride: Int)
   }
   override protected def withNewChildInternal(newChild: Expression): TokenChunksExpr =
     copy(child = newChild)
+}
+
+/** Span-mask rebuild for substring-level dedup
+  * ([[graft.operators.Dedup.maskDuplicatedSpans]]): keep every token whose
+  * index is NOT covered by any window `[s, s + n - 1]`, `s` in `starts`.
+  * The HOF formulation (`filter(toks, (x,i) -> !exists(starts, ...))`) is
+  * interpreted and O(tokens × starts) per row; this sorts a copy of the
+  * (collect_set-unordered) starts once and sweeps both sequences with a
+  * two-pointer pass — O(tokens + starts log starts), one tight loop.
+  * Equivalence with the HOF formulation is pinned by spec.
+  */
+case class MaskSpansExpr(left: Expression, right: Expression, n: Int)
+  extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  require(n >= 1, s"n must be positive: $n")
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] =
+    Seq(NativeInputTypes.stringArray, NativeInputTypes.longArray)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(toksAny: Any, startsAny: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = toksAny.asInstanceOf[ArrayData]
+    val startsArr = startsAny.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val k = startsArr.numElements()
+    if (k == 0) return toks.copy()
+    val starts = new Array[Long](k)
+    var j = 0
+    while (j < k) { starts(j) = startsArr.getLong(j); j += 1 }
+    java.util.Arrays.sort(starts)
+    val kept = new java.util.ArrayList[UTF8String](m)
+    var p = 0
+    var i = 0
+    while (i < m) {
+      // windows ending before i can never cover i (starts ascend)
+      while (p < k && starts(p) + n - 1 < i) p += 1
+      if (!(p < k && starts(p) <= i)) kept.add(toks.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(kept.toArray(new Array[AnyRef](kept.size())))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MaskSpansExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Repetition counters for Gopher-style quality filtering (the repetition

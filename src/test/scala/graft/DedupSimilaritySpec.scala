@@ -331,6 +331,27 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out(4L) == ((10L, 8L, "p q")), out(4L).toString)
   }
 
+  test("MaskSpansExpr matches the interpreted filter/exists formulation on the real corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(lower(col("text"))).as("toks"))
+      // synthetic start sets covering the edge shapes: empty, head, tail,
+      // overlapping windows, out-of-range starts
+      .withColumn("starts", expr(
+        "CASE WHEN doc_id % 5 = 0 THEN array() " +
+          "WHEN doc_id % 5 = 1 THEN array(0L) " +
+          "WHEN doc_id % 5 = 2 THEN array(CAST(size(toks) - 1 AS LONG)) " +
+          "WHEN doc_id % 5 = 3 THEN array(2L, 4L, 5L) " +
+          "ELSE array(0L, CAST(size(toks) AS LONG), 7L) END"))
+    val both = docs
+      .withColumn("native",
+        graft.plans.NativeExpressions.maskSpans(col("toks"), col("starts"), 4))
+      .withColumn("hof", expr(
+        "filter(toks, (x, i) -> NOT exists(starts, s -> i >= s AND i <= s + 3))"))
+    assert(both.filter(not(col("native") === col("hof"))).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("maskDuplicatedSpans: a short doc duplicated anywhere masks in full") {
     val s = spark
     import s.implicits._

@@ -125,6 +125,9 @@ class SdfExtensionsSpec extends SparkTestBase {
       "SELECT graft_repetition_stats(array('a','b','a','b','a')) AS r").first()
     val rep = r8.getStruct(0)
     assert((rep.getInt(0), rep.getInt(1), rep.getInt(2)) == ((5, 2, 2)))
+    val r9 = spark.sql(
+      "SELECT graft_mask_spans(array('a','b','c','d','e'), array(1L), 3) AS k").first()
+    assert(r9.getSeq[String](0) == Seq("a", "e"))
   }
 
   test("SQL functions reject wrong-typed arguments at analysis time") {
