@@ -1707,6 +1707,45 @@ object Queries {
         expr("CAST(MAX(__tot) AS BIGINT)").as("total_chars"))
   }
 
+  /** Character-entropy quality signal (the cheapest "text or noise" gate):
+    * Shannon entropy of each doc's code-point distribution via the native
+    * map-only [[graft.plans.NativeExpressions.charEntropy]] — ZERO
+    * exchanges until the final sort-free projection; the expression sums
+    * in sorted code-point order so the double is deterministic. The
+    * low-entropy gate compares RAW doubles (cross-engine ln-sum noise
+    * ~1e-14; the nearest doc sits 4.3e-4 from the 2.65 cutoff — probed);
+    * only the reported entropy is rounded.
+    */
+  def d106CharEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("CAST(n_chars AS BIGINT)").as("n_chars"),
+        graft.plans.NativeExpressions.charEntropy(col("text")).as("__e"))
+      .select(col("doc_id"), col("n_chars"),
+        round(col("__e"), 4).as("entropy"),
+        (col("__e") < 2.65).as("low_entropy"))
+
+  /** Cross-source duplicate-overlap matrix (crawl provenance: which
+    * sources re-serve each other's content): count normalized-content keys
+    * present in BOTH sources of a pair. Same in-group pair expansion as
+    * d95 — one shuffle builds each key's distinct source set (bounded by
+    * the source vocabulary, never by corpus size), pairs expand in place;
+    * the self-join formulation would shuffle the key table twice and
+    * explode hot keys quadratically.
+    */
+  def d107SourceOverlap(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), Dedup.normalizedContentKey(col("text")).as("__key"))
+      .distinct()
+      .groupBy(col("__key"))
+      .agg(sort_array(collect_set(col("source"))).as("__ss"))
+      .select(explode(expr(
+        """flatten(transform(__ss, (x, i) ->
+          |  transform(slice(__ss, i + 2, size(__ss)),
+          |            y -> struct(x AS s1, y AS s2))))""".stripMargin)).as("__p"))
+      .groupBy(col("__p.s1").as("s1"), col("__p.s2").as("s2"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_shared"))
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1815,6 +1854,8 @@ object Queries {
     "d103_edit_distance" -> (d103EditDistance _),
     "d104_mad_outliers" -> (d104MadOutliers _),
     "d105_weighted_median" -> (d105WeightedMedian _),
+    "d106_char_entropy" -> (d106CharEntropy _),
+    "d107_source_overlap" -> (d107SourceOverlap _),
   )
 
   private val toksSql =
@@ -2527,5 +2568,26 @@ object Queries {
         | CAST(MIN(CASE WHEN 2 * cum >= tot THEN n_chars END) AS BIGINT) AS wmedian,
         | CAST(MAX(tot) AS BIGINT) AS total_chars
         |FROM w GROUP BY 1""".stripMargin,
+
+    "d106_char_entropy" ->
+      """WITH c AS (SELECT doc_id, n_chars, unnest(string_split(text, '')) AS ch
+        |    FROM documents),
+        |f AS (SELECT doc_id, n_chars, ch, count(*) AS c FROM c GROUP BY 1, 2, 3),
+        |t AS (SELECT doc_id, sum(c) AS n FROM f GROUP BY 1),
+        |e AS (SELECT f.doc_id, MAX(f.n_chars) AS n_chars,
+        |    -sum((c * 1.0 / n) * ln(c * 1.0 / n)) AS ent
+        |  FROM f JOIN t USING (doc_id) GROUP BY 1)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        | ROUND(ent, 4) AS entropy, ent < 2.65 AS low_entropy
+        |FROM e""".stripMargin,
+
+    "d107_source_overlap" ->
+      s"""WITH k AS (SELECT DISTINCT source,
+         |    array_to_string(list_sort(list_distinct($toksLowerSql)), ' ') AS key
+         |  FROM documents)
+        |SELECT a.source AS s1, b.source AS s2,
+        | CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM k a JOIN k b ON a.key = b.key AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

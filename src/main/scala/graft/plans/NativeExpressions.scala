@@ -137,6 +137,12 @@ object NativeExpressions {
   def tokenChunks(tokens: Column, chunkSize: Int, stride: Int): Column =
     ColumnBridge.column(TokenChunksExpr(ColumnBridge.expression(tokens), chunkSize, stride))
 
+  /** Shannon entropy of a string's code-point distribution — see
+    * [[CharEntropyExpr]].
+    */
+  def charEntropy(text: Column): Column =
+    ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(text)))
+
   /** Tokens NOT covered by any n-token window starting at one of `starts`
     * — see [[MaskSpansExpr]].
     */
@@ -728,6 +734,42 @@ case class TokenChunksExpr(child: Expression, chunkSize: Int, stride: Int)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(newChild: Expression): TokenChunksExpr =
+    copy(child = newChild)
+}
+
+/** Shannon entropy (nats) of a string's code-point frequency distribution —
+  * the cheapest "is this natural text or noise/binary spill" quality signal
+  * (garbage has near-uniform bytes → high entropy; template spam repeats a
+  * few chars → low). One map-side pass: count code points into a hash map,
+  * then sum `-(c/n) ln(c/n)` over keys in SORTED code-point order so the
+  * result is deterministic across partitionings and JVMs (a hash-order sum
+  * would reorder float additions). Empty/blank input → 0.0.
+  */
+case class CharEntropyExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    if (s.isEmpty) return 0.0
+    val counts = new java.util.TreeMap[Int, Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var e = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      e -= p * math.log(p)
+    }
+    e
+  }
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
     copy(child = newChild)
 }
 
