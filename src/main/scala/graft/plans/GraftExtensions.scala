@@ -23,6 +23,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - graft_token_chunks(tokens, chunkSize, stride)    → array<string>
   *  - graft_repetition_stats(tokens)                   → struct<n_tokens,n_distinct,top_bigram>
   *  - graft_mask_spans(tokens, starts, n)              → array<string>
+  *  - graft_char_entropy(text)                         → double
   *  - graft_money_sum(x, scale)  [aggregate]           → decimal(38,scale)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -71,6 +72,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => RepetitionStatsExpr(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_mask_spans"), info("graft_mask_spans"),
       (args: Seq[Expression]) => MaskSpansExpr(args.head, args(1), intLit(args(2), "n"))))
+    ext.injectFunction((FunctionIdentifier("graft_char_entropy"), info("graft_char_entropy"),
+      (args: Seq[Expression]) => CharEntropyExpr(args.head)))
     // aggregate: the analyzer wraps a bare AggregateFunction from a SQL
     // builder in its AggregateExpression
     ext.injectFunction((FunctionIdentifier("graft_money_sum"), info("graft_money_sum"),

@@ -128,6 +128,8 @@ class SdfExtensionsSpec extends SparkTestBase {
     val r9 = spark.sql(
       "SELECT graft_mask_spans(array('a','b','c','d','e'), array(1L), 3) AS k").first()
     assert(r9.getSeq[String](0) == Seq("a", "e"))
+    val r10 = spark.sql("SELECT graft_char_entropy('aabb') AS e").first()
+    assert(math.abs(r10.getDouble(0) - math.log(2.0)) < 1e-12)
   }
 
   test("SQL functions reject wrong-typed arguments at analysis time") {

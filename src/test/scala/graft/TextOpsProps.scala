@@ -68,4 +68,42 @@ object TextOpsProps extends Properties("TextOps") {
         else Set(toks.mkString(" "))
       grams.toSet == expected && grams.distinct == grams
     }
+
+  private val strRef = BoundReference(0, StringType, nullable = true)
+  private def evalEntropy(s: String): Double =
+    graft.plans.CharEntropyExpr(strRef)
+      .eval(InternalRow(UTF8String.fromString(s))).asInstanceOf[Double]
+
+  property("charEntropy: permutation-invariant, bounded by ln(k), 0 iff <= 1 distinct char") =
+    forAll(Gen.alphaNumStr.map(_.take(80)), Gen.long) { (s, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(s.toList).mkString
+      val e = evalEntropy(s)
+      val k = s.toList.distinct.length
+      math.abs(e - evalEntropy(shuffled)) < 1e-12 &&
+        e >= 0.0 && e <= (if (k > 0) math.log(k.toDouble) + 1e-12 else 0.0) &&
+        ((k <= 1) == (e == 0.0))
+    }
+
+  property("charEntropy: uniform string hits ln(k) exactly up to float noise") =
+    forAll(Gen.chooseNum(1, 20)) { k =>
+      val s = ('a' until ('a' + k).toChar).mkString
+      math.abs(evalEntropy(s) - math.log(k.toDouble)) < 1e-12
+    }
+
+  property("maskSpans: equals brute-force coverage filter") =
+    forAll(tokensGen, Gen.listOf(Gen.chooseNum(-2L, 70L)), Gen.chooseNum(1, 9)) {
+      (toks, starts, n) =>
+        val expr = graft.plans.MaskSpansExpr(
+          BoundReference(0, ArrayType(StringType), nullable = true),
+          BoundReference(1, ArrayType(LongType), nullable = true), n)
+        val toksArr = new GenericArrayData(
+          toks.map(t => UTF8String.fromString(t): Any).toArray)
+        val startsArr = new GenericArrayData(starts.map(s => s: Any).toArray)
+        val out = expr.eval(InternalRow(toksArr, startsArr))
+          .asInstanceOf[ArrayData].toObjectArray(StringType).map(_.toString).toSeq
+        val expected = toks.zipWithIndex.collect {
+          case (t, i) if !starts.exists(s => i >= s && i <= s + n - 1) => t
+        }
+        out == expected
+    }
 }
