@@ -1790,6 +1790,47 @@ object Queries {
       .drop("__w")
   }
 
+  /** Ratio-to-report (share-of-total contribution): each nation's revenue
+    * share of its region's total. Pre-aggregate to nation grain FIRST,
+    * then a window total over the tiny aggregate — the window moves 25
+    * rows, never the fact stream. Numerator and denominator are exact
+    * DECIMAL money sums; the share is ONE division of exact doubles,
+    * rounded for report.
+    */
+  def d110RevenueShare(s: SparkSession, d: String): DataFrame = {
+    val byNation = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(expr("CAST(graft_money_sum(o_totalprice, 2) AS DOUBLE)").as("revenue"))
+    byNation
+      .withColumn("__rtot", sum(col("revenue")).over(Window.partitionBy(col("r_name"))))
+      .select(col("r_name"), col("n_name"),
+        round(col("revenue"), 2).as("revenue"),
+        round(col("revenue") / col("__rtot"), 6).as("region_share"))
+  }
+
+  /** Year-over-year growth (the trend shape every reporting stack runs):
+    * yearly order revenue with LAG-based absolute and relative deltas.
+    * One aggregate to year grain (DECIMAL-exact), one window over a
+    * handful of rows. The relative delta divides two exact doubles —
+    * rounded for report only.
+    */
+  def d111YoyGrowth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("year"))
+    Tables.orders(s, d)
+      .groupBy(expr("CAST(year(o_orderdate) AS BIGINT)").as("year"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_orders"),
+        expr("CAST(graft_money_sum(o_totalprice, 2) AS DOUBLE)").as("__rev"))
+      .withColumn("__prev", lag(col("__rev"), 1).over(w))
+      .select(col("year"), col("n_orders"),
+        round(col("__rev"), 2).as("revenue"),
+        round(col("__rev") - col("__prev"), 2).as("yoy_abs"),
+        round((col("__rev") - col("__prev")) / col("__prev"), 6).as("yoy_rel"))
+  }
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1902,6 +1943,8 @@ object Queries {
     "d107_source_overlap" -> (d107SourceOverlap _),
     "d108_windowed_dedup" -> (d108WindowedDedup _),
     "d109_twap" -> (d109Twap _),
+    "d110_revenue_share" -> (d110RevenueShare _),
+    "d111_yoy_growth" -> (d111YoyGrowth _),
   )
 
   private val toksSql =
@@ -2656,5 +2699,27 @@ object Queries {
         | ROUND(SUM(value * dt) / SUM(dt), 6) AS twap
         |FROM l WHERE dt IS NOT NULL
         |GROUP BY 1, 2 HAVING SUM(dt) > 0""".stripMargin,
+
+    "d110_revenue_share" ->
+      """WITH n AS (SELECT r_name, n_name,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, ROUND(revenue, 2) AS revenue,
+        | ROUND(revenue / SUM(revenue) OVER (PARTITION BY r_name), 6) AS region_share
+        |FROM n""".stripMargin,
+
+    "d111_yoy_growth" ->
+      """WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT year, n_orders, ROUND(rev, 2) AS revenue,
+        | ROUND(rev - lag(rev) OVER (ORDER BY year), 2) AS yoy_abs,
+        | ROUND((rev - lag(rev) OVER (ORDER BY year))
+        |   / lag(rev) OVER (ORDER BY year), 6) AS yoy_rel
+        |FROM y""".stripMargin,
   )
 }
