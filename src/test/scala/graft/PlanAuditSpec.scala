@@ -297,6 +297,30 @@ class PlanAuditSpec extends SparkTestBase {
       s"lang predicate fell through to row-group filters: $scanLine")
   }
 
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at RUNTIME") {
+    // Static pruning (previous test) needs the predicate on the partition
+    // column itself; a star join filters the DIM and expects the fact
+    // side's partitions pruned from the dim's surviving keys — Spark's
+    // dynamicpruningexpression, the mechanism a 100 TB fact scan lives on.
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_dpp_" + System.getProperty("user.name", "anon")).getAbsolutePath
+    graft.operators.ScaleOps.writeShards(
+      Tables.events(spark, d).withColumn("day", org.apache.spark.sql.functions.expr(
+        "ts_ms div 86400000")),
+      out, Seq("day"), Seq("event_id"), 100000L)
+    val fact = spark.read.parquet(out)
+    val dim = spark.range(0, 100)
+      .select((col("id") + 19723L).as("day"),
+        (col("id") % 7).as("dow"))
+    val joined = fact.join(dim, "day").filter(col("dow") === 2L)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val plan = planOf(joined)
+    assert(plan.contains("dynamicpruning"),
+      "no runtime partition pruning on the fact scan:\n" +
+        plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n") +
+        "\n" + plan.take(3000))
+  }
+
   test("d62: centroid aggregation is partial/final over ONE exchange of group buffers") {
     val plan = planOf(Queries.d62EmbedCentroids(spark, d))
     val finalPlan = plan.split("== Initial Plan ==").head
