@@ -1736,7 +1736,8 @@ object Queries {
   def d107SourceOverlap(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("source"), Dedup.normalizedContentKey(col("text")).as("__key"))
-      .distinct()
+      // collect_set dedups sources per key by itself — a pre-distinct
+      // would be a second full shuffle for the same answer
       .groupBy(col("__key"))
       .agg(sort_array(collect_set(col("source"))).as("__ss"))
       .select(explode(expr(
@@ -2659,16 +2660,18 @@ object Queries {
         |FROM w GROUP BY 1""".stripMargin,
 
     "d106_char_entropy" ->
-      """WITH c AS (SELECT doc_id, n_chars, unnest(string_split(text, '')) AS ch
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
         |    FROM documents),
-        |f AS (SELECT doc_id, n_chars, ch, count(*) AS c FROM c GROUP BY 1, 2, 3),
+        |f AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY 1, 2),
         |t AS (SELECT doc_id, sum(c) AS n FROM f GROUP BY 1),
-        |e AS (SELECT f.doc_id, MAX(f.n_chars) AS n_chars,
-        |    -sum((c * 1.0 / n) * ln(c * 1.0 / n)) AS ent
+        |e AS (SELECT f.doc_id, -sum((c * 1.0 / n) * ln(c * 1.0 / n)) AS ent
         |  FROM f JOIN t USING (doc_id) GROUP BY 1)
-        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-        | ROUND(ent, 4) AS entropy, ent < 2.65 AS low_entropy
-        |FROM e""".stripMargin,
+        |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+        | CASE WHEN d.text IS NULL THEN NULL
+        |      ELSE ROUND(coalesce(ent, 0.0), 4) END AS entropy,
+        | CASE WHEN d.text IS NULL THEN NULL
+        |      ELSE coalesce(ent, 0.0) < 2.65 END AS low_entropy
+        |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id""".stripMargin,
 
     "d107_source_overlap" ->
       s"""WITH k AS (SELECT DISTINCT source,

@@ -54,20 +54,32 @@ object DataPipelineDemo {
     // 3. MinHash-LSH near-dedup (capped candidate generation)
     val pairs = Dedup.minHashLshPairs(exact, "doc_id", "text",
       shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.6)
-    val nearDeduped = Dedup.keepMinIdSurvivors(exact, "doc_id", pairs)
+    // persist: this frontier feeds both the span-dedup lineage AND the
+    // survivor join below — without it the LSH pair pipeline re-runs per
+    // consumer (the anti-pattern the step-2 comment warns about)
+    val nearDeduped = Dedup.keepMinIdSurvivors(exact, "doc_id", pairs).persist()
     println(s"[pipeline] near-dup pairs: ${pairs.count()}")
 
     // 3.5 substring-level span dedup: doc-level passes leave verbatim
     // boilerplate spans shared across otherwise-distinct docs; remove
-    // every token covered by a corpus-duplicated 8-gram, drop docs that
-    // lose (almost) everything, and carry the cleaned text downstream
+    // every token covered by a corpus-duplicated 8-gram and drop docs that
+    // lose (almost) everything. MASKED docs carry the rebuilt
+    // token-normalized text (lowercased, single-spaced — inherent to
+    // token-level masking); CLEAN docs keep their original text verbatim.
+    // n_tokens is recomputed from the masker's tokenization for both, so
+    // the shard budgets below stay consistent with one tokenizer.
     val masked = Dedup.maskDuplicatedSpans(nearDeduped, "doc_id", "text", n = 8)
-    val survivors = nearDeduped.drop("text", "n_tokens")
-      .join(masked.filter(col("n_tokens") - col("n_masked") >= 10)
-        .select(col("doc_id"), col("text_deduped").as("text"),
-          (col("n_tokens") - col("n_masked")).as("n_tokens")), "doc_id")
       .persist()
-    val maskedTokens = masked.agg(sum(col("n_masked"))).first.getLong(0)
+    val survivors = nearDeduped.drop("n_tokens")
+      .join(masked.filter(col("n_tokens") - col("n_masked") >= 10)
+        .select(col("doc_id"), col("text_deduped"), col("n_masked"),
+          (col("n_tokens") - col("n_masked")).as("n_tokens")), "doc_id")
+      .withColumn("text",
+        when(col("n_masked") === 0, col("text")).otherwise(col("text_deduped")))
+      .drop("text_deduped", "n_masked")
+      .persist()
+    val maskedTokens =
+      masked.agg(coalesce(sum(col("n_masked")), lit(0L))).first.getLong(0)
     println(s"[pipeline] span-masked tokens: $maskedTokens; survivors: ${survivors.count()}")
 
     // 4. per-language yield report
@@ -115,7 +127,8 @@ object DataPipelineDemo {
     graft.sources.TFRecordIO.write(payloads, outDir)
     val readBack = graft.sources.TFRecordIO.read(spark, outDir).count()
     println(s"[pipeline] wrote $readBack training records to $outDir")
-    survivors.unpersist(); exact.unpersist()
+    survivors.unpersist(); masked.unpersist(); nearDeduped.unpersist()
+    exact.unpersist()
     spark.stop()
   }
 }

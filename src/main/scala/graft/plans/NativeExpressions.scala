@@ -787,7 +787,14 @@ case class MaskSpansExpr(left: Expression, right: Expression, n: Int)
   require(n >= 1, s"n must be positive: $n")
   override def inputTypes: Seq[NativeInputTypes.AbstractType] =
     Seq(NativeInputTypes.stringArray, NativeInputTypes.longArray)
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // kept elements COPY the input's, so element nullability must propagate —
+  // claiming containsNull=false over a nullable-element input would let
+  // downstream codegen skip null checks and misread
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = left.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
   override def nullSafeEval(toksAny: Any, startsAny: Any): Any = {
     import org.apache.spark.unsafe.types.UTF8String
     val toks = toksAny.asInstanceOf[ArrayData]
