@@ -1646,9 +1646,17 @@ object Queries {
   def d103EditDistance(s: SparkSession, d: String): DataFrame = {
     // fanOut the probe side: Levenshtein on ~500-char strings is the
     // heaviest per-row compute in the battery, and a single-file scan
-    // would leave the whole O(L²) verify stage on one task
+    // would leave the whole O(L²) verify stage on one task.
+    // Exact-dup collapse FIRST (min-id representative per identical text,
+    // the minHashLshPairs convention): a corpus with c copies of a doc
+    // would otherwise pay c² Levenshteins per block — the 10x duplicate-
+    // heavy probe grew 54x without this, 2.4x with it.
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
     val t = graft.operators.ScaleOps.fanOut(Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("text")))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn"))
     t.as("a").join(t.as("b"),
         col("a.lang") === col("b.lang") && col("a.n_chars") === col("b.n_chars") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -2630,10 +2638,14 @@ object Queries {
         |FROM k""".stripMargin,
 
     "d103_edit_distance" ->
-      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+      """WITH r AS (SELECT doc_id, lang, n_chars, text,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |t AS (SELECT doc_id, lang, n_chars, text FROM r WHERE rn = 1)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
         | CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
         | ROUND(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) / a.n_chars, 6) AS sim
-        |FROM documents a JOIN documents b
+        |FROM t a JOIN t b
         |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.text, b.text) <= 120""".stripMargin,
 
