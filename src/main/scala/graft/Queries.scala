@@ -1840,6 +1840,47 @@ object Queries {
         round((col("__rev") - col("__prev")) / col("__prev"), 6).as("yoy_rel"))
   }
 
+  /** Per-language equi-depth length histogram (the adaptive-binning
+    * counterpart of d71's fixed-width bins — equal POPULATION per bucket,
+    * data-dependent boundaries): NTILE(4) over the unique (n_chars,
+    * doc_id) order within each language partition. Rank-based bucketing
+    * is exact and engine-identical under a total order; the window is
+    * PARTITIONED so no global sort exists. At 100 TB swap the boundary
+    * step to approx_percentile (d56) and keep the same report.
+    */
+  def d112EquidepthHist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("__bucket", ntile(4).over(w))
+      .groupBy(col("lang"), col("__bucket").cast("long").as("bucket"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_docs"),
+        expr("CAST(MIN(n_chars) AS BIGINT)").as("lo"),
+        expr("CAST(MAX(n_chars) AS BIGINT)").as("hi"))
+  }
+
+  /** Revenue concentration per market segment (the Pareto audit: how much
+    * of a segment's revenue its top customer-decile holds). Per-customer
+    * revenue aggregates DECIMAL-exact; the decile rank orders by the
+    * EXACT decimal (descending, custkey tiebreak) inside each segment
+    * partition; one division at report time. The window moves one row per
+    * customer per segment — never the order stream.
+    */
+  def d113ParetoShare(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(expr("graft_money_sum(o_totalprice, 2)").as("__rev"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("__rev").desc, col("c_custkey").asc)
+    perCust.withColumn("__decile", ntile(10).over(w))
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_customers"),
+        round(sum(when(col("__decile") === 1, col("__rev")).otherwise(lit(0)))
+          .cast("double") / sum(col("__rev")).cast("double"), 6)
+          .as("top_decile_share"))
+  }
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1954,6 +1995,8 @@ object Queries {
     "d109_twap" -> (d109Twap _),
     "d110_revenue_share" -> (d110RevenueShare _),
     "d111_yoy_growth" -> (d111YoyGrowth _),
+    "d112_equidepth_hist" -> (d112EquidepthHist _),
+    "d113_pareto_share" -> (d113ParetoShare _),
   )
 
   private val toksSql =
@@ -2736,5 +2779,28 @@ object Queries {
         | ROUND((rev - lag(rev) OVER (ORDER BY year))
         |   / lag(rev) OVER (ORDER BY year), 6) AS yoy_rel
         |FROM y""".stripMargin,
+
+    "d112_equidepth_hist" ->
+      """WITH b AS (SELECT lang, n_chars,
+        |  ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bucket
+        |  FROM documents)
+        |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(MIN(n_chars) AS BIGINT) AS lo, CAST(MAX(n_chars) AS BIGINT) AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "d113_pareto_share" ->
+      """WITH c AS (SELECT c_mktsegment, c_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT c_mktsegment, rev,
+        |    ntile(10) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY rev DESC, c_custkey) AS decile
+        |  FROM c)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        | ROUND(CAST(SUM(CASE WHEN decile = 1 THEN rev ELSE 0 END) AS DOUBLE)
+        |   / CAST(SUM(rev) AS DOUBLE), 6) AS top_decile_share
+        |FROM r GROUP BY 1""".stripMargin,
   )
 }
