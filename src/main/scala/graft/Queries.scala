@@ -1644,19 +1644,19 @@ object Queries {
     * transpositions), so the scores hash-check.
     */
   def d103EditDistance(s: SparkSession, d: String): DataFrame = {
-    // fanOut the probe side: Levenshtein on ~500-char strings is the
-    // heaviest per-row compute in the battery, and a single-file scan
-    // would leave the whole O(L²) verify stage on one task.
-    // Exact-dup collapse FIRST (min-id representative per identical text,
-    // the minHashLshPairs convention): a corpus with c copies of a doc
-    // would otherwise pay c² Levenshteins per block — the 10x duplicate-
-    // heavy probe grew 54x without this, 2.4x with it.
-    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
-    val t = graft.operators.ScaleOps.fanOut(Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn"))
+    // fanOut the SCAN (before the window — probing a post-shuffle frame
+    // would run the dedup exchange as a planning-time job under AQE):
+    // Levenshtein on ~500-char strings is the heaviest per-row compute in
+    // the battery, and a single-file scan would otherwise leave the whole
+    // O(L²) verify stage on one task. Then exact-dup collapse
+    // ([[Dedup.exact]], min-id representative per identical text — the
+    // minHashLshPairs convention): a corpus with c copies of a doc would
+    // otherwise pay c² Levenshteins per block — the 10x duplicate-heavy
+    // probe grew 54x without this, 2.4x with it.
+    val t = Dedup.exact(
+      graft.operators.ScaleOps.fanOut(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))),
+      Seq("text"), "doc_id")
     t.as("a").join(t.as("b"),
         col("a.lang") === col("b.lang") && col("a.n_chars") === col("b.n_chars") &&
           col("a.doc_id") < col("b.doc_id"))
