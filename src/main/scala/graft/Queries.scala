@@ -1644,19 +1644,22 @@ object Queries {
     * transpositions), so the scores hash-check.
     */
   def d103EditDistance(s: SparkSession, d: String): DataFrame = {
-    // fanOut the SCAN (before the window — probing a post-shuffle frame
-    // would run the dedup exchange as a planning-time job under AQE):
-    // Levenshtein on ~500-char strings is the heaviest per-row compute in
-    // the battery, and a single-file scan would otherwise leave the whole
-    // O(L²) verify stage on one task. Then exact-dup collapse
-    // ([[Dedup.exact]], min-id representative per identical text — the
-    // minHashLshPairs convention): a corpus with c copies of a doc would
-    // otherwise pay c² Levenshteins per block — the 10x duplicate-heavy
-    // probe grew 54x without this, 2.4x with it.
+    // Exact-dup collapse FIRST ([[Dedup.exact]], min-id representative per
+    // identical text — the minHashLshPairs convention): a corpus with c
+    // copies of a doc would otherwise pay c² Levenshteins per block (the
+    // 10x duplicate-heavy probe grew 54x without it). Then an UNCONDITIONAL
+    // repartition: the deduped frame is small enough that AQE coalesces
+    // the window's shuffle output to one partition, which would serialize
+    // the O(L²) Levenshtein stage — the battery's heaviest per-row
+    // compute — onto one task. Moving a few MB to buy full parallelism in
+    // the verify stage is the right trade at every scale. (A fanOut probe
+    // is wrong here: probing df.rdd on a post-shuffle frame runs the
+    // exchange as a planning-time job under AQE.)
     val t = Dedup.exact(
-      graft.operators.ScaleOps.fanOut(Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))),
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text")),
       Seq("text"), "doc_id")
+      .repartition(s.sparkContext.defaultParallelism)
     t.as("a").join(t.as("b"),
         col("a.lang") === col("b.lang") && col("a.n_chars") === col("b.n_chars") &&
           col("a.doc_id") < col("b.doc_id"))
