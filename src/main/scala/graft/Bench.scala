@@ -46,7 +46,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    // The driver's tail capture clipped the single ~6 KB line from the FRONT
+    // in r2 and r3 ("parsed": null in BENCH_r*.json), losing the totals. So:
+    // (1) persist the full per-query JSON to a file, and (2) print a SHORT
+    // final line — total + the 10 slowest — that survives any tail window.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"slowest":$slowest,"sf":"$sfDir","full":"bench_out.json"}""")
     spark.stop()
   }
 }

@@ -251,6 +251,55 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Edit-distance near-dup verification: the character-granular verify
+    * tier below [[ngramJaccardVerify]]'s token Jaccard. Candidates are
+    * generated by equality blocking on `blockCols` (e.g. (lang, n_chars) —
+    * the cheap block for same-length near-identical docs) and scored with
+    * Levenshtein, keeping pairs with distance ≤ `maxEdit`. Returns
+    * (id1, id2, edit_dist, blockCols*) — block values are equal across a
+    * pair, so callers can derive similarity from them (e.g. 1 − d/n_chars).
+    *
+    * Scale shape, in order:
+    *  1. exact-dup collapse ([[exact]], min-id representative per identical
+    *     text): c copies of a doc would otherwise pay c² Levenshteins per
+    *     block (the 10x duplicate-heavy probe grew 54x without it);
+    *  2. block census + cap: singleton blocks can't pair and are pruned;
+    *     blocks above `maxBlockSize` are DROPPED — the same explicit
+    *     quadratic-worst-case cap as [[minHashLshPairs]]/[[simHashPairs]].
+    *     Levenshtein (O(L²) per pair) is the heaviest per-pair compute in
+    *     the library, so a popular block of *distinct* same-length docs is
+    *     the worst possible place to go quadratic at corpus scale;
+    *  3. UNCONDITIONAL repartition before the self-join: the collapsed
+    *     frame is small enough at bench scale that AQE coalesces its
+    *     shuffle output to one partition, which would serialize the
+    *     Levenshtein stage onto one task. Moving a few MB to buy full
+    *     parallelism in the verify stage is the right trade at every
+    *     scale. (A fanOut probe is wrong here: probing df.rdd on a
+    *     post-shuffle frame runs the exchange as a planning-time job
+    *     under AQE.)
+    */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], maxEdit: Int = 120,
+      maxBlockSize: Int = 1000): DataFrame = {
+    val collapsed = exact(df, Seq(textCol), idCol)
+    val live = collapsed.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBlockSize))
+      .drop("__n")
+    // `live` is the distinct surviving cells — orders of magnitude smaller
+    // than the corpus; AQE picks broadcast for the semi-join at any
+    // realistic scale, and a hash semi-join on the block key otherwise.
+    val t = collapsed.join(live, blockCols, "left_semi")
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    t.as("a").join(t.as("b"), blockEq && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1") +: col(s"b.$idCol").as("id2") +:
+        levenshtein(col(s"a.$textCol"), col(s"b.$textCol")).cast("long").as("edit_dist") +:
+        blockCols.map(c => col(s"a.$c").as(c)): _*)
+      .filter(col("edit_dist") <= maxEdit)
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, via
     * block-probing: split the 64-bit fingerprint into `maxHamming + 1`
     * blocks; by pigeonhole two fingerprints within the distance share at

@@ -65,11 +65,12 @@ object ScaleOps {
     *    compared as a 7-char lowercase hex string (`'0' || prefix`) — md5 is
     *    bit-identical everywhere (the d81 portable-sample contract);
     *  - `weight` must be a RATIONAL `num/den` of nonneg integers (num <=
-    *    den): the threshold is `(num * 16^6) div den`, integer arithmetic
-    *    any engine reproduces exactly. The division here uses IEEE double
-    *    `floor(num*Scale / den)`, which is exact for `num*Scale < 2^53`:
-    *    exact quotients are correctly rounded to themselves, and inexact
-    *    ones sit >= 1/den away from an integer, far beyond double error.
+    *    den): the threshold is `(num * 16^6) div den`, INTEGER division
+    *    end-to-end — `div` on BIGINT here, `//` in a DuckDB audit query —
+    *    so any engine reproduces it exactly at any count. (An earlier
+    *    formulation used double `floor(num*Scale / den)`, which is only
+    *    exact while num*16^6 < 2^53 — i.e. strata below ~2^29 rows; the
+    *    integer form has no such cliff at the 100 TB design point.)
     *
     * Shuffle-free, no RNG state: one codegen'd filter; task retries and
     * re-runs keep the SAME rows, and any md5-capable system can audit
@@ -78,8 +79,8 @@ object ScaleOps {
   def deterministicWeightedSample(
       df: DataFrame, idCol: String, weightNum: Column, weightDen: Column): DataFrame = {
     val Scale = 16777216L // 16^6: the space of 6-hex-digit md5 prefixes
-    val thr = floor(weightNum.cast("bigint") * lit(Scale) / weightDen.cast("bigint"))
-      .cast("bigint")
+    val thr = call_function("div",
+      weightNum.cast("bigint") * lit(Scale), weightDen.cast("bigint")).cast("bigint")
     df.filter(
       concat(lit("0"), substring(md5(col(idCol).cast("string")), 1, 6)) <
         lpad(lower(hex(greatest(thr, lit(0L)))), 7, "0"))

@@ -802,17 +802,26 @@ case class MaskSpansExpr(left: Expression, right: Expression, n: Int)
     val m = toks.numElements()
     val k = startsArr.numElements()
     if (k == 0) return toks.copy()
+    // NULL start positions are skipped, not dereferenced: internal callers
+    // (maskDuplicatedSpans' collect_set) never produce them, but the SQL
+    // surface graft_mask_spans(toks, array(1L, NULL), n) would otherwise
+    // NPE on getLong. A null start masks nothing — the only sane reading.
     val starts = new Array[Long](k)
+    var kk = 0
     var j = 0
-    while (j < k) { starts(j) = startsArr.getLong(j); j += 1 }
-    java.util.Arrays.sort(starts)
+    while (j < k) {
+      if (!startsArr.isNullAt(j)) { starts(kk) = startsArr.getLong(j); kk += 1 }
+      j += 1
+    }
+    if (kk == 0) return toks.copy()
+    java.util.Arrays.sort(starts, 0, kk)
     val kept = new java.util.ArrayList[UTF8String](m)
     var p = 0
     var i = 0
     while (i < m) {
       // windows ending before i can never cover i (starts ascend)
-      while (p < k && starts(p) + n - 1 < i) p += 1
-      if (!(p < k && starts(p) <= i)) kept.add(toks.getUTF8String(i))
+      while (p < kk && starts(p) + n - 1 < i) p += 1
+      if (!(p < kk && starts(p) <= i)) kept.add(toks.getUTF8String(i))
       i += 1
     }
     new GenericArrayData(kept.toArray(new Array[AnyRef](kept.size())))

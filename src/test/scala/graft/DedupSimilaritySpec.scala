@@ -72,6 +72,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     assertMultiset(out, Seq((1L, 4L)))
   }
 
+  test("editDistancePairs: collapse, block cap, and maxEdit gate semantics") {
+    val s = spark
+    import s.implicits._
+    // lang-"a" length-5 block: 3 distinct texts, 2 within edit distance 1 of
+    // each other + an exact copy of one (must collapse, not pair).
+    // lang-"b" length-5 block: 4 distinct texts — OVER the cap of 3, so the
+    // whole block is dropped even though (20,21) are 1 edit apart.
+    // lang-"c": a singleton block (no partner, never pairs).
+    val df = Seq(
+      (1L, "a", 5L, "abcde"), (2L, "a", 5L, "abcdX"), (3L, "a", 5L, "zzzzz"),
+      (4L, "a", 5L, "abcde"), // exact dup of 1
+      (20L, "b", 5L, "qqqqq"), (21L, "b", 5L, "qqqqZ"),
+      (22L, "b", 5L, "mmmmm"), (23L, "b", 5L, "nnnnn"),
+      (30L, "c", 5L, "xyxyx")
+    ).toDF("doc_id", "lang", "n_chars", "text")
+    val out = Dedup.editDistancePairs(df, "doc_id", "text",
+        Seq("lang", "n_chars"), maxEdit = 1, maxBlockSize = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)), s"got $out")
+    // raising the cap admits lang-b's in-budget pair; the out-of-budget
+    // lang-b combinations stay excluded by the maxEdit gate, not the cap
+    val uncapped = Dedup.editDistancePairs(df, "doc_id", "text",
+        Seq("lang", "n_chars"), maxEdit = 1, maxBlockSize = 100)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((1L, 2L), (20L, 21L)), s"got $uncapped")
+  }
+
   private def vecs() = {
     val s = spark
     import s.implicits._
