@@ -1889,6 +1889,36 @@ object Queries {
           .as("top_decile_share"))
   }
 
+  /** Three-way tagged CoGroupByKey ([[graft.api.PCollection.coGroupByKeyTagged]]
+    * — Beam's N-ary CoGBK through the reference's composite expansion,
+    * translator.py:446): high-balance customers, big orders, and events
+    * cogrouped on one key in ONE shuffle (chained binary cogroups would pay
+    * an extra shuffle of the accumulated left side). The three inputs are
+    * filtered so every tag-emptiness class occurs (probed at sf0.01:
+    * customers with no big orders, order keys whose customer row is
+    * filtered out, keys 150+ with no events) — a dropped tag or a lost
+    * empty-bag row changes the answer. Oracle: DuckDB 3-way FULL OUTER.
+    */
+  def d114ThreeWayCogroup(s: SparkSession, d: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val p = Pipeline(s)
+    val custs = p.fromDataset(
+      Tables.customer(s, d).filter(col("c_acctbal") > 0)
+        .select(col("c_custkey"), col("c_acctbal")).as[(Long, Double)])
+    val ords = p.fromDataset(
+      Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)])
+    val evs = p.fromDataset(
+      Tables.events(s, d).select(col("user_id"), col("value")).as[(Long, Double)])
+    custs.coGroupByKeyTagged[Long, Double]("cust", "ord" -> ords, "ev" -> evs)
+      .map { case (k, m) =>
+        (k, m("cust").size.toLong, m("ord").size.toLong, m("ev").size.toLong,
+          m("ord").sum)
+      }
+      .toDataset.toDF("k", "n_cust", "n_orders", "n_events", "sum_price")
+      .withColumn("sum_price", round(col("sum_price"), 4))
+  }
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2005,6 +2035,7 @@ object Queries {
     "d111_yoy_growth" -> (d111YoyGrowth _),
     "d112_equidepth_hist" -> (d112EquidepthHist _),
     "d113_pareto_share" -> (d113ParetoShare _),
+    "d114_three_way_cogroup" -> (d114ThreeWayCogroup _),
   )
 
   private val toksSql =
@@ -2813,5 +2844,22 @@ object Queries {
         | ROUND(CAST(SUM(CASE WHEN decile = 1 THEN rev ELSE 0 END) AS DOUBLE)
         |   / CAST(SUM(rev) AS DOUBLE), 6) AS top_decile_share
         |FROM r GROUP BY 1""".stripMargin,
+
+    "d114_three_way_cogroup" ->
+      """WITH c AS (SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_cust
+        |    FROM customer WHERE c_acctbal > 0 GROUP BY 1),
+        |o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    SUM(o_totalprice) AS sum_price
+        |  FROM orders WHERE o_totalprice > 400000 GROUP BY 1),
+        |e AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events
+        |    FROM events GROUP BY 1),
+        |j AS (SELECT COALESCE(c.k, o.k) AS k, n_cust, n_orders, sum_price
+        |    FROM c FULL JOIN o ON c.k = o.k)
+        |SELECT COALESCE(j.k, e.k) AS k,
+        | CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+        | CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+        | CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+        | ROUND(COALESCE(sum_price, 0), 4) AS sum_price
+        |FROM j FULL JOIN e ON j.k = e.k""".stripMargin,
   )
 }

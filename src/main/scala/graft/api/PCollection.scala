@@ -413,6 +413,50 @@ final class PCollection[T](
     }
   }
 
+  /** N-ary tagged CoGroupByKey — Beam's full CoGBK surface. The reference
+    * executes it through exactly this composite expansion: tag each input,
+    * Flatten, GroupByKey, regroup per tag (translator.py:446). Returns one
+    * row per (key, window) with EVERY declared tag present — an input with
+    * no values for a key contributes an empty Iterable (Beam's CoGBK
+    * contract), so a 3-way full-outer reconciliation reads directly off
+    * the result.
+    *
+    * ONE shuffle total regardless of input count: the tagged union is a
+    * zero-shuffle partition concat and the single GBK moves each input
+    * exactly once — chaining binary [[coGroupByKey]]s instead re-shuffles
+    * the accumulated left side at every step (N−1 extra shuffles of
+    * growing width at corpus scale).
+    *
+    * Windowing: non-merging inputs may differ (each element groups under
+    * its own assigned (key, window)); merging windows require the SAME
+    * WindowFn on every input, as in the binary [[coGroupByKey]].
+    */
+  def coGroupByKeyTagged[K, V](selfTag: String, others: (String, PCollection[(K, V)])*)(
+      implicit ev: T <:< (K, V),
+      kwEnc: GEnc[(K, BoundedWindow)], kEnc: GEnc[K],
+      te: GEnc[WindowedValue[(K, (String, V))]],
+      ge: GEnc[WindowedValue[(K, Iterable[(String, V)])]],
+      oe: GEnc[WindowedValue[(K, Map[String, Iterable[V]])]]
+  ): PCollection[(K, Map[String, Iterable[V]])] = {
+    val tags = selfTag +: others.map(_._1)
+    require(tags.distinct.size == tags.size, s"duplicate cogroup tags: $tags")
+    val wfns = windowFn +: others.map(_._2.windowFn)
+    if (wfns.exists(_.isMerging))
+      require(wfns.forall(_ == windowFn),
+        s"coGroupByKeyTagged inputs have incompatible WindowFns: $wfns " +
+          "(merging windows require the same WindowFn on every input)")
+    val taggedSelf = map { t => val kv = ev(t); (kv._1, (selfTag, kv._2)) }(te)
+    val taggedOthers = others.map { case (tag, p) =>
+      p.map { case (k, v) => (k, (tag, v)) }(te)
+    }
+    taggedSelf.union(taggedOthers: _*)
+      .groupByKey[K, (String, V)](implicitly, kwEnc, kEnc, ge)
+      .map { case (k, tvs) =>
+        val byTag = tvs.groupBy(_._1)
+        (k, tags.iterator.map(t => t -> byTag.getOrElse(t, Nil).map(_._2)).toMap)
+      }(new GEnc(oe.enc, oe.native))
+  }
+
   /** Distinct elements (engine extension; reference has no translated
     * Distinct — SURVEY.md §2.3 note).
     */

@@ -95,6 +95,54 @@ class GroupCombineSpec extends SparkTestBase {
       ("c", Seq.empty[Int], Seq("y"))))
   }
 
+  test("coGroupByKeyTagged: 3-input cogroup, every tag present per key, one pass") {
+    val p = Pipeline(spark)
+    val a = p.create(Seq(("k1", 1), ("k1", 2), ("k2", 3)))
+    val b = p.create(Seq(("k1", 10), ("k3", 30)))
+    val c = p.create(Seq(("k2", 100), ("k3", 300), ("k3", 301)))
+    val out = a.coGroupByKeyTagged[String, Int]("a", "b" -> b, "c" -> c)
+      .map { case (k, m) =>
+        (k, m("a").toSeq.sorted, m("b").toSeq.sorted, m("c").toSeq.sorted)
+      }
+      .collect()
+    // every key appears ONCE with all three tags — a key absent from an
+    // input yields an empty bag for that tag (Beam CoGBK contract)
+    assertMultiset(out, Seq(
+      ("k1", Seq(1, 2), Seq(10), Seq.empty[Int]),
+      ("k2", Seq(3), Seq.empty[Int], Seq(100)),
+      ("k3", Seq.empty[Int], Seq(30), Seq(300, 301))))
+  }
+
+  test("coGroupByKeyTagged: duplicate tags and mixed merging windowing rejected") {
+    val p = Pipeline(spark)
+    val a = p.create(Seq(("k", 1)))
+    val b = p.create(Seq(("k", 2)))
+    intercept[IllegalArgumentException] {
+      a.coGroupByKeyTagged[String, Int]("t", "t" -> b)
+    }
+    val sessions = p.createTimestamped(Seq((("k", 1), 5L))).windowInto(Sessions(10L))
+    intercept[IllegalArgumentException] {
+      sessions.coGroupByKeyTagged[String, Int]("s", "g" -> b)
+    }
+  }
+
+  test("coGroupByKeyTagged with merging sessions merges windows across all inputs") {
+    val p = Pipeline(spark)
+    val a = p.createTimestamped(Seq((("k", 1), 5L))).windowInto(Sessions(10L))
+    val b = p.createTimestamped(Seq((("k", 2), 8L))).windowInto(Sessions(10L))
+    val c = p.createTimestamped(Seq((("k", 3), 100L))).windowInto(Sessions(10L))
+    val out = a.coGroupByKeyTagged[String, Int]("a", "b" -> b, "c" -> c)
+      .map { case (k, m) =>
+        (k, m("a").toSeq.sorted, m("b").toSeq.sorted, m("c").toSeq.sorted)
+      }
+      .collect()
+    // ts 5 and 8 share a session (gap 10) across DIFFERENT inputs; ts 100
+    // sessions alone — its row still carries all three tags
+    assertMultiset(out, Seq(
+      ("k", Seq(1), Seq(2), Seq.empty[Int]),
+      ("k", Seq.empty[Int], Seq.empty[Int], Seq(3))))
+  }
+
   test("KV composites: keys/values/mapValues/swap/top/sumPerKey") {
     val p = Pipeline(spark)
     val kv = p.create(Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)))
