@@ -76,6 +76,13 @@ final class PCollection[T](
     val elems = pipeline.metrics.counter("graft.system", s"elements.$opName")
     val msecs = pipeline.metrics.counter("graft.system", s"msecs.$opName")
     val bytes = pipeline.metrics.distribution("graft.system", s"sampledByteSize.$opName")
+    // Per-PHASE bundle msecs (reference reports start/process/finish bundle
+    // msecs separately, ray_runner_test.py:1285-1514): one distribution
+    // sample per bundle per phase, so capacity debugging can tell "is it
+    // setup or process" — the total counter alone can't.
+    val msStart = pipeline.metrics.distribution("graft.system", s"msecsStart.$opName")
+    val msProcess = pipeline.metrics.distribution("graft.system", s"msecsProcess.$opName")
+    val msFinish = pipeline.metrics.distribution("graft.system", s"msecsFinish.$opName")
     val ds = data.mapPartitions { it0 =>
       val t0 = System.nanoTime()
       val it = PCollection.instrument(it0, elems, bytes)
@@ -95,6 +102,8 @@ final class PCollection[T](
         }))
       fn.setup()
       fn.startBundle()
+      msStart.add((System.nanoTime() - t0) / 1000000L)
+      var processNanos = 0L
       val ctx = new BufferingContext[O](0L, Seq(GlobalWindow))
       // STREAMING output: per-element emissions flow through lazily (peak
       // heap is one element's output, not the partition's — the 100 TB
@@ -104,7 +113,9 @@ final class PCollection[T](
       val mainOut = it.flatMap(_.explode.iterator.flatMap { wv =>
         ctx.currentTs = wv.timestamp; ctx.currentWindows = wv.windows
         ctx.buf.clear()
+        val tp = System.nanoTime()
         fn.process(wv.value, ctx)
+        processNanos += System.nanoTime() - tp
         if (ctx.taggedBuf.nonEmpty)
           throw new IllegalStateException(
             s"DoFn emitted tagged output (${ctx.taggedBuf.map(_._1).distinct.mkString(",")}) " +
@@ -115,8 +126,11 @@ final class PCollection[T](
       // is by-name); finalization callbacks fire post task commit,
       // at-least-once, exceptions swallowed (execution.py:131-139)
       val tail: () => Iterator[WindowedValue[O]] = () => {
+        msProcess.add(processNanos / 1000000L)
+        val tf = System.nanoTime()
         val buf = mutable.ArrayBuffer.empty[WindowedValue[O]]
         fn.finishBundle(o => buf += WindowedValue.of(o))
+        msFinish.add((System.nanoTime() - tf) / 1000000L)
         teardownOnce()
         if (ctx.finalizers.nonEmpty) {
           val cbs = ctx.finalizers.toList

@@ -93,6 +93,49 @@ object StreamingOps {
       out.iterator
     }
 
+  /** Streaming ParDo with WINDOWED side inputs — the streaming twin of the
+    * batch window-mapping path ([[graft.api.PCollection]]`.view`; the
+    * reference commits side inputs PER WINDOW and blocks the bundle until
+    * the side window is ready, execution.py:469-525). Each element's event
+    * timestamp assigns its windows via `windowFn` (multi-assign under
+    * sliding windows = k logical elements, the batch parDo contract), and
+    * `ctx.sideInput(view)` resolves through the view's window mapping —
+    * the LATEST-starting side window containing the main window's max
+    * timestamp, identical to batch, because the [[graft.core.SideInputView]]
+    * broadcast itself is batch/stream-uniform.
+    *
+    * The side view comes from a bounded (or slowly re-built) PCollection:
+    * Spark cannot broadcast a result that is itself still streaming, so
+    * "side input is a stream" becomes "rebuild the view per planned refit"
+    * — the stream-static discipline every production monitor uses. The
+    * main stream stays fully unbounded.
+    */
+  def parDoStreamWindowed[I, O](
+      stream: Dataset[(I, java.sql.Timestamp)], fn: DoFn[I, O],
+      windowFn: WindowFn)(implicit oe: Encoder[O]): Dataset[O] =
+    stream.mapPartitions { it =>
+      fn.setup(); fn.startBundle()
+      val ctx = new BufferingContext[O](0L, Seq(GlobalWindow))
+      val out = mutable.ArrayBuffer.empty[O]
+      try {
+        it.foreach { case (e, ts) =>
+          val tms = ts.getTime
+          windowFn.assign(tms).foreach { w =>
+            ctx.currentTs = tms
+            ctx.currentWindows = Seq(w)
+            ctx.buf.clear()
+            fn.process(e, ctx)
+            if (ctx.taggedBuf.nonEmpty)
+              throw new IllegalStateException(
+                "DoFn emitted tagged output from parDoStreamWindowed — use parDoTaggedStream")
+            ctx.buf.foreach(o => out += o.value.asInstanceOf[O])
+          }
+        }
+        fn.finishBundle(o => out += o)
+      } finally fn.teardown()
+      out.iterator
+    }
+
   /** Streaming multi-output ParDo: one pass emits `(tag, value)` (main
     * output under tag ""); filter per tag downstream. Mirrors the batch
     * [[graft.api.PCollection.parDoTagged]] on unbounded input — the

@@ -49,4 +49,29 @@ class MetricsSpec extends SparkTestBase {
     assert(bytes.count == 3L, s"sampled all 3 (below head threshold): $bytes")
     assert(bytes.min > 0L && bytes.sum >= bytes.count * bytes.min)
   }
+
+  test("per-phase bundle msecs: start/process/finish report separately (ray_runner_test.py:1285-1514)") {
+    val p = Pipeline(spark)
+    // real work in each phase so every phase's msec sample is nonzero (the
+    // phase SPLIT is what's under test, not the magnitudes)
+    val fn = new DoFn[Int, Int] {
+      override def startBundle(): Unit = Thread.sleep(8)
+      def process(e: Int, ctx: ProcessContext[Int]): Unit = {
+        Thread.sleep(8); ctx.output(e)
+      }
+      override def finishBundle(emit: Int => Unit): Unit = Thread.sleep(8)
+    }
+    p.create(Seq(1, 2, 3)).parDo(fn, name = "phases").collect()
+    val start = p.metrics.distributionValue("graft.system", "msecsStart.phases")
+    val proc = p.metrics.distributionValue("graft.system", "msecsProcess.phases")
+    val finish = p.metrics.distributionValue("graft.system", "msecsFinish.phases")
+    // one sample per bundle per phase; bundles with elements slept in
+    // process, and EVERY bundle slept in start/finish
+    assert(start.count >= 1 && start.sum >= 8, s"start: $start")
+    assert(proc.count >= 1 && proc.sum >= 8 * 3 - 3, s"process: $proc")
+    assert(finish.count >= 1 && finish.sum >= 8, s"finish: $finish")
+    // phases are DISJOINT slices: process time must not leak into finish
+    // (3 sleeping elements ≈ 24ms process; each finish sample is one 8ms sleep)
+    assert(finish.max < 8 * 3, s"process leaked into finish: $finish")
+  }
 }

@@ -240,6 +240,36 @@ class StreamingSpec extends SparkTestBase {
     assertMultiset(rows, Seq(("eur", 110.00000000000001), ("gbp", 13.0), ("jpy", 0.0)))
   }
 
+  test("streaming ParDo with WINDOWED side input: lookups resolve per main window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // per-hour fx rates from a BATCH PCollection, windowed like the batch
+    // side-input path: hour 0 → 1.0, hour 1 → 2.0, hour 2 absent
+    val p = graft.api.Pipeline(s)
+    val rates = p.createTimestamped(Seq((("fx", 1.0), 10L), (("fx", 2.0), 3600010L)))
+      .windowInto(FixedWindows(3600000L))
+      .asDict[String, Double]
+    val mem = MemoryStream[(Double, java.sql.Timestamp)]
+    val fn = new DoFn[Double, Double] {
+      def process(e: Double, ctx: ProcessContext[Double]): Unit =
+        ctx.output(e * ctx.sideInput(rates).getOrElse("fx", 0.0))
+    }
+    val out = StreamingOps.parDoStreamWindowed(mem.toDS(), fn, FixedWindows(3600000L))
+    val q = out.toDF("v").writeStream.format("memory")
+      .queryName("wside_" + System.nanoTime()).outputMode("append").start()
+    mem.addData((100.0, new java.sql.Timestamp(20L)),
+      (100.0, new java.sql.Timestamp(3600020L)),
+      (100.0, new java.sql.Timestamp(7200020L)))
+    q.processAllAvailable()
+    val rows = s.sql(s"SELECT v FROM ${q.name}").collect().map(_.getDouble(0)).toSeq
+    q.stop()
+    // hour-0 and hour-1 elements read DIFFERENT side values through the
+    // same view (the global-broadcast path would collapse them); the
+    // hour-2 element maps to no side window → empty dict → 0.0
+    assertMultiset(rows, Seq(100.0, 200.0, 0.0))
+  }
+
   test("streaming exact dedup: first occurrence wins, watermark bounds state") {
     val s = spark
     import s.implicits._
