@@ -1919,6 +1919,30 @@ object Queries {
       .withColumn("sum_price", round(col("sum_price"), 4))
   }
 
+  /** Avro source/sink round-trip through [[graft.sources.AvroIO]] (the
+    * engine's own avro-core reader/writer — no spark-avro connector on this
+    * classpath): project, write one container file per partition, read back
+    * one task per file, aggregate. The aggregate is all-integer, so it must
+    * be bit-identical to the parquet-direct oracle — any row lost or value
+    * mangled by the format hop changes it. Same deliberate write-on-build
+    * contract as d70's ORC round-trip; path keyed by (applicationId, dir).
+    */
+  def d115AvroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(d).getAbsolutePath.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_avro_" + s.sparkContext.applicationId + "_" + tag).getAbsolutePath
+    graft.sources.AvroIO.write(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")), path)
+    graft.sources.AvroIO.read(s, path)
+      .groupBy(col("lang"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_docs"),
+        expr("CAST(SUM(n_chars) AS BIGINT)").as("sum_chars"),
+        expr("CAST(MIN(doc_id) AS BIGINT)").as("first_doc"),
+        expr("CAST(MAX(doc_id) AS BIGINT)").as("last_doc"))
+  }
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2036,6 +2060,7 @@ object Queries {
     "d112_equidepth_hist" -> (d112EquidepthHist _),
     "d113_pareto_share" -> (d113ParetoShare _),
     "d114_three_way_cogroup" -> (d114ThreeWayCogroup _),
+    "d115_avro_roundtrip" -> (d115AvroRoundtrip _),
   )
 
   private val toksSql =
@@ -2861,5 +2886,12 @@ object Queries {
         | CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
         | ROUND(COALESCE(sum_price, 0), 4) AS sum_price
         |FROM j FULL JOIN e ON j.k = e.k""".stripMargin,
+
+    "d115_avro_roundtrip" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        | CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        |FROM documents GROUP BY 1""".stripMargin,
   )
 }

@@ -354,6 +354,38 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: K, rows: Iterator[(K, V, java.sql.Timestamp)], state: GroupState[StreamState]) =>
           runStreamingGroup(key, rows.map(r => (r._1, r._2, r._3.getTime)), state, fn)
+            .map(_._1)
+      }
+  }
+
+  /** [[statefulParDo]] that KEEPS each output's event time — the watermark-
+    * hold discipline for timer re-fire chains (reference holds the output
+    * watermark at the earliest pending timer, ray_fn_runner.py:446-454, so
+    * timer output is never "ahead of the hold"). Here the hold surfaces as
+    * the emission's event timestamp: an element emission carries the
+    * element's event time, a timer emission carries the TIMER'S FIRE TIME
+    * (not the batch watermark the callback happens to run at), and
+    * `outputWithTimestamp` may only move FORWARD from that hold (Beam's
+    * zero-allowed-skew default — moving backward would fabricate
+    * already-late data). Feed the result into downstream windowing with its
+    * own `withWatermark` — Spark's chained-stateful watermark propagation
+    * (delayed per upstream operator) then groups re-fired emissions under
+    * the windows their holds demand.
+    */
+  def statefulParDoTimestamped[K, V, O](
+      input: Dataset[(K, V, java.sql.Timestamp)],
+      fn: StatefulDoFn[K, V, O])(
+      implicit ko: Encoder[K],
+      oo: Encoder[(O, java.sql.Timestamp)]): Dataset[(O, java.sql.Timestamp)] = {
+    implicit val stateEnc: Encoder[StreamState] =
+      Encoders.kryo(classOf[StreamState])
+    input
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[StreamState, (O, java.sql.Timestamp)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: K, rows: Iterator[(K, V, java.sql.Timestamp)], state: GroupState[StreamState]) =>
+          runStreamingGroup(key, rows.map(r => (r._1, r._2, r._3.getTime)), state, fn)
+            .map { case (o, ts) => (o, new java.sql.Timestamp(ts)) }
       }
   }
 
@@ -379,6 +411,7 @@ object StreamingOps {
         (key: (K, Long), rows: Iterator[(K, V, java.sql.Timestamp)],
          state: GroupState[StreamState]) =>
           runStreamingGroup(key, rows.map(r => (key, r._2, r._3.getTime)), state, fn)
+            .map(_._1)
       }
   }
 
@@ -390,20 +423,29 @@ object StreamingOps {
 
   private def runStreamingGroup[K, V, O](
       key: K, rows: Iterator[(K, V, Long)], state: GroupState[StreamState],
-      fn: StatefulDoFn[K, V, O]): Iterator[O] = {
+      fn: StatefulDoFn[K, V, O]): Iterator[(O, Long)] = {
     val st = state.getOption.getOrElse(new StreamState)
     val cells = new StateCells
     cells.cells ++= st.cells
     cells.timers ++= st.timers
-    val out = mutable.ArrayBuffer.empty[O]
+    val out = mutable.ArrayBuffer.empty[(O, Long)]
     val theKey: Any = key
     val ctx = new StatefulContext[O] {
       var curTs: Long = 0L
       def key: Any = theKey
       def window: BoundedWindow = GlobalWindow
       def timestamp: Long = curTs
-      def output(o: O): Unit = out += o
-      def outputWithTimestamp(o: O, ts: Long): Unit = out += o
+      // curTs IS the hold: the element's event time during process, the
+      // timer's fire time during onTimer (set before each callback below)
+      def output(o: O): Unit = out += ((o, curTs))
+      def outputWithTimestamp(o: O, ts: Long): Unit = {
+        require(ts >= curTs,
+          s"output timestamp $ts is before the hold $curTs — a streaming " +
+            "stateful ParDo may only move timestamps FORWARD (Beam's " +
+            "zero-allowed-skew default; backward emission fabricates " +
+            "already-late data)")
+        out += ((o, ts))
+      }
       def bag[T](spec: BagStateSpec[T]): BagState[T] = cells.bag(spec)
       def value[T](spec: ValueStateSpec[T]): ValueState[T] = cells.value(spec)
       def combining[I, A, OO](spec: CombiningStateSpec[I, A, OO]): CombiningState[I, OO] =

@@ -188,6 +188,53 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("b", 9.0, 1L)), s"missing b-flush in $rows")
   }
 
+  test("statefulParDoTimestamped: timer re-fire chain emits AT the hold, never ahead of it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Double, Long)]
+    val input = mem.toDS()
+      .select(col("_1"), col("_2"), timestamp_millis(col("_3")).as("et"))
+      .withWatermark("et", "0 seconds")
+      .as[(String, Double, java.sql.Timestamp)]
+    // self-rescheduling chain: the element schedules t+5000; each firing
+    // re-schedules +5000 twice more. All three firings typically resolve in
+    // ONE batch (the watermark jumps far past them), so carrying the batch
+    // watermark instead of each timer's own fire time would collapse the
+    // chain onto one timestamp — exactly the "ahead of the hold" bug.
+    val countSpec = ValueStateSpec[Long]("fires")
+    val fn = new StatefulDoFn[String, Double, String] {
+      def process(k: String, v: Double, ctx: StatefulContext[String]): Unit =
+        ctx.timer(flushSpec).set(ctx.timestamp + 5000)
+      override def onTimer(k: String, spec: TimerSpec, tag: String, fireTs: Long,
+          ctx: StatefulContext[String]): Unit = {
+        val n = ctx.value(countSpec).read().getOrElse(0L)
+        ctx.output(s"$k-fire$n")
+        if (n < 2) {
+          ctx.value(countSpec).write(n + 1)
+          ctx.timer(flushSpec).set(fireTs + 5000)
+        } else ctx.value(countSpec).clear()
+      }
+    }
+    val out = StreamingOps.statefulParDoTimestamped(input, fn)
+    val q = out.toDF("v", "et").writeStream.format("memory")
+      .queryName("hold_" + System.nanoTime()).outputMode("append").start()
+    mem.addData(("a", 1.0, 1000L))
+    q.processAllAvailable()
+    mem.addData(("z", 1.0, 600000L)) // watermark leaps past the whole chain
+    q.processAllAvailable()
+    mem.addData(("z", 1.0, 1800000L)) // fire z's own chain to drain state
+    q.processAllAvailable()
+    val rows = s.sql(s"SELECT v, et FROM ${q.name}")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime)).toMap
+    q.stop()
+    // each emission carries ITS OWN fire time: 6000, 11000, 16000 — not the
+    // 600000 batch watermark the callbacks actually ran under
+    assert(rows("a-fire0") == 6000L, s"got $rows")
+    assert(rows("a-fire1") == 11000L, s"got $rows")
+    assert(rows("a-fire2") == 16000L, s"got $rows")
+  }
+
   test("streaming tagged-output ParDo demuxes per tag (MemoryStream)") {
     val s = spark
     import s.implicits._
