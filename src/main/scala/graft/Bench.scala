@@ -58,8 +58,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
+    // Locale.ROOT: a comma-decimal default locale would render 1,234 and
+    // break the JSON this line exists to keep parseable
     val slowest = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"slowest":$slowest,"sf":"$sfDir","full":"bench_out.json"}""")
     spark.stop()
   }

@@ -972,14 +972,15 @@ object Queries {
     *
     * Unlike every other battery entry this is deliberately NOT a pure plan
     * builder: constructing the DataFrame runs the write job (a round-trip
-    * has to materialize). The path is keyed by (applicationId, data dir) so
-    * concurrent sessions over the same data never race on one directory;
-    * within a session, sequential re-runs overwrite their own files.
+    * has to materialize). The path is FIXED per (user, input dir) in
+    * overwrite mode — re-runs replace rather than accumulate (the earlier
+    * applicationId-suffixed path leaked a table copy per session);
+    * single-writer contract as d97/d115.
     */
   def d70OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_orc_" + s.sparkContext.applicationId + "_" +
-        Integer.toHexString(d.hashCode)).getAbsolutePath
+      "graft_orc_" + System.getProperty("user.name", "anon") + "_" + pathTag(d))
+      .getAbsolutePath
     Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
       .write.mode("overwrite").orc(path)
@@ -1525,16 +1526,22 @@ object Queries {
     * re-running the query measures the READ+JOIN — the steady-state cost
     * the bucketed layout exists to demonstrate — not a table rewrite the
     * first rep already did. The write path itself stays pinned by
-    * BucketedJoinSpec. The tag is the md5 of the absolute input path
-    * (String.hashCode is 32-bit — two dirs colliding would silently join
-    * tables built from the other dataset).
+    * BucketedJoinSpec. Path tag: [[pathTag]].
     */
+  /** md5 of the absolute input path, 16 hex chars — the scratch-path tag for
+    * queries that materialize per input dir (String.hashCode is 32-bit; two
+    * dirs colliding would silently mix tables built from another dataset).
+    */
+  private def pathTag(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(d).getAbsolutePath.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
   private val bucketedWritten = scala.collection.mutable.Set.empty[(String, String)]
 
   def d97BucketedJoin(s: SparkSession, d: String): DataFrame = {
     val abs = new java.io.File(d).getAbsolutePath
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val tag = pathTag(d)
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_bucketed_" + System.getProperty("user.name", "anon")).getAbsolutePath
     val key = (s.sparkContext.applicationId, abs)
@@ -1912,8 +1919,15 @@ object Queries {
       Tables.events(s, d).select(col("user_id"), col("value")).as[(Long, Double)])
     custs.coGroupByKeyTagged[Long, Double]("cust", "ord" -> ords, "ev" -> evs)
       .map { case (k, m) =>
+        // money mass through exact DECIMAL(18,2) — the battery's standing
+        // money-sum convention (graft_money_sum in the relational layer);
+        // setScale(HALF_UP) == Spark's double→DECIMAL cast, so the sum is
+        // bit-identical to the oracle's SUM(CAST(... AS DECIMAL(18,2)))
+        // at any size, not just while round(,4) can absorb order noise
+        val sumPrice = m("ord").foldLeft(BigDecimal(0))((a, v) =>
+          a + BigDecimal(v).setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP))
         (k, m("cust").size.toLong, m("ord").size.toLong, m("ev").size.toLong,
-          m("ord").sum)
+          sumPrice.toDouble)
       }
       .toDataset.toDF("k", "n_cust", "n_orders", "n_events", "sum_price")
       .withColumn("sum_price", round(col("sum_price"), 4))
@@ -1925,14 +1939,15 @@ object Queries {
     * one task per file, aggregate. The aggregate is all-integer, so it must
     * be bit-identical to the parquet-direct oracle — any row lost or value
     * mangled by the format hop changes it. Same deliberate write-on-build
-    * contract as d70's ORC round-trip; path keyed by (applicationId, dir).
+    * contract as d70's ORC round-trip. The scratch path is FIXED per
+    * (user, input dir) — AvroIO.write's overwrite deletes stale parts, so
+    * re-runs replace rather than accumulate (an applicationId-suffixed path
+    * would leak a table copy per session); single-writer contract as d97.
     */
   def d115AvroRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(new java.io.File(d).getAbsolutePath.getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_avro_" + s.sparkContext.applicationId + "_" + tag).getAbsolutePath
+      "graft_avro_" + System.getProperty("user.name", "anon") + "_" + pathTag(d))
+      .getAbsolutePath
     graft.sources.AvroIO.write(
       Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")), path)
     graft.sources.AvroIO.read(s, path)
@@ -1941,6 +1956,32 @@ object Queries {
         expr("CAST(SUM(n_chars) AS BIGINT)").as("sum_chars"),
         expr("CAST(MIN(doc_id) AS BIGINT)").as("first_doc"),
         expr("CAST(MAX(doc_id) AS BIGINT)").as("last_doc"))
+  }
+
+  /** Per-user inter-event cadence profile (the engagement-shape stat behind
+    * bot filtering and session design): consecutive-gap extrema and mean,
+    * plus a burstiness gate — `max_gap × n_gaps > 5 × span` is an INTEGER
+    * cross-multiplication, engine-exact with no epsilon (probed splitting
+    * 50/150 users at sf0.01, so a dropped factor changes the answer). The
+    * LAG window partitions per user over the unique (ts_ms, event_id)
+    * order — no global sort; one shuffle feeds both the window and the
+    * per-user aggregate.
+    */
+  def d116EventCadence(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_ms"))
+      .withColumn("__gap", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        expr("CAST(COUNT(*) + 1 AS BIGINT)").as("n_events"),
+        expr("CAST(SUM(__gap) AS BIGINT)").as("span_ms"),
+        expr("CAST(MIN(__gap) AS BIGINT)").as("min_gap"),
+        expr("CAST(MAX(__gap) AS BIGINT)").as("max_gap"),
+        round(sum(col("__gap")).cast("double") / count(lit(1)), 6).as("mean_gap"),
+        (max(col("__gap")) * count(lit(1)) > lit(5L) * sum(col("__gap"))).as("bursty"))
   }
 
   // =========================================================================
@@ -2061,6 +2102,7 @@ object Queries {
     "d113_pareto_share" -> (d113ParetoShare _),
     "d114_three_way_cogroup" -> (d114ThreeWayCogroup _),
     "d115_avro_roundtrip" -> (d115AvroRoundtrip _),
+    "d116_event_cadence" -> (d116EventCadence _),
   )
 
   private val toksSql =
@@ -2874,7 +2916,7 @@ object Queries {
       """WITH c AS (SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_cust
         |    FROM customer WHERE c_acctbal > 0 GROUP BY 1),
         |o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |    SUM(o_totalprice) AS sum_price
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |  FROM orders WHERE o_totalprice > 400000 GROUP BY 1),
         |e AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events
         |    FROM events GROUP BY 1),
@@ -2893,5 +2935,18 @@ object Queries {
         | CAST(MIN(doc_id) AS BIGINT) AS first_doc,
         | CAST(MAX(doc_id) AS BIGINT) AS last_doc
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "d116_event_cadence" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_ms(ts) - LAG(epoch_ms(ts))
+        |      OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+        | CAST(SUM(gap) AS BIGINT) AS span_ms,
+        | CAST(MIN(gap) AS BIGINT) AS min_gap,
+        | CAST(MAX(gap) AS BIGINT) AS max_gap,
+        | ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6) AS mean_gap,
+        | MAX(gap) * COUNT(*) > 5 * SUM(gap) AS bursty
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
   )
 }

@@ -293,11 +293,17 @@ object Dedup {
     val t = collapsed.join(live, blockCols, "left_semi")
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    // THRESHOLDED Levenshtein: the banded DP is O(L × maxEdit) with early
+    // exit, not O(L²) — on the heaviest per-pair compute in the library
+    // that bound is the difference between a verify pass and a cluster
+    // bill. Distances over the budget return -1, hence `between`, and the
+    // reported distances are identical to the unthresholded form.
     t.as("a").join(t.as("b"), blockEq && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1") +: col(s"b.$idCol").as("id2") +:
-        levenshtein(col(s"a.$textCol"), col(s"b.$textCol")).cast("long").as("edit_dist") +:
+        levenshtein(col(s"a.$textCol"), col(s"b.$textCol"), maxEdit).cast("long")
+          .as("edit_dist") +:
         blockCols.map(c => col(s"a.$c").as(c)): _*)
-      .filter(col("edit_dist") <= maxEdit)
+      .filter(col("edit_dist").between(0, maxEdit))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, via

@@ -144,9 +144,16 @@ object AvroIO {
     }
   }
 
-  /** Avro datum → Catalyst external value (driven by the Catalyst type). */
-  private def fromDatum(v: Any, dt: DataType): Any = {
+  /** Avro datum → Catalyst external value. Driven by the Catalyst type WITH
+    * the Avro schema alongside — `toCatalyst` maps BOTH timestamp-micros and
+    * timestamp-millis to TimestampType, so the scale must come from the
+    * source schema (decoding a millis file as micros would be silently
+    * 1000× off).
+    */
+  private def fromDatum(v: Any, dt: DataType, schema: Schema): Any = {
     if (v == null) return null
+    val s = if (schema.getType == Schema.Type.UNION)
+      schema.getTypes.asScala.find(_.getType != Schema.Type.NULL).get else schema
     dt match {
       case StringType => v.toString // Utf8 / enum symbol → String
       case LongType | IntegerType | DoubleType | FloatType | BooleanType => v
@@ -156,21 +163,26 @@ object AvroIO {
         case fixed: org.apache.avro.generic.GenericFixed => fixed.bytes().clone()
       }
       case TimestampType =>
-        val micros = v.asInstanceOf[Long]
+        val micros = s.getLogicalType match {
+          case _: LogicalTypes.TimestampMillis => v.asInstanceOf[Long] * 1000L
+          case _ => v.asInstanceOf[Long]
+        }
         val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
         ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
         ts
       case DateType =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
       case ArrayType(et, _) =>
-        v.asInstanceOf[java.util.Collection[Any]].asScala.toSeq.map(fromDatum(_, et))
+        v.asInstanceOf[java.util.Collection[Any]].asScala.toSeq
+          .map(fromDatum(_, et, s.getElementType))
       case MapType(StringType, vt, _) =>
         v.asInstanceOf[java.util.Map[Any, Any]].asScala.map {
-          case (k, mv) => k.toString -> fromDatum(mv, vt)
+          case (k, mv) => k.toString -> fromDatum(mv, vt, s.getValueType)
         }.toMap
       case st: StructType =>
         val rec = v.asInstanceOf[GenericRecord]
-        Row.fromSeq(st.fields.toSeq.map(f => fromDatum(rec.get(f.name), f.dataType)))
+        Row.fromSeq(st.fields.toSeq.map(f =>
+          fromDatum(rec.get(f.name), f.dataType, s.getField(f.name).schema())))
       case other => throw new IllegalArgumentException(s"unsupported read type $other")
     }
   }
@@ -231,14 +243,18 @@ object AvroIO {
       // get Avro schema resolution per file instead of silent column drift
       val stream = new DataFileStream(in,
         new GenericDatumReader[GenericRecord](null, schema))
+      // close on task completion, not on iterator exhaustion: a downstream
+      // limit/take (or an exception mid-decode) never drains the iterator,
+      // which would leak one open input stream per task
+      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
+        new org.apache.spark.util.TaskCompletionListener {
+          override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
+            try stream.close() catch { case _: Throwable => () }
+        }))
       val sType: StructType = catalystSchema
       new Iterator[Row] {
-        def hasNext: Boolean = {
-          val h = stream.hasNext
-          if (!h) stream.close()
-          h
-        }
-        def next(): Row = fromDatum(stream.next(), sType).asInstanceOf[Row]
+        def hasNext: Boolean = stream.hasNext
+        def next(): Row = fromDatum(stream.next(), sType, schema).asInstanceOf[Row]
       }
     }
     spark.createDataFrame(rows, catalystSchema)

@@ -384,7 +384,8 @@ object StreamingOps {
       .flatMapGroupsWithState[StreamState, (O, java.sql.Timestamp)](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: K, rows: Iterator[(K, V, java.sql.Timestamp)], state: GroupState[StreamState]) =>
-          runStreamingGroup(key, rows.map(r => (r._1, r._2, r._3.getTime)), state, fn)
+          runStreamingGroup(key, rows.map(r => (r._1, r._2, r._3.getTime)), state, fn,
+            enforceHold = true)
             .map { case (o, ts) => (o, new java.sql.Timestamp(ts)) }
       }
   }
@@ -423,7 +424,13 @@ object StreamingOps {
 
   private def runStreamingGroup[K, V, O](
       key: K, rows: Iterator[(K, V, Long)], state: GroupState[StreamState],
-      fn: StatefulDoFn[K, V, O]): Iterator[(O, Long)] = {
+      fn: StatefulDoFn[K, V, O],
+      // the timestamped variant enforces forward-only emission (Beam's
+      // zero-allowed-skew default); the timestamp-discarding variants keep
+      // their lenient pre-hold behavior — a DoFn that re-stamps buffered
+      // elements with their ORIGINAL (pre-timer) times was legal there and
+      // must stay legal, since the timestamp never leaves the runner
+      enforceHold: Boolean = false): Iterator[(O, Long)] = {
     val st = state.getOption.getOrElse(new StreamState)
     val cells = new StateCells
     cells.cells ++= st.cells
@@ -439,11 +446,11 @@ object StreamingOps {
       // timer's fire time during onTimer (set before each callback below)
       def output(o: O): Unit = out += ((o, curTs))
       def outputWithTimestamp(o: O, ts: Long): Unit = {
-        require(ts >= curTs,
-          s"output timestamp $ts is before the hold $curTs — a streaming " +
-            "stateful ParDo may only move timestamps FORWARD (Beam's " +
-            "zero-allowed-skew default; backward emission fabricates " +
-            "already-late data)")
+        if (enforceHold) require(ts >= curTs,
+          s"output timestamp $ts is before the hold $curTs — a timestamped " +
+            "streaming stateful ParDo may only move timestamps FORWARD " +
+            "(Beam's zero-allowed-skew default; backward emission " +
+            "fabricates already-late data)")
         out += ((o, ts))
       }
       def bag[T](spec: BagStateSpec[T]): BagState[T] = cells.bag(spec)

@@ -71,6 +71,29 @@ class AvroIOSpec extends SparkTestBase {
     assert(AvroIO.read(s, dir).count() == 10)
   }
 
+  test("timestamp-millis files decode at millis scale (foreign-writer compatibility)") {
+    // our own writer emits timestamp-micros; a file from another system may
+    // carry timestamp-millis, which toCatalyst also maps to TimestampType —
+    // the decoder must scale by the SOURCE schema, not assume micros
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}}]}"""
+        .stripMargin)
+    val dir = new java.io.File(tmpDir("millis")); dir.mkdirs()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "part-00000.avro"))
+    val rec = new GenericData.Record(schema)
+    rec.put(0, 1L); rec.put(1, 1723500000123L)
+    w.append(rec); w.close()
+    val back = AvroIO.read(spark, dir.getAbsolutePath).collect()
+    assert(back.length == 1)
+    assert(back(0).getAs[java.sql.Timestamp](1).getTime == 1723500000123L,
+      s"millis misdecoded: ${back(0)}")
+  }
+
   test("unsupported Catalyst type rejected at schema time, not silently mangled") {
     intercept[IllegalArgumentException] {
       AvroIO.toAvroRecord(StructType(Seq(

@@ -53,11 +53,13 @@ class MetricsSpec extends SparkTestBase {
   test("per-phase bundle msecs: start/process/finish report separately (ray_runner_test.py:1285-1514)") {
     val p = Pipeline(spark)
     // real work in each phase so every phase's msec sample is nonzero (the
-    // phase SPLIT is what's under test, not the magnitudes)
+    // phase SPLIT is what's under test, not the magnitudes); the process
+    // sleep is 5x the others so the leak check below has scheduler-jitter
+    // headroom (sleep guarantees a minimum, not a maximum)
     val fn = new DoFn[Int, Int] {
       override def startBundle(): Unit = Thread.sleep(8)
       def process(e: Int, ctx: ProcessContext[Int]): Unit = {
-        Thread.sleep(8); ctx.output(e)
+        Thread.sleep(40); ctx.output(e)
       }
       override def finishBundle(emit: Int => Unit): Unit = Thread.sleep(8)
     }
@@ -68,10 +70,11 @@ class MetricsSpec extends SparkTestBase {
     // one sample per bundle per phase; bundles with elements slept in
     // process, and EVERY bundle slept in start/finish
     assert(start.count >= 1 && start.sum >= 8, s"start: $start")
-    assert(proc.count >= 1 && proc.sum >= 8 * 3 - 3, s"process: $proc")
+    assert(proc.count >= 1 && proc.sum >= 40 * 3 - 3, s"process: $proc")
     assert(finish.count >= 1 && finish.sum >= 8, s"finish: $finish")
-    // phases are DISJOINT slices: process time must not leak into finish
-    // (3 sleeping elements ≈ 24ms process; each finish sample is one 8ms sleep)
-    assert(finish.max < 8 * 3, s"process leaked into finish: $finish")
+    // phases are DISJOINT slices: a process leak into finish would add >=
+    // one 40ms element sleep to a finish sample; an 8ms sleep overshooting
+    // to 40ms is far outside normal jitter
+    assert(finish.max < 40, s"process leaked into finish: $finish")
   }
 }

@@ -321,6 +321,17 @@ class PlanAuditSpec extends SparkTestBase {
         "\n" + plan.take(3000))
   }
 
+  test("d114: N-ary tagged cogroup shuffles ONCE for three inputs") {
+    // the whole point of coGroupByKeyTagged vs chained binary cogroups:
+    // union is a partition concat, the single GBK is the only exchange —
+    // a second hashpartitioning here means the composite regressed
+    val plan = planOf(Queries.d114ThreeWayCogroup(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"3-input cogroup should shuffle exactly once, got $exchanges:\n" + finalPlan.take(3000))
+  }
+
   test("d62: centroid aggregation is partial/final over ONE exchange of group buffers") {
     val plan = planOf(Queries.d62EmbedCentroids(spark, d))
     val finalPlan = plan.split("== Initial Plan ==").head

@@ -82,7 +82,10 @@ def main():
         duck = {r[0]: duck_class(r[1]) for r in desc}
         parts = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not parts:
+            # a missing dump means the sweep did NOT check this query — a
+            # stale/wrong outDir must not exit 0 "OK" (vacuous pass)
             print(f"{name}: no spark dump found, duck types: {duck}")
+            n_flag += 1
             continue
         spark = {f.name: arrow_class(f.type) for f in pq.read_schema(parts[0])}
         for col in sorted(set(duck) | set(spark)):
