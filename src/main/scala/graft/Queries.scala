@@ -1984,6 +1984,94 @@ object Queries {
         (max(col("__gap")) * count(lit(1)) > lit(5L) * sum(col("__gap"))).as("bursty"))
   }
 
+  /** Association lift between event types over (user, day) baskets —
+    * d95's co-occurrence counts promoted to the independence-ratio metric
+    * (`lift = N·n_ab / (n_a·n_b)`; association-rule mining's core statistic).
+    * Basket build is d95's skew-bounded shape (one map-side-combinable
+    * shuffle, in-group pair expansion — never a self-join of the event
+    * stream); the singles and total frames are type-vocabulary-sized and
+    * broadcast back. All counts integer, ONE multiply + ONE division on
+    * exact integer-valued doubles — engine-identical before the rounding.
+    */
+  def d117EventLift(s: SparkSession, d: String): DataFrame = {
+    def baskets = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("__day"),
+        col("event_type"))
+      .groupBy(col("user_id"), col("__day"))
+      .agg(sort_array(collect_set(col("event_type"))).as("__ts"))
+    val total = baskets.select(count(lit(1)).as("__n"))
+    val singles = baskets.select(explode(col("__ts")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("__nx"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(__ts, (x, i) ->
+          |  transform(slice(__ts, i + 2, size(__ts)),
+          |            y -> struct(x AS t1, y AS t2))))""".stripMargin)).as("__p"))
+      .groupBy(col("__p.t1").as("t1"), col("__p.t2").as("t2"))
+      .agg(count(lit(1)).as("__nab"))
+    pairs
+      .join(broadcast(singles.select(col("t").as("t1"), col("__nx").as("__na"))), "t1")
+      .join(broadcast(singles.select(col("t").as("t2"), col("__nx").as("__nb"))), "t2")
+      .crossJoin(broadcast(total))
+      .select(col("t1"), col("t2"),
+        expr("CAST(__nab AS BIGINT)").as("n_ab"),
+        expr("CAST(__na AS BIGINT)").as("n_a"),
+        expr("CAST(__nb AS BIGINT)").as("n_b"),
+        round(col("__nab").cast("double") * col("__n") / (col("__na") * col("__nb")), 6)
+          .as("lift"))
+  }
+
+  /** Weekly-active stickiness (DAU/WAU per day) on the order calendar.
+    * The scale-critical move: the trailing-7-day distinct count is NOT a
+    * range join of the day grid against user-days (O(days × activity)
+    * nested-loop at corpus scale) — each user-day instead EXPANDS into the
+    * 7 window anchors it contributes to (`sequence(day, day+6)`), turning
+    * the whole thing into one equi-shuffle + count distinct. 7× row
+    * expansion buys hash parallelism; the oracle states the same result
+    * as the naive BETWEEN join. Only days with actual activity report.
+    */
+  def d118Stickiness(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.orders(s, d)
+      .select(col("o_custkey").as("u"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("__dau"))
+    val wau = ud
+      .select(col("u"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("u")).as("__wau"))
+    dau.join(wau, "day")
+      .select(col("day").cast("long").as("day"),
+        expr("CAST(__dau AS BIGINT)").as("dau"),
+        expr("CAST(__wau AS BIGINT)").as("wau"),
+        round(col("__dau").cast("double") / col("__wau"), 6).as("stickiness"))
+  }
+
+  /** RFM segmentation (recency / frequency / monetary quartiles → segment
+    * census) — the classic customer-base profile, quartiled PER MARKET
+    * SEGMENT so every NTILE window partitions (no global sort; the same
+    * discipline as d112/d113). One customer-grain aggregate (exact money
+    * via the fixed-point SUM), three sorts inside ONE window shuffle, then
+    * a tiny census aggregate. Every ordering carries the unique custkey
+    * tiebreak so quartile boundaries are rank-exact cross-engine.
+    */
+  def d119RfmSegments(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("__rec"),
+        count(lit(1)).as("__freq"),
+        expr("graft_money_sum(o_totalprice, 2)").as("__mon"))
+    def quartile(order: org.apache.spark.sql.Column) = ntile(4).over(
+      Window.partitionBy(col("c_mktsegment")).orderBy(order, col("o_custkey").asc))
+    m.withColumn("__r", quartile(col("__rec").asc))
+      .withColumn("__f", quartile(col("__freq").asc))
+      .withColumn("__m", quartile(col("__mon").asc))
+      .groupBy(col("c_mktsegment"),
+        (col("__r") * 100 + col("__f") * 10 + col("__m")).cast("long").as("rfm"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_customers"))
+  }
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2103,6 +2191,9 @@ object Queries {
     "d114_three_way_cogroup" -> (d114ThreeWayCogroup _),
     "d115_avro_roundtrip" -> (d115AvroRoundtrip _),
     "d116_event_cadence" -> (d116EventCadence _),
+    "d117_event_lift" -> (d117EventLift _),
+    "d118_stickiness" -> (d118Stickiness _),
+    "d119_rfm_segments" -> (d119RfmSegments _),
   )
 
   private val toksSql =
@@ -2948,5 +3039,45 @@ object Queries {
         | ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6) AS mean_gap,
         | MAX(gap) * COUNT(*) > 5 * SUM(gap) AS bursty
         |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "d117_event_lift" ->
+      """WITH b AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day, event_type
+        |    FROM events),
+        |n AS (SELECT COUNT(*) AS total FROM (SELECT DISTINCT user_id, day FROM b)),
+        |s AS (SELECT event_type, COUNT(*) AS n_x FROM b GROUP BY 1),
+        |p AS (SELECT a.event_type AS t1, c.event_type AS t2, COUNT(*) AS n_ab
+        |  FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+        |    AND a.event_type < c.event_type
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, CAST(n_ab AS BIGINT) AS n_ab,
+        | CAST(sa.n_x AS BIGINT) AS n_a, CAST(sb.n_x AS BIGINT) AS n_b,
+        | ROUND(CAST(n_ab AS DOUBLE) * total / (sa.n_x * sb.n_x), 6) AS lift
+        |FROM p, n
+        |JOIN s sa ON sa.event_type = t1
+        |JOIN s sb ON sb.event_type = t2""".stripMargin,
+
+    "d118_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT o_custkey AS u,
+        |    epoch_ms(o_orderdate) // 86400000 AS day FROM orders),
+        |da AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |w AS (SELECT d.day, CAST(COUNT(DISTINCT u.u) AS BIGINT) AS wau
+        |  FROM (SELECT DISTINCT day FROM ud) d
+        |  JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY 1)
+        |SELECT CAST(day AS BIGINT) AS day, dau, wau,
+        | ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |FROM da JOIN w USING (day)""".stripMargin,
+
+    "d119_rfm_segments" ->
+      """WITH m AS (SELECT c_mktsegment, o_custkey, MAX(o_orderdate) AS rec,
+        |    COUNT(*) AS freq, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |t AS (SELECT c_mktsegment,
+        |    ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY rec, o_custkey) AS r,
+        |    ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY freq, o_custkey) AS f,
+        |    ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY mon, o_custkey) AS mo
+        |  FROM m)
+        |SELECT c_mktsegment, CAST(r*100 + f*10 + mo AS BIGINT) AS rfm,
+        | CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM t GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -332,6 +332,20 @@ class PlanAuditSpec extends SparkTestBase {
       s"3-input cogroup should shuffle exactly once, got $exchanges:\n" + finalPlan.take(3000))
   }
 
+  test("d116: cadence window and aggregate share ONE shuffle on user_id") {
+    // the LAG window partitions by user_id and the groupBy keys on user_id:
+    // Catalyst must reuse the window's partitioning for the aggregate —
+    // a second exchange means the gap stage and the stats stage each paid
+    // a full shuffle of the event stream
+    val plan = planOf(Queries.d116EventCadence(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"cadence should shuffle once on user_id, got $exchanges:\n" + finalPlan.take(3000))
+    assert(!finalPlan.contains("Exchange rangepartitioning"),
+      "no global sort in cadence:\n" + finalPlan.take(2000))
+  }
+
   test("d62: centroid aggregation is partial/final over ONE exchange of group buffers") {
     val plan = planOf(Queries.d62EmbedCentroids(spark, d))
     val finalPlan = plan.split("== Initial Plan ==").head
