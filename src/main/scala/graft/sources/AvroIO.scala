@@ -109,7 +109,7 @@ object AvroIO {
   // ---------------------------------------------------------------- values
 
   /** Catalyst value → Avro datum (driven by the Catalyst type). */
-  private def toDatum(v: Any, dt: DataType, schema: Schema): Any = {
+  private[graft] def toDatum(v: Any, dt: DataType, schema: Schema): Any = {
     if (v == null) return null
     // a nullable field's schema is union(null, T): unwrap to T for nesting
     val s = if (schema.getType == Schema.Type.UNION)
@@ -150,7 +150,7 @@ object AvroIO {
     * source schema (decoding a millis file as micros would be silently
     * 1000× off).
     */
-  private def fromDatum(v: Any, dt: DataType, schema: Schema): Any = {
+  private[graft] def fromDatum(v: Any, dt: DataType, schema: Schema): Any = {
     if (v == null) return null
     val s = if (schema.getType == Schema.Type.UNION)
       schema.getTypes.asScala.find(_.getType != Schema.Type.NULL).get else schema
@@ -193,8 +193,13 @@ object AvroIO {
     * `part-*.avro` from a previous run are deleted first, same contract as
     * [[TFRecordIO.write]]). Empty partitions still write a header-only file
     * so the directory stays schema-discoverable for an empty dataset.
+    *
+    * `codec`: "snappy" (default — the storage-bandwidth lever at corpus
+    * scale, and what Spark's own avro writer defaults to), "deflate",
+    * "zstandard", "bzip2", or "null" (uncompressed). Block codecs are part
+    * of the container spec, so any Avro reader decodes them transparently.
     */
-  def write(df: DataFrame, dir: String): Unit = {
+  def write(df: DataFrame, dir: String, codec: String = "snappy"): Unit = {
     val catalystSchema = df.schema
     val avroSchema = toAvroRecord(catalystSchema, "graft_row")
     val schemaJson = avroSchema.toString // Schema is not Serializable; ship JSON
@@ -206,12 +211,15 @@ object AvroIO {
       fs.globStatus(new Path(outDir, "part-*.avro"))
         .foreach(st => fs.delete(st.getPath, false))
     val dirStr = dir
+    val codecStr = codec
+    org.apache.avro.file.CodecFactory.fromString(codecStr) // fail on the driver, not per task
     df.rdd.foreachPartition { it =>
       val schema = new Schema.Parser().parse(schemaJson)
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val path = new Path(dirStr, f"part-$pid%05d.avro")
       val fsLocal = path.getFileSystem(conf.value)
       val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      writer.setCodec(org.apache.avro.file.CodecFactory.fromString(codecStr))
       writer.create(schema, new BufferedOutputStream(fsLocal.create(path, true), 1 << 16))
       try it.foreach { row =>
         writer.append(toDatum(row, catalystSchema, schema).asInstanceOf[GenericRecord])
