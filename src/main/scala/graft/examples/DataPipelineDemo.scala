@@ -127,6 +127,16 @@ object DataPipelineDemo {
     graft.sources.TFRecordIO.write(payloads, outDir)
     val readBack = graft.sources.TFRecordIO.read(spark, outDir).count()
     println(s"[pipeline] wrote $readBack training records to $outDir")
+
+    // 9. the evaluation-side handoff goes out as compressed Avro (the
+    // row format every downstream JVM/Python stack reads natively) —
+    // schema carried in the container, snappy block compression
+    val avroDir = java.nio.file.Files.createTempDirectory("graft-pipeline-avro").toString
+    graft.sources.AvroIO.write(
+      survivors.select(col("doc_id"), col("lang"), col("text")), avroDir)
+    val avroBack = graft.sources.AvroIO.read(spark, avroDir).count()
+    println(s"[pipeline] wrote $avroBack eval records (avro/snappy) to $avroDir")
+
     survivors.unpersist(); masked.unpersist(); nearDeduped.unpersist()
     exact.unpersist()
     spark.stop()

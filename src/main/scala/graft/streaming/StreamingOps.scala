@@ -197,6 +197,27 @@ object StreamingOps {
       typedlit(evalGrams)))
   }
 
+  /** Streaming quality gate — the ingest-side twin of the batch
+    * Gopher-style rule filter (the d60 battery thresholds by default):
+    * stateless, per-row, entirely inside the scan stage's projection, so
+    * it composes with any output mode, adds no state and no shuffle. The
+    * rules reuse the SAME column functions as the batch gate — one
+    * threshold definition, two execution modes.
+    */
+  def qualityGateStream(
+      docs: DataFrame, textCol: String,
+      minTokens: Int = 20,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopRatio: Double = 0.05, minDistinctRatio: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions._
+    val t = col(textCol)
+    docs.filter(
+      tokenCount(t) >= minTokens &&
+        meanTokenLength(t).between(minMeanWordLen, maxMeanWordLen) &&
+        stopwordRatio(t) >= minStopRatio &&
+        distinctTokenRatio(t) >= minDistinctRatio)
+  }
+
   /** Streaming z-score anomaly gate — the online twin of the batch
     * `d72_anomaly` query: arriving events are scored against per-key
     * baseline statistics (mean `meanCol` / stddev `sdCol`, computed offline

@@ -336,6 +336,26 @@ class StreamingSpec extends SparkTestBase {
     assertMultiset(rows, Seq("a", "b", "c"))
   }
 
+  test("streaming quality gate: prose passes, short and looping docs drop, no state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.qualityGateStream(mem.toDF().toDF("id", "text"), "text")
+    val q = out.writeStream.format("memory")
+      .queryName("qgate_" + System.nanoTime()).outputMode("append").start()
+    val prose = "the quick brown fox jumps over the lazy dog and runs " +
+      "to the river bank where it rests in the shade of a willow tree today"
+    mem.addData(
+      (1L, prose),                          // passes every rule
+      (2L, "too short"),                    // < minTokens
+      (3L, Seq.fill(30)("spam").mkString(" "))) // distinct ratio ~0, no stopwords
+    q.processAllAvailable()
+    val kept = s.sql(s"SELECT id FROM ${q.name}").collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assertMultiset(kept, Seq(1L))
+  }
+
   test("streaming decontamination gate drops eval-overlapping docs, stateless") {
     val s = spark
     import s.implicits._
