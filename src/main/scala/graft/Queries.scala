@@ -790,8 +790,12 @@ object Queries {
         TextFunctions.meanTokenLength(t).as("__mwl"),
         TextFunctions.stopwordRatio(t).as("__sr"),
         TextFunctions.distinctTokenRatio(t).as("__dr"))
-      .filter(col("__nt") >= 20 && col("__mwl").between(3.0, 10.0) &&
-        col("__sr") >= 0.05 && col("__dr") >= 0.5)
+      .filter {
+        val g = TextFunctions.GopherThresholds
+        col("__nt") >= g.MinTokens &&
+          col("__mwl").between(g.MinMeanWordLen, g.MaxMeanWordLen) &&
+          col("__sr") >= g.MinStopRatio && col("__dr") >= g.MinDistinctRatio
+      }
       .select(col("doc_id"),
         expr("CAST(__nt AS BIGINT)").as("n_tokens"),
         round(col("__mwl"), 6).as("mean_wlen"),
@@ -2017,7 +2021,11 @@ object Queries {
         expr("CAST(__nab AS BIGINT)").as("n_ab"),
         expr("CAST(__na AS BIGINT)").as("n_a"),
         expr("CAST(__nb AS BIGINT)").as("n_b"),
-        round(col("__nab").cast("double") * col("__n") / (col("__na") * col("__nb")), 6)
+        // divide TWICE rather than form n_a*n_b: the integer product wraps
+        // Spark longs past 2^63 (DuckDB errors on the same overflow) once
+        // two dominant types each clear ~3e9 baskets. Same left-to-right
+        // IEEE op order as the oracle → still bit-identical.
+        round(col("__nab").cast("double") * col("__n") / col("__na") / col("__nb"), 6)
           .as("lift"))
   }
 
@@ -3051,7 +3059,7 @@ object Queries {
         |  GROUP BY 1, 2)
         |SELECT t1, t2, CAST(n_ab AS BIGINT) AS n_ab,
         | CAST(sa.n_x AS BIGINT) AS n_a, CAST(sb.n_x AS BIGINT) AS n_b,
-        | ROUND(CAST(n_ab AS DOUBLE) * total / (sa.n_x * sb.n_x), 6) AS lift
+        | ROUND(CAST(n_ab AS DOUBLE) * total / sa.n_x / sb.n_x, 6) AS lift
         |FROM p, n
         |JOIN s sa ON sa.event_type = t1
         |JOIN s sb ON sb.event_type = t2""".stripMargin,

@@ -83,6 +83,8 @@ final class Pipeline(val spark: SparkSession) {
     fromDataFrame(spark.read.json(path))
   def readOrc(path: String): PCollection[Row] =
     fromDataFrame(spark.read.orc(path))
+  def readAvro(path: String): PCollection[Row] =
+    fromDataFrame(graft.sources.AvroIO.read(spark, path))
 
   /** TFRecord payload bytes into the dataflow layer (container parsing in
     * [[graft.sources.TFRecordIO]]; pair with `TFExample.decode` in a ParDo

@@ -130,12 +130,13 @@ object DataPipelineDemo {
 
     // 9. the evaluation-side handoff goes out as compressed Avro (the
     // row format every downstream JVM/Python stack reads natively) —
-    // schema carried in the container, snappy block compression
+    // schema carried in the container, deflate block compression (the
+    // spec-required codec: any bare avro-core consumer decodes it)
     val avroDir = java.nio.file.Files.createTempDirectory("graft-pipeline-avro").toString
     graft.sources.AvroIO.write(
       survivors.select(col("doc_id"), col("lang"), col("text")), avroDir)
     val avroBack = graft.sources.AvroIO.read(spark, avroDir).count()
-    println(s"[pipeline] wrote $avroBack eval records (avro/snappy) to $avroDir")
+    println(s"[pipeline] wrote $avroBack eval records (avro/deflate) to $avroDir")
 
     survivors.unpersist(); masked.unpersist(); nearDeduped.unpersist()
     exact.unpersist()

@@ -54,6 +54,18 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  /** Gopher rule-set thresholds — the SINGLE definition read by both the
+    * batch battery gate (d60) and the streaming twin
+    * (`StreamingOps.qualityGateStream`). Retune here, both modes follow.
+    */
+  object GopherThresholds {
+    val MinTokens = 20
+    val MinMeanWordLen = 3.0
+    val MaxMeanWordLen = 10.0
+    val MinStopRatio = 0.05
+    val MinDistinctRatio = 0.5
+  }
+
   private val EnStopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "at", "by", "be", "this", "are")

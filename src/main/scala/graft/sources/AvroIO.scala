@@ -194,12 +194,15 @@ object AvroIO {
     * [[TFRecordIO.write]]). Empty partitions still write a header-only file
     * so the directory stays schema-discoverable for an empty dataset.
     *
-    * `codec`: "snappy" (default — the storage-bandwidth lever at corpus
-    * scale, and what Spark's own avro writer defaults to), "deflate",
-    * "zstandard", "bzip2", or "null" (uncompressed). Block codecs are part
-    * of the container spec, so any Avro reader decodes them transparently.
+    * `codec`: "deflate" (default — the one compression codec the Avro SPEC
+    * requires every implementation to support, and it rides the JDK's
+    * zlib, so the module's avro-core-alone contract holds for producers
+    * AND for whoever reads the handoff), "snappy"/"zstandard" (faster, but
+    * the READER needs snappy-java/zstd-jni on its classpath — Spark
+    * bundles both; a bare avro-core consumer does not), "bzip2", or
+    * "null". Block codecs are container metadata, decoded transparently.
     */
-  def write(df: DataFrame, dir: String, codec: String = "snappy"): Unit = {
+  def write(df: DataFrame, dir: String, codec: String = "deflate"): Unit = {
     val catalystSchema = df.schema
     val avroSchema = toAvroRecord(catalystSchema, "graft_row")
     val schemaJson = avroSchema.toString // Schema is not Serializable; ship JSON

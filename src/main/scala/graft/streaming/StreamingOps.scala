@@ -206,9 +206,12 @@ object StreamingOps {
     */
   def qualityGateStream(
       docs: DataFrame, textCol: String,
-      minTokens: Int = 20,
-      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
-      minStopRatio: Double = 0.05, minDistinctRatio: Double = 0.5): DataFrame = {
+      minTokens: Int = graft.functions.TextFunctions.GopherThresholds.MinTokens,
+      minMeanWordLen: Double = graft.functions.TextFunctions.GopherThresholds.MinMeanWordLen,
+      maxMeanWordLen: Double = graft.functions.TextFunctions.GopherThresholds.MaxMeanWordLen,
+      minStopRatio: Double = graft.functions.TextFunctions.GopherThresholds.MinStopRatio,
+      minDistinctRatio: Double = graft.functions.TextFunctions.GopherThresholds.MinDistinctRatio)
+      : DataFrame = {
     import graft.functions.TextFunctions._
     val t = col(textCol)
     docs.filter(

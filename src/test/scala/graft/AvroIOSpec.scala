@@ -65,6 +65,9 @@ class AvroIOSpec extends SparkTestBase {
     AvroIO.write(docs.repartition(8), dir)
     val back8 = AvroIO.read(s, dir)
     assert(back8.count() == docs.count())
+    // the dataflow layer reads the same directory (Pipeline.readAvro)
+    val pc = graft.api.Pipeline(s).readAvro(dir)
+    assert(pc.count() == docs.count())
     // re-write the same dir with FEWER partitions: stale part files must not
     // leak rows back into the read
     AvroIO.write(docs.limit(10).repartition(2), dir)
