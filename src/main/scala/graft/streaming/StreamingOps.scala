@@ -391,10 +391,18 @@ object StreamingOps {
     * (not the batch watermark the callback happens to run at), and
     * `outputWithTimestamp` may only move FORWARD from that hold (Beam's
     * zero-allowed-skew default — moving backward would fabricate
-    * already-late data). Feed the result into downstream windowing with its
-    * own `withWatermark` — Spark's chained-stateful watermark propagation
-    * (delayed per upstream operator) then groups re-fired emissions under
-    * the windows their holds demand.
+    * already-late data).
+    *
+    * Chaining limitation (the part of Beam's hold Spark cannot express):
+    * Spark's GLOBAL watermark is not held back by pending timers, so a
+    * downstream stateful operator in the SAME query would see timer
+    * emissions as late rows — Spark's chained-stateful correctness check
+    * rejects the pattern outright. To window timer output, either do the
+    * windowing inside the stateful DoFn ([[statefulParDoWindowed]] — the
+    * per-(key, window) composite key IS the held window), or hand the
+    * timestamped stream off through a sink (`foreachBatch` → table → a
+    * follow-up query), where the emission timestamps this variant
+    * preserves make the downstream grouping correct.
     */
   def statefulParDoTimestamped[K, V, O](
       input: Dataset[(K, V, java.sql.Timestamp)],
