@@ -346,6 +346,28 @@ class PlanAuditSpec extends SparkTestBase {
       "no global sort in cadence:\n" + finalPlan.take(2000))
   }
 
+  test("d117: lift joins stay broadcast; the event stream is never self-joined") {
+    val plan = planOf(Queries.d117EventLift(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // singles/total are type-vocabulary-sized: the join-back must broadcast,
+    // and no sort-merge join of corpus-sized sides may appear
+    assert(finalPlan.contains("BroadcastHashJoin") ||
+      finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan.take(3000))
+    assert(!finalPlan.contains("SortMergeJoin"),
+      "corpus-sized join crept into the lift plan:\n" + finalPlan.take(3000))
+  }
+
+  test("d118: trailing-window distinct count plans NO nested-loop range join") {
+    // the whole point of the sequence-expansion formulation: a BETWEEN
+    // range join of the day grid against user-days would be a
+    // BroadcastNestedLoopJoin — O(days × activity) predicate evaluations
+    val plan = planOf(Queries.d118Stickiness(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin") &&
+      !finalPlan.contains("CartesianProduct"),
+      "stickiness fell back to a nested-loop range join:\n" + finalPlan.take(3000))
+  }
+
   test("d62: centroid aggregation is partial/final over ONE exchange of group buffers") {
     val plan = planOf(Queries.d62EmbedCentroids(spark, d))
     val finalPlan = plan.split("== Initial Plan ==").head
