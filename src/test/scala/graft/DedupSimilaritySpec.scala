@@ -99,6 +99,47 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(uncapped == Set((1L, 2L), (20L, 21L)), s"got $uncapped")
   }
 
+  test("editDistancePairs agrees with an in-memory model on seeded random corpora") {
+    val s = spark
+    import s.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)(
+        (i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (seed <- Seq(1L, 42L, 777L)) {
+      // 2-letter alphabet, 3-5 char words: duplicate-heavy (collapse fires),
+      // dense same-length blocks (some exceed the cap), distances straddle
+      // the maxEdit gate — every stage of the operator is load-bearing
+      val rnd = new scala.util.Random(seed)
+      def word(n: Int) = Seq.fill(n)("ab" (rnd.nextInt(2))).mkString
+      val docs = (1L to 150L).map { id =>
+        val len = 3 + rnd.nextInt(3)
+        (id, if (rnd.nextBoolean()) "en" else "de", len.toLong, word(len))
+      }
+      val (maxEdit, cap) = (2, 12)
+      val got = Dedup.editDistancePairs(docs.toDF("doc_id", "lang", "n_chars", "text"),
+          "doc_id", "text", Seq("lang", "n_chars"), maxEdit = maxEdit, maxBlockSize = cap)
+        .select("id1", "id2", "edit_dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val reps = docs.groupBy(_._4).map { case (_, ds) => ds.minBy(_._1) }.toSeq
+      val model = reps.groupBy(d => (d._2, d._3))
+        .filter { case (_, ds) => ds.size >= 2 && ds.size <= cap }
+        .values.flatMap { ds =>
+          for {
+            a <- ds; b <- ds; if a._1 < b._1
+            dist = lev(a._4, b._4); if dist <= maxEdit
+          } yield (a._1, b._1, dist.toLong)
+        }.toSet
+      assert(got == model,
+        s"seed $seed: engine=${got.size} model=${model.size} " +
+          s"diff=${(got diff model) ++ (model diff got)}")
+    }
+  }
+
   private def vecs() = {
     val s = spark
     import s.implicits._
