@@ -235,6 +235,56 @@ class StreamingSpec extends SparkTestBase {
     assert(rows("a-fire2") == 16000L, s"got $rows")
   }
 
+  test("sink-handoff pattern: held timestamps group correctly in a follow-up windowing") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Double, Long)]
+    val input = mem.toDS()
+      .select(col("_1"), col("_2"), timestamp_millis(col("_3")).as("et"))
+      .withWatermark("et", "0 seconds")
+      .as[(String, Double, java.sql.Timestamp)]
+    // the documented chaining pattern for timer output (Spark's global
+    // watermark can't hold for pending timers, so same-query stateful
+    // chaining is out): sink the TIMESTAMPED stream per batch, window in a
+    // follow-up computation over the handed-off rows
+    val countSpec = ValueStateSpec[Long]("fires3")
+    val fn = new StatefulDoFn[String, Double, String] {
+      def process(k: String, v: Double, ctx: StatefulContext[String]): Unit =
+        ctx.timer(flushSpec).set(ctx.timestamp + 5000)
+      override def onTimer(k: String, spec: TimerSpec, tag: String, fireTs: Long,
+          ctx: StatefulContext[String]): Unit = {
+        val n = ctx.value(countSpec).read().getOrElse(0L)
+        ctx.output(k)
+        if (n < 2) { ctx.value(countSpec).write(n + 1); ctx.timer(flushSpec).set(fireTs + 5000) }
+        else ctx.value(countSpec).clear()
+      }
+    }
+    val handedOff = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = StreamingOps.statefulParDoTimestamped(input, fn)
+      .toDF("k", "et")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+        handedOff.synchronized { handedOff ++= rows }
+        ()
+      }.start()
+    mem.addData(("a", 1.0, 1000L))
+    q.processAllAvailable()
+    mem.addData(("z", 1.0, 600000L)) // watermark leap fires a's whole chain
+    q.processAllAvailable()
+    mem.addData(("z", 1.0, 1800000L)) // drain z
+    q.processAllAvailable()
+    q.stop()
+    // follow-up windowing over the handed-off rows: a's fires at 6s/11s/16s
+    // land in [0,10) x1 and [10,20) x2 BECAUSE the emissions kept their
+    // holds — batch-watermark timestamps would collapse into one window
+    val windows = handedOff.synchronized {
+      handedOff.filter(_._1 == "a").groupBy(_._2 / 10000 * 10000)
+        .map { case (w, xs) => (w, xs.size.toLong) }
+    }
+    assert(windows == Map(0L -> 1L, 10000L -> 2L), s"got $windows")
+  }
+
   test("streaming tagged-output ParDo demuxes per tag (MemoryStream)") {
     val s = spark
     import s.implicits._
