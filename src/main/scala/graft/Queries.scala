@@ -2202,6 +2202,11 @@ object Queries {
     "d117_event_lift" -> (d117EventLift _),
     "d118_stickiness" -> (d118Stickiness _),
     "d119_rfm_segments" -> (d119RfmSegments _),
+    "d120_stream_dedup" -> (graft.streaming.StreamingBattery.d120StreamDedup _),
+    "d121_stream_quality" -> (graft.streaming.StreamingBattery.d121StreamQuality _),
+    "d122_stream_decontaminate" -> (graft.streaming.StreamingBattery.d122StreamDecontaminate _),
+    "d123_stream_anomaly" -> (graft.streaming.StreamingBattery.d123StreamAnomaly _),
+    "d124_stream_stateful" -> (graft.streaming.StreamingBattery.d124StreamStateful _),
   )
 
   private val toksSql =
@@ -2223,6 +2228,34 @@ object Queries {
       |  CASE WHEN len(ws) >= 8
       |   THEN list_transform(range(1, len(ws) - 6), i -> array_to_string(ws[i:i+7], ' '))
       |   ELSE [array_to_string(ws, ' ')] END)""".stripMargin
+
+  /** ONE quality-gate oracle — the batch query (d60) and its streaming
+    * twin (d121) stay gated by the SAME SQL (batch/stream-uniform model,
+    * reference translator.py:180-206).
+    */
+  private lazy val gopherOracleSql =
+    s"""WITH m AS (SELECT doc_id, len($toksSql) AS nt,
+       |  CAST(list_sum(list_transform($toksSql, x -> length(x))) AS DOUBLE)
+       |    / len($toksSql) AS mwl,
+       |  CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, lower(t)))) AS DOUBLE)
+       |    / len($toksSql) AS sr,
+       |  CAST(len(list_distinct($toksLowerSql)) AS DOUBLE) / len($toksLowerSql) AS dr
+       | FROM documents WHERE len($toksSql) > 0)
+       |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, ROUND(mwl, 6) AS mean_wlen,
+       | ROUND(sr, 6) AS stop_ratio, ROUND(dr, 6) AS distinct_ratio
+       |FROM m WHERE nt >= 20 AND mwl BETWEEN 3.0 AND 10.0 AND sr >= 0.05 AND dr >= 0.5""".stripMargin
+
+  /** ONE anomaly oracle — the batch query (d72) and its streaming twin
+    * (d123) must stay gated by the SAME SQL, or the batch/stream
+    * equivalence claim silently weakens to two separate contracts.
+    */
+  private val anomalyOracleSql =
+    """WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+      | FROM events GROUP BY 1)
+      |SELECT CAST(event_id AS BIGINT) AS event_id, event_type, value,
+      | ROUND((value - m) / sd, 4) AS z
+      |FROM events JOIN s USING (event_type)
+      |WHERE sd > 0 AND abs((value - m) / sd) > 3.0""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2500,17 +2533,7 @@ object Queries {
          | CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
          | CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(MAX(doc_id) AS BIGINT) AS last_doc
          |FROM c GROUP BY 1, 2""".stripMargin,
-    "d60_gopher_filter" ->
-      s"""WITH m AS (SELECT doc_id, len($toksSql) AS nt,
-         |  CAST(list_sum(list_transform($toksSql, x -> length(x))) AS DOUBLE)
-         |    / len($toksSql) AS mwl,
-         |  CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, lower(t)))) AS DOUBLE)
-         |    / len($toksSql) AS sr,
-         |  CAST(len(list_distinct($toksLowerSql)) AS DOUBLE) / len($toksLowerSql) AS dr
-         | FROM documents WHERE len($toksSql) > 0)
-         |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, ROUND(mwl, 6) AS mean_wlen,
-         | ROUND(sr, 6) AS stop_ratio, ROUND(dr, 6) AS distinct_ratio
-         |FROM m WHERE nt >= 20 AND mwl BETWEEN 3.0 AND 10.0 AND sr >= 0.05 AND dr >= 0.5""".stripMargin,
+    "d60_gopher_filter" -> gopherOracleSql,
     "d61_tfidf" ->
       s"""WITH terms AS (SELECT doc_id, unnest($toksLowerSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
@@ -2613,13 +2636,7 @@ object Queries {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    "d72_anomaly" ->
-      """WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
-        | FROM events GROUP BY 1)
-        |SELECT CAST(event_id AS BIGINT) AS event_id, event_type, value,
-        | ROUND((value - m) / sd, 4) AS z
-        |FROM events JOIN s USING (event_type)
-        |WHERE sd > 0 AND abs((value - m) / sd) > 3.0""".stripMargin,
+    "d72_anomaly" -> anomalyOracleSql,
 
     "d73_dup_ngrams" ->
       s"""WITH t AS (SELECT doc_id, $toksLowerSql AS ws FROM documents),
@@ -3087,5 +3104,33 @@ object Queries {
         |SELECT c_mktsegment, CAST(r*100 + f*10 + mo AS BIGINT) AS rfm,
         | CAST(COUNT(*) AS BIGINT) AS n_customers
         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    // ---- streaming twins (d120-d124): gated by the SAME relational truth
+    // as their batch counterparts — the oracle knows nothing about
+    // micro-batches, watermarks, or state stores, which is the point.
+    "d120_stream_dedup" ->
+      """WITH k AS (SELECT DISTINCT user_id, event_type,
+        |  epoch_ms(ts) // 3600000 AS hr FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM k GROUP BY 1""".stripMargin,
+    "d121_stream_quality" -> gopherOracleSql,
+    "d122_stream_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksLowerSql AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest($gram8Sql) AS gram FROM t),
+         |e AS (SELECT DISTINCT g.gram FROM g JOIN documents USING (doc_id)
+         |  WHERE source = 'src0' AND doc_id % 7 = 0),
+         |surv AS (SELECT d2.doc_id, d2.source FROM documents d2
+         |  WHERE NOT (d2.source = 'src0' AND d2.doc_id % 7 = 0)
+         |  AND NOT EXISTS (SELECT 1 FROM g JOIN e USING (gram)
+         |    WHERE g.doc_id = d2.doc_id))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_survivors,
+         | CAST(MIN(doc_id) AS BIGINT) AS first_id
+         |FROM surv GROUP BY 1""".stripMargin,
+    "d123_stream_anomaly" -> anomalyOracleSql,
+    "d124_stream_stateful" ->
+      """SELECT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
+        | CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

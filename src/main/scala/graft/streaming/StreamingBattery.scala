@@ -1,0 +1,209 @@
+package graft.streaming
+
+import graft.Tables
+import graft.core._
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+/** Driver-gated STREAMING correctness: each entry file-streams a standing
+  * parquet table through a [[StreamingOps]] transform with
+  * `Trigger.AvailableNow`, lands the result in a parquet sink, and returns
+  * the sunk table (batch) — so the driver's DuckDB oracle hash-checks the
+  * STREAMING execution path against the very same SQL that gates the batch
+  * twin. The reference treats batch and streaming as one model
+  * (translator.py:180-206 — the same ParDo/GBK graph runs bounded or
+  * unbounded); these rows are the Spark-native proof of that equivalence:
+  * bounded replay through the unbounded operators must be byte-identical
+  * to the bounded plan.
+  *
+  * AvailableNow semantics this relies on (verified empirically in
+  * StreamingBatterySpec): the run processes every available file, then
+  * executes the trailing no-data micro-batch, so watermark-gated work
+  * (dropDuplicatesWithinWatermark eviction, EventTimeTimeout timers) fires
+  * before termination. End-of-stream timers additionally need the
+  * watermark PAST the last real window, which bounded replay gets from a
+  * far-future sentinel row staged next to the data (filtered out after the
+  * watermark node) — the bounded-input analog of the reference advancing
+  * the watermark to +inf at drain (execution.py:374-390).
+  */
+object StreamingBattery {
+
+  /** File-stream a parquet table in place — the standing file IS the
+    * source (no staging copy), which is exactly how a production backfill
+    * replays a bounded slice through the streaming topology.
+    */
+  private def streamParquet(s: SparkSession, path: String): DataFrame = {
+    val schema = s.read.parquet(path).schema
+    val p = new java.io.File(path)
+    if (p.isFile)
+      // FileStreamSource requires a directory source: stream the parent,
+      // glob-filtered to exactly this table's file
+      s.readStream.schema(schema).option("pathGlobFilter", p.getName)
+        .parquet(p.getParent)
+    else s.readStream.schema(schema).parquet(path)
+  }
+
+  /** Run a streaming DataFrame to a parquet sink with AvailableNow, read
+    * the sink back, materialize it off the sink files (localCheckpoint —
+    * small-by-contract battery results), then delete every scratch path so
+    * repeated battery runs never accumulate /tmp state.
+    */
+  private def runToTable(s: SparkSession, out: DataFrame,
+      alsoDelete: Seq[Path] = Nil): DataFrame = {
+    val root = Files.createTempDirectory("graft-stream-battery")
+    val sink = root.resolve("out"); val ck = root.resolve("ck")
+    val q = out.writeStream.format("parquet")
+      .option("path", sink.toString)
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val res = s.read.parquet(sink.toString).localCheckpoint(true)
+    (root +: alsoDelete).foreach(deleteRecursively)
+    res
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+
+  /** Streaming exact dedup, oracle-gated: events keyed on
+    * (user, type, hour) flow through [[StreamingOps.dedupExactStream]];
+    * the projected row carries ONLY key-determined columns, so whichever
+    * physical row survives the first-wins race, the output is identical —
+    * the determinism contract a replayable streaming dedup needs. The
+    * watermark delay exceeds the data's time span, so nothing is evicted
+    * mid-replay and the result equals the batch DISTINCT.
+    */
+  def d120StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val src = streamParquet(s, s"$d/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(ts DIV 1000000 AS BIGINT) div 3600000").as("hr"))
+      .withColumn("hr_ts", timestamp_millis(col("hr") * 3600000))
+    val deduped = StreamingOps.dedupExactStream(
+      src, Seq("user_id", "event_type", "hr"), "hr_ts", "3650 days")
+    runToTable(s, deduped)
+      .groupBy(col("event_type"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_keys"),
+        expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").as("n_users"))
+  }
+
+  /** Streaming quality gate, oracle-gated: the d60 batch twin's exact
+    * thresholds (shared constants — one definition, two execution modes)
+    * over file-streamed documents; same report columns, same oracle SQL.
+    */
+  def d121StreamQuality(s: SparkSession, d: String): DataFrame = {
+    val gated = StreamingOps.qualityGateStream(
+      streamParquet(s, s"$d/documents.parquet"), "text")
+    val t = col("text")
+    runToTable(s, gated.select(col("doc_id"),
+      TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+      round(TextFunctions.meanTokenLength(t), 6).as("mean_wlen"),
+      round(TextFunctions.stopwordRatio(t), 6).as("stop_ratio"),
+      round(TextFunctions.distinctTokenRatio(t), 6).as("distinct_ratio")))
+  }
+
+  /** Streaming decontamination gate, oracle-gated: a small blocklist slice
+    * (src0, doc_id % 7 = 0 — small-by-contract, the gate's design regime)
+    * contributes its verbatim word 8-grams; arriving docs sharing ANY gram
+    * are dropped in the scan-stage projection (no state, no shuffle).
+    */
+  def d122StreamDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val isEval = col("source") === "src0" && col("doc_id") % 7 === 0
+    val evalGrams = Tables.documents(s, d).filter(isEval)
+      .select(explode(TextFunctions.wordShingles(col("text"), 8)).as("gram"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val docs = streamParquet(s, s"$d/documents.parquet").filter(!isEval)
+    val surv = StreamingOps.decontaminateStream(docs, "text", evalGrams, 8)
+      .select(col("doc_id"), col("source"))
+    runToTable(s, surv)
+      .groupBy(col("source"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_survivors"),
+        expr("CAST(MIN(doc_id) AS BIGINT)").as("first_id"))
+  }
+
+  /** Streaming anomaly gate, oracle-gated against the d72 batch twin's SQL:
+    * the baseline (per-type mean/stddev) is fit batch-side on the standing
+    * corpus — the planned-refit discipline — and broadcast into the
+    * stream-static join; only |z| > 3 events pass. Baseline pre-filtered
+    * to sd > 0 with unknown keys dropped, matching d72's filter exactly.
+    */
+  def d123StreamAnomaly(s: SparkSession, d: String): DataFrame = {
+    val baseline = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(avg(col("value")).as("m"), stddev_samp(col("value")).as("sd"))
+      .filter(col("sd") > 0)
+    val stream = streamParquet(s, s"$d/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val gated = StreamingOps.anomalyGateStream(
+        stream, "event_type", "value", baseline, zThreshold = 3.0,
+        passUnknownKeys = false)
+      .select(expr("CAST(event_id AS BIGINT)").as("event_id"),
+        col("event_type"), col("value"), round(col("z"), 4).as("z"))
+    runToTable(s, gated)
+  }
+
+  private val sumCountFn: CombineFn[Double, (Double, Long), (Double, Long)] =
+    new CombineFn[Double, (Double, Long), (Double, Long)] {
+      def createAccumulator(): (Double, Long) = (0.0, 0L)
+      def addInput(a: (Double, Long), v: Double): (Double, Long) = (a._1 + v, a._2 + 1)
+      def mergeAccumulators(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+        (a._1 + b._1, a._2 + b._2)
+      def extractOutput(a: (Double, Long)): (Double, Long) = a
+    }
+
+  /** Streaming stateful ParDo with per-(key, window) state and end-of-window
+    * event-time timers, oracle-gated: each (user, hour) group accumulates
+    * combining state and flushes on a timer at the window's max timestamp —
+    * the full q20-style state+timer surface, executed by
+    * flatMapGroupsWithState and hash-checked against the batch GROUP BY.
+    * The far-future sentinel row advances the global watermark past every
+    * real window so all flush timers fire before AvailableNow terminates.
+    */
+  def d124StreamStateful(s: SparkSession, d: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val hour = 3600L * 1000
+    val ev = Tables.events(s, d).select(col("user_id"), col("value"), col("ts_ms"))
+    val maxTs = ev.agg(max(col("ts_ms"))).head.getLong(0)
+    val sentinel = Seq((-1L, 0.0, maxTs + 2 * hour)).toDF("user_id", "value", "ts_ms")
+    val root = Files.createTempDirectory("graft-stream-stateful")
+    val in = root.resolve("in")
+    ev.union(sentinel).write.parquet(in.toString)
+
+    val src = streamParquet(s, in.toString)
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "1 second")
+      .select(col("user_id"), col("value"), col("ts"))
+      .as[(Long, Double, java.sql.Timestamp)]
+      // drop the sentinel AFTER the watermark node, with a TYPED filter:
+      // a Column predicate here gets pushed below EventTimeWatermark by
+      // Catalyst (it doesn't reference the event-time column), which would
+      // remove the sentinel before it advances the watermark — and the
+      // tail windows' flush timers would never fire
+      .filter(_._1 >= 0)
+
+    val countSpec = CombiningStateSpec[Double, (Double, Long), (Double, Long)](
+      "sumCount", sumCountFn)
+    val flushTimer = TimerSpec("flush")
+    val out = StreamingOps.statefulParDoWindowed[Long, Double, (Long, Long, Long, Double)](
+      src, hour,
+      new StatefulDoFn[(Long, Long), Double, (Long, Long, Long, Double)] {
+        def process(key: (Long, Long), v: Double,
+            ctx: StatefulContext[(Long, Long, Long, Double)]): Unit = {
+          ctx.combining(countSpec).add(v)
+          ctx.timer(flushTimer).set(key._2 + hour - 1)
+        }
+        override def onTimer(key: (Long, Long), spec: TimerSpec, tag: String,
+            fireTs: Long, ctx: StatefulContext[(Long, Long, Long, Double)]): Unit = {
+          val (sum, n) = ctx.combining(countSpec).read()
+          ctx.output((key._1, key._2, n, sum))
+        }
+      })
+      .toDF("user_id", "window_start", "n_events", "sum_value")
+      .withColumn("sum_value", round(col("sum_value"), 4))
+    runToTable(s, out, alsoDelete = Seq(root))
+  }
+}

@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** The streaming battery rows (d120-d124) hash-check against DuckDB only
+  * driver-side; these specs pin (a) the two AvailableNow facts the design
+  * rests on, measured empirically, and (b) batch == streaming equivalence
+  * in-JVM, so a semantics regression surfaces before the driver gate.
+  */
+class StreamingBatterySpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Multiset equality of two small DataFrames via their sorted row dumps. */
+  private def assertSameRows(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Unit = {
+    val cols = a.columns.sorted.toSeq
+    assert(cols == b.columns.sorted.toSeq, s"${a.columns.toSeq} vs ${b.columns.toSeq}")
+    assertMultiset(
+      a.select(cols.map(col): _*).collect().map(_.toSeq).toSeq,
+      b.select(cols.map(col): _*).collect().map(_.toSeq).toSeq)
+  }
+
+  test("AvailableNow runs the trailing no-data batch: end-of-window timers fire one-shot") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("anlaw").toString
+    // real data in hour-window 0 plus a far-future sentinel, ONE file:
+    // the timers can only fire in a no-data batch after the watermark
+    // advances at the data batch's end
+    val real = (1 to 40).map(i => (i % 4, 1.0, (i * 1000).toLong))
+    val sent = Seq((-1, 0.0, 100L * 3600 * 1000))
+    (real ++ sent).toDF("k", "v", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .coalesce(1).write.parquet(root + "/in")
+    val schema = s.read.parquet(root + "/in").schema
+    val src = s.readStream.schema(schema).parquet(root + "/in")
+      .withWatermark("ts", "1 second")
+      .select(col("k"), col("v"), col("ts"))
+      .as[(Int, Double, java.sql.Timestamp)]
+      .filter(_._1 >= 0)
+    val counted = graft.streaming.StreamingOps
+      .statefulParDoWindowed[Int, Double, (Int, Long, Long)](
+        src, 3600L * 1000,
+        new graft.core.StatefulDoFn[(Int, Long), Double, (Int, Long, Long)] {
+          val nSpec = graft.core.CombiningStateSpec[Double, Long, Long]("n",
+            new graft.core.CombineFn[Double, Long, Long] {
+              def createAccumulator() = 0L
+              def addInput(a: Long, v: Double) = a + 1
+              def mergeAccumulators(a: Long, b: Long) = a + b
+              def extractOutput(a: Long) = a
+            })
+          val t = graft.core.TimerSpec("flush")
+          def process(key: (Int, Long), v: Double,
+              ctx: graft.core.StatefulContext[(Int, Long, Long)]): Unit = {
+            ctx.combining(nSpec).add(v)
+            ctx.timer(t).set(key._2 + 3600L * 1000 - 1)
+          }
+          override def onTimer(key: (Int, Long), spec: graft.core.TimerSpec,
+              tag: String, fireTs: Long,
+              ctx: graft.core.StatefulContext[(Int, Long, Long)]): Unit =
+            ctx.output((key._1, key._2, ctx.combining(nSpec).read()))
+        })
+    val q = counted.toDF("k", "win", "n")
+      .writeStream.format("parquet")
+      .option("path", root + "/out").option("checkpointLocation", root + "/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = s.read.parquet(root + "/out").as[(Int, Long, Long)].collect().sortBy(_._1)
+    assertMultiset(got.toSeq, Seq((0, 0L, 10L), (1, 0L, 10L), (2, 0L, 10L), (3, 0L, 10L)))
+  }
+
+  test("sentinel hazard pin: a Column filter deletes the sentinel below the watermark node") {
+    // The d124 pattern MUST use a typed filter to drop the sentinel: a
+    // Column predicate not referencing the event-time column is pushed
+    // below EventTimeWatermark, deleting the sentinel before it advances
+    // the watermark — so end-of-window timers never fire. Pinned
+    // BEHAVIORALLY (a streaming plan can't be optimized batch-side): the
+    // hazardous variant must produce NO timer output. If this ever fails,
+    // Catalyst stopped pushing and the typed-filter workaround (and its
+    // comment in StreamingBattery) can be simplified.
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("anpush").toString
+    val real = (1 to 8).map(i => (1, 1.0, (i * 1000).toLong))
+    val sent = Seq((-1, 0.0, 100L * 3600 * 1000))
+    (real ++ sent).toDF("k", "v", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .coalesce(1).write.parquet(root + "/in")
+    val schema = s.read.parquet(root + "/in").schema
+    val src = s.readStream.schema(schema).parquet(root + "/in")
+      .withWatermark("ts", "1 second")
+      .filter(col("k") >= 0) // HAZARD: pushed below the watermark node
+      .select(col("k"), col("v"), col("ts"))
+      .as[(Int, Double, java.sql.Timestamp)]
+    val counted = graft.streaming.StreamingOps
+      .statefulParDoWindowed[Int, Double, (Int, Long)](
+        src, 3600L * 1000,
+        new graft.core.StatefulDoFn[(Int, Long), Double, (Int, Long)] {
+          val t = graft.core.TimerSpec("flush")
+          val nSpec = graft.core.ValueStateSpec[Long]("n")
+          def process(key: (Int, Long), v: Double,
+              ctx: graft.core.StatefulContext[(Int, Long)]): Unit = {
+            ctx.value(nSpec).write(ctx.value(nSpec).read().getOrElse(0L) + 1)
+            ctx.timer(t).set(key._2 + 3600L * 1000 - 1)
+          }
+          override def onTimer(key: (Int, Long), spec: graft.core.TimerSpec,
+              tag: String, fireTs: Long,
+              ctx: graft.core.StatefulContext[(Int, Long)]): Unit =
+            ctx.output((key._1, ctx.value(nSpec).read().getOrElse(0L)))
+        })
+    val q = counted.toDF("k", "n")
+      .writeStream.format("parquet")
+      .option("path", root + "/out").option("checkpointLocation", root + "/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val files = new java.io.File(root + "/out").list().count(_.endsWith(".parquet"))
+    val n = if (files == 0) 0L else s.read.parquet(root + "/out").count()
+    assert(n == 0,
+      "Column filter no longer pushed below EventTimeWatermark — " +
+        "the typed-filter sentinel workaround can be simplified")
+  }
+
+  test("d120 streaming dedup == batch DISTINCT census") {
+    val got = graft.streaming.StreamingBattery.d120StreamDedup(spark, sf)
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("ts_ms div 3600000").as("hr"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_keys"),
+        expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").as("n_users"))
+    assertSameRows(got, want)
+  }
+
+  test("d121 streaming quality gate == batch d60 gate") {
+    assertSameRows(
+      graft.streaming.StreamingBattery.d121StreamQuality(spark, sf),
+      Queries.d60GopherFilter(spark, sf))
+  }
+
+  test("d123 streaming anomaly gate == batch d72 gate") {
+    assertSameRows(
+      graft.streaming.StreamingBattery.d123StreamAnomaly(spark, sf),
+      Queries.d72Anomaly(spark, sf))
+  }
+
+  test("d124 streaming stateful windows == batch GROUP BY (incl. the tail window)") {
+    val got = graft.streaming.StreamingBattery.d124StreamStateful(spark, sf)
+    val want = Tables.events(spark, sf)
+      .groupBy(col("user_id"), expr("(ts_ms div 3600000) * 3600000").as("window_start"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+    assertSameRows(got, want)
+    // the tail window (the one holding the global max timestamp) is the
+    // regression canary for the sentinel/watermark interplay
+    val maxTs = Tables.events(spark, sf).agg(max("ts_ms")).head.getLong(0)
+    val tailWin = (maxTs / 3600000L) * 3600000L
+    assert(got.filter(col("window_start") === tailWin).count() > 0,
+      "tail window missing — sentinel no longer advances the watermark")
+  }
+
+  test("d122 streaming decontaminate: survivors never share an eval gram (batch cross-check)") {
+    val s = spark
+    val isEval = col("source") === "src0" && col("doc_id") % 7 === 0
+    val docs = Tables.documents(s, sf)
+    val evalGrams = docs.filter(isEval)
+      .select(explode(graft.functions.TextFunctions.wordShingles(col("text"), 8)).as("g"))
+      .distinct()
+    val expectedSurvivors = docs.filter(!isEval)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 8).as("gs"))
+      .select(col("doc_id"), col("source"), explode(col("gs")).as("g"))
+      .join(evalGrams, Seq("g"), "left_anti")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("__n"))
+      .join(docs.filter(!isEval).select(col("doc_id"),
+        size(graft.functions.TextFunctions.wordShingles(col("text"), 8)).as("__all")), "doc_id")
+      .filter(col("__n") === col("__all")) // every gram survived the anti-join
+      .groupBy(col("source"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_survivors"),
+        expr("CAST(MIN(doc_id) AS BIGINT)").as("first_id"))
+    assertSameRows(
+      graft.streaming.StreamingBattery.d122StreamDecontaminate(spark, sf),
+      expectedSurvivors)
+  }
+}
