@@ -455,7 +455,12 @@ object Queries {
         round(sum(col("pr")) / count(lit(1)), 4).as("avg_punct"),
         round(sum(col("sr")) / count(lit(1)), 4).as("avg_stopword"))
 
-  /** Rolling-hash fingerprint census (no SQL oracle: xxhash-based). */
+  /** Rolling-hash fingerprint census. Oracle-checked via injectivity: the
+    * fingerprint folds the lowercased token sequence through xxhash64, so
+    * distinct fingerprints per language == distinct token sequences (which
+    * DuckDB computes exactly); collision odds ~n²/2^65 make a mismatch a
+    * broken hash, not bad luck.
+    */
   def d32Fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("lang"), TextFunctions.fingerprint(col("text")).as("fp"))
@@ -1940,26 +1945,32 @@ object Queries {
   /** Avro source/sink round-trip through [[graft.sources.AvroIO]] (the
     * engine's own avro-core reader/writer — no spark-avro connector on this
     * classpath): project, write one container file per partition, read back
-    * one task per file, aggregate. The aggregate is all-integer, so it must
-    * be bit-identical to the parquet-direct oracle — any row lost or value
-    * mangled by the format hop changes it. Same deliberate write-on-build
-    * contract as d70's ORC round-trip. The scratch path is FIXED per
-    * (user, input dir) — AvroIO.write's overwrite deletes stale parts, so
-    * re-runs replace rather than accumulate (an applicationId-suffixed path
-    * would leak a table copy per session); single-writer contract as d97.
+    * via the sync-marker-splitting reader, aggregate. The integer aggregate
+    * pins row fidelity; `score` rides the bytes+decimal logical type
+    * (n_chars × 0.25 — exact at scale 2 in both engines), so its exact
+    * decimal sum is bit-identical to the parquet-direct oracle and a scale
+    * or sign mangled in the Avro hop changes it. Same deliberate
+    * write-on-build contract as d70's ORC round-trip. The scratch path is
+    * FIXED per (user, input dir) — AvroIO.write's overwrite deletes stale
+    * parts, so re-runs replace rather than accumulate (an
+    * applicationId-suffixed path would leak a table copy per session);
+    * single-writer contract as d97.
     */
   def d115AvroRoundtrip(s: SparkSession, d: String): DataFrame = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_avro_" + System.getProperty("user.name", "anon") + "_" + pathTag(d))
       .getAbsolutePath
     graft.sources.AvroIO.write(
-      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")), path)
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"),
+        expr("CAST(n_chars AS DECIMAL(16,0)) * CAST(0.25 AS DECIMAL(3,2))")
+          .as("score")), path)
     graft.sources.AvroIO.read(s, path)
       .groupBy(col("lang"))
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_docs"),
         expr("CAST(SUM(n_chars) AS BIGINT)").as("sum_chars"),
         expr("CAST(MIN(doc_id) AS BIGINT)").as("first_doc"),
-        expr("CAST(MAX(doc_id) AS BIGINT)").as("last_doc"))
+        expr("CAST(MAX(doc_id) AS BIGINT)").as("last_doc"),
+        expr("CAST(SUM(score) AS DOUBLE)").as("sum_score"))
   }
 
   /** Per-user inter-event cadence profile (the engagement-shape stat behind
@@ -2207,6 +2218,16 @@ object Queries {
     "d122_stream_decontaminate" -> (graft.streaming.StreamingBattery.d122StreamDecontaminate _),
     "d123_stream_anomaly" -> (graft.streaming.StreamingBattery.d123StreamAnomaly _),
     "d124_stream_stateful" -> (graft.streaming.StreamingBattery.d124StreamStateful _),
+    "d125_check_approx_distinct" -> (ModelChecks.d125CheckApproxDistinct _),
+    "d126_check_heavy_hitters" -> (ModelChecks.d126CheckHeavyHitters _),
+    "d127_check_ann_recall" -> (ModelChecks.d127CheckAnnRecall _),
+    "d128_check_simhash_complete" -> (ModelChecks.d128CheckSimhashComplete _),
+    "d129_check_minhash_est" -> (ModelChecks.d129CheckMinhashEst _),
+    "d130_check_cluster_consistency" -> (ModelChecks.d130CheckClusterConsistency _),
+    "d131_check_approx_percentile" -> (ModelChecks.d131CheckApproxPercentile _),
+    "d132_check_semantic_subset" -> (ModelChecks.d132CheckSemanticSubset _),
+    "d133_check_embed_neardup" -> (ModelChecks.d133CheckEmbedNeardup _),
+    "d134_check_stratified_bounds" -> (ModelChecks.d134CheckStratifiedBounds _),
   )
 
   private val toksSql =
@@ -3049,7 +3070,9 @@ object Queries {
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         | CAST(MIN(doc_id) AS BIGINT) AS first_doc,
-        | CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        | CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+        | CAST(SUM(CAST(n_chars AS DECIMAL(16,0)) * CAST(0.25 AS DECIMAL(3,2)))
+        |   AS DOUBLE) AS sum_score
         |FROM documents GROUP BY 1""".stripMargin,
 
     "d116_event_cadence" ->
@@ -3132,5 +3155,57 @@ object Queries {
       """SELECT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
         | CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // ---- model-based checks (d125-d134, see ModelChecks.scala): the
+    // oracle recomputes the exact quantities (counts, heavy-term sets,
+    // populations) and asserts the engine-side invariants as TRUE/zero
+    // literals; a violated sketch guarantee, recall floor, subset law, or
+    // sampling bound changes the hashed row and fails the driver's gate.
+    // d32 graduates from no_oracle: the rolling fingerprint folds the
+    // LOWERCASED TOKEN SEQUENCE through xxhash64, so distinct fingerprints
+    // per language must equal distinct token sequences (collision odds at
+    // corpus scale ~n²/2^65 — a mismatch is a broken hash, not bad luck).
+    "d32_fingerprint" ->
+      s"""SELECT lang, CAST(COUNT(DISTINCT array_to_string($toksLowerSql, ' '))
+         |  AS BIGINT) AS n_distinct_fp
+         |FROM documents GROUP BY 1""".stripMargin,
+    "d125_check_approx_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS within_bounds
+        |FROM events GROUP BY 1""".stripMargin,
+    "d126_check_heavy_hitters" ->
+      s"""WITH terms AS (SELECT unnest($toksLowerSql) AS term FROM documents),
+         |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS true_count FROM terms GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM terms)
+         |SELECT term, true_count, TRUE AS found, TRUE AS est_in_range
+         |FROM c, n WHERE true_count > 2.0 * n / 101""".stripMargin,
+    "d127_check_ann_recall" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_exact,
+        | TRUE AS lsh_ok, TRUE AS ivf_ok, TRUE AS pq_ok, TRUE AS mean_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "d128_check_simhash_complete" ->
+      """SELECT CAST(0 AS BIGINT) AS missed_pairs,
+        | CAST(0 AS BIGINT) AS fabricated_pairs""".stripMargin,
+    "d129_check_minhash_est" ->
+      """SELECT CAST(0 AS BIGINT) AS est_violations,
+        | CAST(0 AS BIGINT) AS missed_high_sim""".stripMargin,
+    "d130_check_cluster_consistency" ->
+      """SELECT CAST(0 AS BIGINT) AS edge_violations,
+        | CAST(0 AS BIGINT) AS rep_violations,
+        | CAST(0 AS BIGINT) AS node_violations""".stripMargin,
+    "d131_check_approx_percentile" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        | TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+        |FROM events GROUP BY 1""".stripMargin,
+    "d132_check_semantic_subset" ->
+      """SELECT CAST(0 AS BIGINT) AS fabricated_pairs,
+        | CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS partition_ok
+        |FROM embeddings""".stripMargin,
+    "d133_check_embed_neardup" ->
+      """SELECT CAST(0 AS BIGINT) AS fabricated_pairs,
+        | CAST(0 AS BIGINT) AS order_violations""".stripMargin,
+    "d134_check_stratified_bounds" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pop, TRUE AS frac_ok
+        |FROM documents GROUP BY 1""".stripMargin,
   )
 }
