@@ -16,20 +16,23 @@ import scala.jdk.CollectionConverters._
   * distributed reader needs).
   *
   * Scale shape mirrors [[TFRecordIO]]: the writer runs per partition against
-  * the Hadoop FileSystem API (one `part-NNNNN.avro` per partition, no driver
-  * funnel, HDFS/S3A-compatible); the reader schedules one task per file and
-  * streams records (Avro's sync-marker blocks would allow intra-file splits,
-  * but per-file parallelism is the 100 TB default anyway — a big corpus is
-  * many moderate files, and one task per file keeps the reader trivial and
-  * checksum-verified by the container itself).
+  * the Hadoop FileSystem API (one `part-NNNNN.avro` per partition, written
+  * through a task-attempt temp file and renamed on success, no driver
+  * funnel, HDFS/S3A-compatible); the reader splits every file on Avro's
+  * sync-marker block boundaries into byte ranges (so one giant container
+  * file still fans out across the cluster) and packs the splits into at
+  * most `4 × defaultParallelism` tasks (so a million-file directory does
+  * not become a million-entry scheduler queue).
   *
   * Type mapping (both directions):
   *   struct↔record, string↔string, long↔long, int↔int, double↔double,
   *   float↔float, boolean↔boolean, binary↔bytes, array↔array,
   *   map[string,_]↔map, nullable↔union(null,T),
-  *   timestamp↔long+timestamp-micros, date↔int+date; Avro enum/fixed read
-  *   back as string/binary. Decimal/interval are out of scope (documented,
-  *   not silently wrong: the schema converter rejects them).
+  *   timestamp↔long+timestamp-micros, date↔int+date,
+  *   decimal(p,s)↔bytes+decimal (two's-complement unscaled per the Avro
+  *   spec; fixed+decimal from foreign writers reads back too); Avro
+  *   enum/fixed read back as string/binary. Interval is out of scope
+  *   (documented, not silently wrong: the schema converter rejects it).
   */
 object AvroIO {
 
@@ -49,6 +52,9 @@ object AvroIO {
         LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
       case DateType =>
         LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+      case dt: DecimalType =>
+        LogicalTypes.decimal(dt.precision, dt.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
       case ArrayType(et, en) => Schema.createArray(toAvro(et, name + "_item", en))
       case MapType(StringType, vt, vn) => Schema.createMap(toAvro(vt, name + "_value", vn))
       case st: StructType => toAvroRecord(st, name)
@@ -90,7 +96,11 @@ object AvroIO {
     case Schema.Type.DOUBLE => (DoubleType, false)
     case Schema.Type.FLOAT => (FloatType, false)
     case Schema.Type.BOOLEAN => (BooleanType, false)
-    case Schema.Type.BYTES | Schema.Type.FIXED => (BinaryType, false)
+    case Schema.Type.BYTES | Schema.Type.FIXED =>
+      schema.getLogicalType match {
+        case d: LogicalTypes.Decimal => (DecimalType(d.getPrecision, d.getScale), false)
+        case _ => (BinaryType, false)
+      }
     case Schema.Type.ARRAY =>
       val (et, en) = toCatalyst(schema.getElementType)
       (ArrayType(et, en), false)
@@ -120,11 +130,28 @@ object AvroIO {
       case ShortType => v.asInstanceOf[Short].toInt
       case ByteType => v.asInstanceOf[Byte].toInt
       case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
-      case TimestampType =>
-        val ts = v.asInstanceOf[java.sql.Timestamp]
-        Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-      case DateType =>
-        v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+      case dec: DecimalType =>
+        // Avro decimal = two's-complement unscaled bytes at the SCHEMA's
+        // scale; rescale first (exact — Catalyst already enforced p/s)
+        val bd = (v match {
+          case d: java.math.BigDecimal => d
+          case d: BigDecimal => d.bigDecimal
+          case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        }).setScale(dec.scale)
+        java.nio.ByteBuffer.wrap(bd.unscaledValue().toByteArray)
+      // java.sql and java.time both accepted: with
+      // spark.sql.datetime.java8API.enabled=true, df.rdd yields
+      // Instant/LocalDate instead of Timestamp/Date
+      case TimestampType => v match {
+        case ts: java.sql.Timestamp =>
+          Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+        case i: java.time.Instant =>
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+      }
+      case DateType => v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case d: java.time.LocalDate => d.toEpochDay.toInt
+      }
       case ArrayType(et, _) =>
         v.asInstanceOf[scala.collection.Seq[Any]]
           .map(toDatum(_, et, s.getElementType)).asJava
@@ -162,6 +189,17 @@ object AvroIO {
           val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
         case fixed: org.apache.avro.generic.GenericFixed => fixed.bytes().clone()
       }
+      case dec: DecimalType =>
+        val unscaled = v match {
+          case bb: java.nio.ByteBuffer =>
+            val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+          case fixed: org.apache.avro.generic.GenericFixed => fixed.bytes()
+        }
+        // scale comes from the SOURCE schema (a foreign writer's scale may
+        // differ from ours); Catalyst widens to the mapped DecimalType
+        val srcScale = s.getLogicalType.asInstanceOf[LogicalTypes.Decimal].getScale
+        new java.math.BigDecimal(new java.math.BigInteger(unscaled), srcScale)
+          .setScale(dec.scale)
       case TimestampType =>
         val micros = s.getLogicalType match {
           case _: LogicalTypes.TimestampMillis => v.asInstanceOf[Long] * 1000L
@@ -191,8 +229,16 @@ object AvroIO {
 
   /** Write one Avro container file per partition (overwrite semantics: stale
     * `part-*.avro` from a previous run are deleted first, same contract as
-    * [[TFRecordIO.write]]). Empty partitions still write a header-only file
+    * [[TFRecordIO.write]]). Empty partitions still write a header-only file —
+    * and a ZERO-partition DataFrame gets a driver-written schema-only part —
     * so the directory stays schema-discoverable for an empty dataset.
+    *
+    * Commit protocol: each task writes `.part-NNNNN-<attempt>.avro.tmp` and
+    * renames into place only after a successful close, so a task killed
+    * mid-write (or a speculative duplicate attempt) can never leave a
+    * truncated container under the final name; the first attempt to rename
+    * wins and later attempts discard their temp file. Dot-prefixed temp
+    * names are invisible to [[read]]'s glob and are swept on overwrite.
     *
     * `codec`: "deflate" (default — the one compression codec the Avro SPEC
     * requires every implementation to support, and it rides the JDK's
@@ -210,64 +256,117 @@ object AvroIO {
       df.sparkSession.sparkContext.hadoopConfiguration)
     val outDir = new Path(dir)
     val fs = outDir.getFileSystem(conf.value)
-    if (fs.exists(outDir))
+    if (fs.exists(outDir)) {
       fs.globStatus(new Path(outDir, "part-*.avro"))
         .foreach(st => fs.delete(st.getPath, false))
+      fs.globStatus(new Path(outDir, ".part-*.avro.tmp"))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
     val dirStr = dir
     val codecStr = codec
     org.apache.avro.file.CodecFactory.fromString(codecStr) // fail on the driver, not per task
-    df.rdd.foreachPartition { it =>
+
+    // one closure for task AND the driver-side zero-partition fallback
+    def writePart(pid: Int, attempt: Long, rows: Iterator[Row]): Unit = {
       val schema = new Schema.Parser().parse(schemaJson)
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val path = new Path(dirStr, f"part-$pid%05d.avro")
-      val fsLocal = path.getFileSystem(conf.value)
+      val finalPath = new Path(dirStr, f"part-$pid%05d.avro")
+      val tmpPath = new Path(dirStr, f".part-$pid%05d-$attempt.avro.tmp")
+      val fsLocal = finalPath.getFileSystem(conf.value)
       val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       writer.setCodec(org.apache.avro.file.CodecFactory.fromString(codecStr))
-      writer.create(schema, new BufferedOutputStream(fsLocal.create(path, true), 1 << 16))
-      try it.foreach { row =>
-        writer.append(toDatum(row, catalystSchema, schema).asInstanceOf[GenericRecord])
-      } finally writer.close()
+      var committed = false
+      try {
+        writer.create(schema,
+          new BufferedOutputStream(fsLocal.create(tmpPath, true), 1 << 16))
+        rows.foreach { row =>
+          writer.append(toDatum(row, catalystSchema, schema).asInstanceOf[GenericRecord])
+        }
+        writer.close()
+        // first finished attempt wins; a speculative duplicate that lost
+        // the race (rename fails because the final name exists) just
+        // discards its temp — the committed file is complete by definition
+        committed = fsLocal.rename(tmpPath, finalPath) || fsLocal.exists(finalPath)
+        if (!committed) throw new java.io.IOException(
+          s"AvroIO commit failed: could not rename $tmpPath to $finalPath")
+      } finally if (!committed) {
+        try writer.close() catch { case _: Throwable => () }
+        try fsLocal.delete(tmpPath, false) catch { case _: Throwable => () }
+      }
+    }
+
+    if (df.rdd.getNumPartitions == 0) {
+      // e.g. an empty LocalRelation: no tasks would run, so the driver
+      // writes the schema-only part itself
+      writePart(0, 0L, Iterator.empty)
+    } else df.rdd.foreachPartition { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      writePart(tc.partitionId(), tc.taskAttemptId(), it)
     }
   }
 
   /** Read a directory of Avro container files as a DataFrame: schema from
-    * the first file's header, one task per file.
+    * the first file's header.
+    *
+    * Parallelism at both extremes of file-size distribution:
+    *  - files LARGER than `splitBytes` are split into byte ranges on Avro's
+    *    sync-marker block boundaries (`DataFileReader.sync/pastSync` — the
+    *    container format's designed split protocol: each range reads the
+    *    blocks whose sync lands inside it, so ranges partition the file
+    *    exactly, any codec);
+    *  - the split list is packed into at most `4 × defaultParallelism`
+    *    tasks, so a directory of a million small files does not become a
+    *    million-entry scheduler queue.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String,
+           splitBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    require(splitBytes > 0, s"splitBytes must be positive: $splitBytes")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val fs = new Path(dir).getFileSystem(conf.value)
-    val files = fs.globStatus(new Path(dir, "*.avro")).map(_.getPath.toString).sorted
-    require(files.nonEmpty, s"no .avro files under $dir")
+    val statuses = fs.globStatus(new Path(dir, "*.avro")).sortBy(_.getPath.toString)
+    require(statuses.nonEmpty, s"no .avro files under $dir")
     val headSchema = {
-      val in = fs.open(new Path(files.head))
+      val in = fs.open(statuses.head.getPath)
       val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
       try stream.getSchema.toString finally stream.close()
     }
     val (dt, _) = toCatalyst(new Schema.Parser().parse(headSchema))
     val catalystSchema = dt.asInstanceOf[StructType]
-    val rows = spark.sparkContext.parallelize(files.toSeq, files.length).flatMap { f =>
-      val schema = new Schema.Parser().parse(headSchema)
-      val path = new Path(f)
-      val in = path.getFileSystem(conf.value).open(path)
-      // expected schema = head schema: readers of a mixed-version directory
-      // get Avro schema resolution per file instead of silent column drift
-      val stream = new DataFileStream(in,
-        new GenericDatumReader[GenericRecord](null, schema))
-      // close on task completion, not on iterator exhaustion: a downstream
-      // limit/take (or an exception mid-decode) never drains the iterator,
-      // which would leak one open input stream per task
-      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
-        new org.apache.spark.util.TaskCompletionListener {
-          override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
-            try stream.close() catch { case _: Throwable => () }
-        }))
-      val sType: StructType = catalystSchema
-      new Iterator[Row] {
-        def hasNext: Boolean = stream.hasNext
-        def next(): Row = fromDatum(stream.next(), sType, schema).asInstanceOf[Row]
-      }
+    // (file, rangeStart, rangeEnd): a reader claims the blocks whose sync
+    // marker lies in [start, end) — the standard Avro split contract
+    val splits: Seq[(String, Long, Long)] = statuses.toSeq.flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+      (0L until n).map(i =>
+        (st.getPath.toString, i * splitBytes, math.min(len, (i + 1) * splitBytes)))
     }
+    val numTasks = math.min(splits.length,
+      math.max(1, 4 * spark.sparkContext.defaultParallelism))
+    val rows = spark.sparkContext.parallelize(splits, numTasks)
+      .flatMap { case (f, start, end) =>
+        val schema = new Schema.Parser().parse(headSchema)
+        val path = new Path(f)
+        // expected schema = head schema: readers of a mixed-version
+        // directory get Avro schema resolution per file instead of silent
+        // column drift
+        val reader = org.apache.avro.file.DataFileReader.openReader(
+          new org.apache.avro.mapred.FsInput(path, conf.value),
+          new GenericDatumReader[GenericRecord](null, schema))
+        reader.sync(start) // seek to the first block at-or-after `start`
+        // close on task completion, not on iterator exhaustion: a
+        // downstream limit/take (or an exception mid-decode) never drains
+        // the iterator, which would leak one open input stream per split
+        Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
+          new org.apache.spark.util.TaskCompletionListener {
+            override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
+              try reader.close() catch { case _: Throwable => () }
+          }))
+        val sType: StructType = catalystSchema
+        new Iterator[Row] {
+          def hasNext: Boolean = reader.hasNext && !reader.pastSync(end)
+          def next(): Row = fromDatum(reader.next(), sType, schema).asInstanceOf[Row]
+        }
+      }
     spark.createDataFrame(rows, catalystSchema)
   }
 }

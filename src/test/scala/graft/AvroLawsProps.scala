@@ -28,7 +28,7 @@ object AvroLawsProps extends Properties("AvroLaws") {
 
   private val leafTypeGen: Gen[DataType] = Gen.oneOf(
     LongType, IntegerType, DoubleType, BooleanType, StringType, BinaryType,
-    TimestampType, DateType)
+    TimestampType, DateType, DecimalType(18, 2), DecimalType(38, 10))
 
   private def dataTypeGen(depth: Int): Gen[DataType] =
     if (depth <= 0) leafTypeGen
@@ -59,6 +59,10 @@ object AvroLawsProps extends Properties("AvroLaws") {
         Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray: Any)
       case TimestampType => tsGen.map(x => x: Any)
       case DateType => dateGen.map(x => x: Any)
+      case d: DecimalType =>
+        // unscaled fits comfortably in the declared precision either way
+        Gen.long.map(n =>
+          new java.math.BigDecimal(java.math.BigInteger.valueOf(n), d.scale): Any)
       case ArrayType(et, cn) =>
         Gen.listOfN(3, valueGen(et, cn)).map(_.toSeq: Any)
       case MapType(StringType, vt, vn) =>
