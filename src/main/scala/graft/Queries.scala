@@ -984,7 +984,10 @@ object Queries {
     * has to materialize). The path is FIXED per (user, input dir) in
     * overwrite mode — re-runs replace rather than accumulate (the earlier
     * applicationId-suffixed path leaked a table copy per session);
-    * single-writer contract as d97/d115.
+    * single-writer contract as d97/d115: one battery process per (user,
+    * input dir) at a time — two CONCURRENT processes would race on the
+    * overwrite (if that contract ever changes, add a lock file or restore
+    * an appId suffix plus startup-time stale-dir sweeping).
     */
   def d70OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -1546,6 +1549,11 @@ object Queries {
       .digest(new java.io.File(d).getAbsolutePath.getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
 
+  // memo key = (applicationId, absolute input dir): the bucketed copy is
+  // written once per app and NEVER invalidated within it — if the data
+  // under the same path were regenerated mid-app, later d97 calls would
+  // serve the stale table. Fine for the battery's immutable inputs and
+  // sequential bench reps; key on input file mtimes if that ever changes.
   private val bucketedWritten = scala.collection.mutable.Set.empty[(String, String)]
 
   def d97BucketedJoin(s: SparkSession, d: String): DataFrame = {
