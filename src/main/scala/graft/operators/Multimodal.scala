@@ -182,7 +182,7 @@ object Multimodal {
   }
 
   /** Decode-dispatch: real parser by payload magic, stub histogram otherwise. */
-  private[operators] def decodeFeatures(bytes: Array[Byte]): Array[Double] =
+  private[graft] def decodeFeatures(bytes: Array[Byte]): Array[Double] =
     MediaCodec.decodePpm(bytes).map(imageFeatures)
       .orElse(MediaCodec.decodeWav(bytes).map(audioFeatures))
       .orElse(MediaCodec.decodeAvi(bytes).map(videoFeatures))

@@ -100,6 +100,25 @@ class ModelChecksSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Boolean]("frac_ok")))
   }
 
+  test("d135: every media payload decodes as declared with matching dims (non-vacuous)") {
+    val row = ModelChecks.d135CheckMultimodal(spark, sf).head
+    assert(row.getAs[Long]("n_media") > 0L)
+    assert(row.getAs[Long]("type_violations") == 0L)
+    assert(row.getAs[Long]("dim_violations") == 0L)
+    assert(row.getAs[Long]("feature_violations") == 0L)
+    // discrimination: a corrupted payload MUST register as a violation —
+    // guard against a reconciler that never looks at the bytes
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val media = graft.operators.Multimodal.syntheticMedia(
+      s, Tables.embeddings(s, sf), "vec_id")
+    val one = media.filter(col("media_type") === "image").head
+    val bytes = one.getAs[Array[Byte]]("bytes")
+    assert(graft.operators.MediaCodec.decodePpm(bytes).isDefined)
+    assert(graft.operators.MediaCodec.decodePpm(bytes.drop(2)).isEmpty,
+      "truncated payload still decodes — the check could never fire")
+  }
+
   test("discrimination: an omitted pair or fabricated pair flips the counters") {
     // the exceptAll machinery must actually catch one-sided differences —
     // guard against a refactor that silently compares a set to itself
