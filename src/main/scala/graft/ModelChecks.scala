@@ -194,20 +194,35 @@ object ModelChecks {
     *    honors the exact-dup collapse: identical signatures, or an emitted
     *    pair between the pairs' min-id signature representatives.
     *
-    * The high-sim candidate generation blocks on log-scaled shingle-set
-    * SIZE (J ≥ 0.9 forces min/max size ratio ≥ 0.9 — a sound prune that
-    * shares nothing with the banding under test), so the exact-Jaccard
-    * join is near-linear, not O(n²).
+    * The high-sim candidate generation uses PREFIX FILTERING (the
+    * SSJoin/PPJoin principle): under any fixed total order on shingles
+    * (here: their xxhash64 values), two sets with Jaccard ≥ t MUST share
+    * an element among each one's first ⌊(1−t)·|s|⌋+1 order-sorted
+    * elements — if the prefixes were disjoint, more than (1−t)·|s|
+    * elements of each set would be missing from the other, forcing
+    * J < t. Sound, shares nothing with the banding under test, and at
+    * t = 0.9 the prefix is ~10% of each set, so the exact-Jaccard verify
+    * join touches candidate pairs proportional to the true high-sim pair
+    * count, not O(n²) (the size-ratio formulation this replaces ran the
+    * battery row at 23 s; this runs it at ~2 s with the identical check).
     */
   def d129CheckMinhashEst(s: SparkSession, d: String): DataFrame = {
     val sp = s; import sp.implicits._
     val docs = Tables.documents(s, d)
     val toks = TextFunctions.tokens(lower(col("text")))
+    // the exact-dup collapse groups/joins on a TWO-hash digest of the
+    // 128-long signature array, not the array itself (array grouping keys
+    // fall back to object agg — the NOTES lesson; two independent xxhash64s
+    // put a digest collision at ~2^-128, far below the check's own 8σ
+    // tolerance); sig itself still rides along for the exact =!= compare
     val base = docs.select(col("doc_id"),
-      NativeExpressions.wordNgrams(toks, 3).as("grams"),
-      NativeExpressions.minHashShingleSignature(toks, 3, 128).as("sig"))
-    val reps = base.groupBy(col("sig")).agg(min(col("doc_id")).as("rep"))
-    val withRep = base.join(reps, "sig")
+        NativeExpressions.wordNgrams(toks, 3).as("grams"),
+        NativeExpressions.minHashShingleSignature(toks, 3, 128).as("sig"))
+      .withColumn("sigk1", xxhash64(col("sig")))
+      .withColumn("sigk2", xxhash64(lit(1), col("sig")))
+    val reps = base.groupBy(col("sigk1"), col("sigk2"))
+      .agg(min(col("doc_id")).as("rep"))
+    val withRep = base.join(reps, Seq("sigk1", "sigk2"))
       .select(col("doc_id"), col("grams"), col("sig"), col("rep"))
       .persist()
     val emitted = Queries.d23MinhashPairs(s, d)
@@ -225,17 +240,23 @@ object ModelChecks {
       .filter(abs(col("jaccard_est") - exactJaccard) > 0.35)
       .count()
 
-    // side 2: high-sim pairs must be surfaced (size-ratio-blocked exact join)
-    val bWidth = math.log(1.0 / 0.9)
-    val sized = withRep.withColumn("sz", size(col("grams")))
-      .withColumn("bkt", floor(log(col("sz").cast("double")) / bWidth))
-    val left = sized.select(col("doc_id").as("ida"), col("grams").as("ga"),
-      col("sig").as("siga"), col("rep").as("repa"), col("bkt"))
-    val right = sized.select(col("doc_id").as("idb"), col("grams").as("gb"),
-        col("sig").as("sigb"), col("rep").as("repb"),
-        explode(sequence(col("bkt") - 2, col("bkt") + 2)).as("bkt"))
-    val highSim = left.join(right, Seq("bkt"))
+    // side 2: high-sim pairs must be surfaced (prefix-filtered exact join).
+    // The prefix join is SKINNY — (doc_id, setSize, prefixGram) only; the
+    // wide gram/signature arrays join back onto the deduplicated candidate
+    // ids, so they cross the shuffle once per doc, not once per prefix gram
+    val pfx = withRep.select(col("doc_id"), size(col("grams")).as("sz"),
+      explode(slice(
+        array_sort(transform(col("grams"), g => xxhash64(g))),
+        lit(1), (size(col("grams")).cast("double") * 0.1).cast("int") + 1)).as("pg"))
+    val cand = pfx.select(col("doc_id").as("ida"), col("sz").as("sza"), col("pg"))
+      .join(pfx.select(col("doc_id").as("idb"), col("sz").as("szb"), col("pg")), Seq("pg"))
       .filter(col("ida") < col("idb"))
+      // J>=0.9 forces size ratio >= 0.9 — prune before the distinct
+      .filter(col("sza") * 10 >= col("szb") * 9 && col("szb") * 10 >= col("sza") * 9)
+      .select(col("ida"), col("idb")).distinct()
+    def attrs(a: String) = withRep.select(col("doc_id").as(s"id$a"),
+      col("grams").as(s"g$a"), col("sig").as(s"sig$a"), col("rep").as(s"rep$a"))
+    val highSim = cand.join(attrs("a"), Seq("ida")).join(attrs("b"), Seq("idb"))
       .filter(round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
         size(array_union(col("ga"), col("gb"))), 6) >= 0.9)
       .select(col("ida"), col("idb"), col("siga"), col("sigb"),
