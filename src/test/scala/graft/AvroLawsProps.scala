@@ -60,8 +60,9 @@ object AvroLawsProps extends Properties("AvroLaws") {
       case TimestampType => tsGen.map(x => x: Any)
       case DateType => dateGen.map(x => x: Any)
       case d: DecimalType =>
-        // unscaled fits comfortably in the declared precision either way
-        Gen.long.map(n =>
+        // bounded so the unscaled value honors the declared precision (a
+        // full-range Long has 19 digits — out of contract for (18,2))
+        Gen.chooseNum(-1000000000000000L, 1000000000000000L).map(n =>
           new java.math.BigDecimal(java.math.BigInteger.valueOf(n), d.scale): Any)
       case ArrayType(et, cn) =>
         Gen.listOfN(3, valueGen(et, cn)).map(_.toSeq: Any)

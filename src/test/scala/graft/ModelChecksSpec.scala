@@ -69,6 +69,9 @@ class ModelChecksSpec extends SparkTestBase {
     assert(row.getAs[Long]("edge_violations") == 0L)
     assert(row.getAs[Long]("rep_violations") == 0L)
     assert(row.getAs[Long]("node_violations") == 0L)
+    // vacuity guard: the pair graph is non-empty, so the graph-node →
+    // label direction (which an empty labeling would violate) has teeth
+    assert(Queries.d23MinhashPairs(spark, sf).count() > 0)
   }
 
   test("d131: approx percentiles inside the +/-2-rank envelope") {
@@ -78,10 +81,12 @@ class ModelChecksSpec extends SparkTestBase {
       assert(rows.forall(_.getAs[Boolean](c)), s"$c violated")
   }
 
-  test("d132: SemDeDup pairs are a subset of brute force; survivors partition (non-vacuous)") {
+  test("d132: SemDeDup pairs subset of brute force AND within-cluster complete (non-vacuous)") {
     val row = ModelChecks.d132CheckSemanticSubset(spark, sf).head
     assert(row.getAs[Long]("fabricated_pairs") == 0L)
-    assert(row.getAs[Boolean]("partition_ok"))
+    assert(row.getAs[Long]("missed_in_cluster") == 0L)
+    // vacuity guard: pairs exist, so an empty emission would trip
+    // missed_in_cluster rather than passing both counters trivially
     assert(graft.operators.Similarity.semanticDedupPairs(
       Tables.embeddings(spark, sf), "vec_id", "embedding",
       nClusters = 16, threshold = 0.3).count() > 0)
