@@ -25,13 +25,7 @@ object Queries {
 
   private object Combines {
     val sumCount: CombineFn[Double, (Double, Long), (Double, Long)] =
-      new CombineFn[Double, (Double, Long), (Double, Long)] {
-        def createAccumulator(): (Double, Long) = (0.0, 0L)
-        def addInput(a: (Double, Long), v: Double): (Double, Long) = (a._1 + v, a._2 + 1)
-        def mergeAccumulators(a: (Double, Long), b: (Double, Long)): (Double, Long) =
-          (a._1 + b._1, a._2 + b._2)
-        def extractOutput(a: (Double, Long)): (Double, Long) = a
-      }
+      CombineFns.sumCountDouble
     /** Mirrors the reference's MeanCombineFn test (ray_runner_test.py:857-864). */
     val mean: CombineFn[Double, (Double, Long), Double] =
       new CombineFn[Double, (Double, Long), Double] {

@@ -15,6 +15,14 @@ object Verify {
     // optional trailing names restrict the dump (builder-side iteration);
     // the driver always calls with exactly two args -> full battery
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      // a typo'd name must fail LOUDLY: silently matching nothing would
+      // exit 0 with an empty dump, and a reused outDir's stale parquet
+      // could then pass the oracle compare for code that never ran
+      System.err.println(s"[verify] unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

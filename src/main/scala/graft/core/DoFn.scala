@@ -69,6 +69,21 @@ trait CombineFn[I, A, O] extends Serializable {
   def extractOutput(acc: A): O
 }
 
+/** Stock combiners shared across the batch battery, demos and streaming —
+  * one definition so accumulator semantics can never drift between copies.
+  */
+object CombineFns {
+  /** (sum, count) over doubles — the mean-combiner building block. */
+  val sumCountDouble: CombineFn[Double, (Double, Long), (Double, Long)] =
+    new CombineFn[Double, (Double, Long), (Double, Long)] {
+      def createAccumulator(): (Double, Long) = (0.0, 0L)
+      def addInput(a: (Double, Long), v: Double): (Double, Long) = (a._1 + v, a._2 + 1)
+      def mergeAccumulators(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+        (a._1 + b._1, a._2 + b._2)
+      def extractOutput(a: (Double, Long)): (Double, Long) = a
+    }
+}
+
 /** Handle for a side-input view; produced by PCollection.asList/asDict/etc.
   * Resolution happens via Spark broadcast at ParDo time (the Spark-idiomatic
   * analog of the reference committing side inputs to the state actor,

@@ -28,13 +28,7 @@ object StreamingDemo {
 
     // 2. stateful ParDo: per-key running sum flushed by an event-time timer
     val sums = CombiningStateSpec[Double, (Double, Long), (Double, Long)]("s",
-      new CombineFn[Double, (Double, Long), (Double, Long)] {
-        def createAccumulator(): (Double, Long) = (0.0, 0L)
-        def addInput(a: (Double, Long), v: Double): (Double, Long) = (a._1 + v, a._2 + 1)
-        def mergeAccumulators(a: (Double, Long), b: (Double, Long)): (Double, Long) =
-          (a._1 + b._1, a._2 + b._2)
-        def extractOutput(a: (Double, Long)): (Double, Long) = a
-      })
+      CombineFns.sumCountDouble)
     val flush = TimerSpec("flush")
     val stateful = StreamingOps.statefulParDo(
       rate.select(col("k"), col("v"), col("ts")).withWatermark("ts", "0 seconds")

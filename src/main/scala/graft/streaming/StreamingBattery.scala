@@ -50,20 +50,30 @@ object StreamingBattery {
   /** Run a streaming DataFrame to a parquet sink with AvailableNow, read
     * the sink back, materialize it off the sink files (localCheckpoint —
     * small-by-contract battery results), then delete every scratch path so
-    * repeated battery runs never accumulate /tmp state.
+    * repeated battery runs never accumulate /tmp state (the delete runs in
+    * a finally, so a failed query cleans up too).
+    *
+    * A result with ZERO rows is legitimate (a gate may pass nothing at
+    * some scale factor): the parquet sink then holds only _spark_metadata
+    * and `read.parquet` would throw on schema inference — return an empty
+    * DataFrame with the stream's schema instead.
     */
   private def runToTable(s: SparkSession, out: DataFrame,
       alsoDelete: Seq[Path] = Nil): DataFrame = {
     val root = Files.createTempDirectory("graft-stream-battery")
-    val sink = root.resolve("out"); val ck = root.resolve("ck")
-    val q = out.writeStream.format("parquet")
-      .option("path", sink.toString)
-      .option("checkpointLocation", ck.toString)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val res = s.read.parquet(sink.toString).localCheckpoint(true)
-    (root +: alsoDelete).foreach(deleteRecursively)
-    res
+    try {
+      val sink = root.resolve("out"); val ck = root.resolve("ck")
+      val q = out.writeStream.format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val hasData = Files.exists(sink) && Files.list(sink)
+        .anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+      if (hasData) s.read.parquet(sink.toString).localCheckpoint(true)
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], out.schema)
+    } finally (root +: alsoDelete).foreach(deleteRecursively)
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -118,7 +128,11 @@ object StreamingBattery {
       .select(explode(TextFunctions.wordShingles(col("text"), 8)).as("gram"))
       .distinct().collect().map(_.getString(0)).toSeq
     val docs = streamParquet(s, s"$d/documents.parquet").filter(!isEval)
-    val surv = StreamingOps.decontaminateStream(docs, "text", evalGrams, 8)
+    // an EMPTY eval slice means pass-everything (the oracle's empty CTE
+    // semantics) — decontaminateStream requires a non-empty gram list, so
+    // short-circuit rather than fail on a dataset with no src0 docs
+    val surv = (if (evalGrams.isEmpty) docs
+      else StreamingOps.decontaminateStream(docs, "text", evalGrams, 8))
       .select(col("doc_id"), col("source"))
     runToTable(s, surv)
       .groupBy(col("source"))
@@ -146,15 +160,6 @@ object StreamingBattery {
     runToTable(s, gated)
   }
 
-  private val sumCountFn: CombineFn[Double, (Double, Long), (Double, Long)] =
-    new CombineFn[Double, (Double, Long), (Double, Long)] {
-      def createAccumulator(): (Double, Long) = (0.0, 0L)
-      def addInput(a: (Double, Long), v: Double): (Double, Long) = (a._1 + v, a._2 + 1)
-      def mergeAccumulators(a: (Double, Long), b: (Double, Long)): (Double, Long) =
-        (a._1 + b._1, a._2 + b._2)
-      def extractOutput(a: (Double, Long)): (Double, Long) = a
-    }
-
   /** Streaming stateful ParDo with per-(key, window) state and end-of-window
     * event-time timers, oracle-gated: each (user, hour) group accumulates
     * combining state and flushes on a timer at the window's max timestamp —
@@ -170,6 +175,7 @@ object StreamingBattery {
     val maxTs = ev.agg(max(col("ts_ms"))).head.getLong(0)
     val sentinel = Seq((-1L, 0.0, maxTs + 2 * hour)).toDF("user_id", "value", "ts_ms")
     val root = Files.createTempDirectory("graft-stream-stateful")
+    try {
     val in = root.resolve("in")
     ev.union(sentinel).write.parquet(in.toString)
 
@@ -186,7 +192,7 @@ object StreamingBattery {
       .filter(_._1 >= 0)
 
     val countSpec = CombiningStateSpec[Double, (Double, Long), (Double, Long)](
-      "sumCount", sumCountFn)
+      "sumCount", CombineFns.sumCountDouble)
     val flushTimer = TimerSpec("flush")
     val out = StreamingOps.statefulParDoWindowed[Long, Double, (Long, Long, Long, Double)](
       src, hour,
@@ -200,10 +206,17 @@ object StreamingBattery {
             fireTs: Long, ctx: StatefulContext[(Long, Long, Long, Double)]): Unit = {
           val (sum, n) = ctx.combining(countSpec).read()
           ctx.output((key._1, key._2, n, sum))
+          // release the flushed window's state: with the timer fired the
+          // watermark is past windowEnd-1, so no on-time element can
+          // re-open this (key, window) — without the clear, state grows by
+          // one entry per (user, hour) forever in the unbounded regime
+          // this row models
+          ctx.combining(countSpec).clear()
         }
       })
       .toDF("user_id", "window_start", "n_events", "sum_value")
       .withColumn("sum_value", round(col("sum_value"), 4))
-    runToTable(s, out, alsoDelete = Seq(root))
+    runToTable(s, out)
+    } finally deleteRecursively(root)
   }
 }

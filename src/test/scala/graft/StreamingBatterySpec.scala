@@ -59,14 +59,16 @@ class StreamingBatterySpec extends SparkTestBase {
           }
           override def onTimer(key: (Int, Long), spec: graft.core.TimerSpec,
               tag: String, fireTs: Long,
-              ctx: graft.core.StatefulContext[(Int, Long, Long)]): Unit =
+              ctx: graft.core.StatefulContext[(Int, Long, Long)]): Unit = {
             ctx.output((key._1, key._2, ctx.combining(nSpec).read()))
+            ctx.combining(nSpec).clear() // flushed window: release its state
+          }
         })
     val q = counted.toDF("k", "win", "n")
       .writeStream.format("parquet")
       .option("path", root + "/out").option("checkpointLocation", root + "/ck")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query still running after 120 s")
     val got = s.read.parquet(root + "/out").as[(Int, Long, Long)].collect().sortBy(_._1)
     assertMultiset(got.toSeq, Seq((0, 0L, 10L), (1, 0L, 10L), (2, 0L, 10L), (3, 0L, 10L)))
   }
@@ -107,14 +109,16 @@ class StreamingBatterySpec extends SparkTestBase {
           }
           override def onTimer(key: (Int, Long), spec: graft.core.TimerSpec,
               tag: String, fireTs: Long,
-              ctx: graft.core.StatefulContext[(Int, Long)]): Unit =
+              ctx: graft.core.StatefulContext[(Int, Long)]): Unit = {
             ctx.output((key._1, ctx.value(nSpec).read().getOrElse(0L)))
+            ctx.value(nSpec).clear() // flushed window: release its state
+          }
         })
     val q = counted.toDF("k", "n")
       .writeStream.format("parquet")
       .option("path", root + "/out").option("checkpointLocation", root + "/ck")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query still running after 120 s")
     val files = new java.io.File(root + "/out").list().count(_.endsWith(".parquet"))
     val n = if (files == 0) 0L else s.read.parquet(root + "/out").count()
     assert(n == 0,
