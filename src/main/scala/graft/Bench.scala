@@ -46,8 +46,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // split the battery's verification-harness rows (model checks, named
+    // d1xx_check_*) from the operator rows: the check rows re-run the
+    // operator under test PLUS an independent brute-force reference by
+    // design, so their cost tracks verification depth, not engine speed —
+    // keeping the subtotals separate keeps the operator trend legible
+    // across rounds as checks accumulate
+    val (checkRows, opRows) = results.partition(_._1.contains("_check_"))
+    val opsTotal = opRows.map(_._2).sum
+    val checksTotal = checkRows.map(_._2).sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","operators_sec":$opsTotal,"verification_sec":$checksTotal,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // The driver's tail capture clipped the single ~6 KB line from the FRONT
     // in r2 and r3 ("parsed": null in BENCH_r*.json), losing the totals. So:
@@ -64,7 +73,7 @@ object Bench {
       .map { case (k, v) =>
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"slowest":$slowest,"sf":"$sfDir","full":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"operators_sec":$opsTotal,"verification_sec":$checksTotal,"slowest":$slowest,"sf":"$sfDir","full":"bench_out.json"}""")
     spark.stop()
   }
 }

@@ -2093,6 +2093,76 @@ object Queries {
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_customers"))
   }
 
+  /** Z-order clustered-layout round-trip ([[graft.operators.ScaleOps
+    * .writeZOrdered]]): write lineitem clustered on (l_orderkey, l_partkey),
+    * read the clustered files back, recompute the Morton key from the
+    * read-back columns and aggregate per key-range bucket. The per-bucket
+    * counts/sums prove the layout hop lost nothing; min/max of the
+    * recomputed key pin the bit-interleave arithmetic cross-engine (the
+    * oracle spells the same interleave out as 42 shift/mask terms on the
+    * ORIGINAL parquet — a placement or masking bug lands bits elsewhere and
+    * every bucket hash changes). The pruning BENEFIT of the layout is
+    * measured against a round-robin twin in ZOrderLayoutSpec (a content
+    * oracle cannot see file boundaries). Same deliberate write-on-build
+    * scratch contract as d70/d115: path fixed per (user, input dir),
+    * overwrite mode, single-writer.
+    */
+  def d136ZorderLayout(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_zorder_" + System.getProperty("user.name", "anon") + "_" + pathTag(d))
+      .getAbsolutePath
+    graft.operators.ScaleOps.writeZOrdered(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+      Seq("l_orderkey", "l_partkey"), path, numFiles = 16)
+    val z = graft.plans.NativeExpressions.zorderKey(
+      Seq(col("l_orderkey").cast("long"), col("l_partkey").cast("long")), bitsPerDim = 21)
+    s.read.parquet(path)
+      .withColumn("__z", z)
+      .groupBy(shiftright(col("__z"), 22).as("zbucket"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_rows"),
+        expr("CAST(SUM(l_orderkey) AS BIGINT)").as("sum_okey"),
+        expr("CAST(SUM(l_partkey) AS BIGINT)").as("sum_pkey"),
+        expr("CAST(graft_money_sum(l_quantity, 2) AS DOUBLE)").as("sum_qty"),
+        expr("CAST(MIN(__z) AS BIGINT)").as("min_z"),
+        expr("CAST(MAX(__z) AS BIGINT)").as("max_z"))
+  }
+
+  /** Bloom-indexed export round-trip ([[graft.operators.ScaleOps
+    * .writeWithBloomFilters]]): write orders with a parquet bloom filter on
+    * o_custkey, read back and serve a point-lookup workload (every 97th
+    * customer). Content fidelity through the bloom-optioned writer is the
+    * oracle-checked substance (the option must never change WHAT is
+    * written); the footer actually carrying the filter, and the filter
+    * pruning row groups for exactly this probe shape, are pinned in
+    * ZOrderLayoutSpec. Scratch contract as d136.
+    */
+  def d137BloomExport(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bloom_" + System.getProperty("user.name", "anon") + "_" + pathTag(d))
+      .getAbsolutePath
+    graft.operators.ScaleOps.writeWithBloomFilters(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      path, Seq("o_custkey"), expectedDistinct = 20000)
+    s.read.parquet(path)
+      .filter(col("o_custkey") % 97 === 0)
+      .groupBy(col("o_custkey"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_orders"),
+        expr("CAST(MIN(o_orderkey) AS BIGINT)").as("first_order"),
+        expr("CAST(graft_money_sum(o_totalprice, 2) AS DOUBLE)").as("sum_price"))
+  }
+
+  /** DuckDB bit-interleave of two 21-bit-masked BIGINT columns — the z-order
+    * oracle arithmetic, spelled out term by term (42 shift/mask/or terms).
+    */
+  private def duckInterleave21(xCol: String, yCol: String): String = {
+    val mask = (1L << 21) - 1
+    val terms = (0 until 21).flatMap { i =>
+      Seq(s"(((($xCol & $mask) >> $i) & 1) << ${2 * i})",
+        s"(((($yCol & $mask) >> $i) & 1) << ${2 * i + 1})")
+    }
+    terms.mkString("(", " | ", ")")
+  }
+
   // =========================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2231,6 +2301,8 @@ object Queries {
     "d133_check_embed_neardup" -> (ModelChecks.d133CheckEmbedNeardup _),
     "d134_check_stratified_bounds" -> (ModelChecks.d134CheckStratifiedBounds _),
     "d135_check_multimodal" -> (ModelChecks.d135CheckMultimodal _),
+    "d136_zorder_layout" -> (d136ZorderLayout _),
+    "d137_bloom_export" -> (d137BloomExport _),
   )
 
   private val toksSql =
@@ -3217,5 +3289,24 @@ object Queries {
         | CAST(0 AS BIGINT) AS dim_violations,
         | CAST(0 AS BIGINT) AS feature_violations
         |FROM embeddings""".stripMargin,
+
+    "d136_zorder_layout" ->
+      s"""WITH z AS (
+         | SELECT ${duckInterleave21("l_orderkey", "l_partkey")} AS zval,
+         |  l_orderkey, l_partkey, l_quantity
+         | FROM lineitem)
+         |SELECT (zval >> 22) AS zbucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         | CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+         | CAST(SUM(l_partkey) AS BIGINT) AS sum_pkey,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         | CAST(MIN(zval) AS BIGINT) AS min_z,
+         | CAST(MAX(zval) AS BIGINT) AS max_z
+         |FROM z GROUP BY 1""".stripMargin,
+
+    "d137_bloom_export" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(MIN(o_orderkey) AS BIGINT) AS first_order,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_custkey % 97 = 0 GROUP BY 1""".stripMargin,
   )
 }

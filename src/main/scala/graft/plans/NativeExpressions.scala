@@ -156,6 +156,11 @@ object NativeExpressions {
   def repetitionStats(tokens: Column): Column =
     ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(tokens)))
 
+  /** Z-order (Morton) key over integer dimensions — see [[InterleaveBitsExpr]]. */
+  def zorderKey(dims: Seq[Column], bitsPerDim: Int = 21): Column =
+    ColumnBridge.column(
+      InterleaveBitsExpr(dims.map(ColumnBridge.expression), bitsPerDim))
+
   /** Read element i of a numeric array column as double (float or double). */
   private[plans] def numAt(arr: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
@@ -875,4 +880,52 @@ case class RepetitionStatsExpr(child: Expression)
   }
   override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
     copy(child = newChild)
+}
+
+/** Z-order (Morton) key: interleaves the low `bitsPerDim` bits of each
+  * dimension (dim k's bit i lands at output bit `i * nDims + k`) into one
+  * long, so lexicographic order on the key is Z-curve order over the
+  * dimension space. Range-partitioning + sorting by this key clusters rows
+  * so every output file's min/max footer stats form a tight box on EVERY
+  * dimension — multi-column range predicates then prune row groups on any
+  * dim combination, where a single-column sort helps only its leading
+  * column (the data-layout half of the 100 TB pruning story; the query
+  * half is predicate pushdown, pinned in PlanAuditSpec).
+  *
+  * Values are masked to `bitsPerDim` bits (documents' caller contract:
+  * dims must fit, or collisions merely weaken clustering — never
+  * correctness, since the key is only a layout/grouping value). The oracle
+  * reproduces the same key with explicit shift/mask arithmetic, so the
+  * masking and bit placement are cross-engine-pinned, not just spec'd.
+  */
+case class InterleaveBitsExpr(children: Seq[Expression], bitsPerDim: Int)
+  extends Expression with CodegenFallback with ExpectsInputTypes {
+  require(children.nonEmpty, "zorderKey needs at least one dimension")
+  require(bitsPerDim > 0 && children.size * bitsPerDim <= 63,
+    s"${children.size} dims x $bitsPerDim bits must fit a positive long")
+  override def inputTypes: Seq[NativeInputTypes.AbstractType] =
+    Seq.fill(children.size)(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val n = children.size
+    val mask = (1L << bitsPerDim) - 1
+    var z = 0L
+    var dim = 0
+    while (dim < n) {
+      val v = children(dim).eval(input)
+      if (v == null) return null
+      val x = v.asInstanceOf[Long] & mask
+      var i = 0
+      while (i < bitsPerDim) {
+        z |= ((x >>> i) & 1L) << (i * n + dim)
+        i += 1
+      }
+      dim += 1
+    }
+    z
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): InterleaveBitsExpr =
+    copy(children = newChildren)
 }
