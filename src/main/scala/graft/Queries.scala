@@ -2151,6 +2151,32 @@ object Queries {
         expr("CAST(graft_money_sum(o_totalprice, 2) AS DOUBLE)").as("sum_price"))
   }
 
+  /** CDC merge ([[graft.operators.ScaleOps.applyChanges]]): a deterministic
+    * change set derived from the base itself — every key mod 7: 0 deletes,
+    * 1-2 update (price +10.00, status 'U'; the add is the same IEEE double
+    * op in both engines), 3 inserts under a shifted key — applied to the
+    * orders snapshot. The full merged snapshot is dumped, so a row
+    * misrouted by any branch (a delete surviving, an update duplicated, an
+    * insert colliding) changes the driver's hash. One change per key by
+    * construction (mod classes are disjoint), so the no-seqCol contract
+    * applies; last-wins sequencing is spec-gated in ScaleOpsSpec.
+    */
+  def d138UpsertMerge(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    val m = col("o_orderkey") % 7
+    val changes = base.filter(m === 0)
+      .withColumn("op", lit("D"))
+      .unionByName(base.filter(m.isin(1, 2))
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+        .withColumn("op", lit("U")))
+      .unionByName(base.filter(m === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+        .withColumn("op", lit("I")))
+    graft.operators.ScaleOps.applyChanges(base, changes, Seq("o_orderkey"), "op")
+  }
+
   /** DuckDB bit-interleave of two 21-bit-masked BIGINT columns — the z-order
     * oracle arithmetic, spelled out term by term (42 shift/mask/or terms).
     */
@@ -2303,6 +2329,9 @@ object Queries {
     "d135_check_multimodal" -> (ModelChecks.d135CheckMultimodal _),
     "d136_zorder_layout" -> (d136ZorderLayout _),
     "d137_bloom_export" -> (d137BloomExport _),
+    "d138_upsert_merge" -> (d138UpsertMerge _),
+    "d139_stream_interval_join" ->
+      (graft.streaming.StreamingBattery.d139StreamIntervalJoin _),
   )
 
   private val toksSql =
@@ -3308,5 +3337,31 @@ object Queries {
         | CAST(MIN(o_orderkey) AS BIGINT) AS first_order,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_custkey % 97 = 0 GROUP BY 1""".stripMargin,
+
+    "d138_upsert_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D' AS op
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'U', o_totalprice + 10.0, 'U'
+        |  FROM base WHERE o_orderkey % 7 IN (1, 2)
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice, 'I'
+        |  FROM base WHERE o_orderkey % 7 = 3)
+        |SELECT b.* FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = b.o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM changes WHERE op IN ('I', 'U')""".stripMargin,
+
+    "d139_stream_interval_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        | p.event_id AS purchase_id, p.value AS value
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+        | AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 14400000""".stripMargin,
   )
 }

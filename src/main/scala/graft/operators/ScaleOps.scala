@@ -147,6 +147,41 @@ object ScaleOps {
       .parquet(path)
   }
 
+  /** CDC merge (upsert/delete): applies a changes frame to a base snapshot
+    * and returns the next snapshot — the lakehouse MERGE primitive for
+    * incremental 100 TB table maintenance (re-reading and rewriting only
+    * what changed, instead of recomputing the world). `opCol` values:
+    * 'I' insert, 'U' update (full-row replace), 'D' delete; change rows
+    * carry the base schema plus `opCol`.
+    *
+    * Determinism contract: at most one change per key — or pass `seqCol`
+    * (a change-log sequence UNIQUE per key, e.g. the CDC offset) and the
+    * highest-sequence change wins, which makes replaying an out-of-order
+    * or duplicated change log idempotent.
+    *
+    * Scale: the base is touched by ONE left-anti hash join on the key
+    * (broadcast when the change set is small — the common case — so the
+    * 100 TB base never shuffles); survivors union with the accepted
+    * changes. The seqCol reduction windows over the CHANGES only, never
+    * the base. Append-only ingest with dedup is the cheaper cousin — see
+    * [[graft.operators.Dedup.incrementalDedup]]; this operator is for
+    * updates and deletes.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      opCol: String, seqCol: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val latest = seqCol match {
+      case Some(sc) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*).orderBy(col(sc).desc)
+        changes.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", sc)
+      case None => changes
+    }
+    val keep = base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+    keep.unionByName(latest.filter(col(opCol).isin("I", "U")).drop(opCol))
+  }
+
   /** Z-order clustered write: computes a Morton key over `dims`
     * ([[graft.plans.NativeExpressions.zorderKey]]), range-partitions into
     * `numFiles` key ranges and sorts each file by the key, then DROPS the

@@ -219,4 +219,36 @@ object StreamingBattery {
     runToTable(s, out)
     } finally deleteRecursively(root)
   }
+
+  /** Stream-stream event-time interval join, oracle-gated: every click
+    * joined to the same user's purchases within the following 4 hours —
+    * Spark's native stream-stream inner join with watermarks on both sides
+    * and a two-sided time-range condition (the attribution-join shape; in
+    * the unbounded regime the range bound is what lets Spark evict matched
+    * state instead of buffering both streams forever). The oracle is the
+    * plain batch self-join over the same parquet — bounded replay through
+    * the streaming join must be row-identical.
+    *
+    * The table is a single file, so AvailableNow processes both sides in
+    * one micro-batch and the 0-second watermark cannot evict state before
+    * the matching batch runs — the same bounded-replay reasoning as the
+    * class doc's sentinel discussion, without needing a sentinel (inner
+    * join emits on match, not on watermark).
+    */
+  def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    def side(tpe: String, pre: String): DataFrame =
+      streamParquet(s, s"$d/events.parquet")
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${pre}_user"), col("event_id").as(s"${pre}_id"),
+          timestamp_millis(expr("CAST(ts DIV 1000000 AS BIGINT)")).as(s"${pre}_ts"),
+          col("value").as(s"${pre}_value"))
+        .withWatermark(s"${pre}_ts", "0 seconds")
+    val joined = side("click", "c").join(side("purchase", "p"),
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 4 HOURS"))
+      .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+        col("p_id").as("purchase_id"), col("p_value").as("value"))
+    runToTable(s, joined)
+  }
 }

@@ -120,4 +120,39 @@ class ScaleOpsSpec extends SparkTestBase {
     // callback didn't fail the job
     assert(fired.value == 1L)
   }
+
+  test("applyChanges: insert adds, update replaces, delete removes, untouched survive") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq((2L, "B", "U"), (3L, "c", "D"), (4L, "d", "I"))
+      .toDF("k", "v", "op")
+    assertMultiset(
+      ScaleOps.applyChanges(base, changes, Seq("k"), "op")
+        .as[(Long, String)].collect().toSeq,
+      Seq((1L, "a"), (2L, "B"), (4L, "d")))
+  }
+
+  test("applyChanges: seqCol makes a duplicated, out-of-order change log last-wins") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // key 1: update then delete (delete is latest); key 2: two updates out
+    // of order (seq 5 must win); key 3: insert then update (update wins)
+    val log = Seq(
+      (1L, "A", "U", 1L), (1L, "A", "D", 2L),
+      (2L, "B2", "U", 5L), (2L, "B1", "U", 3L),
+      (3L, "c0", "I", 1L), (3L, "c1", "U", 2L))
+      .toDF("k", "v", "op", "seq")
+    val got = ScaleOps.applyChanges(base, log, Seq("k"), "op", seqCol = Some("seq"))
+      .as[(Long, String)].collect().toSeq
+    assertMultiset(got, Seq((2L, "B2"), (3L, "c1")))
+    // idempotent under replay: applying the same log to the result of a
+    // prefix replay converges to the same snapshot
+    val prefix = ScaleOps.applyChanges(base,
+      log.filter(col("seq") <= 2), Seq("k"), "op", seqCol = Some("seq"))
+    val replayed = ScaleOps.applyChanges(prefix, log, Seq("k"), "op",
+      seqCol = Some("seq")).as[(Long, String)].collect().toSeq
+    assertMultiset(replayed, Seq((2L, "B2"), (3L, "c1")))
+  }
 }

@@ -188,4 +188,20 @@ class StreamingBatterySpec extends SparkTestBase {
       graft.streaming.StreamingBattery.d122StreamDecontaminate(spark, sf),
       expectedSurvivors)
   }
+
+  test("d139 stream-stream interval join == batch self-join") {
+    val ev = Tables.events(spark, sf)
+    def typed(tpe: String, pre: String) = ev.filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${pre}_user"), col("event_id").as(s"${pre}_id"),
+        col("ts_ms").as(s"${pre}_ms"), col("value").as(s"${pre}_value"))
+    val want = typed("click", "c").join(typed("purchase", "p"),
+      col("c_user") === col("p_user") &&
+        col("p_ms") >= col("c_ms") &&
+        col("p_ms") <= col("c_ms") + 14400000L)
+      .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+        col("p_id").as("purchase_id"), col("p_value").as("value"))
+    val got = graft.streaming.StreamingBattery.d139StreamIntervalJoin(spark, sf)
+    assert(got.count() > 0, "interval join produced no pairs at this sf")
+    assertSameRows(got, want)
+  }
 }
