@@ -46,17 +46,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // split the battery's verification-harness rows (model checks, named
-    // d1xx_check_*) from the operator rows: the check rows re-run the
-    // operator under test PLUS an independent brute-force reference by
-    // design, so their cost tracks verification depth, not engine speed —
-    // keeping the subtotals separate keeps the operator trend legible
-    // across rounds as checks accumulate
-    val (checkRows, opRows) = results.partition(_._1.contains("_check_"))
+    // split three regimes so each trend stays legible across rounds:
+    // _check_ rows re-run the operator under test PLUS an independent
+    // brute-force reference by design (cost tracks verification depth);
+    // _stream_ rows pay a full AvailableNow query start/stop (~2 s fixed)
+    // per execution (cost tracks streaming-restart overhead, amortized to
+    // nothing on a standing production stream); the rest is the batch
+    // engine itself.
+    val (checkRows, rest) = results.partition(_._1.contains("_check_"))
+    val (streamRows, opRows) = rest.partition(_._1.contains("_stream_"))
     val opsTotal = opRows.map(_._2).sum
+    val streamTotal = streamRows.map(_._2).sum
     val checksTotal = checkRows.map(_._2).sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","operators_sec":$opsTotal,"verification_sec":$checksTotal,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","operators_sec":$opsTotal,"streaming_sec":$streamTotal,"verification_sec":$checksTotal,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // The driver's tail capture clipped the single ~6 KB line from the FRONT
     // in r2 and r3 ("parsed": null in BENCH_r*.json), losing the totals. So:
@@ -73,7 +76,7 @@ object Bench {
       .map { case (k, v) =>
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"operators_sec":$opsTotal,"verification_sec":$checksTotal,"slowest":$slowest,"sf":"$sfDir","full":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"operators_sec":$opsTotal,"streaming_sec":$streamTotal,"verification_sec":$checksTotal,"slowest":$slowest,"sf":"$sfDir","full":"bench_out.json"}""")
     spark.stop()
   }
 }
