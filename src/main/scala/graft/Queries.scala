@@ -2177,6 +2177,95 @@ object Queries {
     graft.operators.ScaleOps.applyChanges(base, changes, Seq("o_orderkey"), "op")
   }
 
+  /** Snapshot diff ([[graft.operators.ScaleOps.snapshotDiff]]): two
+    * independently constructed snapshots — the orders base and its mod-7
+    * mutation (the d138 change pattern: 0 deleted, 1-2 repriced +10.00 and
+    * restatused, 3 cloned under a shifted key, 4-6 untouched) — and the
+    * emitted change log is dumped. The oracle is the GENERATOR: DuckDB
+    * spells out the exact I/U/D rows the mutation implies, so a diff that
+    * misses an update, invents a change for an untouched row, or carries
+    * the wrong side's values breaks the hash. The round-trip law
+    * (applyChanges(before, diff) == after) is spec-gated in ScaleOpsSpec.
+    */
+  def d140SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    val m = col("o_orderkey") % 7
+    val after = base.filter(m =!= 0 && m =!= 3)
+      .withColumn("o_orderstatus",
+        when(m.isin(1, 2), lit("U")).otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(m.isin(1, 2), col("o_totalprice") + 10.0).otherwise(col("o_totalprice")))
+      .unionByName(base.filter(m === 3))
+      .unionByName(base.filter(m === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+    graft.operators.ScaleOps.snapshotDiff(base, after, Seq("o_orderkey"))
+  }
+
+  /** Small-file compaction round-trip ([[graft.operators.ScaleOps
+    * .compactFiles]]): fragment documents into 32 small files, compact to a
+    * quarter-of-total byte target, and aggregate the compacted copy per
+    * language — count, char mass, and doc_id extremes make a dropped,
+    * duplicated, or truncated row visible to the driver's hash. The
+    * file-count and no-shuffle properties are spec-gated (ScaleOpsSpec);
+    * content fidelity through the fragment+compact hop is what the oracle
+    * checks. Scratch contract as d136 (path fixed per (user, input dir),
+    * overwrite, single-writer).
+    */
+  def d141Compaction(s: SparkSession, d: String): DataFrame = {
+    val frag = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_compact_frag_" + System.getProperty("user.name", "anon") + "_" + pathTag(d))
+      .getAbsolutePath
+    val packed = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_compact_out_" + System.getProperty("user.name", "anon") + "_" + pathTag(d))
+      .getAbsolutePath
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      .repartition(32).write.mode("overwrite").parquet(frag)
+    val bytes = new org.apache.hadoop.fs.Path(frag)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(frag)).getLength
+    graft.operators.ScaleOps.compactFiles(s, frag, packed,
+      targetBytes = math.max(1L, bytes / 4))
+    s.read.parquet(packed)
+      .groupBy(col("lang"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_docs"),
+        expr("CAST(SUM(LENGTH(text)) AS BIGINT)").as("n_chars"),
+        expr("CAST(MIN(doc_id) AS BIGINT)").as("min_doc"),
+        expr("CAST(MAX(doc_id) AS BIGINT)").as("max_doc"))
+  }
+
+  /** Incremental aggregate maintenance ([[graft.operators.ScaleOps
+    * .incrementalAgg]]): the per-customer order count and DECIMAL(18,2)
+    * revenue aggregate is maintained through the mod-7 retract log (D → -1
+    * old, U → -1 old +1 new, I → +1 new) and must equal DuckDB's FULL
+    * RECOMPUTE over the post-change snapshot — the materialized-view
+    * equivalence, cross-engine, at exact-decimal arithmetic. The base table
+    * is read once for the seed aggregate and once to derive the log; the
+    * maintenance step itself touches only the aggregate and the log.
+    */
+  def d142IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("amt"))
+    val prevAgg = base.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("amt")).as("amt"))
+    val m = col("o_orderkey") % 7
+    val retract = lit(-1); val insert = lit(1)
+    val log = base.filter(m === 0).withColumn("w", retract)
+      .unionByName(base.filter(m.isin(1, 2)).withColumn("w", retract))
+      .unionByName(base.filter(m.isin(1, 2))
+        .withColumn("amt", (col("amt") + expr("CAST(10.00 AS DECIMAL(18,2))"))
+          .cast("decimal(18,2)"))
+        .withColumn("w", insert))
+      .unionByName(base.filter(m === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+        .withColumn("w", insert))
+      .select(col("o_custkey"), col("amt"), col("w"))
+    graft.operators.ScaleOps.incrementalAgg(prevAgg, log, Seq("o_custkey"), "w", Seq("amt"))
+      .select(col("o_custkey"), col("cnt").as("n_orders"),
+        col("amt").cast("double").as("sum_price"))
+  }
+
   /** DuckDB bit-interleave of two 21-bit-masked BIGINT columns — the z-order
     * oracle arithmetic, spelled out term by term (42 shift/mask/or terms).
     */
@@ -2332,6 +2421,9 @@ object Queries {
     "d138_upsert_merge" -> (d138UpsertMerge _),
     "d139_stream_interval_join" ->
       (graft.streaming.StreamingBattery.d139StreamIntervalJoin _),
+    "d140_snapshot_diff" -> (d140SnapshotDiff _),
+    "d141_compaction" -> (d141Compaction _),
+    "d142_incremental_agg" -> (d142IncrementalAgg _),
   )
 
   private val toksSql =
@@ -3363,5 +3455,44 @@ object Queries {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND epoch_ms(p.ts) >= epoch_ms(c.ts)
         | AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 14400000""".stripMargin,
+
+    // the oracle is the change GENERATOR: the diff must reproduce exactly
+    // the I/U/D rows the mod-7 mutation implies, value-for-value
+    "d140_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D' AS op
+        |FROM base WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'U', o_totalprice + 10.0, 'U'
+        |FROM base WHERE o_orderkey % 7 IN (1, 2)
+        |UNION ALL
+        |SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice, 'I'
+        |FROM base WHERE o_orderkey % 7 = 3""".stripMargin,
+
+    "d141_compaction" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+        | CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        | CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // full recompute over the post-change snapshot — the incremental
+    // maintenance path must land on the identical aggregate
+    "d142_incremental_agg" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |   CAST(o_totalprice AS DECIMAL(18,2)) AS amt FROM orders),
+        |next AS (
+        |  SELECT o_orderkey, o_custkey,
+        |   CASE WHEN o_orderkey % 7 IN (1, 2)
+        |    THEN amt + CAST(10.00 AS DECIMAL(18,2)) ELSE amt END AS amt
+        |  FROM base WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, amt
+        |  FROM base WHERE o_orderkey % 7 = 3)
+        |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(amt) AS DOUBLE) AS sum_price
+        |FROM next GROUP BY 1""".stripMargin,
   )
 }

@@ -182,6 +182,151 @@ object ScaleOps {
     keep.unionByName(latest.filter(col(opCol).isin("I", "U")).drop(opCol))
   }
 
+  /** Snapshot diff — the inverse of [[applyChanges]]: compare two keyed
+    * snapshots of a table and emit the minimal CDC change log ('I' rows only
+    * in `after`, 'D' rows only in `before`, 'U' rows present in both whose
+    * non-key columns differ) that replays `before` into `after`:
+    * `applyChanges(before, snapshotDiff(before, after, k), k, opCol)` ≡
+    * `after` — the round-trip law ScaleOpsSpec pins. The lakehouse use: a
+    * producer republishes a full snapshot nightly; downstream consumers of a
+    * 100 TB copy want the (small) delta, not the snapshot.
+    *
+    * Contract: `keyCols` is a primary key of both frames (unique, non-null —
+    * null keys never match a full-outer join and would surface as a D+I
+    * pair); both frames share a schema with at least one non-key column
+    * ('U' detection is a null-safe struct compare over the non-key columns,
+    * so pure key-set diffs belong to except/intersect instead). 'I'/'U'
+    * rows carry `after`'s values, 'D' rows carry `before`'s.
+    *
+    * Scale: ONE full-outer hash join on the key — each side shuffles once,
+    * unavoidable for a content diff without persisted checksums. On a
+    * hive-partitioned 100 TB table, diff per partition directory so
+    * untouched partitions are pruned before the join; bucket both snapshots
+    * on the key ([[writeBucketed]]) and the join plans with no Exchange at
+    * all.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"snapshots must share a schema: ${before.columns.toSeq} vs ${after.columns.toSeq}")
+    require(!before.columns.contains(opCol),
+      s"op column '$opCol' collides with the snapshot schema")
+    val nonKey = before.columns.filterNot(keyCols.contains).toSeq
+    require(nonKey.nonEmpty,
+      "snapshots are all-key: use except/intersect for pure key-set diffs")
+    val b = before.select(keyCols.map(col) :+ struct(nonKey.map(col): _*).as("__before"): _*)
+    val a = after.select(keyCols.map(col) :+ struct(nonKey.map(col): _*).as("__after"): _*)
+    b.join(a, keyCols, "full_outer")
+      .withColumn(opCol,
+        when(col("__before").isNull, lit("I"))
+          .when(col("__after").isNull, lit("D"))
+          .when(!(col("__before") <=> col("__after")), lit("U")))
+      .filter(col(opCol).isNotNull)
+      .withColumn("__row", coalesce(col("__after"), col("__before")))
+      .select(keyCols.map(col) ++
+        nonKey.map(c => col("__row").getField(c).as(c)) :+ col(opCol): _*)
+  }
+
+  /** Small-file compaction — the table-maintenance pass that keeps a 100 TB
+    * table scannable after streaming / incremental ingest has littered it
+    * with thousands of KB-sized files (each file costs a listing entry, a
+    * footer read, and a task): rewrite `inPath` into `outPath` as
+    * ~`targetBytes`-sized files, WITHOUT a shuffle — `coalesce` merges scan
+    * partitions narrowly, so each output task streams several input files
+    * into one output file and no row ever crosses the wire twice. Returns
+    * the planned output file count.
+    *
+    * The input byte size is read from the file listing (driver-side, one
+    * RPC per directory page — fine at any file count), not by scanning the
+    * data. For a hive-partitioned table, compact per partition directory so
+    * the partition column layout is preserved and untouched partitions are
+    * left alone. Row order inside output files follows input file order
+    * (coalesce concatenates); a layout that needs sorting is
+    * [[writeZOrdered]]/[[writeShards]]'s job, not compaction's.
+    */
+  def compactFiles(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    require(new org.apache.hadoop.fs.Path(inPath).toUri.getPath !=
+        new org.apache.hadoop.fs.Path(outPath).toUri.getPath,
+      "compaction is not in-place: outPath must differ from inPath")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    // The scan's own file packing (maxPartitionBytes/openCostInBytes) can
+    // merge the small files into FEWER partitions than the target asks for,
+    // and coalesce can only shrink — so pin the split confs to the target
+    // for the duration of the rewrite (and restore after). Maintenance jobs
+    // run on their own session, so the temporary conf is not a conflict in
+    // practice; the narrow-coalesce no-shuffle property is untouched.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")
+      .map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+    conf.set("spark.sql.files.openCostInBytes",
+      math.max(1L, math.min(4L << 20, targetBytes / 16)).toString)
+    try {
+      spark.read.parquet(inPath)
+        .coalesce(nFiles)
+        .write.mode("overwrite").parquet(outPath)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+    nFiles
+  }
+
+  /** Incremental aggregate maintenance — update a keyed sum/count aggregate
+    * from a retract-style change log WITHOUT rescanning the base table: the
+    * materialized-view primitive that turns "re-aggregate 100 TB nightly"
+    * into "fold yesterday's (small) change set into yesterday's (small)
+    * aggregate". The change log is a retract stream (the Flink/differential-
+    * dataflow model): each row carries the base schema plus `weightCol` =
+    * +1 (row added) or -1 (row removed); an update is a -1 old / +1 new
+    * pair ([[snapshotDiff]] output converts trivially: D → -1, I → +1,
+    * U → both).
+    *
+    * `prevAgg` must carry `keyCols`, `cntCol`, and one column per entry of
+    * `measureCols` holding the maintained SUM of that measure; the result
+    * has the same shape, with keys whose count reaches zero dropped (so a
+    * fully-deleted key leaves no residue). Counts are exact; sums are exact
+    * when the measure type is exact (DECIMAL / integer — use DECIMAL for
+    * money, ScaleOpsSpec and d142 pin incremental ≡ full recompute at
+    * DECIMAL(18,2)); IEEE double sums accumulate the usual reassociation
+    * drift and need periodic recompute, which is true of any incremental
+    * view over floats.
+    *
+    * Scale: one groupBy over the CHANGES (small) and one outer join against
+    * the aggregate table (keys × measures — orders of magnitude smaller
+    * than the base); the base table is never touched. Bucket the aggregate
+    * table on the key and the join is shuffle-free on the big side.
+    */
+  def incrementalAgg(prevAgg: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      weightCol: String, measureCols: Seq[String], cntCol: String = "cnt"): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(measureCols.forall(prevAgg.columns.contains) &&
+        prevAgg.columns.contains(cntCol),
+      s"prevAgg must carry $cntCol and the maintained sums $measureCols: " +
+        prevAgg.columns.toSeq)
+    val deltaAggs = sum(col(weightCol)).cast("long").as(cntCol) +:
+      measureCols.map(m => sum(col(m) * col(weightCol)).as(m))
+    val delta = changes.groupBy(keyCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val prev = prevAgg.select(
+      keyCols.map(col) ++ (cntCol +: measureCols).map(c => col(c).as("__p_" + c)): _*)
+    prev.join(delta.select(
+        keyCols.map(col) ++ (cntCol +: measureCols).map(c => col(c).as("__d_" + c)): _*),
+        keyCols, "full_outer")
+      .withColumn(cntCol,
+        coalesce(col("__p_" + cntCol), lit(0L)) + coalesce(col("__d_" + cntCol), lit(0L)))
+      .filter(col(cntCol) > 0)
+      .select(keyCols.map(col) ++ (col(cntCol) +:
+        measureCols.map(m =>
+          (coalesce(col("__p_" + m), lit(0)) + coalesce(col("__d_" + m), lit(0))).as(m))): _*)
+  }
+
   /** Z-order clustered write: computes a Morton key over `dims`
     * ([[graft.plans.NativeExpressions.zorderKey]]), range-partitions into
     * `numFiles` key ranges and sorts each file by the key, then DROPS the

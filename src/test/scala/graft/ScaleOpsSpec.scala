@@ -155,4 +155,107 @@ class ScaleOpsSpec extends SparkTestBase {
       seqCol = Some("seq")).as[(Long, String)].collect().toSeq
     assertMultiset(replayed, Seq((2L, "B2"), (3L, "c1")))
   }
+
+  test("snapshotDiff: classifies I/U/D, ignores unchanged, and round-trips through applyChanges") {
+    val s = spark
+    import s.implicits._
+    val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "v", "x")
+    val after = Seq((1L, "a", 10.0), (2L, "B", 20.0), (4L, "d", 44.0), (5L, "e", 50.0))
+      .toDF("k", "v", "x")
+    val diff = ScaleOps.snapshotDiff(before, after, Seq("k"))
+    assertMultiset(
+      diff.as[(Long, String, Double, String)].collect().toSeq,
+      Seq((2L, "B", 20.0, "U"), (3L, "c", 30.0, "D"),
+        (4L, "d", 44.0, "U"), (5L, "e", 50.0, "I")))
+    // round-trip law: replaying the diff onto `before` reconstructs `after`
+    val replayed = ScaleOps.applyChanges(before, diff, Seq("k"), "op")
+    assertMultiset(replayed.as[(Long, String, Double)].collect().toSeq,
+      after.as[(Long, String, Double)].collect().toSeq)
+    // identical snapshots produce an empty log
+    assert(ScaleOps.snapshotDiff(before, before, Seq("k")).isEmpty)
+    // null-safe compare: a null<->value flip is a U, null==null is unchanged
+    val b2 = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String])).toDF("k", "v")
+    val a2 = Seq((1L, null.asInstanceOf[String]), (2L, "now-set")).toDF("k", "v")
+    assertMultiset(
+      ScaleOps.snapshotDiff(b2, a2, Seq("k")).as[(Long, String, String)].collect().toSeq,
+      Seq((2L, "now-set", "U")))
+  }
+
+  test("compactFiles: bin-packs small files to the byte target without losing rows") {
+    val s = spark
+    val in = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
+    try {
+      val df = Tables.documents(s, "/root/testdata/sf0.01")
+        .select(col("doc_id"), col("text"))
+      df.repartition(40).write.mode("overwrite").parquet(in) // the littered state
+      def parts(d: String) = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(parts(in).length == 40)
+      val bytes = parts(in).map(_.length()).sum
+      val planned = ScaleOps.compactFiles(s, in, out, targetBytes = bytes / 4)
+      // ceil division lands on 4 or 5 depending on footer overhead; the
+      // point is the formula, so recompute it here
+      assert(planned == ((bytes + bytes / 4 - 1) / (bytes / 4)).toInt)
+      assert(parts(out).length == planned,
+        s"expected $planned output files, got ${parts(out).length}")
+      // content preserved row-for-row
+      assert(s.read.parquet(out).count() == df.count())
+      assert(s.read.parquet(out).except(df).isEmpty && df.except(s.read.parquet(out)).isEmpty)
+      // and the compaction plan is narrow: no shuffle exchange anywhere
+      val plan = s.read.parquet(in).coalesce(planned).queryExecution.executedPlan
+      assert(!plan.toString.contains("Exchange"), s"compaction must not shuffle:\n$plan")
+      // in-place compaction is refused
+      intercept[IllegalArgumentException] { ScaleOps.compactFiles(s, in, in) }
+    } finally {
+      def rec(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rec)
+        f.delete()
+      }
+      rec(new java.io.File(in)); rec(new java.io.File(out))
+    }
+  }
+
+  test("incrementalAgg: retract-stream maintenance equals full recompute at DECIMAL exactness") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "3.10"), (1L, "1.00"), (2L, "2.50"), (3L, "7.25"))
+      .toDF("k", "amt").withColumn("amt", col("amt").cast("decimal(18,2)"))
+    val prevAgg = base.groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum(col("amt")).as("amt"))
+    // retract log: delete key 3 entirely, reprice one key-1 row, add key 4
+    val log = Seq(
+      (3L, "7.25", -1), // full delete
+      (1L, "3.10", -1), (1L, "3.99", 1), // update = retract + insert
+      (4L, "0.75", 1)) // new key
+      .toDF("k", "amt", "w").withColumn("amt", col("amt").cast("decimal(18,2)"))
+    val next = ScaleOps.incrementalAgg(prevAgg, log, Seq("k"), "w", Seq("amt"))
+      .select(col("k"), col("cnt"), col("amt").cast("string"))
+      .as[(Long, Long, String)].collect().toSeq
+    // full recompute over the post-change state
+    val recomputed = Seq((1L, "3.99"), (1L, "1.00"), (2L, "2.50"), (4L, "0.75"))
+      .toDF("k", "amt").withColumn("amt", col("amt").cast("decimal(18,2)"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"), sum(col("amt")).as("amt"))
+      .select(col("k"), col("cnt"), col("amt").cast("string"))
+      .as[(Long, Long, String)].collect().toSeq
+    assertMultiset(next, recomputed)
+    // key 3 left no residue
+    assert(!next.exists(_._1 == 3L))
+    // snapshotDiff output feeds incrementalAgg: D -> -1, I -> +1, U -> both
+    val after = Seq((1L, "1.00"), (1L, "3.99"), (2L, "2.50"), (4L, "0.75"))
+      .toDF("k", "amt").withColumn("amt", col("amt").cast("decimal(18,2)"))
+    // rid makes rows unique so the diff is row-level; the group key stays k
+    val next2 = ScaleOps.incrementalAgg(prevAgg,
+      ScaleOps.snapshotDiff(
+          base.withColumn("rid", xxhash64(col("k"), col("amt"))),
+          after.withColumn("rid", xxhash64(col("k"), col("amt"))),
+          Seq("rid"))
+        .select(col("k"), col("amt"),
+          when(col("op") === "D", -1).otherwise(1).as("w")),
+      Seq("k"), "w", Seq("amt"))
+      .select(col("k"), col("cnt"), col("amt").cast("string"))
+      .as[(Long, Long, String)].collect().toSeq
+    assertMultiset(next2, recomputed)
+  }
 }
