@@ -2266,6 +2266,72 @@ object Queries {
         col("amt").cast("double").as("sum_price"))
   }
 
+  /** Schema-evolution read ([[graft.sources.SchemaEvolution
+    * .readMergedParquet]]): the even docs are written by an "old producer"
+    * (doc_id, text only), the odd docs by a "new producer" (+lang,
+    * +n_chars); the merged read backfills old rows with lang='und' and
+    * n_chars=length(text), and the per-language rollup must match DuckDB
+    * reconstructing the same union — a row counted under the wrong
+    * language, or a backfill applied to a new-producer row, breaks the
+    * hash. Scratch contract as d136.
+    */
+  def d143SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    def scratch(tag: String) = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      tag + System.getProperty("user.name", "anon") + "_" + pathTag(d)).getAbsolutePath
+    val v1 = scratch("graft_evolve_v1_")
+    val v2 = scratch("graft_evolve_v2_")
+    val docs = Tables.documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(v1)
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(v2)
+    graft.sources.SchemaEvolution.readMergedParquet(s, Seq(v1, v2), Map(
+        "lang" -> lit("und"),
+        "n_chars" -> length(col("text")).cast("long")))
+      .groupBy(col("lang"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_docs"),
+        expr("CAST(SUM(n_chars) AS BIGINT)").as("sum_chars"),
+        expr("CAST(MIN(doc_id) AS BIGINT)").as("min_doc"),
+        expr("CAST(MAX(doc_id) AS BIGINT)").as("max_doc"))
+  }
+
+  /** BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed query over the
+    * corpus — the relevance-scored sibling of the d61 TF-IDF weighting, and
+    * the retrieval primitive a training-data curation pass uses to pull
+    * topic-relevant documents out of a 100 TB corpus. Scale shape: the
+    * explode→filter keeps only query-term postings (the non-matching token
+    * mass dies map-side before the tf shuffle), df and the corpus stats are
+    * broadcast singletons, and the final score is one partial-aggregated
+    * groupBy per matching doc. Both engines compute the identical formula
+    * with identical double literals; the score is rounded to 4 decimals
+    * (d106 ln convention).
+    */
+  def d144Bm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("hash", "join", "scan")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(lower(col("text"))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w", col("idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("w")), 4).as("bm25"))
+  }
+
   /** DuckDB bit-interleave of two 21-bit-masked BIGINT columns — the z-order
     * oracle arithmetic, spelled out term by term (42 shift/mask/or terms).
     */
@@ -2424,6 +2490,8 @@ object Queries {
     "d140_snapshot_diff" -> (d140SnapshotDiff _),
     "d141_compaction" -> (d141Compaction _),
     "d142_incremental_agg" -> (d142IncrementalAgg _),
+    "d143_schema_evolution" -> (d143SchemaEvolution _),
+    "d144_bm25" -> (d144Bm25 _),
   )
 
   private val toksSql =
@@ -3476,6 +3544,37 @@ object Queries {
         | CAST(MIN(doc_id) AS BIGINT) AS min_doc,
         | CAST(MAX(doc_id) AS BIGINT) AS max_doc
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the oracle reconstructs the same two-producer union: old rows get
+    // the backfill values, new rows their written ones
+    "d143_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, 'und' AS lang, LENGTH(text) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, n_chars
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        | CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM u GROUP BY 1""".stripMargin,
+
+    "d144_bm25" ->
+      s"""WITH d AS (SELECT doc_id, $toksLowerSql AS t FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM d),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+         |  FROM dl),
+         |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM dl)
+         |  WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+         |  FROM tf GROUP BY 1)
+         |SELECT doc_id,
+         | ROUND(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |   (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+         |FROM tf JOIN dfreq USING (term), stats
+         |GROUP BY 1""".stripMargin,
 
     // full recompute over the post-change snapshot — the incremental
     // maintenance path must land on the identical aggregate

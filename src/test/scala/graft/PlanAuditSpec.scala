@@ -382,4 +382,44 @@ class PlanAuditSpec extends SparkTestBase {
       s"posexplode must consume the aggregated result (gen=$gen agg=$agg):\n" +
         finalPlan.take(3000))
   }
+
+  test("d140: snapshot diff is ONE full-outer hash-shuffled join — no nested loop") {
+    val plan = planOf(Queries.d140SnapshotDiff(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("FullOuter"), finalPlan.take(3000))
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      "diff must never plan a nested loop:\n" + finalPlan.take(3000))
+    val joins = finalPlan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(joins == 1, s"diff is ONE join, got $joins:\n" + finalPlan.take(3000))
+  }
+
+  test("d142: incremental maintenance joins hash-shuffled, never nested-loop; delta aggregates partial/final") {
+    val plan = planOf(Queries.d142IncrementalAgg(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      "maintenance must never plan a nested loop:\n" + finalPlan.take(3000))
+    // the retract log folds map-side before its shuffle (partial aggregate)
+    assert(finalPlan.contains("HashAggregate"), finalPlan.take(3000))
+  }
+
+  test("d144: BM25 stats and document frequencies broadcast; postings filter dies before the tf shuffle") {
+    val plan = planOf(Queries.d144Bm25(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      "df join must broadcast:\n" + finalPlan.take(3000))
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(3000))
+    // the only nested-loop is the singleton corpus-stats crossJoin
+    val bnl = finalPlan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 1, s"unexpected nested loops ($bnl):\n" + finalPlan.take(3000))
+    // plans print root-first: the term filter must sit BELOW the first
+    // aggregate (i.e. run map-side against the exploded stream, pre-shuffle)
+    val filt = finalPlan.lastIndexOf("Filter")
+    val agg = finalPlan.lastIndexOf("HashAggregate")
+    assert(filt > agg,
+      s"term filter must run before the tf aggregation (filter=$filt agg=$agg):\n" +
+        finalPlan.take(3000))
+  }
 }
