@@ -2492,6 +2492,8 @@ object Queries {
     "d142_incremental_agg" -> (d142IncrementalAgg _),
     "d143_schema_evolution" -> (d143SchemaEvolution _),
     "d144_bm25" -> (d144Bm25 _),
+    "d145_stream_incremental_agg" ->
+      (graft.streaming.StreamingBattery.d145StreamIncrementalAgg _),
   )
 
   private val toksSql =
@@ -3575,6 +3577,13 @@ object Queries {
          |   (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
          |FROM tf JOIN dfreq USING (term), stats
          |GROUP BY 1""".stripMargin,
+
+    // the one-shot aggregate the per-micro-batch incremental fold must
+    // reproduce exactly
+    "d145_stream_incremental_agg" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // full recompute over the post-change snapshot — the incremental
     // maintenance path must land on the identical aggregate

@@ -235,6 +235,56 @@ object StreamingBattery {
     * class doc's sentinel discussion, without needing a sentinel (inner
     * join emits on match, not on watermark).
     */
+  /** Streaming materialized-view maintenance, oracle-gated: orders are
+    * staged as four files and replayed one file per micro-batch; each
+    * batch folds into a maintained (custkey, count, revenue) aggregate via
+    * [[graft.operators.ScaleOps.incrementalAgg]] inside `foreachBatch` —
+    * the streaming half of the d142 equivalence. The final aggregate must
+    * equal DuckDB's one-shot aggregate over the whole table: a lost or
+    * re-folded batch, or any drift in the decimal arithmetic, breaks the
+    * hash. This is the 100 TB standing-pipeline shape: the aggregate table
+    * (small) is updated per micro-batch from the change stream and the
+    * base is never rescanned; `localCheckpoint` stands in for the
+    * per-batch aggregate-table write a production run would do.
+    */
+  def d145StreamIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-stream-incagg")
+    try {
+      val in = root.resolve("in")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("amt"))
+        .repartition(4).write.parquet(in.toString)
+      var agg = s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("o_custkey", LongType),
+        StructField("cnt", LongType),
+        StructField("amt", DecimalType(38, 2)))))
+      var nBatches = 0
+      val src = s.readStream.schema(s.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          nBatches += 1
+          agg = graft.operators.ScaleOps.incrementalAgg(agg,
+              batch.select(col("o_custkey"), col("amt"), lit(1).as("w")),
+              Seq("o_custkey"), "w", Seq("amt"))
+            .localCheckpoint(true)
+          ()
+        }
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // vacuity guard: the equivalence is only evidence if the fold really
+      // ran incrementally — four staged files must mean several batches
+      require(nBatches >= 2,
+        s"expected a multi-batch incremental fold, got $nBatches batch(es)")
+      agg.select(col("o_custkey"), col("cnt").as("n_orders"),
+        col("amt").cast("double").as("sum_price"))
+    } finally deleteRecursively(root)
+  }
+
   def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
     def side(tpe: String, pre: String): DataFrame =
       streamParquet(s, s"$d/events.parquet")
