@@ -248,11 +248,20 @@ object ScaleOps {
   def compactFiles(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long = 128L << 20): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    require(new org.apache.hadoop.fs.Path(inPath).toUri.getPath !=
-        new org.apache.hadoop.fs.Path(outPath).toUri.getPath,
-      "compaction is not in-place: outPath must differ from inPath")
     val p = new org.apache.hadoop.fs.Path(inPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(hconf)
+    // fully qualify BOTH paths (scheme, authority, working dir) before the
+    // in-place check: comparing raw strings or bare uri paths lets a
+    // relative-vs-absolute spelling of the same directory through — and
+    // overwrite mode would then delete the input before the lazy read
+    // scans it — while falsely refusing equal paths on DIFFERENT
+    // filesystems (a legitimate cross-FS compaction).
+    val inQ = fs.makeQualified(p)
+    val outQ = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(hconf).makeQualified(new org.apache.hadoop.fs.Path(outPath))
+    require(inQ != outQ,
+      s"compaction is not in-place: $inQ must differ from $outQ")
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     // The scan's own file packing (maxPartitionBytes/openCostInBytes) can
@@ -298,6 +307,14 @@ object ScaleOps {
     * drift and need periodic recompute, which is true of any incremental
     * view over floats.
     *
+    * NULL measures: a key whose maintained sum and delta are BOTH null
+    * (no non-null value ever seen) stays null, matching SQL SUM; but a
+    * retraction that removes a key's LAST non-null value leaves 0, where a
+    * full recompute over the surviving all-null rows would give NULL —
+    * distinguishing those needs a per-measure non-null count the schema
+    * contract deliberately omits. Exact recompute equivalence therefore
+    * assumes non-null measures (enforce upstream, or coalesce at ingest).
+    *
     * Scale: one groupBy over the CHANGES (small) and one outer join against
     * the aggregate table (keys × measures — orders of magnitude smaller
     * than the base); the base table is never touched. Bucket the aggregate
@@ -323,8 +340,11 @@ object ScaleOps {
         coalesce(col("__p_" + cntCol), lit(0L)) + coalesce(col("__d_" + cntCol), lit(0L)))
       .filter(col(cntCol) > 0)
       .select(keyCols.map(col) ++ (col(cntCol) +:
-        measureCols.map(m =>
-          (coalesce(col("__p_" + m), lit(0)) + coalesce(col("__d_" + m), lit(0))).as(m))): _*)
+        measureCols.map { m =>
+          val p = col("__p_" + m); val dlt = col("__d_" + m)
+          when(p.isNull && dlt.isNull, lit(null))
+            .otherwise(coalesce(p, lit(0)) + coalesce(dlt, lit(0))).as(m)
+        }): _*)
   }
 
   /** Z-order clustered write: computes a Morton key over `dims`

@@ -209,11 +209,7 @@ class ScaleOpsSpec extends SparkTestBase {
       // in-place compaction is refused
       intercept[IllegalArgumentException] { ScaleOps.compactFiles(s, in, in) }
     } finally {
-      def rec(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rec)
-        f.delete()
-      }
-      rec(new java.io.File(in)); rec(new java.io.File(out))
+      deleteRecursively(in); deleteRecursively(out)
     }
   }
 

@@ -39,12 +39,6 @@ class SchemaEvolutionSpec extends SparkTestBase {
         SchemaEvolution.readMergedParquet(s, Seq(s"$root/c1", s"$root/c2"))
           .collect()
       }
-    } finally {
-      def rec(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rec)
-        f.delete()
-      }
-      rec(new java.io.File(root))
-    }
+    } finally deleteRecursively(root)
   }
 }

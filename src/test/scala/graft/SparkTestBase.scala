@@ -24,4 +24,13 @@ trait SparkTestBase extends AnyFunSuite {
     val e = expected.groupBy(identity).view.mapValues(_.size).toMap
     assert(a == e, s"\nactual:   ${actual.sortBy(_.toString)}\nexpected: ${expected.sortBy(_.toString)}")
   }
+
+  /** Scratch-dir cleanup shared by every spec that writes local files. */
+  def deleteRecursively(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rec)
+      f.delete()
+    }
+    rec(new java.io.File(path))
+  }
 }

@@ -165,11 +165,4 @@ class ZOrderLayoutSpec extends SparkTestBase {
     deleteRecursively(root)
   }
 
-  private def deleteRecursively(p: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rec)
-      f.delete()
-    }
-    rec(new java.io.File(p))
-  }
 }
