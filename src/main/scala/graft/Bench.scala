@@ -23,7 +23,17 @@ object Bench {
     // warm the JVM + parquet footers once so per-query numbers measure the
     // queries, not first-touch setup
     Tables.lineitem(spark, sfDir).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=d139,d124 runs just the named prefixes — an
+    // iteration aid; the driver's full run leaves it unset. The short
+    // totals line still prints but only sums the filtered subset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(prefixes) =>
+        SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()

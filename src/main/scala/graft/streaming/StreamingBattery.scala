@@ -76,6 +76,24 @@ object StreamingBattery {
     } finally (root +: alsoDelete).foreach(deleteRecursively)
   }
 
+  /** Stateful streaming queries size the shuffle to the STREAM volume, not
+    * the batch default: every shuffle partition carries its own state
+    * store (a stream-stream join keeps FOUR per partition — two per side),
+    * and every micro-batch commits every store's delta file, so 32
+    * partitions on a bounded replay of ~20k rows/side means 100+ tiny
+    * checkpoint commits per batch that dwarf the actual join. The same
+    * decision matters at 100 TB from the other end: the partition count is
+    * frozen into the checkpoint at first start, so a production stream
+    * sizes it to PEAK volume up front (and pays the per-batch commit cost
+    * for whatever it picks). Set-and-restore so the battery's batch rows
+    * keep the session default.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
@@ -89,7 +107,8 @@ object StreamingBattery {
     * watermark delay exceeds the data's time span, so nothing is evicted
     * mid-replay and the result equals the batch DISTINCT.
     */
-  def d120StreamDedup(s: SparkSession, d: String): DataFrame = {
+  def d120StreamDedup(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
     val src = streamParquet(s, s"$d/events.parquet")
       .select(col("user_id"), col("event_type"),
         expr("CAST(ts DIV 1000000 AS BIGINT) div 3600000").as("hr"))
@@ -168,7 +187,8 @@ object StreamingBattery {
     * The far-future sentinel row advances the global watermark past every
     * real window so all flush timers fire before AvailableNow terminates.
     */
-  def d124StreamStateful(s: SparkSession, d: String): DataFrame = {
+  def d124StreamStateful(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
     val sp = s; import sp.implicits._
     val hour = 3600L * 1000
     val ev = Tables.events(s, d).select(col("user_id"), col("value"), col("ts_ms"))
@@ -247,7 +267,8 @@ object StreamingBattery {
     * base is never rescanned; `localCheckpoint` stands in for the
     * per-batch aggregate-table write a production run would do.
     */
-  def d145StreamIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+  def d145StreamIncrementalAgg(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("graft-stream-incagg")
@@ -285,7 +306,8 @@ object StreamingBattery {
     } finally deleteRecursively(root)
   }
 
-  def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+  def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
     def side(tpe: String, pre: String): DataFrame =
       streamParquet(s, s"$d/events.parquet")
         .filter(col("event_type") === tpe)
