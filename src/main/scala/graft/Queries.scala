@@ -2332,6 +2332,25 @@ object Queries {
       .agg(round(sum(col("w")), 4).as("bm25"))
   }
 
+  /** Single-pass column profile ([[graft.operators.ScaleOps.profileColumns]])
+    * over five mixed-type lineitem columns — bigint, int, double-cast-
+    * decimal, string (with injected nulls so the null census is
+    * non-vacuous), timestamp. EXACT distinct mode so every cell is
+    * DuckDB-checkable; the operator's `approxDistinct` HLL mode is the
+    * 100 TB default (spec-pinned separately). The double → DECIMAL(18,4)
+    * pre-cast makes min/max strings engine-portable (raw double-to-string
+    * formatting differs across engines; decimal rendering doesn't).
+    */
+  def d147Profile(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScaleOps.profileColumns(
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,4)").as("l_quantity"),
+        expr("nullif(l_returnflag, 'N')").as("l_flag_nn"),
+        col("l_shipdate")),
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_flag_nn",
+        "l_shipdate"))
+
   /** DuckDB bit-interleave of two 21-bit-masked BIGINT columns — the z-order
     * oracle arithmetic, spelled out term by term (42 shift/mask/or terms).
     */
@@ -2494,6 +2513,9 @@ object Queries {
     "d144_bm25" -> (d144Bm25 _),
     "d145_stream_incremental_agg" ->
       (graft.streaming.StreamingBattery.d145StreamIncrementalAgg _),
+    "d146_stream_resume" ->
+      (graft.streaming.StreamingBattery.d146StreamResume _),
+    "d147_profile" -> (d147Profile _),
   )
 
   private val toksSql =
@@ -3403,6 +3425,33 @@ object Queries {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM k GROUP BY 1""".stripMargin,
+    // checkpoint-resume must land on the batch DISTINCT over the FULL
+    // table: re-read files inflate n_keys per type, lost dedup state
+    // re-emits every half-straddling key — either breaks the hash
+    "d146_stream_resume" ->
+      """WITH k AS (SELECT DISTINCT user_id, event_type,
+        |  epoch_ms(ts) // 3600000 AS hr FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM k GROUP BY 1""".stripMargin,
+    // per-column census recomputed cell by cell; the double column is
+    // pre-cast to DECIMAL(18,4) on BOTH sides so min/max stringification
+    // is engine-portable
+    "d147_profile" -> {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_flag_nn", "l_shipdate")
+      val selects = cols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           | COUNT(*) - COUNT($c) AS n_nulls,
+           | COUNT(DISTINCT $c) AS n_distinct,
+           | CAST(MIN($c) AS VARCHAR) AS min_val,
+           | CAST(MAX($c) AS VARCHAR) AS max_val FROM t""".stripMargin
+      }
+      s"""WITH t AS (SELECT l_orderkey, l_linenumber,
+         |  CAST(l_quantity AS DECIMAL(18,4)) AS l_quantity,
+         |  nullif(l_returnflag, 'N') AS l_flag_nn, l_shipdate FROM lineitem)
+         |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+    },
     "d121_stream_quality" -> gopherOracleSql,
     "d122_stream_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, source, $toksLowerSql AS ws FROM documents),

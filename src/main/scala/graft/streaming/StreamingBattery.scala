@@ -306,6 +306,72 @@ object StreamingBattery {
     } finally deleteRecursively(root)
   }
 
+  /** Streaming checkpoint-RESUME, oracle-gated: the one property a standing
+    * 100 TB ingest pipeline lives on and no other row exercises — a
+    * restarted query must pick up exactly where the checkpoint left off,
+    * with both its SOURCE OFFSETS (files already processed are not
+    * re-read) and its OPERATOR STATE (keys already seen keep deduping)
+    * recovered. The input is staged in two halves split by event-id parity
+    * — orthogonal to the dedup key, so (user, type, hour) keys straddle
+    * the halves — and the same dedup topology runs twice against ONE
+    * checkpoint + ONE sink: first over half A, then, after half B lands in
+    * the source directory, a brand-new query object resumes. Lost offsets
+    * would re-emit all of A (sink row count inflates); lost dedup state
+    * would re-emit every straddling key from B; either breaks the hash
+    * against the batch DISTINCT over the FULL table. Both runs are
+    * vacuity-guarded: run 1 must emit a strict, non-empty subset of the
+    * final keys, and the straddle-key count must be non-zero at this SF.
+    *
+    * The parquet sink's _spark_metadata commit log spans both runs, so the
+    * read-back also proves the sink side of exactly-once across restart.
+    */
+  def d146StreamResume(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val root = Files.createTempDirectory("graft-stream-resume")
+    try {
+      val in = root.resolve("in"); val sink = root.resolve("out")
+      val ck = root.resolve("ck")
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"),
+        expr("CAST(ts DIV 1000000 AS BIGINT) div 3600000").as("hr"))
+      // keys present in BOTH halves: without them run 2 never tests state
+      // recovery (every B key would be new) and the row passes vacuously
+      val straddle = ev.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("event_type"), col("hr")).distinct()
+        .intersect(ev.filter(col("event_id") % 2 === 1)
+          .select(col("user_id"), col("event_type"), col("hr")).distinct())
+        .count()
+      require(straddle > 0,
+        "no dedup key straddles the two halves: resume would be untested")
+      ev.filter(col("event_id") % 2 === 0).drop("event_id")
+        .write.parquet(in.toString)
+
+      def runOnce(): Unit = {
+        val src = s.readStream
+          .schema(s.read.parquet(in.toString).schema).parquet(in.toString)
+          .withColumn("hr_ts", timestamp_millis(col("hr") * 3600000))
+        val deduped = StreamingOps.dedupExactStream(
+          src, Seq("user_id", "event_type", "hr"), "hr_ts", "3650 days")
+        val q = deduped.writeStream.format("parquet")
+          .option("path", sink.toString)
+          .option("checkpointLocation", ck.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      val afterRun1 = s.read.parquet(sink.toString).count()
+      ev.filter(col("event_id") % 2 === 1).drop("event_id")
+        .write.mode("append").parquet(in.toString)
+      runOnce()
+      val out = s.read.parquet(sink.toString).localCheckpoint(true)
+      require(afterRun1 > 0 && afterRun1 < out.count(),
+        s"run 1 emitted $afterRun1 of ${out.count()} keys: resume untested")
+      out.groupBy(col("event_type"))
+        .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_keys"),
+          expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").as("n_users"))
+    } finally deleteRecursively(root)
+  }
+
   def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame =
       withShufflePartitions(s, 8) {
     def side(tpe: String, pre: String): DataFrame =

@@ -254,4 +254,47 @@ class ScaleOpsSpec extends SparkTestBase {
       .as[(Long, Long, String)].collect().toSeq
     assertMultiset(next2, recomputed)
   }
+
+  test("profileColumns: null census, NATIVE-type min/max, one scan; approx mode drops Expand") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (2L, Some(10), "b"), (100L, None, "a"), (9L, Some(10), null),
+      (100L, Some(3), "c"), (9L, None, null))
+      .toDF("big", "opt", "str")
+    val prof = ScaleOps.profileColumns(df, Seq("big", "opt", "str"))
+    val byCol = prof.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    // min/max on the NATIVE type: numeric order gives 2..100, where a
+    // lexicographic (string) min/max would have given "100".."9"
+    assert(byCol("big") == ((5L, 0L, 3L, "2", "100")))
+    assert(byCol("opt") == ((5L, 2L, 2L, "3", "10")))
+    assert(byCol("str") == ((5L, 2L, 3L, "a", "c")))
+    // exact mode is a deliberate TWO-branch plan (see operator doc): the
+    // distinct branch must stay hash-aggregated (codegen) while only the
+    // min/max branch may fall to SortAggregate on string columns — the
+    // fused single-scan shape drags the whole Expand into SortAggregate.
+    // Assert on sparkPlan: the post-run AdaptiveSparkPlan string prints
+    // BOTH final and initial plans, double-counting every node.
+    def planOf(p: org.apache.spark.sql.DataFrame): String =
+      p.queryExecution.sparkPlan.toString
+    def scanCount(p: org.apache.spark.sql.DataFrame): Int =
+      "LocalTableScan".r.findAllIn(planOf(p)).size
+    assert(scanCount(prof) == 2, "exact profile is two aggregation branches")
+    assert(!planOf(prof).contains("SortAggregate(key=[gid"),
+      "the distinct branch must not sort-aggregate over the Expand")
+    // approx mode: HLL sketches, ONE scan, no Expand, distincts exact on
+    // this tiny input (HLL is exact far below the rsd regime)
+    val approx = ScaleOps.profileColumns(df, Seq("big", "opt", "str"),
+      approxDistinct = true)
+    assert(!planOf(approx).contains("Expand"),
+      "approx profile must not Expand the scan")
+    assert(scanCount(approx) == 1, "approx profile reads the input once")
+    val aByCol = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(aByCol == Map("big" -> 3L, "opt" -> 2L, "str" -> 3L))
+    // unknown column fails loudly, not with a late AnalysisException
+    intercept[IllegalArgumentException] {
+      ScaleOps.profileColumns(df, Seq("big", "nope"))
+    }
+  }
 }

@@ -137,6 +137,19 @@ class StreamingBatterySpec extends SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("d146 checkpoint resume == batch DISTINCT census (offsets + state recovered)") {
+    // the row's own require()s are the teeth (run 1 emits a strict subset;
+    // straddle keys exist); this pins the end result against the batch twin
+    val got = graft.streaming.StreamingBattery.d146StreamResume(spark, sf)
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("ts_ms div 3600000").as("hr"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_keys"),
+        expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").as("n_users"))
+    assertSameRows(got, want)
+  }
+
   test("d121 streaming quality gate == batch d60 gate") {
     assertSameRows(
       graft.streaming.StreamingBattery.d121StreamQuality(spark, sf),
