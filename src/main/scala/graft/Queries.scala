@@ -2351,6 +2351,25 @@ object Queries {
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_flag_nn",
         "l_shipdate"))
 
+  /** Salted skew join ([[graft.operators.ScaleOps.saltedJoin]]): lineitem
+    * (big side, deterministically salted 8 ways) joined to orders (exploded
+    * 8-fold), then rolled up by priority with the exact decimal money sum.
+    * The salt spreads any hot orderkey over 8 reducers in the shuffled-hash
+    * regime AQE's sort-merge skew split can't reach; the oracle is the
+    * plain unsalted join — salting must be invisible in the result.
+    */
+  def d149SaltedJoin(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScaleOps.saltedJoin(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      Seq("l_orderkey"), 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_items"),
+        expr("CAST(graft_money_sum(l_extendedprice * (1 - l_discount), 4) AS DOUBLE)")
+          .as("revenue"))
+
   /** DuckDB bit-interleave of two 21-bit-masked BIGINT columns — the z-order
     * oracle arithmetic, spelled out term by term (42 shift/mask/or terms).
     */
@@ -2516,6 +2535,9 @@ object Queries {
     "d146_stream_resume" ->
       (graft.streaming.StreamingBattery.d146StreamResume _),
     "d147_profile" -> (d147Profile _),
+    "d148_stream_sessions" ->
+      (graft.streaming.StreamingBattery.d148StreamSessions _),
+    "d149_salted_join" -> (d149SaltedJoin _),
   )
 
   private val toksSql =
@@ -3452,6 +3474,25 @@ object Queries {
          |  nullif(l_returnflag, 'N') AS l_flag_nn, l_shipdate FROM lineitem)
          |${selects.mkString("\nUNION ALL\n")}""".stripMargin
     },
+    // Spark's native streaming session_window must land on the SAME
+    // gap-and-island SQL that gates the batch q18 sessions
+    "d148_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+        | m AS (SELECT user_id, ms, value,
+        |   CASE WHEN LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |     OR ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 1800000
+        |   THEN 1 ELSE 0 END AS ns FROM e),
+        | s AS (SELECT user_id, ms, value,
+        |   SUM(ns) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, CAST(MIN(ms) AS BIGINT) AS session_start,
+        | CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    // the unsalted join — the 8-way salt must be invisible in the result
+    "d149_salted_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "d121_stream_quality" -> gopherOracleSql,
     "d122_stream_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, source, $toksLowerSql AS ws FROM documents),

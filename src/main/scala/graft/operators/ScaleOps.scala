@@ -458,6 +458,41 @@ object ScaleOps {
     wide.select(explode(array(long: _*)).as("p")).select("p.*")
   }
 
+  /** Salted equi-join for skewed keys in the regimes AQE's skew handling
+    * cannot reach: AQE splits oversized SORT-MERGE partitions at runtime,
+    * but a hot key inside a shuffled HASH join, a stream-static join, or a
+    * first-shuffle aggregation-free topology still funnels into one task.
+    * The left (big, skewed) side gets a deterministic salt in [0, factor);
+    * the right side is exploded `factor`-fold so every (key, salt) pair
+    * can match — the hot key's rows spread over `factor` tasks at the cost
+    * of shipping the right side `factor` times.
+    *
+    * The salt is a PURE FUNCTION of the full left row (xxhash64 over every
+    * column), not `rand()`: a retried or speculatively re-run task
+    * re-derives the identical salt, so the join stays exactly-once under
+    * failure, and re-runs are byte-reproducible. Identical duplicate rows
+    * share a salt — skew relief comes from hot KEYS whose rows differ
+    * somewhere, which is what real fact-table skew looks like.
+    *
+    * `joinType` is limited to inner/left: an outer ROW on the exploded
+    * right side would surface once per salt. Right/full-outer needs the
+    * dual construction (salt the right, explode the left).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "saltedJoin needs at least one key column")
+    require(saltFactor > 1, s"saltFactor must be > 1: $saltFactor")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left joins only: $joinType")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "__salt collides with an input column")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Range-partitioned write for time-ordered data: partition pruning on the
     * partition column + ordered files for merge-friendly scans.
     */

@@ -372,6 +372,45 @@ object StreamingBattery {
     } finally deleteRecursively(root)
   }
 
+  /** Streaming SESSION windows, oracle-gated: Spark's native
+    * `session_window` (gap 30 min) under AvailableNow, hash-checked
+    * against the same DuckDB gap-and-island SQL that gates the batch q18
+    * twin — so the engine's two session implementations (the Beam-model
+    * merging WindowFn and Spark's streaming session state) are pinned to
+    * ONE oracle. Append mode emits a session only once the watermark
+    * passes its end, so the far-future sentinel row (class doc) advances
+    * the watermark past every real session; the sentinel's own session
+    * never finalizes (its end stays ahead of the watermark) and is
+    * belt-and-braces filtered batch-side AFTER the sink read — filtering
+    * inside the streaming query would risk Catalyst pushing the predicate
+    * below the watermark node (the d124 hazard, spec-pinned there).
+    */
+  def d148StreamSessions(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val sp = s; import sp.implicits._
+    val root = Files.createTempDirectory("graft-stream-sessions")
+    try {
+      val in = root.resolve("in")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("value"), col("ts_ms"))
+      val maxTs = ev.agg(max(col("ts_ms"))).head.getLong(0)
+      val sentinel = Seq((-1L, 0.0, maxTs + 365L * 24 * 3600 * 1000))
+        .toDF("user_id", "value", "ts_ms")
+      ev.union(sentinel).write.parquet(in.toString)
+      val src = streamParquet(s, in.toString)
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts", "1 second")
+      val sess = src
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("session_start"),
+          col("n_events").cast("long").as("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+      runToTable(s, sess).filter(col("user_id") >= 0)
+    } finally deleteRecursively(root)
+  }
+
   def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame =
       withShufflePartitions(s, 8) {
     def side(tpe: String, pre: String): DataFrame =

@@ -255,6 +255,45 @@ class ScaleOpsSpec extends SparkTestBase {
     assertMultiset(next2, recomputed)
   }
 
+  test("saltedJoin: salting invisible in results, left rows survive once, salt reaches the exchange") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (3L, "e"))
+      .toDF("k", "lv")
+    val right = Seq((1L, 10), (2L, 20), (9L, 90)).toDF("k", "rv")
+    val inner = ScaleOps.saltedJoin(left, right, Seq("k"), 4)
+    assertMultiset(
+      inner.select(col("k"), col("lv"), col("rv")).as[(Long, String, Int)].collect().toSeq,
+      left.join(right, "k").select(col("k"), col("lv"), col("rv"))
+        .as[(Long, String, Int)].collect().toSeq)
+    // left join: the unmatched left row (k=3) survives EXACTLY once, not
+    // once per salt
+    val lj = ScaleOps.saltedJoin(left, right, Seq("k"), 4, "left")
+    assert(lj.count() == 5)
+    assert(lj.filter(col("k") === 3 && col("rv").isNull).count() == 1)
+    // deterministic: the salt is a pure function of the row, so two
+    // independent plans produce identical output (retry/speculation safety)
+    assertMultiset(
+      inner.collect().map(_.toSeq).toSeq,
+      ScaleOps.saltedJoin(left, right, Seq("k"), 4).collect().map(_.toSeq).toSeq)
+    // the whole point: the join (and so its exchange requirement) keys on
+    // (k, __salt) — a hot key's rows spread over saltFactor reducers.
+    // sparkPlan shows the join BEFORE EnsureRequirements inserts the
+    // exchanges, so pin the join keys, which the exchanges must satisfy.
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = ScaleOps.saltedJoin(left, right, Seq("k"), 4)
+        .queryExecution.sparkPlan.toString
+      assert("Join \\[k#\\d+L?, __salt".r.findFirstIn(plan).nonEmpty,
+        s"expected a join keyed on (k, __salt) in:\n$plan")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // outer flavors that would duplicate unmatched right rows are refused
+    intercept[IllegalArgumentException] {
+      ScaleOps.saltedJoin(left, right, Seq("k"), 4, "full_outer")
+    }
+  }
+
   test("profileColumns: null census, NATIVE-type min/max, one scan; approx mode drops Expand") {
     val s = spark
     import s.implicits._

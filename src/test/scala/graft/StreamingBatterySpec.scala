@@ -150,6 +150,14 @@ class StreamingBatterySpec extends SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("d148 streaming session_window == batch Sessions WindowFn (q18)") {
+    // two session implementations, one result: Spark's streaming session
+    // state vs the Beam-model merging WindowFn, at sf0.001
+    assertSameRows(
+      graft.streaming.StreamingBattery.d148StreamSessions(spark, sf),
+      Queries.q18SessionWindows(spark, sf))
+  }
+
   test("d121 streaming quality gate == batch d60 gate") {
     assertSameRows(
       graft.streaming.StreamingBattery.d121StreamQuality(spark, sf),
