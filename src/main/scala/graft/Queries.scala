@@ -2538,6 +2538,8 @@ object Queries {
     "d148_stream_sessions" ->
       (graft.streaming.StreamingBattery.d148StreamSessions _),
     "d149_salted_join" -> (d149SaltedJoin _),
+    "d150_stream_left_join" ->
+      (graft.streaming.StreamingBattery.d150StreamLeftJoin _),
   )
 
   private val toksSql =
@@ -3613,6 +3615,17 @@ object Queries {
         | p.event_id AS purchase_id, p.value AS value
         |FROM events c JOIN events p ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+        | AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 14400000""".stripMargin,
+
+    // the left-outer twin: unmatched clicks must surface with nulls, which
+    // streaming-side only happens when the watermark evicts their state
+    "d150_stream_left_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        | p.event_id AS purchase_id, p.value AS value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        | ON c.user_id = p.user_id
         | AND epoch_ms(p.ts) >= epoch_ms(c.ts)
         | AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 14400000""".stripMargin,
 

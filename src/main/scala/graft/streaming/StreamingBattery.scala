@@ -411,6 +411,51 @@ object StreamingBattery {
     } finally deleteRecursively(root)
   }
 
+  /** Stream-stream LEFT OUTER interval join, oracle-gated: unlike the
+    * inner join (d139), the outer side exercises the eviction-driven
+    * emission path — a click with no purchase within its 4-hour window is
+    * emitted with nulls only when the WATERMARK passes the window's end
+    * and the state store gives up on a future match. The far-future
+    * sentinel (one per side, filtered batch-side after the sink) advances
+    * the watermark past every click's window so the trailing no-data
+    * batch flushes all unmatched state before AvailableNow terminates —
+    * without it the query would end with the unmatched clicks silently
+    * still buffered, which is exactly the bug class this row pins.
+    */
+  def d150StreamLeftJoin(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val sp = s; import sp.implicits._
+    val root = Files.createTempDirectory("graft-stream-leftjoin")
+    try {
+      val in = root.resolve("in")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_ms"))
+      val maxTs = ev.agg(max(col("ts_ms"))).head.getLong(0)
+      val far = maxTs + 365L * 24 * 3600 * 1000
+      val sentinels = Seq(
+        (-1L, -1L, "click", 0.0, far), (-2L, -2L, "purchase", 0.0, far))
+        .toDF("event_id", "user_id", "event_type", "value", "ts_ms")
+      ev.union(sentinels).write.parquet(in.toString)
+      def side(tpe: String, pre: String): DataFrame =
+        streamParquet(s, in.toString)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(s"${pre}_user"),
+            col("event_id").as(s"${pre}_id"),
+            timestamp_millis(col("ts_ms")).as(s"${pre}_ts"),
+            col("value").as(s"${pre}_value"))
+          .withWatermark(s"${pre}_ts", "1 second")
+      val joined = side("click", "c").join(side("purchase", "p"),
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 4 HOURS"),
+        "left_outer")
+        .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+          col("p_id").as("purchase_id"), col("p_value").as("value"))
+      runToTable(s, joined).filter(col("user_id") >= 0)
+    } finally deleteRecursively(root)
+  }
+
   def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame =
       withShufflePartitions(s, 8) {
     def side(tpe: String, pre: String): DataFrame =

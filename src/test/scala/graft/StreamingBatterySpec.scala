@@ -225,4 +225,25 @@ class StreamingBatterySpec extends SparkTestBase {
     assert(got.count() > 0, "interval join produced no pairs at this sf")
     assertSameRows(got, want)
   }
+
+  test("d150 stream-stream LEFT join == batch left join (eviction emits the unmatched)") {
+    val ev = Tables.events(spark, sf)
+    def typed(tpe: String, pre: String) = ev.filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${pre}_user"), col("event_id").as(s"${pre}_id"),
+        col("ts_ms").as(s"${pre}_ms"), col("value").as(s"${pre}_value"))
+    val want = typed("click", "c").join(typed("purchase", "p"),
+      col("c_user") === col("p_user") &&
+        col("p_ms") >= col("c_ms") &&
+        col("p_ms") <= col("c_ms") + 14400000L, "left_outer")
+      .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+        col("p_id").as("purchase_id"), col("p_value").as("value"))
+    val got = graft.streaming.StreamingBattery.d150StreamLeftJoin(spark, sf)
+    // the row is only evidence if BOTH emission paths fire at this sf:
+    // matches (batch-time) and unmatched clicks (watermark eviction)
+    assert(got.filter(col("purchase_id").isNull).count() > 0,
+      "no unmatched clicks: the eviction-emission path went untested")
+    assert(got.filter(col("purchase_id").isNotNull).count() > 0,
+      "no matches: the join path went untested")
+    assertSameRows(got, want)
+  }
 }
