@@ -30,7 +30,12 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = only match {
       case Some(prefixes) =>
-        SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+        val hit = SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+        // a typo'd prefix must fail loudly, not print a plausible 0-second
+        // bench (same contract as Verify's unknown-query check)
+        require(hit.nonEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY matched no queries: ${prefixes.mkString(",")}")
+        hit
       case None => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
