@@ -256,12 +256,18 @@ object ScaleOps {
     // relative-vs-absolute spelling of the same directory through — and
     // overwrite mode would then delete the input before the lazy read
     // scans it — while falsely refusing equal paths on DIFFERENT
-    // filesystems (a legitimate cross-FS compaction).
+    // filesystems (a legitimate cross-FS compaction). Containment is as
+    // fatal as equality: an outPath ABOVE inPath makes the overwrite
+    // delete the input tree; an outPath INSIDE inPath writes output into
+    // the source directory.
     val inQ = fs.makeQualified(p)
     val outQ = new org.apache.hadoop.fs.Path(outPath)
       .getFileSystem(hconf).makeQualified(new org.apache.hadoop.fs.Path(outPath))
-    require(inQ != outQ,
-      s"compaction is not in-place: $inQ must differ from $outQ")
+    def containsPath(anc: org.apache.hadoop.fs.Path,
+        desc: org.apache.hadoop.fs.Path): Boolean =
+      Iterator.iterate(desc)(_.getParent).takeWhile(_ != null).contains(anc)
+    require(!containsPath(outQ, inQ) && !containsPath(inQ, outQ),
+      s"compaction is not in-place: $outQ must be disjoint from $inQ")
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     // The scan's own file packing (maxPartitionBytes/openCostInBytes) can
@@ -430,8 +436,13 @@ object ScaleOps {
   def profileColumns(df: DataFrame, cols: Seq[String],
       approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"duplicate profile columns: ${cols.diff(cols.distinct).mkString(", ")}")
+    // exact-name match, deliberately: the __nn_/__nd_ aliases are built
+    // from the requested spelling, so a case-folded resolve here would
+    // still collide two spellings of one column downstream
     val missing = cols.filterNot(df.columns.contains)
-    require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
+    require(missing.isEmpty, s"columns not in schema (exact match): ${missing.mkString(", ")}")
     val regularAggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nn_$c"),
@@ -442,7 +453,7 @@ object ScaleOps {
       if (approxDistinct)
         df.agg(count(lit(1)).as("__n"),
           regularAggs ++ cols.map(c =>
-            approx_count_distinct(col(c)).as(s"__nd_$c")): _*)
+            approx_count_distinct(col(c), rsd = 0.025).as(s"__nd_$c")): _*)
       else
         df.agg(count(lit(1)).as("__n"), regularAggs: _*)
           .crossJoin(df.agg(countDistinct(col(cols.head)).as(s"__nd_${cols.head}"),

@@ -399,12 +399,12 @@ object StreamingBattery {
       ev.union(sentinel).write.parquet(in.toString)
       val src = streamParquet(s, in.toString)
         .withColumn("ts", timestamp_millis(col("ts_ms")))
-        .withWatermark("ts", "1 second")
-      val sess = src
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      val sess = StreamingOps.sessionAggregate(src, "ts", "user_id",
+          "30 minutes",
+          Seq(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value")),
+          watermarkDelay = "1 second")
         .select(col("user_id"),
-          unix_millis(col("session_window.start")).as("session_start"),
+          unix_millis(col("session_start")).as("session_start"),
           col("n_events").cast("long").as("n_events"),
           round(col("sum_value"), 4).as("sum_value"))
       runToTable(s, sess).filter(col("user_id") >= 0)

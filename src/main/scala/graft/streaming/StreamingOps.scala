@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.core._
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import scala.collection.mutable
@@ -37,15 +37,27 @@ object StreamingOps {
 
   /** Session windows on a stream via native `session_window` — the streaming
     * counterpart of Sessions+GBK (ray_runner_test.py:880-890 semantics).
+    * ONE definition of the session topology: every session-window consumer
+    * (sessionCounts, the d148 battery row) routes through here so a
+    * watermark or gap-semantics fix lands everywhere at once.
     */
+  def sessionAggregate(
+      events: DataFrame, tsCol: String, keyCol: String, gap: String,
+      aggs: Seq[Column], watermarkDelay: String = "10 seconds"): DataFrame = {
+    require(aggs.nonEmpty, "sessionAggregate needs at least one aggregate")
+    val g = events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("session"))
+      .agg(aggs.head, aggs.tail: _*)
+    val aggOut = g.columns.drop(2).map(col).toSeq // key, session, then aggs
+    g.select(col(keyCol) +: col("session.start").as("session_start") +:
+      col("session.end").as("session_end") +: aggOut: _*)
+  }
+
   def sessionCounts(
       events: DataFrame, tsCol: String, keyCol: String,
       gap: String, watermarkDelay: String = "10 seconds"): DataFrame =
-    events.withWatermark(tsCol, watermarkDelay)
-      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("session"))
-      .agg(count(lit(1)).as("n"))
-      .select(col(keyCol), col("session.start").as("session_start"),
-        col("session.end").as("session_end"), col("n"))
+    sessionAggregate(events, tsCol, keyCol, gap,
+      Seq(count(lit(1)).as("n")), watermarkDelay)
 
   /** Stream-static broadcast join — the streaming analog of a side input
     * (reference windowed/global side inputs, execution.py:469-525): each

@@ -206,8 +206,16 @@ class ScaleOpsSpec extends SparkTestBase {
       // and the compaction plan is narrow: no shuffle exchange anywhere
       val plan = s.read.parquet(in).coalesce(planned).queryExecution.executedPlan
       assert(!plan.toString.contains("Exchange"), s"compaction must not shuffle:\n$plan")
-      // in-place compaction is refused
+      // in-place compaction is refused — equality AND containment in both
+      // directions (an outPath above the input would overwrite-delete it;
+      // one inside it would write output into the source tree)
       intercept[IllegalArgumentException] { ScaleOps.compactFiles(s, in, in) }
+      intercept[IllegalArgumentException] {
+        ScaleOps.compactFiles(s, s"$in/date=2024", in)
+      }
+      intercept[IllegalArgumentException] {
+        ScaleOps.compactFiles(s, in, s"$in/compacted")
+      }
     } finally {
       deleteRecursively(in); deleteRecursively(out)
     }
@@ -331,9 +339,13 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(scanCount(approx) == 1, "approx profile reads the input once")
     val aByCol = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(aByCol == Map("big" -> 3L, "opt" -> 2L, "str" -> 3L))
-    // unknown column fails loudly, not with a late AnalysisException
+    // unknown and duplicate columns fail loudly, not with a late
+    // AnalysisException from colliding __nd_ aliases
     intercept[IllegalArgumentException] {
       ScaleOps.profileColumns(df, Seq("big", "nope"))
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.profileColumns(df, Seq("big", "big"))
     }
   }
 }
