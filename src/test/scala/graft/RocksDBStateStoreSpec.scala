@@ -111,4 +111,23 @@ class RocksDBStateStoreSpec extends SparkTestBase {
         s"expired member still paired on RocksDB: $got")
     } finally q.stop()
   }
+
+  test("checkpoint RESUME reloads dedup state from the RocksDB store") {
+    // d146's two-run topology under RocksDB: run 2 must RECOVER run 1's
+    // dropDuplicatesWithinWatermark state from the checkpoint's RocksDB
+    // files (not an in-heap map) to suppress the straddling keys — the
+    // restart-recovery path the TTL/timer tests above never exercise
+    val s = rocks
+    val got = graft.streaming.StreamingBattery
+      .d146StreamResume(s, "/root/testdata/sf0.001")
+    val want = Tables.events(s, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ms div 3600000").as("hr"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_keys"),
+        expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").as("n_users"))
+    assertMultiset(
+      got.collect().map(_.toSeq).toSeq, want.collect().map(_.toSeq).toSeq)
+  }
 }

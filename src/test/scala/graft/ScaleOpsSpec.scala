@@ -302,6 +302,28 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("saltedJoin: seeded random sweep == unsalted join, null keys included") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    for (factor <- Seq(2, 5); joinType <- Seq("inner", "left")) {
+      // key space small enough to force overlaps AND misses; ~8% null keys
+      // pin SQL null-match semantics (null joins nothing, salted or not)
+      def keys(n: Int) = Seq.fill(n)(
+        if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(12).toLong))
+      val left = keys(200).zipWithIndex.map { case (k, i) => (k, s"l$i") }
+        .toDF("k", "lv")
+      val right = keys(30).zipWithIndex.map { case (k, i) => (k, i) }
+        .toDF("k", "rv")
+      val got = ScaleOps.saltedJoin(left, right, Seq("k"), factor, joinType)
+        .select(col("k"), col("lv"), col("rv"))
+      val want = left.join(right, Seq("k"), joinType)
+        .select(col("k"), col("lv"), col("rv"))
+      assertMultiset(
+        got.collect().map(_.toSeq).toSeq, want.collect().map(_.toSeq).toSeq)
+    }
+  }
+
   test("profileColumns: null census, NATIVE-type min/max, one scan; approx mode drops Expand") {
     val s = spark
     import s.implicits._
