@@ -414,6 +414,26 @@ object ScaleOps {
       .parquet(path)
   }
 
+  /** Globally ordered export: range-partition on `sortCols` then sort
+    * within each partition — a TOTAL order across the output files (every
+    * file's max key ≤ the next file's min key) without funneling the data
+    * through one reducer the way a naive `orderBy.coalesce(1)` would. The
+    * range boundaries come from Spark's reservoir sample of the input, so
+    * the exchange stays balanced under skewless and mildly-skewed keys;
+    * the per-file sort makes every file binary-search-friendly and gives
+    * parquet tight per-row-group min/max on the sort key, so a range
+    * predicate prunes to the few files covering it (the 1-D sibling of
+    * [[writeZOrdered]]'s multi-dim clustering).
+    */
+  def writeSorted(df: DataFrame, sortCols: Seq[String], path: String,
+      numFiles: Int): Unit = {
+    require(sortCols.nonEmpty, "writeSorted needs at least one sort column")
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Column profile: per-column row/null/distinct counts and min/max (as
     * strings, so heterogeneous column types share one long-form schema),
     * the data-quality census a pipeline runs before trusting a new 100 TB

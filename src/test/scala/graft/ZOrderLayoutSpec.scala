@@ -103,6 +103,57 @@ class ZOrderLayoutSpec extends SparkTestBase {
     deleteRecursively(root)
   }
 
+  test("writeSorted: total order across files, sorted within, range scan prunes") {
+    val root = Files.createTempDirectory("graft-sorted-spec").toString
+    val data = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    ScaleOps.writeSorted(data, Seq("l_orderkey"), s"$root/sorted", numFiles = 16)
+    data.repartition(16).write.parquet(s"$root/shuffled")
+
+    // content preserved row-for-row
+    val read = spark.read.parquet(s"$root/sorted")
+    assert(read.count() == data.count())
+    assert(read.except(data).isEmpty && data.except(read).isEmpty)
+
+    // every file internally sorted, and file fences form a TOTAL order:
+    // part files sort lexicographically in partition order, so
+    // max(file_i) <= min(file_{i+1})
+    val parts = new java.io.File(s"$root/sorted").listFiles
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length > 4, s"expected several part files, got ${parts.length}")
+    val fences = parts.toSeq.map { f =>
+      val ks = spark.read.parquet(f.getAbsolutePath)
+        .select(col("l_orderkey")).collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"${f.getName} not internally sorted")
+      (ks.min, ks.max)
+    }
+    fences.sliding(2).foreach {
+      case Seq((_, prevMax), (nextMin, _)) =>
+        assert(prevMax <= nextMin,
+          s"file fences overlap: max $prevMax > next min $nextMin")
+      case _ =>
+    }
+
+    // the layout's point: a narrow range reads a few files' rows, the
+    // round-robin twin reads everything
+    val range = (df: DataFrame) =>
+      df.filter(col("l_orderkey").between(100, 250))
+    assertMultiset(
+      range(spark.read.parquet(s"$root/sorted"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      range(spark.read.parquet(s"$root/shuffled"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // FRESH plans for the metric reads: numOutputRows accumulates across
+    // executions of one DataFrame instance, so reusing the collect()'d
+    // frames would double-count
+    val pruned = scannedRows(range(spark.read.parquet(s"$root/sorted")))
+    val full = scannedRows(range(spark.read.parquet(s"$root/shuffled")))
+    assert(full == data.count(), s"twin should scan everything: $full")
+    assert(pruned * 4 <= full,
+      s"sorted layout should scan <= 1/4 of the twin (got $pruned vs $full)")
+    deleteRecursively(root)
+  }
+
   test("bloom export: footer carries the filter; point lookup skips row groups") {
     val root = Files.createTempDirectory("graft-bloom-spec").toString
     val data = Tables.orders(spark, d)
