@@ -2540,6 +2540,8 @@ object Queries {
     "d149_salted_join" -> (d149SaltedJoin _),
     "d150_stream_left_join" ->
       (graft.streaming.StreamingBattery.d150StreamLeftJoin _),
+    "d151_stream_cdc" ->
+      (graft.streaming.StreamingBattery.d151StreamCdc _),
   )
 
   private val toksSql =
@@ -3593,6 +3595,25 @@ object Queries {
         |FROM orders WHERE o_custkey % 97 = 0 GROUP BY 1""".stripMargin,
 
     "d138_upsert_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D' AS op
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'U', o_totalprice + 10.0, 'U'
+        |  FROM base WHERE o_orderkey % 7 IN (1, 2)
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice, 'I'
+        |  FROM base WHERE o_orderkey % 7 = 3)
+        |SELECT b.* FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = b.o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM changes WHERE op IN ('I', 'U')""".stripMargin,
+
+    // the per-micro-batch CDC fold must land on the one-shot batch MERGE
+    "d151_stream_cdc" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
         |changes AS (

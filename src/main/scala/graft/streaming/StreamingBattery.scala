@@ -456,6 +456,59 @@ object StreamingBattery {
     } finally deleteRecursively(root)
   }
 
+  /** Streaming CDC snapshot maintenance, oracle-gated: the d138 change set
+    * (mod-7 I/U/D mutation of orders) is split arbitrarily into four files
+    * and replayed one file per micro-batch; each batch folds into a
+    * maintained snapshot via [[graft.operators.ScaleOps.applyChanges]]
+    * inside `foreachBatch` — the upsert half of the standing-pipeline
+    * story, next to d145's aggregate half. The final snapshot must equal
+    * the one-shot batch MERGE the d138 oracle spells out: a lost batch, a
+    * double-applied batch, or any order sensitivity across the arbitrary
+    * file split breaks the 15k-row hash. (The change set has at most one
+    * op per key, so any batch partition of it must converge — the same
+    * idempotence contract ScaleOpsSpec pins for prefix replay.)
+    */
+  def d151StreamCdc(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val root = Files.createTempDirectory("graft-stream-cdc")
+    try {
+      val in = root.resolve("in")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m = col("o_orderkey") % 7
+      val changes = base.filter(m === 0)
+        .withColumn("op", lit("D"))
+        .unionByName(base.filter(m.isin(1, 2))
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+          .withColumn("op", lit("U")))
+        .unionByName(base.filter(m === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+          .withColumn("op", lit("I")))
+      changes.repartition(4).write.parquet(in.toString)
+      var snap = base.localCheckpoint(true)
+      var nBatches = 0
+      val src = s.readStream.schema(s.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          nBatches += 1
+          snap = graft.operators.ScaleOps
+            .applyChanges(snap, batch, Seq("o_orderkey"), "op")
+            .localCheckpoint(true)
+          ()
+        }
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // vacuity guard: four staged files must mean a genuinely incremental
+      // fold, or the equivalence says nothing about per-batch maintenance
+      require(nBatches >= 2,
+        s"expected a multi-batch CDC fold, got $nBatches batch(es)")
+      snap
+    } finally deleteRecursively(root)
+  }
+
   def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame =
       withShufflePartitions(s, 8) {
     def side(tpe: String, pre: String): DataFrame =

@@ -158,6 +158,12 @@ class StreamingBatterySpec extends SparkTestBase {
       Queries.q18SessionWindows(spark, sf))
   }
 
+  test("d151 streaming CDC fold == batch one-shot applyChanges (d138)") {
+    assertSameRows(
+      graft.streaming.StreamingBattery.d151StreamCdc(spark, sf),
+      Queries.d138UpsertMerge(spark, sf))
+  }
+
   test("d121 streaming quality gate == batch d60 gate") {
     assertSameRows(
       graft.streaming.StreamingBattery.d121StreamQuality(spark, sf),
