@@ -2370,6 +2370,24 @@ object Queries {
         expr("CAST(graft_money_sum(l_extendedprice * (1 - l_discount), 4) AS DOUBLE)")
           .as("revenue"))
 
+  /** Forward-fill ([[graft.operators.ScaleOps.fillForward]]): every fifth
+    * event's value is nulled (the synthetic sensor dropout), then filled
+    * from the user's most recent non-null reading in (ts_ms, event_id)
+    * order — event_id breaks timestamp ties so "most recent" is
+    * deterministic. The oracle recomputes the fill with DuckDB's
+    * IGNORE NULLS window; leading nulls (no prior reading) must STAY null
+    * in both engines.
+    */
+  def d152FillForward(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScaleOps.fillForward(
+      Tables.events(s, d)
+        .select(expr("CAST(event_id AS BIGINT)").as("event_id"),
+          expr("CAST(user_id AS BIGINT)").as("user_id"), col("ts_ms"),
+          when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value"))
+            .as("value")),
+      partitionCols = Seq("user_id"), orderCols = Seq("ts_ms", "event_id"),
+      fillCols = Seq("value"))
+
   /** DuckDB bit-interleave of two 21-bit-masked BIGINT columns — the z-order
     * oracle arithmetic, spelled out term by term (42 shift/mask/or terms).
     */
@@ -2542,6 +2560,7 @@ object Queries {
       (graft.streaming.StreamingBattery.d150StreamLeftJoin _),
     "d151_stream_cdc" ->
       (graft.streaming.StreamingBattery.d151StreamCdc _),
+    "d152_fill_forward" -> (d152FillForward _),
   )
 
   private val toksSql =
@@ -3611,6 +3630,17 @@ object Queries {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM changes WHERE op IN ('I', 'U')""".stripMargin,
+
+    // IGNORE NULLS windowed fill recomputed; leading nulls stay null
+    "d152_fill_forward" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        | CAST(user_id AS BIGINT) AS user_id,
+        | epoch_ms(ts) AS ts_ms,
+        | last_value(CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END
+        |   IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_ms(ts), event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |FROM events""".stripMargin,
 
     // the per-micro-batch CDC fold must land on the one-shot batch MERGE
     "d151_stream_cdc" ->

@@ -414,6 +414,34 @@ object ScaleOps {
       .parquet(path)
   }
 
+  /** Forward-fill: replace each null in `fillCols` with the most recent
+    * non-null value within its partition, in `orderCols` order — the
+    * gap-filling step for sensor/price/state columns before a pipeline
+    * treats the table as dense. `orderCols` must be a DETERMINISTIC total
+    * order within each partition (add a tiebreaker column if the primary
+    * order has ties); with ties the "most recent" row is whichever the
+    * sort happened to place last, and re-runs may disagree.
+    *
+    * Scale: all fill columns share ONE window spec, so Catalyst plans a
+    * single partitioned sort-and-scan (one shuffle) no matter how many
+    * columns are filled. A partition must fit a reducer's spillable sort —
+    * fill per (series, day) or per bucket at 100 TB, never one global
+    * series.
+    */
+  def fillForward(df: DataFrame, partitionCols: Seq[String],
+      orderCols: Seq[String], fillCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty, "fillForward needs partition columns")
+    require(orderCols.nonEmpty, "fillForward needs an ordering")
+    require(fillCols.nonEmpty, "fillForward needs columns to fill")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    fillCols.foldLeft(df)((acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
   /** Globally ordered export: range-partition on `sortCols` then sort
     * within each partition — a TOTAL order across the output files (every
     * file's max key ≤ the next file's min key) without funneling the data

@@ -324,6 +324,35 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("fillForward: fills from the latest non-null, leading nulls stay, one Window for all columns") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", 1L, Option.empty[Int], Option.empty[Double]),
+      ("a", 2L, Some(10), Some(1.5)),
+      ("a", 3L, None, None),
+      ("a", 4L, Some(20), None),
+      ("a", 5L, None, Some(2.5)),
+      ("b", 1L, None, None))
+      .toDF("k", "o", "x", "y")
+    val got = ScaleOps.fillForward(df, Seq("k"), Seq("o"), Seq("x", "y"))
+      .orderBy("k", "o")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toSeq
+    assert(got == Seq(
+      ("a", 1L, None, None),            // leading nulls: nothing to fill from
+      ("a", 2L, Some(10), Some(1.5)),
+      ("a", 3L, Some(10), Some(1.5)),   // both filled from o=2
+      ("a", 4L, Some(20), Some(1.5)),   // x advances, y still from o=2
+      ("a", 5L, Some(20), Some(2.5)),
+      ("b", 1L, None, None)))           // partitions isolated
+    // both fill columns must share ONE window (one sort, one shuffle)
+    val plan = ScaleOps.fillForward(df, Seq("k"), Seq("o"), Seq("x", "y"))
+      .queryExecution.sparkPlan.toString
+    assert("(?m)^\\s*\\+?-? ?Window ".r.findAllIn(plan).size == 1,
+      s"expected exactly one Window node:\n$plan")
+  }
+
   test("profileColumns: null census, NATIVE-type min/max, one scan; approx mode drops Expand") {
     val s = spark
     import s.implicits._
