@@ -40,7 +40,12 @@ object MakeScaled {
     copies("events", df => i => df
       .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
       .withColumn("user_id", col("user_id") + lit(i * 1000000L))
-      .withColumn("ts", col("ts") + lit(i * 3600000000000L)))
+      // shift each copy +i hours in the column's physical representation
+      .withColumn("ts", df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          col("ts") + lit(i * 3600000000000L) // nanos-as-long
+        case _ => col("ts") + expr(s"INTERVAL '$i' HOUR")
+      }))
     copies("documents", id("doc_id", 1000000L))
     copies("embeddings", id("vec_id", 1000000L))
     Seq("nation", "region").filter(wanted).foreach { n =>

@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
-  * `events.parquet` carries nanosecond parquet timestamps, which Spark's
-  * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); sessions must set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[GraftSession]]), which
-  * surfaces `ts` as BIGINT nanos. [[events]] derives `ts_ms` (epoch millis,
-  * integral floor) — the canonical event-time column, chosen because DuckDB's
-  * `epoch_ms(ts)` floors identically, so window boundaries hash-match the
-  * oracle exactly.
+  * The events `ts` column has shipped in two physical representations
+  * across data drops: nanosecond parquet timestamps (which Spark's reader
+  * surfaces as BIGINT nanos under `spark.sql.legacy.parquet.nanosAsLong`,
+  * kept on in [[GraftSession]]) and plain microsecond timestamps (read as
+  * TIMESTAMP_NTZ). [[tsMs]] normalizes either to `ts_ms` BIGINT epoch
+  * millis (integral floor) — the canonical event-time column, chosen
+  * because DuckDB's `epoch_ms(ts)` floors identically for both physical
+  * types, so window boundaries hash-match the oracle exactly.
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -27,9 +28,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events with `ts_ms` BIGINT epoch-millis (ns → ms integral floor). */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events").withColumn("ts_ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
+  /** Epoch-millis (BIGINT, integral floor) for a frame's `ts` column,
+    * adaptive to the physical type the parquet reader produced. NTZ goes
+    * through a session-timezone cast — [[GraftSession]] pins UTC, so the
+    * wall-clock value IS the epoch value, matching DuckDB's `epoch_ms`
+    * over its (naive) TIMESTAMP exactly; `unix_millis` floor-divides
+    * micros, matching `DIV` on the nanos-as-long representation.
+    */
+  def tsMs(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("CAST(ts DIV 1000000 AS BIGINT)") // nanos-as-long drops
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        expr("unix_millis(CAST(ts AS TIMESTAMP))") // naive, session tz UTC
+      case _: org.apache.spark.sql.types.TimestampType =>
+        expr("unix_millis(ts)")
+      case other => throw new IllegalStateException(
+        s"unsupported events.ts physical type: $other")
+    }
+
+  /** events with `ts_ms` BIGINT epoch-millis (see [[tsMs]]). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.withColumn("ts_ms", tsMs(raw))
+  }
 }
 
 /** Session factory with the engine's standard config. */

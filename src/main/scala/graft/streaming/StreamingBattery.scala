@@ -109,9 +109,11 @@ object StreamingBattery {
     */
   def d120StreamDedup(s: SparkSession, d: String): DataFrame =
       withShufflePartitions(s, 8) {
-    val src = streamParquet(s, s"$d/events.parquet")
+    val raw = streamParquet(s, s"$d/events.parquet")
+    val src = raw
+      .select(col("user_id"), col("event_type"), Tables.tsMs(raw).as("ts_ms"))
       .select(col("user_id"), col("event_type"),
-        expr("CAST(ts DIV 1000000 AS BIGINT) div 3600000").as("hr"))
+        expr("ts_ms div 3600000").as("hr"))
       .withColumn("hr_ts", timestamp_millis(col("hr") * 3600000))
     val deduped = StreamingOps.dedupExactStream(
       src, Seq("user_id", "event_type", "hr"), "hr_ts", "3650 days")
@@ -332,8 +334,7 @@ object StreamingBattery {
       val in = root.resolve("in"); val sink = root.resolve("out")
       val ck = root.resolve("ck")
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
-        col("event_type"),
-        expr("CAST(ts DIV 1000000 AS BIGINT) div 3600000").as("hr"))
+        col("event_type"), expr("ts_ms div 3600000").as("hr"))
       // keys present in BOTH halves: without them run 2 never tests state
       // recovery (every B key would be new) and the row passes vacuously
       val straddle = ev.filter(col("event_id") % 2 === 0)
@@ -511,13 +512,14 @@ object StreamingBattery {
 
   def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame =
       withShufflePartitions(s, 8) {
-    def side(tpe: String, pre: String): DataFrame =
-      streamParquet(s, s"$d/events.parquet")
-        .filter(col("event_type") === tpe)
+    def side(tpe: String, pre: String): DataFrame = {
+      val raw = streamParquet(s, s"$d/events.parquet")
+      raw.filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${pre}_user"), col("event_id").as(s"${pre}_id"),
-          timestamp_millis(expr("CAST(ts DIV 1000000 AS BIGINT)")).as(s"${pre}_ts"),
+          timestamp_millis(Tables.tsMs(raw)).as(s"${pre}_ts"),
           col("value").as(s"${pre}_value"))
         .withWatermark(s"${pre}_ts", "0 seconds")
+    }
     val joined = side("click", "c").join(side("purchase", "p"),
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
