@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   *  - free-double sums are ROUND()ed to 4-6 digits (both engines compute the
   *    same per-element doubles; only the summation order differs, err ~1e-13);
   *  - counts/ranks are BIGINT on both sides;
-  *  - event time is epoch-millis BIGINT (ns parquet → Spark `ts DIV 1e6`,
-  *    DuckDB `epoch_ms`, both floor);
+  *  - event time is epoch-millis BIGINT ([[Tables.tsMs]] — adaptive to the
+  *    parquet physical type; DuckDB `epoch_ms`, both floor);
   *  - every computed column carries the same alias in Spark and SQL.
   */
 object Queries {
@@ -2388,6 +2388,81 @@ object Queries {
       partitionCols = Seq("user_id"), orderCols = Seq("ts_ms", "event_id"),
       fillCols = Seq("value"))
 
+  /** Bloom semi-join reduction ([[graft.operators.ScaleOps.bloomSemiJoin]]):
+    * lineitem pruned by a bloom over the hot orders' keys (~10% of orders
+    * qualify) BEFORE its shuffle, then exactly confirmed; the oracle is the
+    * plain IN-subquery semi join — the bloom must be invisible in the
+    * result, false positives and all.
+    */
+  def d153BloomSemiJoin(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScaleOps.bloomSemiJoin(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount")),
+      Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), expectedItems = 1L << 16, fpp = 0.01)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_items"),
+        expr("CAST(graft_money_sum(l_extendedprice * (1 - l_discount), 4) AS DOUBLE)")
+          .as("revenue"))
+
+  /** Linear gap interpolation
+    * ([[graft.operators.ScaleOps.fillInterpolated]]): every third event's
+    * value is nulled, then rebuilt from the straight line between the
+    * user's neighboring non-null readings over ts_ms (unique per user in
+    * this corpus — probed, no duplicate-x ties). Leading/trailing nulls
+    * stay null in both engines; both compute the identical
+    * prev + (next−prev)·(Δx/Δspan) double expression, rounded to 6.
+    */
+  def d154Interpolate(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScaleOps.fillInterpolated(
+      Tables.events(s, d)
+        .select(expr("CAST(event_id AS BIGINT)").as("event_id"),
+          expr("CAST(user_id AS BIGINT)").as("user_id"), col("ts_ms"),
+          when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value"))
+            .as("value")),
+      partitionCols = Seq("user_id"), xCol = "ts_ms",
+      fillCols = Seq("value"), orderCols = Seq("event_id"))
+      .withColumn("value", round(col("value"), 6))
+
+  /** Data-quality constraint report
+    * ([[graft.operators.Constraints.check]]): seven checks over orders —
+    * passing (o_custkey not-null, o_orderkey unique) and failing
+    * (o_custkey non-unique, totalprice cap, status set without 'P',
+    * orderdate cutoff, FK into ACTIVE customers only) — so both report
+    * polarities are oracle-pinned. The oracle recomputes every count as an
+    * independent scalar query.
+    */
+  def d155Constraints(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Constraints._
+    graft.operators.Constraints.check(Tables.orders(s, d), Seq(
+      NotNull("o_custkey"),
+      Unique(Seq("o_orderkey")),
+      Unique(Seq("o_custkey")),
+      InRange("o_totalprice", 0.0, 400000.0),
+      InSet("o_orderstatus", Seq("F", "O")),
+      Satisfies("o_orderdate_pre97",
+        "o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"),
+      ForeignKey("o_custkey",
+        Tables.customer(s, d).filter(col("c_acctbal") > 0)
+          .select(col("c_custkey")),
+        "active_customer")))
+  }
+
+  /** Exact phrase search ([[graft.operators.Retrieval.phraseSearch]]):
+    * occurrence counts of a 3-token phrase (probed present at every SF,
+    * with a multi-occurrence doc at sf0.01). The oracle recomputes matches
+    * with an INDEPENDENT formulation — a sliding token-window slice
+    * compare — so the postings/anchor algebra is cross-checked, not
+    * mirrored.
+    */
+  def d156PhraseSearch(s: SparkSession, d: String): DataFrame =
+    graft.operators.Retrieval.phraseSearch(
+      Tables.documents(s, d), "doc_id", "text",
+      Seq("slow", "hash", "batch"))
+      .select(expr("CAST(doc_id AS BIGINT)").as("doc_id"),
+        expr("CAST(n_matches AS BIGINT)").as("n_matches"))
+
   /** DuckDB bit-interleave of two 21-bit-masked BIGINT columns — the z-order
     * oracle arithmetic, spelled out term by term (42 shift/mask/or terms).
     */
@@ -2561,6 +2636,10 @@ object Queries {
     "d151_stream_cdc" ->
       (graft.streaming.StreamingBattery.d151StreamCdc _),
     "d152_fill_forward" -> (d152FillForward _),
+    "d153_bloom_semi_join" -> (d153BloomSemiJoin _),
+    "d154_interpolate" -> (d154Interpolate _),
+    "d155_constraints" -> (d155Constraints _),
+    "d156_phrase_search" -> (d156PhraseSearch _),
   )
 
   private val toksSql =
@@ -3630,6 +3709,98 @@ object Queries {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM changes WHERE op IN ('I', 'U')""".stripMargin,
+
+    // the bloom prefilter must be invisible: plain IN-subquery semi join
+    "d153_bloom_semi_join" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // neighbor lookups via IGNORE NULLS windows; identical double algebra
+    "d154_interpolate" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        | FROM events),
+        |w AS (SELECT event_id, user_id, ts_ms, v,
+        |  last_value(v IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN ts_ms END IGNORE NULLS)
+        |    OVER wp AS px,
+        |  first_value(v IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN ts_ms END IGNORE NULLS)
+        |    OVER wn AS nx
+        | FROM e WINDOW
+        |  wp AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT CAST(event_id AS BIGINT) AS event_id,
+        | CAST(user_id AS BIGINT) AS user_id, ts_ms,
+        | ROUND(CASE WHEN v IS NOT NULL THEN v
+        |   WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |   WHEN nx = px THEN pv
+        |   ELSE pv + (nv - pv) * (CAST(ts_ms - px AS DOUBLE)
+        |     / CAST(nx - px AS DOUBLE)) END, 6) AS value
+        |FROM w""".stripMargin,
+
+    // every constraint count recomputed as an independent scalar query
+    "d155_constraints" ->
+      """WITH r AS (
+        |SELECT 'foreign_key' AS check_name,
+        |  'o_custkey->active_customer' AS column_name,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer WHERE c_acctbal > 0))
+        |    AS n_violations
+        |UNION ALL
+        |SELECT 'in_range', 'o_totalprice',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_totalprice IS NOT NULL
+        |     AND o_totalprice NOT BETWEEN 0.0 AND 400000.0)
+        |UNION ALL
+        |SELECT 'in_set', 'o_orderstatus',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O'))
+        |UNION ALL
+        |SELECT 'not_null', 'o_custkey',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL)
+        |UNION ALL
+        |SELECT 'satisfies', 'o_orderdate_pre97',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE NOT COALESCE(o_orderdate < TIMESTAMP '1997-01-01 00:00:00', FALSE))
+        |UNION ALL
+        |SELECT 'unique', 'o_custkey',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM
+        |    (SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey
+        |     HAVING COUNT(*) > 1))
+        |UNION ALL
+        |SELECT 'unique', 'o_orderkey',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM
+        |    (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+        |     HAVING COUNT(*) > 1)))
+        |SELECT check_name, column_name, n_rows, n_violations,
+        |  n_violations = 0 AS passed
+        |FROM r""".stripMargin,
+
+    // independent formulation: sliding token-window slice compare
+    "d156_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS ws FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(list_filter(range(1, len(ws) - 1),
+         |      i -> array_to_string(ws[i:i+2], ' ') = 'slow hash batch'))
+         |    AS n_matches
+         | FROM t WHERE len(ws) >= 3)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         | CAST(n_matches AS BIGINT) AS n_matches
+         |FROM m WHERE n_matches > 0""".stripMargin,
 
     // IGNORE NULLS windowed fill recomputed; leading nulls stay null
     "d152_fill_forward" ->

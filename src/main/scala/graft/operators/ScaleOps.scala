@@ -537,6 +537,83 @@ object ScaleOps {
     * right side would surface once per salt. Right/full-outer needs the
     * dual construction (salt the right, explode the left).
     */
+  /** Bloom-filter semi-join reduction (sideways information passing): build
+    * a Bloom filter over the small side's join-key hashes, broadcast it,
+    * and prune the big side BEFORE its shuffle — only rows that might match
+    * ever enter the exchange. The closing `left_semi` join makes the result
+    * exact: a bloom false positive (or a 64-bit key-hash collision) can
+    * only let a non-matching row THROUGH to the join, where the full-key
+    * comparison drops it; a true match is never filtered out.
+    *
+    * When to reach for this at 100 TB: the dim side is too big for a
+    * broadcast-hash join (its payload + hashmap would blow the driver/
+    * executor budget) but its KEY SET still fits a bloom — n keys cost
+    * ~1.44·log2(1/fpp) bits each (~1.2 GB per billion keys at fpp 1e-2),
+    * independent of payload width. Spark's own runtime bloom filter
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`) covers the planner-
+    * visible cases; this operator is the explicit form for when the "small"
+    * side is a computed frame the optimizer can't see through, and it
+    * composes with any downstream join type the caller wants (the returned
+    * frame is just the pruned-and-confirmed big side).
+    *
+    * `expectedItems` sizes the filter — overshooting wastes broadcast
+    * bytes, undershooting degrades fpp toward 1 (never correctness).
+    */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    require(keys.nonEmpty, "bloomSemiJoin needs at least one key column")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    import org.apache.spark.util.sketch.BloomFilter
+    val bloom = small
+      .select(xxhash64(keys.map(col): _*).as("__h"))
+      .select("__h").as(org.apache.spark.sql.Encoders.scalaLong).rdd
+      .treeAggregate(BloomFilter.create(expectedItems, fpp))(
+        (f, h) => { f.putLong(h); f },
+        (a, b) => { a.mergeInPlace(b); a })
+    big
+      .filter(graft.plans.NativeExpressions.bloomMightContain(
+        xxhash64(keys.map(col): _*), bloom))
+      .join(small.select(keys.map(col): _*).distinct(), keys, "left_semi")
+  }
+
+  /** Linear interpolation of null gaps: within each partition, order rows
+    * by (`xCol`, tiebreak `orderCols`) and replace each null in `fillCols`
+    * with the straight line between the nearest non-null neighbors:
+    * `prev + (next - prev) · (x - xPrev)/(xNext - xPrev)`. Leading and
+    * trailing nulls (no neighbor on one side) STAY null — interpolation
+    * never extrapolates; compose with [[fillForward]] if edge fill is
+    * wanted. Equal neighbor x (only possible with duplicate x values)
+    * degenerates to the previous value rather than 0/0.
+    *
+    * Scale shape: all four neighbor lookups per column ride ONE window
+    * shuffle+sort (same partition/order spec, two frames — Spark plans a
+    * single WindowExec), so the cost is [[fillForward]]'s plus nothing.
+    */
+  def fillInterpolated(df: DataFrame, partitionCols: Seq[String],
+      xCol: String, fillCols: Seq[String],
+      orderCols: Seq[String] = Nil): DataFrame = {
+    require(partitionCols.nonEmpty, "fillInterpolated needs partition columns")
+    require(fillCols.nonEmpty, "fillInterpolated needs columns to fill")
+    val W = org.apache.spark.sql.expressions.Window
+    val order = (xCol +: orderCols).map(col)
+    val base = W.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    val wPrev = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wNext = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    fillCols.foldLeft(df) { (acc, c) =>
+      val v = col(c)
+      val pv = last(v, ignoreNulls = true).over(wPrev)
+      val px = last(when(v.isNotNull, col(xCol)), ignoreNulls = true).over(wPrev)
+      val nv = first(v, ignoreNulls = true).over(wNext)
+      val nx = first(when(v.isNotNull, col(xCol)), ignoreNulls = true).over(wNext)
+      acc.withColumn(c,
+        when(v.isNotNull, v)
+          .when(pv.isNull || nv.isNull, lit(null))
+          .when(nx === px, pv)
+          .otherwise(pv + (nv - pv) *
+            ((col(xCol) - px).cast("double") / (nx - px).cast("double"))))
+    }
+  }
+
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "saltedJoin needs at least one key column")

@@ -353,6 +353,92 @@ class ScaleOpsSpec extends SparkTestBase {
       s"expected exactly one Window node:\n$plan")
   }
 
+  test("fillInterpolated: linear between neighbors, edges stay null, tied x degenerates to prev") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", 0L, Option.empty[Double]), // leading null: stays
+      ("a", 10L, Some(1.0)),
+      ("a", 15L, None), // halfway 1.0→3.0 over [10,20] → 2.0
+      ("a", 20L, Some(3.0)),
+      ("a", 24L, None), // 40% of 3.0→8.0 over [20,30] → 5.0
+      ("a", 30L, Some(8.0)),
+      ("a", 40L, None), // trailing null: stays
+      ("b", 5L, None)) // whole-partition null: stays
+      .toDF("k", "x", "v")
+    val got = ScaleOps.fillInterpolated(df, Seq("k"), "x", Seq("v"))
+      .orderBy("k", "x")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq
+    assert(got == Seq(
+      ("a", 0L, None), ("a", 10L, Some(1.0)), ("a", 15L, Some(2.0)),
+      ("a", 20L, Some(3.0)), ("a", 24L, Some(5.0)), ("a", 30L, Some(8.0)),
+      ("a", 40L, None), ("b", 5L, None)))
+    // duplicate x on both neighbors: Δx = 0 must yield prev, not NaN
+    val tied = Seq(("a", 1L, 1L, Some(2.0)), ("a", 1L, 2L, None),
+      ("a", 1L, 3L, Some(4.0))).toDF("k", "x", "o", "v")
+    val t = ScaleOps.fillInterpolated(tied, Seq("k"), "x", Seq("v"),
+      orderCols = Seq("o")).orderBy("o").collect()
+    assert(t.map(r => r.getAs[Double]("v")).toSeq == Seq(2.0, 2.0, 4.0))
+    // non-null values pass through bit-identical
+    assert(t.head.getAs[Double]("v") == 2.0)
+    // ONE Window node for all four neighbor lookups = one shuffle+sort
+    // (sparkPlan is pre-EnsureRequirements, so pin the Window, not the
+    // exchange it will demand)
+    val plan = ScaleOps.fillInterpolated(df, Seq("k"), "x", Seq("v"))
+      .queryExecution.sparkPlan.toString
+    assert("(?m)^\\s*\\+?-? ?Window ".r.findAllIn(plan).size == 1,
+      s"expected exactly one Window node:\n$plan")
+  }
+
+  test("bloomSemiJoin == exact semi join, even at adversarial fpp") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val big = (1 to 2000).map(_ => rnd.nextInt(500).toLong)
+      .zipWithIndex.map { case (k, i) => (k, s"p$i") }.toDF("k", "payload")
+    val small = (1 to 60).map(_ => rnd.nextInt(500).toLong).toDF("k")
+    for (fpp <- Seq(0.01, 0.5)) { // 0.5: the filter passes junk; join must drop it
+      val got = ScaleOps.bloomSemiJoin(big, small, Seq("k"),
+        expectedItems = 64, fpp = fpp)
+      val want = big.join(small.distinct(), Seq("k"), "left_semi")
+      assertMultiset(got.collect().map(_.toSeq).toSeq,
+        want.collect().map(_.toSeq).toSeq)
+    }
+    // undersized filter degrades fpp, never correctness
+    val tiny = ScaleOps.bloomSemiJoin(big, small, Seq("k"),
+      expectedItems = 2, fpp = 0.01)
+    assertMultiset(tiny.collect().map(_.toSeq).toSeq,
+      big.join(small.distinct(), Seq("k"), "left_semi")
+        .collect().map(_.toSeq).toSeq)
+  }
+
+  test("bloomSemiJoin: bloom probe prunes the big side BELOW its exchange") {
+    val s = spark
+    import s.implicits._
+    // a FILE source: over a LocalRelation the optimizer folds the filter
+    // into the relation at planning time and the pin would be vacuous
+    val big = Tables.lineitem(s, "/root/testdata/sf0.001")
+      .select(col("l_orderkey").as("k"), col("l_extendedprice"))
+    val small = Tables.orders(s, "/root/testdata/sf0.001")
+      .filter(col("o_totalprice") > 450000).select(col("o_orderkey").as("k"))
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = ScaleOps.bloomSemiJoin(big, small, Seq("k"), expectedItems = 8)
+      df.queryExecution.toRdd.foreach(_ => ()) // run so AQE finalizes
+      val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+      val firstExchange = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+      assert(firstExchange >= 0, s"expected a shuffled semi join:\n${lines.mkString("\n")}")
+      // tree print is parent-first: the bloom-probe Filter must sit BELOW
+      // (= print after) the big side's exchange, i.e. it prunes pre-shuffle
+      val probeLine = lines.indexWhere(l =>
+        l.contains("Filter") && l.toLowerCase.contains("bloommightcontain"))
+      assert(probeLine > firstExchange,
+        s"bloom probe not below the exchange:\n${lines.mkString("\n")}")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("profileColumns: null census, NATIVE-type min/max, one scan; approx mode drops Expand") {
     val s = spark
     import s.implicits._
