@@ -2463,6 +2463,20 @@ object Queries {
       .select(expr("CAST(doc_id AS BIGINT)").as("doc_id"),
         expr("CAST(n_matches AS BIGINT)").as("n_matches"))
 
+  /** EXACT Jaccard-threshold self-join
+    * ([[graft.operators.Dedup.prefixFilteredJaccardPairs]]) at J ≥ 1/2
+    * over 8-gram shingle sets — the exact-output counterpart of d23's
+    * MinHash-LSH (25 pairs at sf0.01, probed). The threshold is the exact
+    * rational 1/2 end-to-end (integer prefix lengths, integer verify), so
+    * the kept SET hash-matches an oracle that generates candidates the
+    * cheap way (shared-gram join) and verifies with list_intersect — two
+    * independent routes to the same exact answer.
+    */
+  def d157JaccardJoin(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.prefixFilteredJaccardPairs(
+      Tables.documents(s, d), "doc_id", "text",
+      shingleSize = 8, tNum = 1, tDen = 2)
+
   /** DuckDB bit-interleave of two 21-bit-masked BIGINT columns — the z-order
     * oracle arithmetic, spelled out term by term (42 shift/mask/or terms).
     */
@@ -2640,6 +2654,7 @@ object Queries {
     "d154_interpolate" -> (d154Interpolate _),
     "d155_constraints" -> (d155Constraints _),
     "d156_phrase_search" -> (d156PhraseSearch _),
+    "d157_jaccard_join" -> (d157JaccardJoin _),
   )
 
   private val toksSql =
@@ -3789,6 +3804,24 @@ object Queries {
         |SELECT check_name, column_name, n_rows, n_violations,
         |  n_violations = 0 AS passed
         |FROM r""".stripMargin,
+
+    // independent candidate route (shared-gram join) + list_intersect
+    // verify; the integer-rational threshold makes the kept set exact
+    "d157_jaccard_join" ->
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS ws FROM documents),
+         |g AS (SELECT doc_id, $gram8Sql AS gs FROM t WHERE len(ws) > 0),
+         |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |v AS (SELECT i, j, len(list_intersect(ga.gs, gb.gs)) AS inter,
+         |    len(ga.gs) AS n1, len(gb.gs) AS n2
+         |  FROM cand JOIN g ga ON ga.doc_id = cand.i
+         |    JOIN g gb ON gb.doc_id = cand.j)
+         |SELECT CAST(i AS BIGINT) AS id1, CAST(j AS BIGINT) AS id2,
+         | CAST(inter AS BIGINT) AS inter, CAST(n1 AS BIGINT) AS n1,
+         | CAST(n2 AS BIGINT) AS n2,
+         | ROUND(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
+         |FROM v WHERE inter * 2 >= (n1 + n2 - inter) * 1""".stripMargin,
 
     // independent formulation: sliding token-window slice compare
     "d156_phrase_search" ->

@@ -251,6 +251,82 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** EXACT Jaccard-threshold self-join via prefix filtering (the PPJoin
+    * candidate-generation idea: Xiao et al., "Efficient Similarity Joins
+    * for Near Duplicate Detection"; reference ships the approximate
+    * MinHash-LSH route — this is its exact-output counterpart). Returns
+    * every pair of docs whose `shingleSize`-gram-set Jaccard is ≥
+    * tNum/tDen — identical to the brute-force O(n²) join, WITHOUT running
+    * it.
+    *
+    * The threshold is an exact rational: prefix lengths use integer
+    * ceil((tNum·n)/tDen) and the verify test is
+    * `inter·tDen ≥ (n1+n2−inter)·tNum` — all integers, so the kept SET is
+    * deterministic and engine-portable (no double epsilons at the
+    * boundary, where real corpora cluster).
+    *
+    * Shape at 100 TB, in order:
+    *  1. grams per doc (map-side, native expression);
+    *  2. global gram frequencies (one hash shuffle — the "document
+    *     frequency" table, vocabulary-sized);
+    *  3. each doc sorts its OWN grams by (freq, gram) — a per-row
+    *     sort_array, no global rank table and no global sort: any shared
+    *     total order satisfies the prefix-filter lemma, so the (freq,
+    *     gram) tuple itself serves as the order;
+    *  4. candidates = docs sharing a gram within their length-L prefixes,
+    *     L = n − ceil(t·n) + 1 — the rare-first order makes prefix grams
+    *     the most selective ones, which is what bounds candidate fan-out
+    *     (a stop-gram can never enter a prefix unless the threshold is
+    *     tiny);
+    *  5. exact verify joins the full gram sets back by doc id.
+    * Every shuffle is key-partitioned (gram or id); nothing global.
+    * Standing convention applies: exact-dup collapse FIRST ([[exact]]) if
+    * the corpus may contain byte-identical copies — c copies share all
+    * grams and pay c² verifies.
+    */
+  def prefixFilteredJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 8, tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0,1]: $tNum/$tDen")
+    val grams = df.select(col(idCol).as("__id"),
+      TextFunctions.wordShingles(col(textCol), shingleSize).as("__gs"))
+      // empty/NULL-text docs carry the [""] sentinel shingle — no token
+      // evidence to judge similarity on; excluded (they are exact-dup
+      // territory, [[exact]]'s job, and engines disagree on NULL grams)
+      .filter(size(col("__gs")) > 1 || element_at(col("__gs"), 1) =!= "")
+      .localCheckpoint(false) // two consumers: prefixes + verify
+    val posts = grams.select(col("__id"), explode(col("__gs")).as("__g"))
+    val freq = posts.groupBy(col("__g")).agg(count(lit(1)).as("__f"))
+    // per-doc prefix in rare-first (freq, gram) order; L = n - ceil(tn) + 1
+    val prefixes = posts.join(freq, "__g")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__f"), col("__g"))))
+        .as("__sorted"))
+      .select(col("__id"),
+        expr(s"""slice(transform(__sorted, s -> s.__g), 1,
+                 size(__sorted) - CAST(($tNum * size(__sorted) + $tDen - 1)
+                   DIV $tDen AS INT) + 1)""").as("__prefix"))
+      .select(col("__id"), explode(col("__prefix")).as("__g"))
+    val cands = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .distinct()
+    val g1 = grams.select(col("__id").as("id1"), col("__gs").as("__gs1"),
+      size(col("__gs")).as("__n1"))
+    val g2 = grams.select(col("__id").as("id2"), col("__gs").as("__gs2"),
+      size(col("__gs")).as("__n2"))
+    cands.join(g1, "id1").join(g2, "id2")
+      .withColumn("inter",
+        size(array_intersect(col("__gs1"), col("__gs2"))).cast("long"))
+      .filter(col("inter") * tDen >= (col("__n1") + col("__n2") - col("inter")) * tNum)
+      .select(col("id1"), col("id2"), col("inter"),
+        col("__n1").cast("long").as("n1"), col("__n2").cast("long").as("n2"),
+        round(col("inter").cast("double") /
+          (col("__n1") + col("__n2") - col("inter")), 6).as("jaccard"))
+  }
+
   /** Edit-distance near-dup verification: the character-granular verify
     * tier below [[ngramJaccardVerify]]'s token Jaccard. Candidates are
     * generated by equality blocking on `blockCols` (e.g. (lang, n_chars) —

@@ -162,6 +162,60 @@ class DedupSimilaritySpec extends SparkTestBase {
     try f finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
+  test("prefixFilteredJaccardPairs == brute force on seeded random corpora, at the rational boundary") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(3L, 99L); (tNum, tDen) <- Seq((1, 2), (2, 3), (4, 5))) {
+      // tiny vocab + short docs: dense overlap spectrum with many pairs
+      // sitting EXACTLY on the threshold — the rational-arithmetic case
+      // doubles would misjudge; shingleSize=1 makes gram sets = token sets
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("a", "b", "c", "d", "e", "f")
+      val docs = (1L to 80L).map { id =>
+        val n = 1 + rnd.nextInt(5)
+        (id, rnd.shuffle(vocab).take(n).mkString(" "))
+      }
+      val got = Dedup.prefixFilteredJaccardPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        shingleSize = 1, tNum = tNum, tDen = tDen)
+        .select("id1", "id2", "inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sets = docs.map { case (id, t) => id -> t.split(" ").toSet }
+      val model = (for {
+        (i, si) <- sets; (j, sj) <- sets if i < j
+        inter = (si & sj).size
+        if inter * tDen >= (si.size + sj.size - inter) * tNum
+      } yield (i, j, inter.toLong)).toSet
+      assert(got == model,
+        s"seed=$seed t=$tNum/$tDen:\n missing=${model -- got}\n extra=${got -- model}")
+      assert(model.nonEmpty, s"seed=$seed t=$tNum/$tDen: vacuous sweep")
+    }
+  }
+
+  test("prefixFilteredJaccardPairs == brute force with real shingles on the sf0.001 corpus") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(s, "/root/testdata/sf0.001")
+    val got = Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, tNum = 1, tDen = 4) // loose threshold: non-vacuous
+      .select("id1", "id2", "inter", "n1", "n2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.wordShingles(col("text"), 3).as("gs"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        size(array_intersect(col("a.gs"), col("b.gs"))).cast("long").as("i"),
+        (size(col("a.gs")) + size(col("b.gs"))).cast("long").as("ns"))
+      .filter(col("i") * 4 >= (col("ns") - col("i")) * 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"missing=${brute -- got}\n extra=${got -- brute}")
+    assert(got.nonEmpty, "vacuous: no pairs at J>=1/4 with 3-grams")
+    // scale hygiene: candidate generation never goes cartesian
+    val plan = Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, tNum = 1, tDen = 4).queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("excludedRules actually bypasses the rewrite (reference independence)") {
     // optimization happens lazily — the plan must be forced INSIDE the
     // exclusion scope
