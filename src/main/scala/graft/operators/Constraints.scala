@@ -61,7 +61,7 @@ object Constraints {
     val name = "foreign_key"; val columnLabel = s"$column->$parentLabel"
   }
 
-  private def violationCond(df: DataFrame, c: Check): Column = c match {
+  private def violationCond(c: Check): Column = c match {
     case NotNull(col0) => col(col0).isNull
     case InRange(col0, lo, hi) =>
       col(col0).isNotNull && !col(col0).between(lo, hi)
@@ -76,7 +76,6 @@ object Constraints {
     */
   def check(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks given")
-    val spark = df.sparkSession
     val rowLocal = checks.collect {
       case c @ (_: NotNull | _: InRange | _: InSet | _: Satisfies) => c
     }
@@ -86,20 +85,21 @@ object Constraints {
       // one scan, one aggregate row: [n_rows, viol_0, viol_1, ...]
       val aggCols = count(lit(1)).as("__n") +: rowLocal.zipWithIndex.map {
         case (c, i) => // coalesce: SUM over zero rows is NULL, not 0
-          coalesce(sum(when(violationCond(df, c), 1L).otherwise(0L)), lit(0L))
+          coalesce(sum(when(violationCond(c), 1L).otherwise(0L)), lit(0L))
             .as(s"__v$i")
       }
       val one = df.agg(aggCols.head, aggCols.tail: _*)
-      // long form via stack — stays a DataFrame, no driver round-trip
-      val stackArgs = rowLocal.zipWithIndex.flatMap { case (c, i) =>
-        Seq(s"'${c.name}'", s"'${c.columnLabel}'", s"__v$i")
-      }
+      // long form by exploding TYPED literal structs over the 1-row
+      // aggregate — no SQL-string splicing, so names/labels containing
+      // quotes (or anything else) can never break or inject into the plan
       reports += one.select(
-        expr(s"stack(${rowLocal.size}, ${stackArgs.mkString(", ")})")
-          .as(Seq("check_name", "column_name", "n_violations")),
-        col("__n").as("n_rows"))
-        .select(col("check_name"), col("column_name"), col("n_rows"),
-          col("n_violations"))
+        explode(array(rowLocal.zipWithIndex.map { case (c, i) =>
+          struct(lit(c.name).as("check_name"),
+            lit(c.columnLabel).as("column_name"),
+            col(s"__v$i").as("n_violations"))
+        }: _*)).as("__r"), col("__n").as("n_rows"))
+        .select(col("__r.check_name"), col("__r.column_name"),
+          col("n_rows"), col("__r.n_violations"))
     }
 
     checks.collect { case u: Unique => u }.foreach { u =>

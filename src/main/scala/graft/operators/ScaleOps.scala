@@ -558,13 +558,29 @@ object ScaleOps {
     *
     * `expectedItems` sizes the filter — overshooting wastes broadcast
     * bytes, undershooting degrades fpp toward 1 (never correctness).
+    *
+    * Key columns must have IDENTICAL types on both sides (enforced):
+    * xxhash64 is type-sensitive, so hashing an INT probe against a bloom
+    * built from BIGINT keys would silently prune true matches — the one
+    * failure mode this operator must never have. Cast explicitly before
+    * calling.
     */
   def bloomSemiJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
     require(keys.nonEmpty, "bloomSemiJoin needs at least one key column")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    keys.foreach { k =>
+      val (bt, st) = (big.schema(k).dataType, small.schema(k).dataType)
+      require(bt == st,
+        s"bloomSemiJoin key '$k' type mismatch: big=$bt small=$st — " +
+          "xxhash64 is type-sensitive; cast one side first")
+    }
     import org.apache.spark.util.sketch.BloomFilter
-    val bloom = small
+    // one materialization of the (possibly expensive) small side feeds
+    // BOTH the bloom build and the closing join; left_semi is duplicate-
+    // insensitive, so no distinct() pre-shuffle
+    val smallKeys = small.select(keys.map(col): _*).localCheckpoint(false)
+    val bloom = smallKeys
       .select(xxhash64(keys.map(col): _*).as("__h"))
       .select("__h").as(org.apache.spark.sql.Encoders.scalaLong).rdd
       .treeAggregate(BloomFilter.create(expectedItems, fpp))(
@@ -573,7 +589,7 @@ object ScaleOps {
     big
       .filter(graft.plans.NativeExpressions.bloomMightContain(
         xxhash64(keys.map(col): _*), bloom))
-      .join(small.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .join(smallKeys, keys, "left_semi")
   }
 
   /** Linear interpolation of null gaps: within each partition, order rows

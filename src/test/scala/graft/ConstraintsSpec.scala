@@ -32,6 +32,15 @@ class ConstraintsSpec extends SparkTestBase {
     assert(out(("satisfies", "id_lt_5")) == (5L, 1L, false))
   }
 
+  test("labels with quotes survive (typed literals, not SQL splicing)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1.0, -2.0).toDF("v")
+    val out = report(Constraints.check(df,
+      Seq(Satisfies("can't be negative", "v >= 0"))).collect().toSeq)
+    assert(out(("satisfies", "can't be negative")) == (2L, 1L, false))
+  }
+
   test("satisfies: an unevaluable (null) predicate is a violation") {
     val s = spark
     import s.implicits._

@@ -75,14 +75,20 @@ class RetrievalSpec extends SparkTestBase {
     val df = Seq((1L, "a b c d")).toDF("id", "text")
     val out = Retrieval.phraseSearch(df, "id", "text", Seq("a", "b"))
     out.queryExecution.toRdd.foreach(_ => ()) // run so AQE finalizes
-    val lines = out.queryExecution.executedPlan.toString.linesIterator.toSeq
-    val firstExchange = lines.indexWhere(_.contains("Exchange hashpartitioning"))
-    assert(firstExchange >= 0, lines.mkString("\n"))
+    // count only the FINAL plan (AQE's string repeats the tree under
+    // "== Initial Plan ==")
+    val lines = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head.linesIterator.toSeq
     // tree print is parent-first: the phrase-term Filter must print after
-    // (= sit below) the anchor-grouping exchange — map-side term pruning
+    // (= sit below) the DEEPEST exchange — the anchor-grouping shuffle —
+    // proving map-side term pruning (after the topmost exchange alone
+    // would also pass for a post-shuffle filter, the exact regression
+    // this pin exists to catch)
+    val lastExchange = lines.lastIndexWhere(_.contains("Exchange hashpartitioning"))
+    assert(lastExchange >= 0, lines.mkString("\n"))
     val termFilter = lines.indexWhere(l =>
       l.contains("Filter") && l.contains("term"))
-    assert(termFilter > firstExchange,
+    assert(termFilter > lastExchange,
       "phrase-term filter did not push below the shuffle:\n" + lines.mkString("\n"))
   }
 }

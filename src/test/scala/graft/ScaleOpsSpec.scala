@@ -413,6 +413,17 @@ class ScaleOpsSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSeq)
   }
 
+  test("bloomSemiJoin refuses mismatched key types (xxhash64 is type-sensitive)") {
+    val s = spark
+    import s.implicits._
+    val big = Seq((1, "x")).toDF("k", "v") // k: INT
+    val small = Seq(1L).toDF("k") // k: BIGINT — hashes differently
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.bloomSemiJoin(big, small, Seq("k"))
+    }
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
   test("bloomSemiJoin: bloom probe prunes the big side BELOW its exchange") {
     val s = spark
     import s.implicits._
