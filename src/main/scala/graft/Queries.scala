@@ -2655,6 +2655,8 @@ object Queries {
     "d155_constraints" -> (d155Constraints _),
     "d156_phrase_search" -> (d156PhraseSearch _),
     "d157_jaccard_join" -> (d157JaccardJoin _),
+    "d158_stream_constraints" ->
+      (graft.streaming.StreamingBattery.d158StreamConstraints _),
   )
 
   private val toksSql =
@@ -3801,6 +3803,42 @@ object Queries {
         |  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM
         |    (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
         |     HAVING COUNT(*) > 1)))
+        |SELECT check_name, column_name, n_rows, n_violations,
+        |  n_violations = 0 AS passed
+        |FROM r""".stripMargin,
+
+    // the per-micro-batch constraint fold must equal the one-shot report
+    // (d155 minus the unique rows — uniqueness is not batch-additive; its
+    // streaming form is the d120/d146 stateful dedup census)
+    "d158_stream_constraints" ->
+      """WITH r AS (
+        |SELECT 'foreign_key' AS check_name,
+        |  'o_custkey->active_customer' AS column_name,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer WHERE c_acctbal > 0))
+        |    AS n_violations
+        |UNION ALL
+        |SELECT 'in_range', 'o_totalprice',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_totalprice IS NOT NULL
+        |     AND o_totalprice NOT BETWEEN 0.0 AND 400000.0)
+        |UNION ALL
+        |SELECT 'in_set', 'o_orderstatus',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O'))
+        |UNION ALL
+        |SELECT 'not_null', 'o_custkey',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL)
+        |UNION ALL
+        |SELECT 'satisfies', 'o_orderdate_pre97',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE NOT COALESCE(o_orderdate < TIMESTAMP '1997-01-01 00:00:00', FALSE)))
         |SELECT check_name, column_name, n_rows, n_violations,
         |  n_violations = 0 AS passed
         |FROM r""".stripMargin,

@@ -510,6 +510,68 @@ object StreamingBattery {
     } finally deleteRecursively(root)
   }
 
+  /** Streaming data-quality gate, oracle-gated: the d155 constraint
+    * report maintained as a STANDING monitor — each micro-batch runs
+    * [[graft.operators.Constraints.check]] on just that batch and the
+    * per-check counts fold additively into running totals (the tiny
+    * ≤5-row report is driver-foldable by contract, like d145's maintained
+    * aggregate). Row-local checks and the FK orphan check are exactly
+    * batch-additive — each row is judged independently (FK against the
+    * STATIC parent snapshot), so the fold over disjoint batches must
+    * equal the one-shot batch report, which is what the oracle recomputes.
+    * `unique` is deliberately absent: uniqueness is not batch-local (a
+    * key can straddle batches) — its streaming form is stateful dedup,
+    * gated by the d120/d146 census rows.
+    */
+  def d158StreamConstraints(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    import graft.operators.Constraints
+    import graft.operators.Constraints._
+    val root = Files.createTempDirectory("graft-stream-constraints")
+    try {
+      val in = root.resolve("in")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+        .repartition(4).write.parquet(in.toString)
+      // static parent snapshot, materialized once for every batch's FK probe
+      val activeCustomers = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0).select(col("c_custkey"))
+        .localCheckpoint(true)
+      val checks = Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 400000.0),
+        InSet("o_orderstatus", Seq("F", "O")),
+        Satisfies("o_orderdate_pre97",
+          "o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"),
+        ForeignKey("o_custkey", activeCustomers, "active_customer"))
+      val totals = scala.collection.mutable.Map
+        .empty[(String, String), (Long, Long)]
+      var nBatches = 0
+      val src = s.readStream.schema(s.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          nBatches += 1
+          Constraints.check(batch, checks).collect().foreach { r =>
+            val k = (r.getString(0), r.getString(1))
+            val (n, v) = totals.getOrElse(k, (0L, 0L))
+            totals(k) = (n + r.getLong(2), v + r.getLong(3))
+          }
+          ()
+        }
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      require(nBatches >= 2,
+        s"expected a multi-batch constraint fold, got $nBatches batch(es)")
+      val sp = s; import sp.implicits._
+      totals.toSeq.map { case ((c, l), (n, v)) => (c, l, n, v, v == 0L) }
+        .toDF("check_name", "column_name", "n_rows", "n_violations", "passed")
+        .orderBy(col("check_name"), col("column_name"))
+    } finally deleteRecursively(root)
+  }
+
   def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame =
       withShufflePartitions(s, 8) {
     def side(tpe: String, pre: String): DataFrame = {

@@ -137,6 +137,29 @@ class StreamingBatterySpec extends SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("d158 streaming constraint fold == one-shot batch report (minus unique)") {
+    import graft.operators.Constraints
+    import graft.operators.Constraints._
+    val got = graft.streaming.StreamingBattery.d158StreamConstraints(spark, sf)
+    val want = Constraints.check(
+      Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate")),
+      Seq(NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 400000.0),
+        InSet("o_orderstatus", Seq("F", "O")),
+        Satisfies("o_orderdate_pre97",
+          "o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"),
+        ForeignKey("o_custkey",
+          Tables.customer(spark, sf).filter(col("c_acctbal") > 0)
+            .select(col("c_custkey")), "active_customer")))
+    assertSameRows(got, want)
+    // non-vacuity: both report polarities must appear in the fold
+    val byPass = got.collect().groupBy(_.getBoolean(4)).view.mapValues(_.length)
+    assert(byPass.getOrElse(true, 0) > 0 && byPass.getOrElse(false, 0) > 0,
+      s"fold lost a polarity: $byPass")
+  }
+
   test("d146 checkpoint resume == batch DISTINCT census (offsets + state recovered)") {
     // the row's own require()s are the teeth (run 1 emits a strict subset;
     // straddle keys exist); this pins the end result against the batch twin
