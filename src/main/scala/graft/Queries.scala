@@ -2477,6 +2477,25 @@ object Queries {
       Tables.documents(s, d), "doc_id", "text",
       shingleSize = 8, tNum = 1, tDen = 2)
 
+  /** Temperature-weighted mixture downsampling
+    * ([[graft.operators.ScaleOps.temperatureMixtureSample]]) at α = 0.5
+    * over the skewed lang strata (en 218 vs fr 64 at sf0.01): the head
+    * lang keeps ~35% while the tail keeps ~65% — the flattening the
+    * α-temperature exists for (d93 is the α = 0 uniform corner). Targets
+    * probed OFF every .5 rounding boundary (margin ≥ 0.05 at all SFs —
+    * double last-ulp noise cannot flip an integer target). The oracle
+    * re-derives target counts AND the exact md5-gated kept set.
+    */
+  def d159TemperatureMixture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val half = docs.count() / 2
+    graft.operators.ScaleOps.temperatureMixtureSample(
+      docs, "lang", "doc_id", totalTarget = half, alpha = 0.5)
+      .groupBy(col("lang"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_kept"),
+        expr("CAST(SUM(n_chars) AS BIGINT)").as("sum_chars"))
+  }
+
   /** DuckDB bit-interleave of two 21-bit-masked BIGINT columns — the z-order
     * oracle arithmetic, spelled out term by term (42 shift/mask/or terms).
     */
@@ -2657,6 +2676,7 @@ object Queries {
     "d157_jaccard_join" -> (d157JaccardJoin _),
     "d158_stream_constraints" ->
       (graft.streaming.StreamingBattery.d158StreamConstraints _),
+    "d159_temperature_mixture" -> (d159TemperatureMixture _),
   )
 
   private val toksSql =
@@ -3806,6 +3826,22 @@ object Queries {
         |SELECT check_name, column_name, n_rows, n_violations,
         |  n_violations = 0 AS passed
         |FROM r""".stripMargin,
+
+    // targets re-derived (sqrt weights, rounded, capped) AND the exact
+    // md5-gated kept set re-derived — same gate SQL as d93
+    "d159_temperature_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(sqrt(n)) AS denom,
+        |               CAST(SUM(n) AS BIGINT) // 2 AS target FROM c),
+        |t AS (SELECT lang, n,
+        |        LEAST(n, CAST(ROUND(target * sqrt(n) / denom) AS BIGINT)) AS t
+        |      FROM c, tot),
+        |s AS (SELECT d.lang, d.n_chars FROM documents d JOIN t USING (lang)
+        |      WHERE '0' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |            < lpad(lower(hex((t.t * 16777216) // t.n)), 7, '0'))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1""".stripMargin,
 
     // the per-micro-batch constraint fold must equal the one-shot report
     // (d155 minus the unique rows — uniqueness is not batch-additive; its

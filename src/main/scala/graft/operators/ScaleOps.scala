@@ -86,6 +86,46 @@ object ScaleOps {
         lpad(lower(hex(greatest(thr, lit(0L)))), 7, "0"))
   }
 
+  /** Temperature-weighted mixture downsampling — the standard LLM
+    * data-mixture primitive (multilingual/multi-source sampling with
+    * p_s ∝ n_s^alpha, alpha < 1 flattening the head so low-resource strata
+    * keep more of the budget; alpha = 1 is proportional, alpha = 0
+    * uniform-per-stratum). Per stratum s the target is
+    * `round(totalTarget · n_s^alpha / Σ_t n_t^alpha)` capped at n_s, and
+    * the kept SET is the deterministic md5-gated
+    * [[deterministicWeightedSample]] at the exact rational target_s/n_s —
+    * bit-reproducible across retries, engines, and cluster layouts.
+    *
+    * Cross-engine note: the targets go through doubles (pow/sqrt are
+    * IEEE-correctly-rounded; the stratum-count SUM is order-sensitive in
+    * the last ulp), so a target sitting EXACTLY on a rounding boundary
+    * could differ by 1 between engines. Strata counts are corpus facts —
+    * at 1e-13 relative noise that requires a boundary hit to ~12
+    * significant digits; callers wanting hard determinism across engines
+    * pick totalTarget so no x_s lands on .5 (probed for the battery row).
+    *
+    * Scale shape: stratum counts (one small shuffle) → targets broadcast →
+    * ONE map-side gate over the corpus. Nothing corpus-sized shuffles.
+    */
+  def temperatureMixtureSample(df: DataFrame, stratumCol: String,
+      idCol: String, totalTarget: Long, alpha: Double): DataFrame = {
+    require(totalTarget > 0, s"totalTarget must be positive: $totalTarget")
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1]: $alpha")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val denom = counts.agg(
+      sum(pow(col("__n").cast("double"), alpha)).as("__denom"))
+    val targets = counts.crossJoin(broadcast(denom))
+      .select(col(stratumCol),
+        col("__n"),
+        least(col("__n"),
+          round(lit(totalTarget.toDouble) *
+            pow(col("__n").cast("double"), alpha) / col("__denom"))
+            .cast("long")).as("__t"))
+    deterministicWeightedSample(
+      df.join(broadcast(targets), stratumCol), idCol, col("__t"), col("__n"))
+      .drop("__n", "__t")
+  }
+
   /** Two-phase salted aggregation for skew-heavy keys: phase 1 aggregates on
     * (key, salt) spreading a hot key over `saltBuckets` reducers; phase 2
     * merges the per-salt partials. Correct for any algebraic aggregate

@@ -413,6 +413,43 @@ class ScaleOpsSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSeq)
   }
 
+  test("temperatureMixtureSample: flattening, budget, corners, determinism") {
+    val s = spark
+    import s.implicits._
+    // skewed strata: a=400, b=100, c=25
+    val df = ((1 to 400).map(i => (i.toLong, "a")) ++
+      (401 to 500).map(i => (i.toLong, "b")) ++
+      (501 to 525).map(i => (i.toLong, "c"))).toDF("id", "k")
+    def keptBy(alpha: Double, target: Long = 250L): Map[String, Long] =
+      ScaleOps.temperatureMixtureSample(df, "k", "id", target, alpha)
+        .groupBy("k").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val half = keptBy(0.5)
+    // md5-gate keeps ≈ rate·n per stratum; targets are a:167,b:83,c:42
+    // (sqrt weights 20:10:5, capped nowhere). Gate is hash-random, so
+    // allow binomial slack but pin the FLATTENING: keep-rate must be
+    // monotone DECREASING in stratum size
+    val rate = Map("a" -> half("a") / 400.0, "b" -> half("b") / 100.0,
+      "c" -> half("c") / 25.0)
+    assert(rate("a") < rate("b") && rate("b") < rate("c"),
+      s"alpha=0.5 must flatten toward the tail: $rate")
+    // alpha=1 is proportional: every stratum keeps ~the same rate
+    val prop = keptBy(1.0)
+    val pr = Seq(prop("a") / 400.0, prop("b") / 100.0, prop("c") / 25.0)
+    assert(pr.max - pr.min < 0.25, s"alpha=1 rates should be ~equal: $pr")
+    // a huge budget keeps everything (targets cap at n)
+    assert(keptBy(0.5, 10000L).values.sum == 525L)
+    // deterministic: two plans, identical kept sets
+    val a = ScaleOps.temperatureMixtureSample(df, "k", "id", 250L, 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = ScaleOps.temperatureMixtureSample(df, "k", "id", 250L, 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // kept rows are a subset of the input with original columns intact
+    val cols = ScaleOps.temperatureMixtureSample(df, "k", "id", 250L, 0.5).columns
+    assert(cols.toSeq == Seq("k", "id"))
+  }
+
   test("bloomSemiJoin refuses mismatched key types (xxhash64 is type-sensitive)") {
     val s = spark
     import s.implicits._
