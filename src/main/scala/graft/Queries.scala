@@ -997,6 +997,32 @@ object Queries {
         expr("CAST(graft_money_sum(l_extendedprice, 2) AS DOUBLE)").as("sum_price"))
   }
 
+  /** WebDataset-style tar shard round-trip
+    * ([[graft.sources.TarShardIO]]): documents written as 8 tar shards
+    * (entry `<doc_id>.txt` = UTF-8 text bytes, samples key-adjacent
+    * within a shard), read back entry-at-a-time, and reduced to the
+    * (doc_id, byte-length) manifest the oracle recomputes straight from
+    * the table — a lost/truncated/duplicated entry, a key landing in two
+    * shards, or any byte-level corruption breaks the hash. Shard
+    * ASSIGNMENT is engine-private (hash partitioning) and deliberately
+    * not part of the checked surface. Same scratch-path + single-writer
+    * contract as d70/d115.
+    */
+  def d160TarShards(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_tar_" + System.getProperty("user.name", "anon") + "_" + pathTag(d))
+      .getAbsolutePath
+    graft.sources.TarShardIO.write(
+      Tables.documents(s, d).select(col("doc_id"), lit("txt").as("ext"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload")),
+      path, "doc_id", "ext", "payload", numShards = 8)
+    graft.sources.TarShardIO.read(s, path)
+      .select(
+        expr("CAST(regexp_extract(name, '^(\\\\d+)\\\\.txt$', 1) AS BIGINT)")
+          .as("doc_id"),
+        expr("CAST(length(payload) AS BIGINT)").as("n_bytes"))
+  }
+
   /** Fixed-width histogram of event values per type (bin = floor(value/50)):
     * the one-pass distribution profile. Bin assignment divides identical
     * raw doubles in both engines (closest value sits 2e-4 from a boundary);
@@ -2677,6 +2703,7 @@ object Queries {
     "d158_stream_constraints" ->
       (graft.streaming.StreamingBattery.d158StreamConstraints _),
     "d159_temperature_mixture" -> (d159TemperatureMixture _),
+    "d160_tar_shards" -> (d160TarShards _),
   )
 
   private val toksSql =
@@ -3826,6 +3853,13 @@ object Queries {
         |SELECT check_name, column_name, n_rows, n_violations,
         |  n_violations = 0 AS passed
         |FROM r""".stripMargin,
+
+    // the manifest (id, UTF-8 byte length) recomputed from the table —
+    // any lost/duplicated/truncated tar entry breaks the hash
+    "d160_tar_shards" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
 
     // targets re-derived (sqrt weights, rounded, capped) AND the exact
     // md5-gated kept set re-derived — same gate SQL as d93
