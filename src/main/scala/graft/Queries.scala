@@ -1023,6 +1023,26 @@ object Queries {
         expr("CAST(length(payload) AS BIGINT)").as("n_bytes"))
   }
 
+  /** Join-fanout census ([[graft.operators.ScaleOps.joinFanoutCensus]]):
+    * the exact lineitem⋈hot-orders output size and its top contributing
+    * keys, computed from the two per-key count tables without running the
+    * join. The oracle recomputes Σ nL·nR and the same (product DESC, key
+    * ASC) top-10 — the capacity-planning numbers that decide broadcast vs
+    * salt vs walk-away at 100 TB.
+    */
+  def d161JoinFanout(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScaleOps.joinFanoutCensus(
+      Tables.lineitem(s, d).select(col("l_orderkey").as("k")),
+      Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+        .select(col("o_orderkey").as("k")),
+      Seq("k"), topK = 10)
+      .select(expr("CAST(k AS BIGINT)").as("k"),
+        expr("CAST(out_rows AS BIGINT)").as("out_rows"),
+        expr("CAST(left_rows AS BIGINT)").as("left_rows"),
+        expr("CAST(right_rows AS BIGINT)").as("right_rows"),
+        expr("CAST(total_rows AS BIGINT)").as("total_rows"),
+        col("share"))
+
   /** Fixed-width histogram of event values per type (bin = floor(value/50)):
     * the one-pass distribution profile. Bin assignment divides identical
     * raw doubles in both engines (closest value sits 2e-4 from a boundary);
@@ -2704,6 +2724,7 @@ object Queries {
       (graft.streaming.StreamingBattery.d158StreamConstraints _),
     "d159_temperature_mixture" -> (d159TemperatureMixture _),
     "d160_tar_shards" -> (d160TarShards _),
+    "d161_join_fanout" -> (d161JoinFanout _),
   )
 
   private val toksSql =
@@ -3853,6 +3874,22 @@ object Queries {
         |SELECT check_name, column_name, n_rows, n_violations,
         |  n_violations = 0 AS passed
         |FROM r""".stripMargin,
+
+    // exact join size and hot-key ranking from the two count tables
+    "d161_join_fanout" ->
+      """WITH lc AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS ln
+        |  FROM lineitem GROUP BY 1),
+        |rc AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS rn
+        |  FROM orders WHERE o_totalprice > 200000 GROUP BY 1),
+        |p AS (SELECT lc.k, ln * rn AS out_rows, ln AS left_rows,
+        |        rn AS right_rows
+        |      FROM lc JOIN rc USING (k)),
+        |tot AS (SELECT CAST(COALESCE(SUM(out_rows), 0) AS BIGINT)
+        |          AS total_rows FROM p)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(out_rows AS BIGINT) AS out_rows,
+        | left_rows, right_rows, total_rows,
+        | ROUND(CAST(out_rows AS DOUBLE) / total_rows, 6) AS share
+        |FROM p, tot ORDER BY out_rows DESC, k ASC LIMIT 10""".stripMargin,
 
     // the manifest (id, UTF-8 byte length) recomputed from the table —
     // any lost/duplicated/truncated tar entry breaks the hash

@@ -577,6 +577,39 @@ object ScaleOps {
     * right side would surface once per salt. Right/full-outer needs the
     * dual construction (salt the right, explode the left).
     */
+  /** Join-fanout census — the pre-flight a 100 TB join deserves: the exact
+    * output size of `left ⋈ right` on `keys` is Σ_k nL(k)·nR(k), computable
+    * from the two per-key COUNT tables (key-cardinality-sized — tiny next
+    * to the join itself) without running the join. Returns the top
+    * `topK` keys by output contribution with their share of the total —
+    * the hot-key list that decides whether to [[saltedJoin]] (and with
+    * what factor), or to broadcast, or to walk away.
+    *
+    * Deterministic output: ties broken by key ascending; share is ONE
+    * integer division per row (product/total in doubles, rounded).
+    */
+  def joinFanoutCensus(left: DataFrame, right: DataFrame,
+      keys: Seq[String], topK: Int = 10): DataFrame = {
+    require(keys.nonEmpty, "joinFanoutCensus needs key columns")
+    require(topK > 0, s"topK must be positive: $topK")
+    val lc = left.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__ln"))
+    val rc = right.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__rn"))
+    val prod = lc.join(rc, keys)
+      .select(keys.map(col) :+
+        (col("__ln") * col("__rn")).as("out_rows") :+
+        col("__ln").as("left_rows") :+ col("__rn").as("right_rows"): _*)
+    // total via a broadcast 1-row aggregate, NOT a window over the full
+    // count table (an unpartitioned running window would funnel the key
+    // census through one reducer); the top-K sort is bounded by limit
+    // pushdown (TakeOrderedAndProject), never a full global sort
+    val total = prod.agg(coalesce(sum(col("out_rows")), lit(0L))
+      .as("total_rows"))
+    prod.orderBy(col("out_rows").desc +: keys.map(col): _*).limit(topK)
+      .crossJoin(broadcast(total))
+      .withColumn("share", round(col("out_rows").cast("double") /
+        col("total_rows"), 6))
+  }
+
   /** Bloom-filter semi-join reduction (sideways information passing): build
     * a Bloom filter over the small side's join-key hashes, broadcast it,
     * and prune the big side BEFORE its shuffle — only rows that might match

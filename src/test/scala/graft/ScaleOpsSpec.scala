@@ -413,6 +413,34 @@ class ScaleOpsSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSeq)
   }
 
+  test("joinFanoutCensus: exact prediction, hot-key ranking, no-sort plan") {
+    val s = spark
+    import s.implicits._
+    val left = (Seq.fill(50)(1L) ++ Seq.fill(10)(2L) ++ Seq(3L, 4L))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "lv")
+    val right = (Seq.fill(4)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L, 9L))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "rv")
+    val census = ScaleOps.joinFanoutCensus(left, right, Seq("k"), topK = 2)
+      .collect()
+    // prediction must equal the ACTUAL join output size
+    val actual = left.join(right, "k").count()
+    assert(census.head.getAs[Long]("total_rows") == actual)
+    assert(actual == 50L * 4 + 10L * 2 + 1L) // 221
+    // hot keys ranked by contribution: k=1 (200), k=2 (20)
+    assert(census.map(_.getAs[Long]("k")).toSeq == Seq(1L, 2L))
+    assert(census.map(_.getAs[Long]("out_rows")).toSeq == Seq(200L, 20L))
+    assert(census.head.getAs[Double]("share") == math.rint(200.0 / 221 * 1e6) / 1e6)
+    // disjoint keys: empty census, zero total — never a crash
+    val none = ScaleOps.joinFanoutCensus(
+      Seq(1L).toDF("k"), Seq(2L).toDF("k"), Seq("k"))
+    assert(none.count() == 0)
+    // the top-K must plan as TakeOrdered (limit pushdown), not a global sort
+    val plan = ScaleOps.joinFanoutCensus(left, right, Seq("k"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K census must not global-sort:\n$plan")
+  }
+
   test("temperatureMixtureSample: flattening, budget, corners, determinism") {
     val s = spark
     import s.implicits._
