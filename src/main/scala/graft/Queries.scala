@@ -1043,6 +1043,22 @@ object Queries {
         expr("CAST(total_rows AS BIGINT)").as("total_rows"),
         col("share"))
 
+  /** Leakage-safe deterministic 80/10/10 split
+    * ([[graft.operators.ScaleOps.deterministicSplit]]) keyed on user_id —
+    * group-coherent (every event of a user lands in ONE split; COUNT
+    * DISTINCT across splits must therefore sum to the global user count,
+    * which the census itself exposes). Oracle replicates the exact
+    * integer-bucketed md5 CASE — the kept assignment is bit-identical
+    * cross-engine, not just ratio-similar.
+    */
+  def d162LeakageSplit(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScaleOps.deterministicSplit(
+      Tables.events(s, d).select(col("user_id"), col("event_id")),
+      "user_id", Seq(("train", 8), ("val", 1), ("test", 1)))
+      .groupBy(col("split"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_events"),
+        expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").as("n_users"))
+
   /** Fixed-width histogram of event values per type (bin = floor(value/50)):
     * the one-pass distribution profile. Bin assignment divides identical
     * raw doubles in both engines (closest value sits 2e-4 from a boundary);
@@ -2725,6 +2741,7 @@ object Queries {
     "d159_temperature_mixture" -> (d159TemperatureMixture _),
     "d160_tar_shards" -> (d160TarShards _),
     "d161_join_fanout" -> (d161JoinFanout _),
+    "d162_leakage_split" -> (d162LeakageSplit _),
   )
 
   private val toksSql =
@@ -3874,6 +3891,20 @@ object Queries {
         |SELECT check_name, column_name, n_rows, n_violations,
         |  n_violations = 0 AS passed
         |FROM r""".stripMargin,
+
+    // the exact integer-bucketed md5 split CASE, re-derived
+    "d162_leakage_split" ->
+      """WITH e AS (SELECT user_id, event_id,
+        | CASE
+        |  WHEN '0' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6)
+        |       < lpad(lower(hex((8 * 16777216) // 10)), 7, '0') THEN 'train'
+        |  WHEN '0' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6)
+        |       < lpad(lower(hex((9 * 16777216) // 10)), 7, '0') THEN 'val'
+        |  ELSE 'test' END AS split
+        | FROM events)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e GROUP BY 1""".stripMargin,
 
     // exact join size and hot-key ranking from the two count tables
     "d161_join_fanout" ->

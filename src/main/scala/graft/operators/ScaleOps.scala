@@ -86,6 +86,41 @@ object ScaleOps {
         lpad(lower(hex(greatest(thr, lit(0L)))), 7, "0"))
   }
 
+  /** Deterministic, leakage-safe dataset splitting (train/val/test): every
+    * row is assigned to EXACTLY one split by the md5 of `keyCol`, with
+    * integer-exact bucket boundaries (fraction_i of the 16^6 md5-prefix
+    * space, same string-compare gate as [[deterministicWeightedSample]]).
+    * Pass a GROUP key (user_id, document cluster, site) and the split is
+    * group-coherent — all of a key's rows land in the same split, which is
+    * the leakage-prevention contract a train/test split actually needs
+    * (near-duplicates of a training doc must not score the test set).
+    *
+    * Deterministic across engines, retries, and layouts (pure row
+    * function, no RNG state); disjoint and exhaustive by construction
+    * (CASE over half-open bucket ranges covering the whole space).
+    * Map-only — zero shuffles.
+    */
+  def deterministicSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Int)], outCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0), s"weights must be positive: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split names: $splits")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' collides with the input schema")
+    val Scale = 16777216L // 16^6
+    val den = splits.map(_._2.toLong).sum
+    val h = concat(lit("0"), substring(md5(col(keyCol).cast("string")), 1, 6))
+    // cumulative upper bounds, integer-exact; the last bucket's bound is
+    // the full space so the CASE is exhaustive without an ELSE-null hole
+    val cums = splits.map(_._2.toLong).scanLeft(0L)(_ + _).tail
+    val bounds = cums.map(c => lpad(lower(hex(lit(c * Scale / den))), 7, "0"))
+    val labeled = splits.zip(bounds).reverse.foldLeft(lit(null: String)) {
+      case (acc, ((name, _), bound)) => when(h < bound, lit(name)).otherwise(acc)
+    }
+    df.withColumn(outCol, labeled)
+  }
+
   /** Temperature-weighted mixture downsampling — the standard LLM
     * data-mixture primitive (multilingual/multi-source sampling with
     * p_s ∝ n_s^alpha, alpha < 1 flattening the head so low-resource strata

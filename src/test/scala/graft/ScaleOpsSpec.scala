@@ -413,6 +413,47 @@ class ScaleOpsSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSeq)
   }
 
+  test("deterministicSplit: disjoint+exhaustive, group-coherent, model-exact, map-only") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 3000L).map(id => (id % 300, id)).toDF("grp", "id")
+    val out = ScaleOps.deterministicSplit(df, "grp",
+      Seq(("train", 8), ("val", 1), ("test", 1)))
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(2)))
+    // exhaustive: every row labeled
+    assert(rows.length == 3000 && rows.forall(_._2 != null))
+    // group-coherent: a group maps to exactly one split
+    val perGroup = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+    assert(perGroup.values.forall(_ == 1), "a group straddles splits")
+    // model-exact: replicate the integer-bucketed md5 assignment in-JVM
+    def modelSplit(g: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.toString.getBytes("UTF-8"))
+      val hex = md.take(3).map(b => f"$b%02x").mkString // 6 hex chars
+      val h = java.lang.Long.parseLong(hex, 16)
+      if (h < 8L * 16777216 / 10) "train"
+      else if (h < 9L * 16777216 / 10) "val" else "test"
+    }
+    rows.foreach { case (g, sp) =>
+      assert(sp == modelSplit(g), s"grp=$g got $sp want ${modelSplit(g)}")
+    }
+    // ratios land near 8/1/1 (binomial over 300 groups)
+    val counts = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(counts("train") > 2000 && counts("val") < 700 && counts("test") < 700,
+      s"$counts")
+    // map-only: no exchange anywhere in the labeling plan
+    val plan = ScaleOps.deterministicSplit(df, "grp",
+      Seq(("a", 1), ("b", 1))).queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"), s"split must be map-only:\n$plan")
+    // guards: duplicate names, colliding out column
+    intercept[IllegalArgumentException] {
+      ScaleOps.deterministicSplit(df, "grp", Seq(("x", 1), ("x", 1)))
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.deterministicSplit(df, "grp", Seq(("a", 1), ("b", 1)), "id")
+    }
+  }
+
   test("joinFanoutCensus: exact prediction, hot-key ranking, no-sort plan") {
     val s = spark
     import s.implicits._
