@@ -76,14 +76,27 @@ object ScaleOps {
     * re-runs keep the SAME rows, and any md5-capable system can audit
     * exactly which rows a training mix kept.
     */
+  private val Md5GateScale = 16777216L // 16^6: 6-hex-digit md5-prefix space
+
+  /** The engine-portable uniform: '0' + the first 6 hex chars of md5(id),
+    * compared as a string against [[hexBound7]]-encoded integer bounds.
+    * ONE definition — [[deterministicWeightedSample]] and
+    * [[deterministicSplit]] must gate the same key space identically.
+    */
+  private def md5Prefix(id: Column): Column =
+    concat(lit("0"), substring(md5(id.cast("string")), 1, 6))
+
+  /** 7-char zero-padded lowercase hex of an integer bound in
+    * [0, [[Md5GateScale]]] — the right-hand side of the gate compare.
+    */
+  private def hexBound7(v: Column): Column = lpad(lower(hex(v)), 7, "0")
+
   def deterministicWeightedSample(
       df: DataFrame, idCol: String, weightNum: Column, weightDen: Column): DataFrame = {
-    val Scale = 16777216L // 16^6: the space of 6-hex-digit md5 prefixes
     val thr = call_function("div",
-      weightNum.cast("bigint") * lit(Scale), weightDen.cast("bigint")).cast("bigint")
-    df.filter(
-      concat(lit("0"), substring(md5(col(idCol).cast("string")), 1, 6)) <
-        lpad(lower(hex(greatest(thr, lit(0L)))), 7, "0"))
+      weightNum.cast("bigint") * lit(Md5GateScale), weightDen.cast("bigint"))
+      .cast("bigint")
+    df.filter(md5Prefix(col(idCol)) < hexBound7(greatest(thr, lit(0L))))
   }
 
   /** Deterministic, leakage-safe dataset splitting (train/val/test): every
@@ -97,8 +110,10 @@ object ScaleOps {
     *
     * Deterministic across engines, retries, and layouts (pure row
     * function, no RNG state); disjoint and exhaustive by construction
-    * (CASE over half-open bucket ranges covering the whole space).
-    * Map-only — zero shuffles.
+    * (CASE over half-open bucket ranges covering the whole space; a NULL
+    * key — md5(null) gates nothing — lands deterministically in the LAST
+    * split, matching a SQL CASE's ELSE branch, so no row is ever left
+    * unlabeled). Map-only — zero shuffles.
     */
   def deterministicSplit(df: DataFrame, keyCol: String,
       splits: Seq[(String, Int)], outCol: String = "split"): DataFrame = {
@@ -108,16 +123,18 @@ object ScaleOps {
       s"duplicate split names: $splits")
     require(!df.columns.contains(outCol),
       s"output column '$outCol' collides with the input schema")
-    val Scale = 16777216L // 16^6
     val den = splits.map(_._2.toLong).sum
-    val h = concat(lit("0"), substring(md5(col(keyCol).cast("string")), 1, 6))
-    // cumulative upper bounds, integer-exact; the last bucket's bound is
-    // the full space so the CASE is exhaustive without an ELSE-null hole
+    val h = md5Prefix(col(keyCol))
+    // cumulative upper bounds, integer-exact; seeding the fold with the
+    // LAST split's name makes the CASE exhaustive (last bucket's bound is
+    // the full space) AND routes null keys like a SQL ELSE would
     val cums = splits.map(_._2.toLong).scanLeft(0L)(_ + _).tail
-    val bounds = cums.map(c => lpad(lower(hex(lit(c * Scale / den))), 7, "0"))
-    val labeled = splits.zip(bounds).reverse.foldLeft(lit(null: String)) {
-      case (acc, ((name, _), bound)) => when(h < bound, lit(name)).otherwise(acc)
-    }
+    val bounds = cums.map(c => hexBound7(lit(c * Md5GateScale / den)))
+    val labeled = splits.zip(bounds).reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (acc, ((name, _), bound)) =>
+          when(h < bound, lit(name)).otherwise(acc)
+      }
     df.withColumn(outCol, labeled)
   }
 
@@ -150,15 +167,20 @@ object ScaleOps {
     val denom = counts.agg(
       sum(pow(col("__n").cast("double"), alpha)).as("__denom"))
     val targets = counts.crossJoin(broadcast(denom))
-      .select(col(stratumCol),
+      .select(col(stratumCol).as("__s"),
         col("__n"),
         least(col("__n"),
           round(lit(totalTarget.toDouble) *
             pow(col("__n").cast("double"), alpha) / col("__denom"))
             .cast("long")).as("__t"))
+    // null-SAFE stratum match: groupBy keeps a null stratum as a real
+    // group, so an equi-join here would silently drop its rows while its
+    // weight still shrank everyone else's target — the null stratum is a
+    // stratum like any other
     deterministicWeightedSample(
-      df.join(broadcast(targets), stratumCol), idCol, col("__t"), col("__n"))
-      .drop("__n", "__t")
+      df.join(broadcast(targets), df(stratumCol) <=> col("__s")),
+      idCol, col("__t"), col("__n"))
+      .drop("__s", "__n", "__t")
   }
 
   /** Two-phase salted aggregation for skew-heavy keys: phase 1 aggregates on
@@ -633,6 +655,7 @@ object ScaleOps {
       .select(keys.map(col) :+
         (col("__ln") * col("__rn")).as("out_rows") :+
         col("__ln").as("left_rows") :+ col("__rn").as("right_rows"): _*)
+      .localCheckpoint(false) // two consumers: total agg + top-K
     // total via a broadcast 1-row aggregate, NOT a window over the full
     // count table (an unpartitioned running window would funnel the key
     // census through one reducer); the top-K sort is bounded by limit

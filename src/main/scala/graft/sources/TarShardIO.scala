@@ -66,8 +66,15 @@ object TarShardIO {
       out.setAddPaxHeadersForNonAsciiNames(true)
       var committed = false
       try {
+        // rows arrive sorted by (key, ext), so a duplicate entry name is
+        // ALWAYS adjacent — catch it here rather than let tar tools and
+        // readers keep an arbitrary one of two same-named entries
+        var prevName: String = null
         it.foreach { r =>
           val name = s"${r.getString(0)}.${r.getString(1)}"
+          if (name == prevName) throw new java.io.IOException(
+            s"duplicate tar entry '$name': two input rows share (key, ext)")
+          prevName = name
           val bytes = r.getAs[Array[Byte]](2)
           val e = new TarArchiveEntry(name)
           e.setSize(bytes.length.toLong)
@@ -114,7 +121,13 @@ object TarShardIO {
         try {
           var e = in.getNextEntry
           while (e != null) {
+            if (e.getSize > Int.MaxValue - 8) throw new java.io.IOException(
+              s"tar entry '${e.getName}' in $p is ${e.getSize} bytes — " +
+                "beyond the single-array payload limit; shard smaller samples")
             val bytes = in.readNBytes(e.getSize.toInt)
+            if (bytes.length != e.getSize) throw new java.io.EOFException(
+              s"truncated shard $p: entry '${e.getName}' declared " +
+                s"${e.getSize} bytes, got ${bytes.length}")
             buf += Row(shardId, e.getName, bytes)
             e = in.getNextEntry
           }

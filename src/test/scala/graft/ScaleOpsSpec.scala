@@ -452,6 +452,29 @@ class ScaleOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       ScaleOps.deterministicSplit(df, "grp", Seq(("a", 1), ("b", 1)), "id")
     }
+    // null keys route to the LAST split (a SQL CASE's ELSE), never NULL —
+    // the exhaustive contract holds for every row
+    val withNull = Seq((Some(1L), 1L), (None, 2L), (None, 3L))
+      .toDF("grp", "id")
+    val nl = ScaleOps.deterministicSplit(withNull, "grp",
+      Seq(("train", 8), ("val", 1), ("test", 1))).collect()
+    assert(nl.forall(_.getString(2) != null))
+    assert(nl.filter(_.isNullAt(0)).forall(_.getString(2) == "test"))
+  }
+
+  test("temperatureMixtureSample: a null stratum is a stratum (kept, not dropped)") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 400).map(i => (Some("en"), i.toLong)) ++
+      (401 to 800).map(i => (Option.empty[String], i.toLong)))
+      .toDF("lang", "id")
+    val out = ScaleOps.temperatureMixtureSample(df, "lang", "id", 400L, 0.5)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // equal strata → equal targets (200 each); md5 gate keeps ≈ target
+    assert(byLang.contains(None), s"null stratum dropped: $byLang")
+    assert(math.abs(byLang(None) - 200L) < 60, s"$byLang")
+    assert(math.abs(byLang(Some("en")) - 200L) < 60, s"$byLang")
   }
 
   test("joinFanoutCensus: exact prediction, hot-key ranking, no-sort plan") {
@@ -514,9 +537,10 @@ class ScaleOpsSpec extends SparkTestBase {
     val b = ScaleOps.temperatureMixtureSample(df, "k", "id", 250L, 0.5)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(a == b)
-    // kept rows are a subset of the input with original columns intact
+    // kept rows are a subset of the input with original columns intact,
+    // in the input's own order (the null-safe join is pass-through)
     val cols = ScaleOps.temperatureMixtureSample(df, "k", "id", 250L, 0.5).columns
-    assert(cols.toSeq == Seq("k", "id"))
+    assert(cols.toSeq == df.columns.toSeq)
   }
 
   test("bloomSemiJoin refuses mismatched key types (xxhash64 is type-sensitive)") {

@@ -79,4 +79,33 @@ class TarShardIOSpec extends SparkTestBase {
       }
     } finally deleteRecursively(dir)
   }
+
+  test("duplicate (key, ext) rows are refused; truncated shards fail loudly") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir()
+    try {
+      val dup = Seq(("a", "txt", "one".getBytes("UTF-8")),
+        ("a", "txt", "two".getBytes("UTF-8"))).toDF("k", "ext", "payload")
+      val e = intercept[org.apache.spark.SparkException] {
+        TarShardIO.write(dup, dir, "k", "ext", "payload", 1)
+      }
+      assert(e.getMessage.contains("duplicate tar entry") ||
+        Option(e.getCause).exists(_.getMessage.contains("duplicate tar entry")))
+      // truncation: chop a valid shard mid-entry; read must throw, not
+      // hand back silently short payloads
+      TarShardIO.write(Seq(("b", "txt", Array.fill(4096)('x'.toByte)))
+        .toDF("k", "ext", "payload"), dir, "k", "ext", "payload", 1)
+      val shard = new java.io.File(dir, "shard-00000.tar")
+      val full = java.nio.file.Files.readAllBytes(shard.toPath)
+      java.nio.file.Files.write(shard.toPath, full.take(1024))
+      val err = intercept[org.apache.spark.SparkException] {
+        TarShardIO.read(s, dir).collect()
+      }
+      val msgs = Iterator.iterate(err: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.toString).mkString(" | ")
+      assert(msgs.contains("truncated") || msgs.contains("EOF") ||
+        msgs.contains("IOException"), msgs)
+    } finally deleteRecursively(dir)
+  }
 }
