@@ -1043,6 +1043,24 @@ object Queries {
         expr("CAST(total_rows AS BIGINT)").as("total_rows"),
         col("share"))
 
+  /** Exact-threshold cross-set decontamination
+    * ([[graft.operators.Dedup.prefixFilteredJaccardJoin]]): every
+    * (eval doc, training doc) pair with 8-gram-set Jaccard ≥ 1/2 — the
+    * threshold refinement of d57's verbatim-gram gate (a paraphrased
+    * contamination shares half its shingles without any exact containment
+    * signal firing). Eval = the src0/src1 slice (d57's convention);
+    * training = the rest; left×left and right×right pairs are never
+    * generated. Oracle = independent cross-side gram-join candidates +
+    * list_intersect verify (probed: 4 pairs at sf0.01, 56 at sf0.1).
+    */
+  def d163CrossJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isEval = col("source").isin("src0", "src1")
+    graft.operators.Dedup.prefixFilteredJaccardJoin(
+      docs.filter(isEval), docs.filter(!isEval), "doc_id", "text",
+      shingleSize = 8, tNum = 1, tDen = 2)
+  }
+
   /** Leakage-safe deterministic 80/10/10 split
     * ([[graft.operators.ScaleOps.deterministicSplit]]) keyed on user_id —
     * group-coherent (every event of a user lands in ONE split; COUNT
@@ -2742,6 +2760,7 @@ object Queries {
     "d160_tar_shards" -> (d160TarShards _),
     "d161_join_fanout" -> (d161JoinFanout _),
     "d162_leakage_split" -> (d162LeakageSplit _),
+    "d163_cross_jaccard" -> (d163CrossJaccard _),
   )
 
   private val toksSql =
@@ -3891,6 +3910,24 @@ object Queries {
         |SELECT check_name, column_name, n_rows, n_violations,
         |  n_violations = 0 AS passed
         |FROM r""".stripMargin,
+
+    // independent cross-side candidate route + exact integer verify
+    "d163_cross_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksLowerSql AS ws FROM documents),
+         |g AS (SELECT doc_id, source IN ('src0','src1') AS ev,
+         |        $gram8Sql AS gs FROM t WHERE len(ws) > 0),
+         |e AS (SELECT doc_id, ev, unnest(gs) AS gram FROM g),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM e a JOIN e b ON a.gram = b.gram AND a.ev AND NOT b.ev),
+         |v AS (SELECT i, j, len(list_intersect(ga.gs, gb.gs)) AS inter,
+         |    len(ga.gs) AS n1, len(gb.gs) AS n2
+         |  FROM cand JOIN g ga ON ga.doc_id = cand.i
+         |    JOIN g gb ON gb.doc_id = cand.j)
+         |SELECT CAST(i AS BIGINT) AS id1, CAST(j AS BIGINT) AS id2,
+         | CAST(inter AS BIGINT) AS inter, CAST(n1 AS BIGINT) AS n1,
+         | CAST(n2 AS BIGINT) AS n2,
+         | ROUND(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
+         |FROM v WHERE inter * 2 >= (n1 + n2 - inter) * 1""".stripMargin,
 
     // the exact integer-bucketed md5 split CASE, re-derived
     "d162_leakage_split" ->

@@ -286,37 +286,74 @@ object Dedup {
     */
   def prefixFilteredJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 8, tNum: Int = 1, tDen: Int = 2): DataFrame = {
-    require(tNum > 0 && tDen > 0 && tNum <= tDen,
-      s"threshold must be a rational in (0,1]: $tNum/$tDen")
-    val grams = df.select(col(idCol).as("__id"),
+      shingleSize: Int = 8, tNum: Int = 1, tDen: Int = 2): DataFrame =
+    jaccardJoinCore(
+      sideGrams(df, idCol, textCol, shingleSize, 0), tNum, tDen,
+      crossSides = false)
+
+  /** The TWO-TABLE form of [[prefixFilteredJaccardPairs]]: every
+    * (left, right) pair whose gram-set Jaccard is ≥ tNum/tDen — exact
+    * threshold DECONTAMINATION (which eval docs overlap ≥ t with ANY
+    * training doc), dataset-overlap audits, supplier-dedup across
+    * catalogs. Same prefix-filter algebra; the shared total order that
+    * the prefix lemma needs comes from gram frequencies over the UNION of
+    * both sides, and candidates pair across sides only — left×left and
+    * right×right pairs are never generated, let alone verified. Output:
+    * (id1 = left id, id2 = right id, inter, n1, n2, jaccard); id spaces
+    * may overlap freely (sides are tracked internally).
+    */
+  def prefixFilteredJaccardJoin(
+      left: DataFrame, right: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 8, tNum: Int = 1, tDen: Int = 2): DataFrame =
+    jaccardJoinCore(
+      sideGrams(left, idCol, textCol, shingleSize, 0)
+        .unionByName(sideGrams(right, idCol, textCol, shingleSize, 1)),
+      tNum, tDen, crossSides = true)
+
+  private def sideGrams(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, side: Int): DataFrame =
+    df.select(col(idCol).as("__id"), lit(side).as("__side"),
       TextFunctions.wordShingles(col(textCol), shingleSize).as("__gs"))
       // empty/NULL-text docs carry the [""] sentinel shingle — no token
       // evidence to judge similarity on; excluded (they are exact-dup
       // territory, [[exact]]'s job, and engines disagree on NULL grams)
       .filter(size(col("__gs")) > 1 || element_at(col("__gs"), 1) =!= "")
-      .localCheckpoint(false) // two consumers: prefixes + verify
-    val posts = grams.select(col("__id"), explode(col("__gs")).as("__g"))
+
+  /** Shared core: `grams` = (__id, __side, __gs). Self mode pairs by
+    * id1 < id2 within the single side; cross mode pairs side 0 × side 1
+    * only (ids may collide across sides — (__id, __side) is the row key).
+    */
+  private def jaccardJoinCore(grams0: DataFrame, tNum: Int, tDen: Int,
+      crossSides: Boolean): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0,1]: $tNum/$tDen")
+    val grams = grams0.localCheckpoint(false) // two consumers: prefixes + verify
+    val posts = grams.select(col("__id"), col("__side"),
+      explode(col("__gs")).as("__g"))
     val freq = posts.groupBy(col("__g")).agg(count(lit(1)).as("__f"))
     // per-doc prefix in rare-first (freq, gram) order; L = n - ceil(tn) + 1
     val prefixes = posts.join(freq, "__g")
-      .groupBy(col("__id"))
+      .groupBy(col("__id"), col("__side"))
       .agg(sort_array(collect_list(struct(col("__f"), col("__g"))))
         .as("__sorted"))
-      .select(col("__id"),
+      .select(col("__id"), col("__side"),
         expr(s"""slice(transform(__sorted, s -> s.__g), 1,
                  size(__sorted) - CAST(($tNum * size(__sorted) + $tDen - 1)
                    DIV $tDen AS INT) + 1)""").as("__prefix"))
-      .select(col("__id"), explode(col("__prefix")).as("__g"))
+      .select(col("__id"), col("__side"), explode(col("__prefix")).as("__g"))
+    val pairCond =
+      if (crossSides) col("a.__side") < col("b.__side")
+      else col("a.__id") < col("b.__id")
     val cands = prefixes.as("a")
-      .join(prefixes.as("b"),
-        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
+      .join(prefixes.as("b"), col("a.__g") === col("b.__g") && pairCond)
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
       .distinct()
-    val g1 = grams.select(col("__id").as("id1"), col("__gs").as("__gs1"),
-      size(col("__gs")).as("__n1"))
-    val g2 = grams.select(col("__id").as("id2"), col("__gs").as("__gs2"),
-      size(col("__gs")).as("__n2"))
+    val g1 = grams.filter(col("__side") === 0)
+      .select(col("__id").as("id1"), col("__gs").as("__gs1"),
+        size(col("__gs")).as("__n1"))
+    val g2 = grams.filter(col("__side") === lit(if (crossSides) 1 else 0))
+      .select(col("__id").as("id2"), col("__gs").as("__gs2"),
+        size(col("__gs")).as("__n2"))
     cands.join(g1, "id1").join(g2, "id2")
       .withColumn("inter",
         size(array_intersect(col("__gs1"), col("__gs2"))).cast("long"))

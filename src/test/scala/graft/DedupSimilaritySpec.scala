@@ -216,6 +216,38 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("prefixFilteredJaccardJoin (two-table): cross pairs only, == brute force, colliding ids safe") {
+    val s = spark
+    import s.implicits._
+    for ((tNum, tDen) <- Seq((1, 2), (2, 3))) {
+      val rnd = new scala.util.Random(11)
+      val vocab = Seq("a", "b", "c", "d", "e", "f")
+      def corpus(n: Int) = (1L to n.toLong).map { id =>
+        (id, rnd.shuffle(vocab).take(1 + rnd.nextInt(5)).mkString(" "))
+      }
+      // DELIBERATELY overlapping id spaces: sides are tracked internally
+      val left = corpus(40); val right = corpus(60)
+      val got = Dedup.prefixFilteredJaccardJoin(
+        left.toDF("doc_id", "text"), right.toDF("doc_id", "text"),
+        "doc_id", "text", shingleSize = 1, tNum = tNum, tDen = tDen)
+        .select("id1", "id2", "inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ls = left.map { case (id, t) => id -> t.split(" ").toSet }
+      val rs = right.map { case (id, t) => id -> t.split(" ").toSet }
+      val model = (for {
+        (i, si) <- ls; (j, sj) <- rs
+        inter = (si & sj).size
+        if inter * tDen >= (si.size + sj.size - inter) * tNum
+      } yield (i, j, inter.toLong)).toSet
+      assert(got == model,
+        s"t=$tNum/$tDen:\n missing=${model -- got}\n extra=${got -- model}")
+      assert(model.nonEmpty, s"t=$tNum/$tDen: vacuous sweep")
+      // no within-side pair can appear: every output pair is (left, right)
+      // by construction — model equality above already proves it, since
+      // the model only enumerates cross pairs
+    }
+  }
+
   test("excludedRules actually bypasses the rewrite (reference independence)") {
     // optimization happens lazily — the plan must be forced INSIDE the
     // exclusion scope
