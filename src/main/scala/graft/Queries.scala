@@ -1077,6 +1077,115 @@ object Queries {
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_events"),
         expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").as("n_users"))
 
+  /** Exact ROC-AUC ([[graft.operators.EvalMetrics.aucExact]]) of "does the
+    * event value separate purchases from other events" — rank-sum with
+    * midrank ties, integer numerator/denominator end-to-end, so the pair
+    * hash-matches cross-engine with no float-rank drift. The oracle is the
+    * single-window textbook form; the engine computes the identical prefix
+    * with a two-level scan that never builds a one-partition global window.
+    */
+  def d164Auc(s: SparkSession, d: String): DataFrame =
+    graft.operators.EvalMetrics.aucExact(
+      Tables.events(s, d).select(col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("lbl")),
+      "score", "lbl")
+
+  /** Per-query NDCG@10 ([[graft.operators.EvalMetrics.ndcgAtK]]) over a
+    * three-query BM25 run (d144's formula with a query dimension).
+    * Relevance = total query-term occurrences capped at 3 (a graded label
+    * deliberately NOT aligned with BM25's idf/length weighting, so the
+    * ideal and scored orders disagree and NDCG lands strictly inside
+    * (0, 1) — probed 0.80-0.93, not a vacuous 1.0); ranking uses the
+    * ROUND(·,4) score (the precision d144 pins cross-engine) with doc_id
+    * tie-break, so rank assignment can never flip on summation ulps.
+    */
+  def d165Ndcg(s: SparkSession, d: String): DataFrame = {
+    val qterms = Seq(("q1", "hash", 1), ("q1", "join", 0), ("q2", "scan", 1),
+      ("q2", "filter", 0), ("q3", "stream", 1), ("q3", "batch", 0))
+    val qdf = s.createDataFrame(qterms).toDF("q", "term", "prim")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(lower(col("text"))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qdf), "term")
+      .groupBy(col("q"), col("doc_id"), col("dl"), col("term"), col("prim"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val ranked = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w", col("idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("q"), col("doc_id"))
+      .agg(round(sum(col("w")), 4).as("score"),
+        least(sum(when(col("prim") === 1, col("tf")).otherwise(lit(0.0))),
+          lit(3.0)).cast("long").as("rel"))
+    graft.operators.EvalMetrics.ndcgAtK(ranked, "q", "doc_id", "score", "rel", 10)
+  }
+
+  /** Calibration report ([[graft.operators.EvalMetrics.calibrationReport]]):
+    * p = value/100 clipped to [0,1] as the confidence proxy, purchase as
+    * the positive class, 10 equal-width bins. Bin assignment floors the
+    * identical double expression in both engines; per-bin means round
+    * AFTER all arithmetic.
+    */
+  def d166Calibration(s: SparkSession, d: String): DataFrame =
+    graft.operators.EvalMetrics.calibrationReport(
+      Tables.events(s, d).select(
+        least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0)).as("p"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("lbl")),
+      "p", "lbl", nBins = 10)
+
+  /** Pareto frontier ([[graft.operators.ScaleOps.skyline2D]]) of parts:
+    * cheapest price for the size you get (minimize p_retailprice, maximize
+    * p_size). Engine = two-phase partition-local sweep, no global sort and
+    * no quadratic anti-join; oracle = the independent NOT EXISTS dominance
+    * definition over the distinct point set.
+    */
+  def d167Skyline(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScaleOps.skyline2D(
+      Tables.part(s, d).select(col("p_retailprice").as("price"),
+        col("p_size").cast("double").as("psize")),
+      "price", "psize")
+      .select(col("price"), col("psize"),
+        expr("CAST(n_points AS BIGINT)").as("n_points"))
+
+  /** Part co-purchase graph (orders as baskets, edges = part pairs
+    * co-ordered ≥ 2 times) — shared input of d168/d169. Per-order pair
+    * fan-out is bounded by the order's line count, so edge derivation is
+    * linear in lineitem, never quadratic in any global count.
+    */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    graft.operators.GraphOps.coOccurrenceEdges(
+      Tables.lineitem(s, d).select(col("l_orderkey").as("g"),
+        col("l_partkey").as("i")),
+      "g", "i", minCount = 2L)
+
+  /** Exact triangle census ([[graft.operators.GraphOps.triangleCount]]) of
+    * the co-purchase graph. The engine orients edges by the (degree, node)
+    * total order before the wedge join — per-node fan-out O(√m) — while
+    * the oracle counts by the independent canonical a<b<c enumeration;
+    * agreement pins the orientation algebra, not just the plumbing.
+    */
+  def d168Triangles(s: SparkSession, d: String): DataFrame =
+    graft.operators.GraphOps.triangleCount(coPurchaseEdges(s, d))
+
+  /** Three synchronous PageRank iterations
+    * ([[graft.operators.GraphOps.pageRank]]) on the co-purchase graph,
+    * d = 0.85 from the uniform start. The oracle unrolls the identical
+    * recurrence as three CTE stages; per-edge terms are engine-identical
+    * doubles (IEEE division), so ROUND 9 absorbs the summation-order ulps.
+    */
+  def d169PageRank(s: SparkSession, d: String): DataFrame =
+    graft.operators.GraphOps.pageRank(coPurchaseEdges(s, d),
+      iterations = 3, damping = 0.85)
+      .select(expr("CAST(node AS BIGINT)").as("node"), col("pr"))
+
   /** Fixed-width histogram of event values per type (bin = floor(value/50)):
     * the one-pass distribution profile. Bin assignment divides identical
     * raw doubles in both engines (closest value sits 2e-4 from a boundary);
@@ -2761,6 +2870,12 @@ object Queries {
     "d161_join_fanout" -> (d161JoinFanout _),
     "d162_leakage_split" -> (d162LeakageSplit _),
     "d163_cross_jaccard" -> (d163CrossJaccard _),
+    "d164_auc" -> (d164Auc _),
+    "d165_ndcg" -> (d165Ndcg _),
+    "d166_calibration" -> (d166Calibration _),
+    "d167_skyline" -> (d167Skyline _),
+    "d168_triangles" -> (d168Triangles _),
+    "d169_pagerank" -> (d169PageRank _),
   )
 
   private val toksSql =
@@ -4173,5 +4288,143 @@ object Queries {
         |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
         | CAST(SUM(amt) AS DOUBLE) AS sum_price
         |FROM next GROUP BY 1""".stripMargin,
+
+    // textbook single-window rank-sum — the engine's two-level prefix scan
+    // must land on the identical integer numerator/denominator
+    "d164_auc" ->
+      """WITH t AS (SELECT value AS score,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl
+        | FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT score, CAST(SUM(lbl) AS BIGINT) AS pos,
+        |  CAST(COUNT(*) - SUM(lbl) AS BIGINT) AS neg FROM t GROUP BY 1),
+        |c AS (SELECT pos, neg,
+        |  CAST(COALESCE(SUM(neg) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS negbelow FROM g)
+        |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        | CAST(SUM(neg) AS BIGINT) AS n_neg,
+        | CAST(SUM(pos * (2 * negbelow + neg)) AS BIGINT) AS auc_num,
+        | CAST(2 * SUM(pos) * SUM(neg) AS BIGINT) AS auc_den,
+        | ROUND(CAST(SUM(pos * (2 * negbelow + neg)) AS DOUBLE) /
+        |   (2 * SUM(pos) * SUM(neg)), 6) AS auc
+        |FROM c""".stripMargin,
+
+    // d144's BM25 with a query dimension, then the NDCG@10 window algebra
+    "d165_ndcg" ->
+      s"""WITH d AS (SELECT doc_id, $toksLowerSql AS t FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM d),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+         |  FROM dl),
+         |q(q, term, prim) AS (VALUES ('q1', 'hash', 1), ('q1', 'join', 0),
+         |  ('q2', 'scan', 1), ('q2', 'filter', 0), ('q3', 'stream', 1),
+         |  ('q3', 'batch', 0)),
+         |tf AS (SELECT q.q, doc_id, dl, u.term, q.prim,
+         |   CAST(COUNT(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM dl) u
+         |  JOIN q ON q.term = u.term GROUP BY 1, 2, 3, 4, 5),
+         |dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+         |  FROM tf GROUP BY 1),
+         |ranked AS (SELECT q, doc_id,
+         |   ROUND(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |     (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
+         |     AS score,
+         |   CAST(LEAST(SUM(CASE WHEN prim = 1 THEN tf ELSE 0.0 END), 3.0)
+         |     AS BIGINT) AS rel
+         |  FROM tf JOIN dfreq USING (term), stats GROUP BY 1, 2),
+         |r2 AS (SELECT q, rel,
+         |   ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, doc_id ASC)
+         |     AS rs,
+         |   ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, doc_id ASC)
+         |     AS ri FROM ranked),
+         |terms AS (SELECT q,
+         |   CASE WHEN rs <= 10 THEN (pow(2.0, CAST(rel AS DOUBLE)) - 1.0) /
+         |     (ln(CAST(rs AS DOUBLE) + 1.0) / ln(2.0)) ELSE 0.0 END AS dt,
+         |   CASE WHEN ri <= 10 THEN (pow(2.0, CAST(rel AS DOUBLE)) - 1.0) /
+         |     (ln(CAST(ri AS DOUBLE) + 1.0) / ln(2.0)) ELSE 0.0 END AS it
+         |  FROM r2)
+         |SELECT q, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         | ROUND(SUM(dt), 6) AS dcg, ROUND(SUM(it), 6) AS idcg,
+         | CASE WHEN SUM(it) > 0 THEN ROUND(SUM(dt) / SUM(it), 6) END AS ndcg
+         |FROM terms GROUP BY 1""".stripMargin,
+
+    // identical double expressions for p and the bin floor; means round last
+    "d166_calibration" ->
+      """WITH t AS (SELECT LEAST(GREATEST(value / 100.0, 0.0), 1.0) AS p,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl
+        | FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n, AVG(p) AS conf0,
+        |  AVG(CAST(lbl AS DOUBLE)) AS acc0 FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM b)
+        |SELECT bin, n, ROUND(conf0, 6) AS conf, ROUND(acc0, 6) AS acc,
+        | ROUND(ABS(conf0 - acc0), 6) AS abs_gap,
+        | ROUND(ABS(conf0 - acc0) * (n / total), 6) AS ece_term
+        |FROM b, tot""".stripMargin,
+
+    // independent dominance definition (NOT EXISTS) over distinct points
+    "d167_skyline" ->
+      """WITH pts AS (SELECT CAST(p_retailprice AS DOUBLE) AS price,
+        |  CAST(p_size AS DOUBLE) AS psize, CAST(COUNT(*) AS BIGINT)
+        |    AS n_points
+        | FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        | GROUP BY 1, 2)
+        |SELECT price, psize, n_points FROM pts p
+        |WHERE NOT EXISTS (SELECT 1 FROM pts q
+        |  WHERE q.price <= p.price AND q.psize >= p.psize
+        |    AND (q.price < p.price OR q.psize > p.psize))""".stripMargin,
+
+    // independent canonical a<b<c triangle enumeration — no orientation
+    "d168_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem),
+        |pr AS (SELECT a.i AS pa, b.i AS pb FROM li a JOIN li b
+        |  ON a.g = b.g AND a.i < b.i),
+        |e AS (SELECT pa AS a, pb AS b FROM
+        |  (SELECT pa, pb, COUNT(*) AS c FROM pr GROUP BY 1, 2)
+        |  WHERE c >= 2)
+        |SELECT
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |   (SELECT a AS n FROM e UNION SELECT b FROM e)) AS n_nodes,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM e e1
+        |   JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |   JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin,
+
+    // the recurrence unrolled: identical IEEE per-edge terms, ROUND 9 last
+    "d169_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem),
+        |pr AS (SELECT a.i AS pa, b.i AS pb FROM li a JOIN li b
+        |  ON a.g = b.g AND a.i < b.i),
+        |e AS (SELECT pa AS a, pb AS b FROM
+        |  (SELECT pa, pb, COUNT(*) AS c FROM pr GROUP BY 1, 2)
+        |  WHERE c >= 2),
+        |adj AS (SELECT a AS src, b AS dst FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM adj
+        |  GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+        |p0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS pr
+        |  FROM deg, nn),
+        |p1 AS (SELECT adj.dst AS node,
+        |   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+        |     CAST(0.85 AS DOUBLE) * SUM(p.pr / dg.deg) AS pr
+        |  FROM adj JOIN p0 p ON p.node = adj.src
+        |   JOIN deg dg ON dg.src = adj.src, nn
+        |  GROUP BY adj.dst, nn.n),
+        |p2 AS (SELECT adj.dst AS node,
+        |   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+        |     CAST(0.85 AS DOUBLE) * SUM(p.pr / dg.deg) AS pr
+        |  FROM adj JOIN p1 p ON p.node = adj.src
+        |   JOIN deg dg ON dg.src = adj.src, nn
+        |  GROUP BY adj.dst, nn.n),
+        |p3 AS (SELECT adj.dst AS node,
+        |   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+        |     CAST(0.85 AS DOUBLE) * SUM(p.pr / dg.deg) AS pr
+        |  FROM adj JOIN p2 p ON p.node = adj.src
+        |   JOIN deg dg ON dg.src = adj.src, nn
+        |  GROUP BY adj.dst, nn.n)
+        |SELECT CAST(node AS BIGINT) AS node, ROUND(pr, 9) AS pr
+        |FROM p3""".stripMargin,
   )
 }

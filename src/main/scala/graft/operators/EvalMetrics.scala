@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation metrics for model/data quality pipelines — the measurement
+  * half of a training-data loop (the reference's metric surface stops at
+  * counters/distributions, `ray_beam_runner` metrics docs; these are the
+  * dataset-level companions a 100 TB eval job needs).
+  *
+  * Scale notes:
+  *  - [[aucExact]] never materializes a global single-partition window:
+  *    the rank-sum runs as a two-level prefix sum (range partition →
+  *    partition-local window → driver-side offsets over ≤ P scalars).
+  *  - [[ndcgAtK]] partitions every window by the query id — per-query
+  *    work parallelizes across however many queries exist.
+  *  - [[calibrationReport]] is one hash aggregate over nBins groups.
+  */
+object EvalMetrics {
+
+  /** Exact ROC-AUC by grouped rank-sum (Mann–Whitney U with midrank tie
+    * handling), entirely in integer arithmetic until the final division.
+    *
+    * Identity: with distinct scores s ascending, `negBelow(s)` the count
+    * of negatives at strictly smaller scores, `pos(s)`/`neg(s)` the label
+    * counts at s,
+    *   2·U = Σ_s pos(s) · (2·negBelow(s) + neg(s)),   AUC = U / (P·N).
+    * Ties contribute the 1/2 credit via the `neg(s)` term — no float
+    * ranks anywhere, so the numerator/denominator pair is exact and
+    * hash-comparable cross-engine.
+    *
+    * Distribution: scores collapse to one row per distinct value (first
+    * shuffle, map-side combined); the prefix count of negatives runs as a
+    * two-level scan — `repartitionByRange(score)` (RangePartitioner is
+    * order-preserving across partition ids), a partition-local window for
+    * the intra-partition prefix, and a driver-side prefix over the ≤ P
+    * per-partition totals joined back by broadcast. No stage ever sees a
+    * single-partition global window, so the shape survives a distinct-score
+    * column of any size.
+    *
+    * Output: one row — n_pos, n_neg, auc_num (= 2U), auc_den (= 2·P·N)
+    * as BIGINT, and auc = ROUND(num/den, 6).
+    */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String,
+               numPartitions: Int = 0): DataFrame = {
+    val s = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else s.sparkContext.defaultParallelism
+    val grouped = df
+      .select(col(scoreCol).cast("double").as("score"),
+        col(labelCol).cast("long").as("lbl"))
+      .filter(col("score").isNotNull && col("lbl").isNotNull)
+      .groupBy(col("score"))
+      .agg(sum(col("lbl")).as("pos"),
+        (count(lit(1)) - sum(col("lbl"))).as("neg"))
+    // Pin partition ids: the window below and the per-partition totals must
+    // see the SAME physical partitioning, so materialize the ranged frame
+    // once before both consumers read it.
+    val ranged = grouped
+      .repartitionByRange(p, col("score"))
+      .sortWithinPartitions(col("score"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // Driver-side prefix over at most `p` scalars — not a data-sized collect.
+    val partTotals = ranged.groupBy(col("pid"))
+      .agg(sum(col("neg")).as("negtot"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = partTotals
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
+      .sliding(2)
+      .collect { case Array((_, acc), (pid, _)) => (pid, acc) }
+      .toSeq
+    val offsetDf = s.createDataFrame(offsets).toDF("pid", "offset")
+    val w = Window.partitionBy(col("pid")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("local_below", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .join(broadcast(offsetDf), Seq("pid"))
+      .agg(
+        sum(col("pos")).cast("long").as("n_pos"),
+        sum(col("neg")).cast("long").as("n_neg"),
+        sum(col("pos") * (lit(2L) * (col("offset") + col("local_below")) + col("neg")))
+          .cast("long").as("auc_num"))
+      .withColumn("auc_den", lit(2L) * col("n_pos") * col("n_neg"))
+      .withColumn("auc",
+        when(col("auc_den") > 0,
+          round(col("auc_num").cast("double") / col("auc_den"), 6)))
+      .select(col("n_pos"), col("n_neg"), col("auc_num"), col("auc_den"), col("auc"))
+  }
+
+  /** Per-query NDCG@k over a ranked candidate frame.
+    *
+    * Input: one row per (query, doc) with a relevance grade and a ranking
+    * score. Rank = ROW_NUMBER ordered by (score DESC, id ASC) — callers
+    * should pass a score already rounded to its cross-engine-stable
+    * precision so the order cannot flip on summation ulps. DCG uses the
+    * exponential gain (2^rel − 1) / log2(rank + 1); IDCG re-ranks the SAME
+    * candidate set by (rel DESC, id ASC). Every window partitions by the
+    * query id, so queries evaluate independently and in parallel; no
+    * global sort exists anywhere.
+    *
+    * Output: one row per query — n_candidates, dcg/idcg/ndcg ROUND 6.
+    */
+  def ndcgAtK(ranked: DataFrame, queryCol: String, idCol: String,
+              scoreCol: String, relCol: String, k: Int): DataFrame = {
+    val byScore = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val byRel = Window.partitionBy(col(queryCol))
+      .orderBy(col(relCol).desc, col(idCol).asc)
+    def gain(rankCol: Column): Column =
+      (pow(lit(2.0), col(relCol).cast("double")) - lit(1.0)) /
+        (log(rankCol.cast("double") + lit(1.0)) / log(lit(2.0)))
+    ranked
+      .withColumn("__r_score", row_number().over(byScore))
+      .withColumn("__r_ideal", row_number().over(byRel))
+      .withColumn("__dcg_term",
+        when(col("__r_score") <= k, gain(col("__r_score"))).otherwise(lit(0.0)))
+      .withColumn("__idcg_term",
+        when(col("__r_ideal") <= k, gain(col("__r_ideal"))).otherwise(lit(0.0)))
+      .groupBy(col(queryCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_candidates"),
+        round(sum(col("__dcg_term")), 6).as("dcg"),
+        round(sum(col("__idcg_term")), 6).as("idcg"),
+        when(sum(col("__idcg_term")) > 0,
+          round(sum(col("__dcg_term")) / sum(col("__idcg_term")), 6)).as("ndcg"))
+  }
+
+  /** Equal-width calibration report: bin predicted probabilities into
+    * nBins buckets (p = 1.0 joins the top bin), report per-bin volume,
+    * mean confidence, empirical accuracy, |gap| and the bin's ECE weight
+    * — Σ weight·|gap| over the rows is the expected calibration error.
+    * One hash-aggregate scan; output is nBins rows regardless of input
+    * size. Doubles are rounded AFTER all arithmetic (per-element values
+    * are engine-identical; only summation order differs).
+    */
+  def calibrationReport(df: DataFrame, probCol: String, labelCol: String,
+                        nBins: Int = 10): DataFrame = {
+    val binned = df
+      .select(col(probCol).cast("double").as("p"),
+        col(labelCol).cast("long").as("lbl"))
+      .filter(col("p").isNotNull && col("lbl").isNotNull)
+      .withColumn("bin",
+        least(floor(col("p") * nBins), lit(nBins - 1L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        avg(col("p")).as("__conf"),
+        avg(col("lbl").cast("double")).as("__acc"))
+      // materialized once (nBins rows) — both consumers below read the
+      // checkpoint instead of re-running the input scan
+      .localCheckpoint()
+    // `binned` is nBins rows — the grand total is an aggregate over it, not
+    // a second scan of the input.
+    val tot = binned.agg(sum(col("n")).cast("double").as("__total"))
+    binned.crossJoin(broadcast(tot))
+      .select(
+        col("bin"), col("n"),
+        round(col("__conf"), 6).as("conf"),
+        round(col("__acc"), 6).as("acc"),
+        round(abs(col("__conf") - col("__acc")), 6).as("abs_gap"),
+        round(abs(col("__conf") - col("__acc")) * (col("n") / col("__total")), 6)
+          .as("ece_term"))
+  }
+}

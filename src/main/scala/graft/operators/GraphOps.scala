@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational co-occurrence graphs — link structure is
+  * a standard quality signal in large-scale corpus curation (domain graphs,
+  * citation graphs), and both operators here are shapes the reference's
+  * GroupByKey/CoGroupByKey layer can express only as unbounded shuffle
+  * chains; the versions below pick the algorithms that bound the shuffle.
+  *
+  * Scale notes:
+  *  - [[triangleCount]] orients every edge by the total order
+  *    (degree, node) before building wedges, so per-node join fan-out is
+  *    bounded by O(√m) regardless of hub degree (the classic arboricity
+  *    bound) — an unoriented wedge join on a hub node is quadratic in its
+  *    degree; the oriented one never is.
+  *  - [[pageRank]] truncates lineage with a localCheckpoint per iteration
+  *    (an iterative plan otherwise doubles in depth each round) and keeps
+  *    the adjacency frame partitioned once, reused by every iteration.
+  */
+object GraphOps {
+
+  /** Distinct undirected co-occurrence edges (a < b) from a (group, item)
+    * relation: items sharing a group are connected; edges seen in fewer
+    * than `minCount` groups are dropped. Fan-out per group is bounded by
+    * the group's item count (orders hold ≤ a handful of parts), so the
+    * pair-join is linear in the input, not quadratic in any global count.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+                        minCount: Long = 1L): DataFrame =
+    // basket idiom (one shuffle builds each group's distinct item set;
+    // pairs expand IN-GROUP via HOFs) instead of a self-join, which would
+    // shuffle the input twice; collect_set dedups (group, item) repeats,
+    // sort_array makes every pair emerge already ordered a < b
+    df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_set(col("i"))).as("__is"))
+      .select(explode(expr(
+        """flatten(transform(__is, (x, i) ->
+          |  transform(slice(__is, i + 2, size(__is)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("__p"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("a"), col("b"))
+
+  /** Exact triangle count by degree orientation.
+    *
+    * Every edge {u, v} is directed u→v iff (deg(u), u) < (deg(v), v) — a
+    * total order, so each triangle {x ≺ y ≺ z} is generated exactly once:
+    * as the wedge (x→y, x→z) closed by the oriented edge y→z. Out-degrees
+    * under this orientation are O(√m), which bounds the wedge join — the
+    * step a hub-degree-quadratic naive enumeration cannot survive.
+    *
+    * Input: distinct undirected edges as (a, b) with a < b.
+    * Output: one row — n_nodes, n_edges, n_triangles (BIGINT).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // the edge frame feeds the degree census (twice, via the union) and the
+    // orientation join — materialize whatever derivation produced it once
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // deg is node-sized — shuffle-join it, never broadcast by assumption
+    val oriented = e
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("db")).otherwise(col("da")).as("degd"))
+      .localCheckpoint() // three consumers below; compute the orientation once
+    // wedge (u→v, u→w) with v ≺ w in the SAME (deg, node) total order
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.degd") < col("e2.degd") ||
+            (col("e1.degd") === col("e2.degd") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
+    // each wedge matches at most one oriented edge (edges are distinct), so
+    // the inner-join cardinality IS the triangle count
+    val nTri = wedges.join(oriented.select(col("src"), col("dst")),
+      Seq("src", "dst"), "inner")
+    oriented.agg(count(lit(1)).cast("long").as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).cast("long").as("n_nodes")))
+      .crossJoin(nTri.agg(count(lit(1)).cast("long").as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** Damped PageRank on an undirected graph, a fixed number of synchronous
+    * iterations from the uniform start:
+    *   pr'(v) = (1 − d)/N + d · Σ_{u ~ v} pr(u) / deg(u).
+    * Undirected edges mean no dangling mass (every node has deg ≥ 1).
+    *
+    * Iterative-plan hygiene: the adjacency list (with out-degree attached)
+    * is materialized once; each iteration is one join + one aggregate, and
+    * the new rank vector is localCheckpoint'ed so the logical plan stays
+    * one-iteration deep — without the cut, iteration k replays all k−1
+    * predecessors and the DAG grows without bound.
+    *
+    * Doubles: per-edge contributions are engine-identical; only the
+    * per-node summation order differs (~1 ulp/term), so ranks are ROUNDed
+    * to 9 digits on output only.
+    *
+    * Input: distinct undirected edges (a, b), a < b.
+    * Output: (node, pr ROUND 9) for every node.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+               damping: Double = 0.85): DataFrame = {
+    // both union branches and the degree census re-read the edge frame —
+    // materialize its derivation once
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val adjRaw = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = adjRaw.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = adjRaw.join(deg, "src")
+      .repartition(col("src")) // the partitioning every iteration's join reuses
+      .localCheckpoint()
+    val n = deg.count()
+    val teleport = (1.0 - damping) / n
+    var pr = deg.select(col("src").as("node"), lit(1.0 / n).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      pr = adj.join(pr.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("deg")).as("__in"))
+        .select(col("dst").as("node"),
+          (lit(teleport) + lit(damping) * col("__in")).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("node"), round(col("pr"), 9).as("pr"))
+  }
+}

@@ -826,4 +826,44 @@ object ScaleOps {
       .drop("__start")
       .withColumnRenamed("__ntok", tokenOutCol)
   }
+
+  /** 2-D Pareto frontier (skyline): the distinct points p = (x, y) such
+    * that no other point q has q.x ≤ p.x ∧ q.y ≥ p.y with one inequality
+    * strict — "minimize x, maximize y" (flip signs at the call site for
+    * other goal mixes). Duplicate points collapse first and carry their
+    * multiplicity, so identical points never eliminate each other.
+    *
+    * Two-phase distributed sweep: each partition sorts locally by
+    * (x ASC, y DESC) and keeps a point iff its y strictly exceeds the best
+    * y seen — exact for the partition's own points, because any dominator
+    * within the partition precedes its victim in that order. Local
+    * skylines are tiny on non-adversarial data (O(log n) expected on
+    * independent dims), so the union coalesces into one task for the
+    * identical final sweep — no global sort, no quadratic anti-join. The
+    * worst case (perfectly anti-correlated dims) degenerates to the full
+    * distinct-point set; callers with such data should pre-bucket.
+    */
+  def skyline2D(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val pts = df
+      .select(col(minCol).cast("double").as("x"), col(maxCol).cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+    def sweep(it: Iterator[(Double, Double, Long)]): Iterator[(Double, Double, Long)] = {
+      var best = Double.NegativeInfinity
+      it.flatMap { case t @ (_, y, _) =>
+        if (y > best) { best = y; Iterator.single(t) } else Iterator.empty
+      }
+    }
+    val local = pts.sortWithinPartitions(col("x").asc, col("y").desc)
+      .as[(Double, Double, Long)]
+      .mapPartitions(sweep)
+    local.toDF("x", "y", "n")
+      .coalesce(1)
+      .sortWithinPartitions(col("x").asc, col("y").desc)
+      .as[(Double, Double, Long)]
+      .mapPartitions(sweep)
+      .toDF(minCol, maxCol, "n_points")
+  }
 }

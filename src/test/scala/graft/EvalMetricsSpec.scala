@@ -1,0 +1,155 @@
+package graft
+
+import graft.operators.EvalMetrics
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** EvalMetrics: exact AUC (vs brute-force pair model), NDCG@k (vs an
+  * in-memory replica), calibration report invariants.
+  */
+class EvalMetricsSpec extends SparkTestBase {
+  import SparkTestBase.spark.implicits._
+
+  /** Brute-force Mann–Whitney: 2U counted pair by pair (2 per win, 1 per
+    * tie) — the integer the engine's two-level scan must reproduce.
+    */
+  private def bruteAucNum2(rows: Seq[(Double, Long)]): (Long, Long, Long) = {
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val num2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    (pos.size.toLong, neg.size.toLong, num2)
+  }
+
+  private val seeded: Seq[(Double, Long)] = {
+    val rnd = new scala.util.Random(42)
+    // deliberately tie-heavy: scores quantized to halves
+    Seq.fill(300) {
+      val s = math.floor(rnd.nextDouble() * 20) / 2.0
+      val lbl = if (rnd.nextDouble() < 0.3 + s / 20) 1L else 0L
+      (s, lbl)
+    }
+  }
+
+  test("aucExact matches the brute-force pair count on tie-heavy data") {
+    val (np, nn, num2) = bruteAucNum2(seeded)
+    val r = EvalMetrics.aucExact(seeded.toDF("score", "lbl"), "score", "lbl")
+      .collect().head
+    assert(r.getLong(0) == np && r.getLong(1) == nn)
+    assert(r.getLong(2) == num2, "auc_num must equal 2U from pair counting")
+    assert(r.getLong(3) == 2L * np * nn)
+    assert(math.abs(r.getDouble(4) - num2.toDouble / (2L * np * nn)) < 1e-6)
+  }
+
+  test("aucExact is partition-count invariant (two-level scan correctness)") {
+    val df = seeded.toDF("score", "lbl")
+    val rs = Seq(1, 3, 7, 32).map { p =>
+      EvalMetrics.aucExact(df, "score", "lbl", numPartitions = p)
+        .collect().head.toSeq
+    }
+    assert(rs.distinct.size == 1,
+      s"results must not depend on the range-partition count: $rs")
+  }
+
+  test("aucExact endpoints: perfect, inverted, and constant scorers") {
+    val perfect = Seq((1.0, 0L), (2.0, 0L), (3.0, 1L), (4.0, 1L))
+    assert(EvalMetrics.aucExact(perfect.toDF("score", "lbl"), "score", "lbl")
+      .collect().head.getDouble(4) == 1.0)
+    val inverted = perfect.map { case (s, l) => (s, 1L - l) }
+    assert(EvalMetrics.aucExact(inverted.toDF("score", "lbl"), "score", "lbl")
+      .collect().head.getDouble(4) == 0.0)
+    val constant = Seq((5.0, 0L), (5.0, 1L), (5.0, 0L), (5.0, 1L))
+    assert(EvalMetrics.aucExact(constant.toDF("score", "lbl"), "score", "lbl")
+      .collect().head.getDouble(4) == 0.5)
+  }
+
+  test("aucExact single-class input yields null auc, not a crash") {
+    val onlyPos = Seq((1.0, 1L), (2.0, 1L))
+    val r = EvalMetrics.aucExact(onlyPos.toDF("score", "lbl"), "score", "lbl")
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L)
+    assert(r.isNullAt(4))
+  }
+
+  /** In-memory NDCG replica — same gain/discount, same tie-breaks. */
+  private def modelNdcg(rows: Seq[(Long, Double, Long)], k: Int): (Double, Double) = {
+    def dcgOf(ordered: Seq[Long]): Double =
+      ordered.take(k).zipWithIndex.map { case (rel, i) =>
+        (math.pow(2.0, rel.toDouble) - 1.0) /
+          (math.log(i + 2.0) / math.log(2.0))
+      }.sum
+    val byScore = rows.sortBy { case (id, s, _) => (-s, id) }.map(_._3)
+    val byRel = rows.sortBy { case (id, _, r) => (-r, id) }.map(_._3)
+    (dcgOf(byScore), dcgOf(byRel))
+  }
+
+  private val rankedRows: Seq[(String, Long, Double, Long)] = {
+    val rnd = new scala.util.Random(7)
+    for {
+      q <- Seq("a", "b", "c")
+      id <- 1L to 40L
+    } yield (q, id, math.floor(rnd.nextDouble() * 1000) / 10.0,
+      rnd.nextInt(4).toLong)
+  }
+
+  test("ndcgAtK matches the in-memory replica per query") {
+    val out = EvalMetrics.ndcgAtK(
+      rankedRows.toDF("q", "id", "score", "rel"), "q", "id", "score", "rel", 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (q <- Seq("a", "b", "c")) {
+      val rows = rankedRows.filter(_._1 == q).map(t => (t._2, t._3, t._4))
+      val (dcg, idcg) = modelNdcg(rows, 10)
+      val r = out(q)
+      assert(r.getLong(1) == rows.size)
+      assert(math.abs(r.getDouble(2) - dcg) < 1e-6, s"dcg($q)")
+      assert(math.abs(r.getDouble(3) - idcg) < 1e-6, s"idcg($q)")
+      assert(math.abs(r.getDouble(4) - dcg / idcg) < 1e-5, s"ndcg($q)")
+    }
+  }
+
+  test("ndcgAtK: a perfectly-ordered ranking scores exactly 1.0") {
+    val rows = (1L to 20L).map(i => ("q", i, 100.0 - i, 20L - i))
+    val r = EvalMetrics.ndcgAtK(rows.toDF("q", "id", "score", "rel"),
+      "q", "id", "score", "rel", 10).collect().head
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("ndcgAtK: candidates beyond rank k contribute nothing") {
+    // two frames identical in the top-k, divergent rel below it
+    val base = (1L to 15L).map(i => ("q", i, 100.0 - i, (15L - i) % 4))
+    val noisy = base.map { case t @ (q, id, s, rel) =>
+      if (id > 10) (q, id, s, 0L) else t
+    }
+    def dcgOf(rows: Seq[(String, Long, Double, Long)]): Double =
+      EvalMetrics.ndcgAtK(rows.toDF("q", "id", "score", "rel"),
+        "q", "id", "score", "rel", 10).collect().head.getDouble(2)
+    assert(dcgOf(base) == dcgOf(noisy))
+  }
+
+  test("calibrationReport: bin edges, totals, and the ECE identity") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500) {
+      val p = rnd.nextDouble()
+      (p, if (rnd.nextDouble() < p * 0.8) 1L else 0L)
+    } ++ Seq((1.0, 1L), (0.0, 0L)) // exact endpoints
+    val out = EvalMetrics.calibrationReport(rows.toDF("p", "lbl"), "p", "lbl")
+      .collect()
+    assert(out.map(_.getLong(1)).sum == rows.size)
+    // p = 1.0 joins the top bin; p = 0.0 the bottom
+    assert(out.map(_.getLong(0)).toSet.subsetOf((0L to 9L).toSet))
+    for (r <- out) {
+      val (bin, n, conf, acc, gap, ece) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))
+      assert(conf >= bin / 10.0 - 1e-9 && conf <= (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin mean confidence outside its edges: $conf")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(math.abs(gap - math.abs(conf - acc)) < 2e-6)
+      assert(math.abs(ece - gap * n / rows.size) < 2e-6)
+    }
+    // the probed generator undershoots p, so the report must show it:
+    // overall ECE strictly positive
+    assert(out.map(_.getDouble(5)).sum > 0.01)
+  }
+}

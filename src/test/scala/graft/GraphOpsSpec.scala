@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+
+/** GraphOps: degree-oriented triangle counting vs brute-force triple
+  * enumeration, PageRank vs an in-memory replica of the same recurrence,
+  * co-occurrence edge derivation.
+  */
+class GraphOpsSpec extends SparkTestBase {
+  import SparkTestBase.spark.implicits._
+
+  test("coOccurrenceEdges: pairs, dedup, and the minCount gate") {
+    val rows = Seq( // group -> items; (2,3) co-occur twice, rest once
+      (1L, 2L), (1L, 3L), (1L, 5L),
+      (2L, 2L), (2L, 3L),
+      (2L, 2L), // duplicate (group, item) row must not inflate counts
+      (3L, 7L))
+    val all = GraphOps.coOccurrenceEdges(rows.toDF("g", "i"), "g", "i")
+      .as[(Long, Long)].collect().toSet
+    assert(all == Set((2L, 3L), (2L, 5L), (3L, 5L)))
+    val repeated = GraphOps.coOccurrenceEdges(rows.toDF("g", "i"), "g", "i",
+      minCount = 2L).as[(Long, Long)].collect().toSet
+    assert(repeated == Set((2L, 3L)))
+  }
+
+  private def bruteTriangles(edges: Set[(Long, Long)]): Long = {
+    val adj = edges.toSeq
+    (for {
+      (a, b) <- adj
+      (c, d) <- adj if c == a && d > b
+      if edges.contains((b, d))
+    } yield 1L).sum
+  }
+
+  test("triangleCount matches brute-force enumeration on a seeded graph") {
+    val rnd = new scala.util.Random(13)
+    val edges = (for {
+      a <- 1L to 30L; b <- (a + 1) to 30L
+      if rnd.nextDouble() < 0.2
+    } yield (a, b)).toSet
+    val r = GraphOps.triangleCount(edges.toSeq.toDF("a", "b")).collect().head
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).size
+    assert(r.getLong(0) == nodes)
+    assert(r.getLong(1) == edges.size)
+    assert(r.getLong(2) == bruteTriangles(edges),
+      "oriented wedge count must equal the canonical enumeration")
+  }
+
+  test("triangleCount: bipartite graph has zero, hub star stresses orientation") {
+    // complete bipartite K3,3 — many wedges, no triangle
+    val bip = for (a <- 1L to 3L; b <- 11L to 13L) yield (a, b)
+    assert(GraphOps.triangleCount(bip.toDF("a", "b")).collect().head.getLong(2) == 0L)
+    // hub star with one rim edge: exactly one triangle regardless of hub degree
+    val star = (2L to 40L).map(i => (1L, i)) :+ (2L, 3L)
+    val r = GraphOps.triangleCount(star.toDF("a", "b")).collect().head
+    assert(r.getLong(2) == 1L)
+  }
+
+  /** The same synchronous recurrence, in memory. */
+  private def modelPageRank(edges: Seq[(Long, Long)], iters: Int,
+                            d: Double): Map[Long, Double] = {
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = adj.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val nodes = deg.keySet
+    val n = nodes.size
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = adj.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => pr(u) / deg(u) }.sum).toMap
+      pr = nodes.map(v => v -> ((1.0 - d) / n + d * in(v))).toMap
+    }
+    pr
+  }
+
+  test("pageRank matches the in-memory recurrence and conserves mass") {
+    val rnd = new scala.util.Random(29)
+    val edges = (for {
+      a <- 1L to 25L; b <- (a + 1) to 25L
+      if rnd.nextDouble() < 0.15
+    } yield (a, b)).toSeq
+    val got = GraphOps.pageRank(edges.toDF("a", "b"), iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    val want = modelPageRank(edges, 3, 0.85)
+    assert(got.keySet == want.keySet)
+    for ((node, pr) <- want)
+      assert(math.abs(got(node) - pr) < 2e-9, s"node $node") // ROUND 9 + ulps
+    // undirected graph has no dangling mass: ranks sum to 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pageRank: path-graph ends rank below the middle; zero iterations is uniform") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val pr = GraphOps.pageRank(path.toDF("a", "b"), iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(1L) < pr(2L) && pr(5L) < pr(4L))
+    val uniform = GraphOps.pageRank(path.toDF("a", "b"), iterations = 0)
+      .as[(Long, Double)].collect().toMap
+    assert(uniform.values.toSet == Set(0.2))
+  }
+}

@@ -422,4 +422,53 @@ class PlanAuditSpec extends SparkTestBase {
       s"term filter must run before the tf aggregation (filter=$filt agg=$agg):\n" +
         finalPlan.take(3000))
   }
+
+  test("d164: the AUC prefix scan plans NO un-partitioned window") {
+    val plan = planOf(Queries.d164Auc(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val windows = finalPlan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, "expected the partition-local prefix window")
+    assert(windows.forall(_.contains("pid")),
+      "every window must partition by pid (a global window would serialize " +
+        "the distinct-score table into one task):\n" + windows.mkString("\n"))
+  }
+
+  test("d167: the skyline sweep plans no global sort and no range exchange") {
+    val plan = planOf(Queries.d167Skyline(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("rangepartitioning"),
+      "local sweeps must sort within partitions only:\n" + finalPlan.take(3000))
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      "the sweep must not degenerate to a dominance self-join:\n" +
+        finalPlan.take(3000))
+  }
+
+  test("d168: the wedge join is an equi-join, never a nested loop") {
+    val plan = planOf(Queries.d168Triangles(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(3000))
+    // the only nested loops are the two singleton crossJoins stitching the
+    // three 1-row census aggregates together
+    val bnl = finalPlan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 2, s"unexpected nested loops ($bnl):\n" + finalPlan.take(3000))
+    // the wedge build and the closing-edge probe are genuine equi-joins
+    val equi = finalPlan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(equi >= 2, s"expected wedge + closing equi-joins ($equi):\n" +
+      finalPlan.take(3000))
+  }
+
+  test("d169: each PageRank iteration reads the previous checkpoint, not replayed lineage") {
+    val pr = Queries.d169PageRank(spark, d)
+    val plan = planOf(pr)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the final frame is a projection over the iteration-3 checkpoint —
+    // if lineage were not truncated, three joins would stack up here
+    assert(finalPlan.contains("Scan ExistingRDD"),
+      "expected the localCheckpoint scan:\n" + finalPlan.take(2000))
+    assert(!finalPlan.contains("Join"),
+      "the final plan must not replay iteration joins:\n" + finalPlan.take(2000))
+  }
 }

@@ -626,4 +626,37 @@ class ScaleOpsSpec extends SparkTestBase {
       ScaleOps.profileColumns(df, Seq("big", "big"))
     }
   }
+
+  /** Brute-force dominance filter — the definition skyline2D must match. */
+  private def bruteSkyline(pts: Seq[(Double, Double)]): Map[(Double, Double), Long] = {
+    val counts = pts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    counts.filter { case ((x, y), _) =>
+      !counts.keys.exists { case (qx, qy) =>
+        qx <= x && qy >= y && (qx < x || qy > y)
+      }
+    }
+  }
+
+  test("skyline2D matches the brute-force dominance filter (ties + dups)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // quantized coords force ties on both axes; extra dups carry multiplicity
+    val pts = Seq.fill(400)((rnd.nextInt(40).toDouble,
+      rnd.nextInt(40).toDouble)) ++ Seq((0.0, 39.0), (0.0, 39.0))
+    val got = ScaleOps.skyline2D(pts.toDF("x", "y"), "x", "y")
+      .as[(Double, Double, Long)].collect()
+      .map { case (x, y, n) => (x, y) -> n }.toMap
+    assert(got == bruteSkyline(pts))
+  }
+
+  test("skyline2D: anti-chain keeps everything, one dominator keeps one row") {
+    val s = spark; import s.implicits._
+    val anti = (1 to 20).map(i => (i.toDouble, i.toDouble)) // x and y both rise
+    val gotAnti = ScaleOps.skyline2D(anti.toDF("x", "y"), "x", "y").count()
+    assert(gotAnti == 20L)
+    val dominated = (1 to 20).map(i => (i.toDouble, -i.toDouble)) :+ (0.0, 100.0)
+    val one = ScaleOps.skyline2D(dominated.toDF("x", "y"), "x", "y")
+      .as[(Double, Double, Long)].collect()
+    assert(one.toSeq == Seq((0.0, 100.0, 1L)))
+  }
 }
