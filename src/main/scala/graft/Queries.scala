@@ -1186,6 +1186,24 @@ object Queries {
       iterations = 3, damping = 0.85)
       .select(expr("CAST(node AS BIGINT)").as("node"), col("pr"))
 
+  /** Hashing-trick vectorizer ([[graft.operators.Features.hashingVectorize]]):
+    * tokens hash into md5-prefix buckets — the vocabulary-free sparse
+    * representation a training export ships (no global dictionary build).
+    * prefixLen = 1 (16 buckets) on purpose: the synthetic vocabulary is
+    * only 31 tokens, so wider spaces would never collide and the
+    * bucket-merge arithmetic would go untested — at 16 buckets every
+    * bucket folds 1-4 distinct tokens (probed). The battery row reports
+    * the per-feature census (document frequency + total tf): any
+    * mis-assigned token anywhere changes some feature's totals, so the
+    * aggregate pins the full assignment.
+    */
+  def d171HashedFeatures(s: SparkSession, d: String): DataFrame =
+    graft.operators.Features.hashingVectorize(
+      Tables.documents(s, d), "doc_id", "text", prefixLen = 1)
+      .groupBy(col("feature"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_docs"),
+        expr("CAST(SUM(tf) AS BIGINT)").as("total_tf"))
+
   /** Fixed-width histogram of event values per type (bin = floor(value/50)):
     * the one-pass distribution profile. Bin assignment divides identical
     * raw doubles in both engines (closest value sits 2e-4 from a boundary);
@@ -2876,6 +2894,8 @@ object Queries {
     "d167_skyline" -> (d167Skyline _),
     "d168_triangles" -> (d168Triangles _),
     "d169_pagerank" -> (d169PageRank _),
+    "d170_stream_auc" -> (graft.streaming.StreamingBattery.d170StreamAuc _),
+    "d171_hashed_features" -> (d171HashedFeatures _),
   )
 
   private val toksSql =
@@ -4389,6 +4409,38 @@ object Queries {
         | (SELECT CAST(COUNT(*) AS BIGINT) FROM e e1
         |   JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
         |   JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin,
+
+    // the streaming fold of the additive (score, pos, neg) statistic must
+    // land on the batch d164 answer exactly — same oracle
+    "d170_stream_auc" ->
+      """WITH t AS (SELECT value AS score,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl
+        | FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT score, CAST(SUM(lbl) AS BIGINT) AS pos,
+        |  CAST(COUNT(*) - SUM(lbl) AS BIGINT) AS neg FROM t GROUP BY 1),
+        |c AS (SELECT pos, neg,
+        |  CAST(COALESCE(SUM(neg) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS negbelow FROM g)
+        |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        | CAST(SUM(neg) AS BIGINT) AS n_neg,
+        | CAST(SUM(pos * (2 * negbelow + neg)) AS BIGINT) AS auc_num,
+        | CAST(2 * SUM(pos) * SUM(neg) AS BIGINT) AS auc_den,
+        | ROUND(CAST(SUM(pos * (2 * negbelow + neg)) AS DOUBLE) /
+        |   (2 * SUM(pos) * SUM(neg)), 6) AS auc
+        |FROM c""".stripMargin,
+
+    // the full hashed assignment re-derived: md5 prefixes render
+    // identically cross-engine, so the census pins every bucket
+    "d171_hashed_features" ->
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS ws FROM documents),
+         |tok AS (SELECT doc_id, substr(md5(w), 1, 1) AS feature
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM t)),
+         |m AS (SELECT doc_id, feature, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2)
+         |SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(tf) AS BIGINT) AS total_tf
+         |FROM m GROUP BY 1""".stripMargin,
 
     // the recurrence unrolled: identical IEEE per-edge terms, ROUND 9 last
     "d169_pagerank" ->

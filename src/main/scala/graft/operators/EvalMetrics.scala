@@ -43,17 +43,30 @@ object EvalMetrics {
     * as BIGINT, and auc = ROUND(num/den, 6).
     */
   def aucExact(df: DataFrame, scoreCol: String, labelCol: String,
-               numPartitions: Int = 0): DataFrame = {
-    val s = df.sparkSession
+               numPartitions: Int = 0): DataFrame =
+    aucFromScoreCounts(
+      df.select(col(scoreCol).cast("double").as("score"),
+          col(labelCol).cast("long").as("lbl"))
+        .filter(col("score").isNotNull && col("lbl").isNotNull)
+        .groupBy(col("score"))
+        .agg(sum(col("lbl")).as("pos"),
+          (count(lit(1)) - sum(col("lbl"))).as("neg")),
+      numPartitions)
+
+  /** The AUC finisher over the mergeable sufficient statistic: a
+    * (score, pos, neg) count table. The statistic is additive — counts
+    * from shards, days, or micro-batches merge by summing per score —
+    * which is what makes AUC computable incrementally (see the streaming
+    * battery's d170): fold counts as data arrives, finish once at the
+    * end. Input rows with a repeated score are re-combined here, so a
+    * partially-merged table is accepted.
+    */
+  def aucFromScoreCounts(counts: DataFrame, numPartitions: Int = 0): DataFrame = {
+    val s = counts.sparkSession
     val p = if (numPartitions > 0) numPartitions
             else s.sparkContext.defaultParallelism
-    val grouped = df
-      .select(col(scoreCol).cast("double").as("score"),
-        col(labelCol).cast("long").as("lbl"))
-      .filter(col("score").isNotNull && col("lbl").isNotNull)
-      .groupBy(col("score"))
-      .agg(sum(col("lbl")).as("pos"),
-        (count(lit(1)) - sum(col("lbl"))).as("neg"))
+    val grouped = counts.groupBy(col("score"))
+      .agg(sum(col("pos")).as("pos"), sum(col("neg")).as("neg"))
     // Pin partition ids: the window below and the per-partition totals must
     // see the SAME physical partitioning, so materialize the ranged frame
     // once before both consumers read it.

@@ -572,6 +572,56 @@ object StreamingBattery {
     } finally deleteRecursively(root)
   }
 
+  /** Streaming exact AUC, oracle-gated: the metric's sufficient statistic
+    * — the per-score (pos, neg) count table — is ADDITIVE, so each
+    * micro-batch folds its grouped counts into a maintained table (a
+    * distributed frame, never a driver-side map) and the rank-sum
+    * finisher ([[graft.operators.EvalMetrics.aucFromScoreCounts]]) runs
+    * once at end-of-stream. The fold is the streaming form of every
+    * mergeable-statistic metric: counts merge across shards, days, or
+    * batches identically, and the finished AUC must equal the batch d164
+    * twin bit-for-bit (same oracle SQL).
+    */
+  def d170StreamAuc(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val root = Files.createTempDirectory("graft-stream-auc")
+    try {
+      val in = root.resolve("in")
+      Tables.events(s, d)
+        .select(col("value").as("score"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("lbl"))
+        .filter(col("score").isNotNull)
+        .repartition(4).write.parquet(in.toString)
+      var acc = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("score", DoubleType),
+          StructField("pos", LongType), StructField("neg", LongType))))
+      var nBatches = 0
+      val src = s.readStream.schema(s.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          nBatches += 1
+          val g = batch.groupBy(col("score"))
+            .agg(sum(col("lbl")).as("pos"),
+              (count(lit(1)) - sum(col("lbl"))).as("neg"))
+          // merged table is distinct-score-sized; checkpoint so the fold's
+          // lineage never chains across batches
+          acc = acc.union(g).groupBy(col("score"))
+            .agg(sum(col("pos")).as("pos"), sum(col("neg")).as("neg"))
+            .localCheckpoint(true)
+          ()
+        }
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      require(nBatches >= 2,
+        s"expected a multi-batch AUC fold, got $nBatches batch(es)")
+      graft.operators.EvalMetrics.aucFromScoreCounts(acc).localCheckpoint(true)
+    } finally deleteRecursively(root)
+  }
+
   def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame =
       withShufflePartitions(s, 8) {
     def side(tpe: String, pre: String): DataFrame = {

@@ -275,4 +275,14 @@ class StreamingBatterySpec extends SparkTestBase {
       "no matches: the join path went untested")
     assertSameRows(got, want)
   }
+
+  test("d170 streaming AUC fold == batch d164 (mergeable sufficient statistic)") {
+    val got = graft.streaming.StreamingBattery.d170StreamAuc(spark, sf)
+    val want = Queries.d164Auc(spark, sf)
+    assertSameRows(got, want)
+    // teeth: both classes present, so the rank-sum is a real comparison
+    val r = got.collect().head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0,
+      s"degenerate class balance: $r")
+  }
 }
