@@ -1204,6 +1204,49 @@ object Queries {
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_docs"),
         expr("CAST(SUM(tf) AS BIGINT)").as("total_tf"))
 
+  /** Precision/recall curve ([[graft.operators.EvalMetrics.prCurve]]) over
+    * the d164 scorer — one row per distinct threshold, cumulative counts
+    * DESCENDING through the shared two-level scan (no single-partition
+    * window). TP/FP/FN are exact integers; prec/rec/F1 are IEEE ratios of
+    * those integers, identical cross-engine before the cosmetic ROUND.
+    */
+  def d172PrCurve(s: SparkSession, d: String): DataFrame =
+    graft.operators.EvalMetrics.prCurve(
+      Tables.events(s, d).select(col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("lbl")),
+      "score", "lbl")
+
+  /** Chi-square feature selection
+    * ([[graft.operators.Features.chiSquareByLabel]]): the d171 hashed
+    * features scored for association with the document language — the
+    * filter step that prunes a hashed space before training. Zero
+    * (feature, class) cells densify via the broadcast class census so
+    * absent-from-a-class features still pay their expected-count term.
+    */
+  def d173Chi2(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.Features.chiSquareByLabel(
+      graft.operators.Features.hashingVectorize(docs, "doc_id", "text",
+        prefixLen = 1), // emits its id column as `id`
+      docs.select(col("doc_id").as("id"), col("lang")),
+      "id", "feature", "lang")
+  }
+
+  /** Global percent_rank with no partition key
+    * ([[graft.operators.ScaleOps.percentileRank]]): document length
+    * percentile over the WHOLE corpus — rank arithmetic on the distinct-
+    * value count table through the two-level scan, joined back by value;
+    * below/(n−1) is a ratio of exact integers, so the raw double is
+    * engine-portable (ROUND 9 cosmetic). The global complement of d96's
+    * per-language window percent_rank.
+    */
+  def d174GlobalPercentile(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScaleOps.percentileRank(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "n_chars")
+      .select(expr("CAST(doc_id AS BIGINT)").as("doc_id"),
+        expr("CAST(n_chars AS BIGINT)").as("n_chars"),
+        round(col("pct_rank"), 9).as("pct_rank"))
+
   /** Fixed-width histogram of event values per type (bin = floor(value/50)):
     * the one-pass distribution profile. Bin assignment divides identical
     * raw doubles in both engines (closest value sits 2e-4 from a boundary);
@@ -2896,6 +2939,9 @@ object Queries {
     "d169_pagerank" -> (d169PageRank _),
     "d170_stream_auc" -> (graft.streaming.StreamingBattery.d170StreamAuc _),
     "d171_hashed_features" -> (d171HashedFeatures _),
+    "d172_pr_curve" -> (d172PrCurve _),
+    "d173_chi2_features" -> (d173Chi2 _),
+    "d174_global_percentile" -> (d174GlobalPercentile _),
   )
 
   private val toksSql =
@@ -4441,6 +4487,70 @@ object Queries {
          |SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_docs,
          | CAST(SUM(tf) AS BIGINT) AS total_tf
          |FROM m GROUP BY 1""".stripMargin,
+
+    // inclusive descending cumulative counts == the engine's exclusive
+    // scan + the row's own counts; ratios are IEEE divisions of integers
+    "d172_pr_curve" ->
+      """WITH t AS (SELECT value AS score,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl
+        | FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT score, CAST(SUM(lbl) AS BIGINT) AS pos,
+        |  CAST(COUNT(*) - SUM(lbl) AS BIGINT) AS neg FROM t GROUP BY 1),
+        |c AS (SELECT score,
+        |  CAST(SUM(pos) OVER (ORDER BY score DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+        |  CAST(SUM(neg) OVER (ORDER BY score DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp FROM g),
+        |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p FROM g)
+        |SELECT score, tp, fp, p - tp AS fn,
+        | ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prec,
+        | ROUND(CAST(tp AS DOUBLE) / (tp + (p - tp)), 6) AS rec,
+        | CASE WHEN tp > 0 THEN ROUND(
+        |   2.0 * (CAST(tp AS DOUBLE) / (tp + fp)) *
+        |     (CAST(tp AS DOUBLE) / (tp + (p - tp))) /
+        |   ((CAST(tp AS DOUBLE) / (tp + fp)) +
+        |     (CAST(tp AS DOUBLE) / (tp + (p - tp)))), 6) END AS f1
+        |FROM c, tot""".stripMargin,
+
+    // the full contingency algebra re-derived, zero cells densified
+    "d173_chi2_features" ->
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS ws FROM documents),
+         |tok AS (SELECT DISTINCT doc_id, substr(md5(w), 1, 1) AS feature
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM t)),
+         |dl AS (SELECT DISTINCT doc_id, lang FROM documents),
+         |cls AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_c FROM dl
+         |  GROUP BY 1),
+         |n AS (SELECT CAST(SUM(n_c) AS BIGINT) AS nt FROM cls),
+         |pres AS (SELECT feature, lang, CAST(COUNT(*) AS BIGINT) AS a
+         |  FROM tok JOIN dl USING (doc_id) GROUP BY 1, 2),
+         |ft AS (SELECT feature, CAST(SUM(a) AS BIGINT) AS pf FROM pres
+         |  GROUP BY 1),
+         |grid AS (SELECT ft.feature, cls.lang, ft.pf, cls.n_c,
+         |   COALESCE(pres.a, 0) AS a, n.nt
+         |  FROM ft CROSS JOIN cls
+         |  LEFT JOIN pres ON pres.feature = ft.feature AND pres.lang = cls.lang,
+         |  n),
+         |terms AS (SELECT feature, pf,
+         |   (a - CAST(pf AS DOUBLE) * n_c / nt) *
+         |     (a - CAST(pf AS DOUBLE) * n_c / nt) /
+         |     (CAST(pf AS DOUBLE) * n_c / nt)
+         |   + CASE WHEN CAST(nt - pf AS DOUBLE) * n_c / nt > 0 THEN
+         |       (n_c - a - CAST(nt - pf AS DOUBLE) * n_c / nt) *
+         |         (n_c - a - CAST(nt - pf AS DOUBLE) * n_c / nt) /
+         |         (CAST(nt - pf AS DOUBLE) * n_c / nt)
+         |     ELSE 0.0 END AS term
+         |  FROM grid)
+         |SELECT feature, CAST(MAX(pf) AS BIGINT) AS n_docs_present,
+         | ROUND(SUM(term), 6) AS chi2
+         |FROM terms GROUP BY 1""".stripMargin,
+
+    // the single-window textbook percent_rank the two-level scan must equal
+    "d174_global_percentile" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(n_chars AS BIGINT) AS n_chars,
+        | ROUND(CAST(percent_rank() OVER (ORDER BY n_chars) AS DOUBLE), 9)
+        |   AS pct_rank
+        |FROM documents WHERE n_chars IS NOT NULL""".stripMargin,
 
     // the recurrence unrolled: identical IEEE per-edge terms, ROUND 9 last
     "d169_pagerank" ->

@@ -62,46 +62,59 @@ object EvalMetrics {
     * partially-merged table is accepted.
     */
   def aucFromScoreCounts(counts: DataFrame, numPartitions: Int = 0): DataFrame = {
-    val s = counts.sparkSession
-    val p = if (numPartitions > 0) numPartitions
-            else s.sparkContext.defaultParallelism
     val grouped = counts.groupBy(col("score"))
       .agg(sum(col("pos")).as("pos"), sum(col("neg")).as("neg"))
-    // Pin partition ids: the window below and the per-partition totals must
-    // see the SAME physical partitioning, so materialize the ranged frame
-    // once before both consumers read it.
-    val ranged = grouped
-      .repartitionByRange(p, col("score"))
-      .sortWithinPartitions(col("score"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    // Driver-side prefix over at most `p` scalars — not a data-sized collect.
-    val partTotals = ranged.groupBy(col("pid"))
-      .agg(sum(col("neg")).as("negtot"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(_._1)
-    val offsets = partTotals
-      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
-      .sliding(2)
-      .collect { case Array((_, acc), (pid, _)) => (pid, acc) }
-      .toSeq
-    val offsetDf = s.createDataFrame(offsets).toDF("pid", "offset")
-    val w = Window.partitionBy(col("pid")).orderBy(col("score"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
-      .withColumn("local_below", coalesce(sum(col("neg")).over(w), lit(0L)))
-      .join(broadcast(offsetDf), Seq("pid"))
+    ScaleOps.globalPrefixSum(grouped, "score", Seq("neg" -> "local_below"),
+        numPartitions = numPartitions)
       .agg(
         sum(col("pos")).cast("long").as("n_pos"),
         sum(col("neg")).cast("long").as("n_neg"),
-        sum(col("pos") * (lit(2L) * (col("offset") + col("local_below")) + col("neg")))
+        sum(col("pos") * (lit(2L) * col("local_below") + col("neg")))
           .cast("long").as("auc_num"))
       .withColumn("auc_den", lit(2L) * col("n_pos") * col("n_neg"))
       .withColumn("auc",
         when(col("auc_den") > 0,
           round(col("auc_num").cast("double") / col("auc_den"), 6)))
       .select(col("n_pos"), col("n_neg"), col("auc_num"), col("auc_den"), col("auc"))
+  }
+
+  /** Precision/recall curve: one row per distinct score threshold t —
+    * TP/FP/FN and precision/recall/F1 of the classifier "predict positive
+    * iff score ≥ t". Cumulative counts run DESCENDING through the same
+    * two-level scan as [[aucFromScoreCounts]] ([[ScaleOps.globalPrefixSum]]
+    * — no single-partition window); ratios are IEEE divisions of exact
+    * integers, so raw doubles agree cross-engine and ROUND 6 is cosmetic.
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+              numPartitions: Int = 0): DataFrame = {
+    val grouped = df
+      .select(col(scoreCol).cast("double").as("score"),
+        col(labelCol).cast("long").as("lbl"))
+      .filter(col("score").isNotNull && col("lbl").isNotNull)
+      .groupBy(col("score"))
+      .agg(sum(col("lbl")).as("pos"),
+        (count(lit(1)) - sum(col("lbl"))).as("neg"))
+    val scanned = ScaleOps.globalPrefixSum(grouped, "score",
+      Seq("pos" -> "__pos_above", "neg" -> "__neg_above"),
+      ascending = false, numPartitions = numPartitions)
+      .localCheckpoint() // the total-positives aggregate below re-reads it
+    val totals = scanned.agg(sum(col("pos")).cast("long").as("__p"))
+    scanned.crossJoin(broadcast(totals))
+      .select(
+        col("score"),
+        (col("__pos_above") + col("pos")).cast("long").as("tp"),
+        (col("__neg_above") + col("neg")).cast("long").as("fp"),
+        (col("__p") - col("__pos_above") - col("pos")).cast("long").as("fn"))
+      .withColumn("prec",
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+      .withColumn("rec",
+        round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+      .withColumn("f1",
+        when(col("tp") > 0, round(
+          lit(2.0) * (col("tp").cast("double") / (col("tp") + col("fp"))) *
+            (col("tp").cast("double") / (col("tp") + col("fn"))) /
+            ((col("tp").cast("double") / (col("tp") + col("fp"))) +
+              (col("tp").cast("double") / (col("tp") + col("fn")))), 6)))
   }
 
   /** Per-query NDCG@k over a ranked candidate frame.

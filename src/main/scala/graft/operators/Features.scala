@@ -31,4 +31,56 @@ object Features {
       .groupBy(col("id"), col("feature"))
       .agg(count(lit(1)).as("tf"))
   }
+
+  /** Chi-square feature selection score: for every feature, the χ² statistic
+    * of its presence/absence-by-class contingency table against the
+    * document label — the classic filter for pruning a hashed feature
+    * space before training.
+    *
+    * Input: sparse presence triples (id, feature) — tf is ignored, presence
+    * is what χ² tests — plus each id's single label in `labels`. Zero
+    * cells matter: a feature absent from a class still contributes its
+    * expected-count term, so the (feature × class) grid densifies via a
+    * crossJoin with the broadcast class census before the left join.
+    * Expected counts compute in doubles from the start
+    * (present_f · n_c / N as CAST-first division) so the arithmetic never
+    * overflows at any corpus size and renders identically cross-engine;
+    * the per-feature sum over classes is the only order-dependent step —
+    * ROUND 6 absorbs it. Cells with zero expected count (a feature present
+    * in every document) are skipped by convention.
+    *
+    * Output: (feature, n_docs_present, chi2 ROUND 6).
+    */
+  def chiSquareByLabel(features: DataFrame, labels: DataFrame,
+                       idCol: String, featureCol: String,
+                       labelCol: String): DataFrame = {
+    val docLabel = labels.select(col(idCol).as("id"), col(labelCol).as("lbl"))
+      .distinct().localCheckpoint() // class census + presence join both read it
+    val classes = docLabel.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_c")).localCheckpoint()
+    val nTotal = classes.agg(sum(col("n_c"))).collect().head.getLong(0)
+    val present = features
+      .select(col(idCol).as("id"), col(featureCol).as("feature")).distinct()
+      .join(docLabel, "id")
+      .groupBy(col("feature"), col("lbl"))
+      .agg(count(lit(1)).as("a"))
+      .localCheckpoint() // feature totals + the dense grid both read it
+    val featTotals = present.groupBy(col("feature"))
+      .agg(sum(col("a")).as("pf"))
+    featTotals.crossJoin(broadcast(classes))
+      .join(present, Seq("feature", "lbl"), "left")
+      .na.fill(0L, Seq("a"))
+      .withColumn("ep",
+        col("pf").cast("double") * col("n_c") / lit(nTotal.toDouble))
+      .withColumn("ea",
+        (lit(nTotal) - col("pf")).cast("double") * col("n_c") / lit(nTotal.toDouble))
+      .withColumn("term",
+        (col("a") - col("ep")) * (col("a") - col("ep")) / col("ep") +
+          when(col("ea") > 0,
+            (col("n_c") - col("a") - col("ea")) * (col("n_c") - col("a") - col("ea")) /
+              col("ea")).otherwise(lit(0.0)))
+      .groupBy(col("feature"))
+      .agg(max(col("pf")).cast("long").as("n_docs_present"),
+        round(sum(col("term")), 6).as("chi2"))
+  }
 }

@@ -827,6 +827,99 @@ object ScaleOps {
       .withColumnRenamed("__ntok", tokenOutCol)
   }
 
+  /** Exclusive global running sums over a totally-ordered frame WITHOUT a
+    * single-partition window — the scalable form of
+    * `SUM(x) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`.
+    *
+    * Two-level scan: `repartitionByRange(orderCol)` (RangePartitioner ids
+    * are order-aligned), a partition-local window for the intra-partition
+    * prefix, and a driver-side prefix over the ≤ numPartitions per-
+    * partition totals broadcast back. No stage ever sees the whole frame
+    * in one task, so the shape survives any key cardinality — the thing
+    * Spark's own un-partitioned window (Exchange SinglePartition) cannot.
+    *
+    * Rows must be UNIQUE on `orderCol` (pre-aggregate first): with
+    * duplicates the intra-tie prefix order would be nondeterministic.
+    * Several sums ride one scan: `sums` maps value column → output column.
+    */
+  def globalPrefixSum(df: DataFrame, orderCol: String,
+                      sums: Seq[(String, String)], ascending: Boolean = true,
+                      numPartitions: Int = 0): DataFrame = {
+    require(sums.nonEmpty, "need at least one (valueCol, outCol) pair")
+    val session = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else session.sparkContext.defaultParallelism
+    val ord = if (ascending) col(orderCol).asc else col(orderCol).desc
+    val ranged = df.repartitionByRange(p, ord)
+      .sortWithinPartitions(ord)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // pin partition ids for both consumers below
+    // driver-side prefix over ≤ p rows × |sums| longs — never data-sized
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sums.map { case (v, _) => sum(col(v)).as(s"__t_$v") }.head,
+        sums.drop(1).map { case (v, _) => sum(col(v)).as(s"__t_$v") }: _*)
+      .collect()
+      .map(r => (r.getInt(0), sums.map { case (v, _) =>
+        r.getAs[Any](s"__t_$v") match {
+          case null => 0L
+          case l: Long => l
+          case other => throw new IllegalArgumentException(
+            s"globalPrefixSum needs integral value columns, got $other")
+        }
+      }))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft((Int.MinValue, sums.map(_ => 0L))) {
+      case ((_, acc), (pid, tot)) =>
+        (pid, acc.lazyZip(tot).map(_ + _))
+    }.sliding(2).collect {
+      case Array((_, acc), (pid, _)) => (pid, acc)
+    }.toSeq
+    val offsetRows = offsets.map { case (pid, accs) =>
+      org.apache.spark.sql.Row.fromSeq(pid +: accs)
+    }
+    val offsetSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType) +:
+        sums.map { case (v, _) => org.apache.spark.sql.types.StructField(
+          s"__o_$v", org.apache.spark.sql.types.LongType) })
+    val offsetDf = session.createDataFrame(
+      session.sparkContext.parallelize(offsetRows, 1), offsetSchema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(ord)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sums.foldLeft(ranged.join(broadcast(offsetDf), Seq("__pid"))) {
+      case (acc, (v, out)) =>
+        acc.withColumn(out,
+          coalesce(sum(col(v)).over(w), lit(0L)) + col(s"__o_$v"))
+    }.drop("__pid" +: sums.map { case (v, _) => s"__o_$v" }: _*)
+  }
+
+  /** Exact global percent_rank of a column with NO partition key and NO
+    * single-partition window: rank arithmetic runs on the distinct-value
+    * count table through [[globalPrefixSum]], then joins back by value —
+    * two bounded shuffles however large the input. Ties share the rank of
+    * their first row (SQL PERCENT_RANK semantics); the ratio
+    * below/(n−1) is a ratio of exact integers, so the raw double is
+    * engine-portable. Complements d96's per-group percent_rank window
+    * (which requires a partition key to parallelize).
+    */
+  def percentileRank(df: DataFrame, valueCol: String,
+                     outCol: String = "pct_rank"): DataFrame = {
+    // null values carry no rank: excluded from both the census and the
+    // output (engines disagree on null ordering; don't rank what isn't
+    // a value)
+    val clean = df.filter(col(valueCol).isNotNull)
+    val counts = clean.groupBy(col(valueCol))
+      .agg(count(lit(1)).as("__n")).localCheckpoint()
+    val total = counts.agg(sum(col("__n"))).collect().head.getLong(0)
+    val ranked = globalPrefixSum(counts, valueCol, Seq("__n" -> "__below"))
+      .withColumn(outCol,
+        if (total > 1) col("__below").cast("double") / lit((total - 1).toDouble)
+        else lit(0.0))
+      .drop("__n", "__below")
+    clean.join(ranked, valueCol)
+  }
+
   /** 2-D Pareto frontier (skyline): the distinct points p = (x, y) such
     * that no other point q has q.x ≤ p.x ∧ q.y ≥ p.y with one inequality
     * strict — "minimize x, maximize y" (flip signs at the call site for

@@ -72,6 +72,29 @@ class EvalMetricsSpec extends SparkTestBase {
     assert(r.isNullAt(4))
   }
 
+  test("prCurve matches the brute-force threshold sweep") {
+    val got = EvalMetrics.prCurve(seeded.toDF("score", "lbl"), "score", "lbl")
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val thresholds = seeded.map(_._1).distinct
+    assert(got.keySet == thresholds.toSet)
+    val p = seeded.count(_._2 == 1L)
+    for (t <- thresholds) {
+      val tp = seeded.count { case (s, l) => s >= t && l == 1L }.toLong
+      val fp = seeded.count { case (s, l) => s >= t && l == 0L }.toLong
+      assert(got(t) == ((tp, fp, p - tp)), s"threshold $t")
+    }
+  }
+
+  test("prCurve is partition-count invariant") {
+    val df = seeded.toDF("score", "lbl")
+    val rs = Seq(1, 7, 32).map { p =>
+      EvalMetrics.prCurve(df, "score", "lbl", numPartitions = p)
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Double]).toSeq
+    }
+    assert(rs.distinct.size == 1)
+  }
+
   /** In-memory NDCG replica — same gain/discount, same tie-breaks. */
   private def modelNdcg(rows: Seq[(Long, Double, Long)], k: Int): (Double, Double) = {
     def dcgOf(ordered: Seq[Long]): Double =

@@ -47,6 +47,54 @@ class FeaturesSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, md5Hex("word").take(4), 3L)))
   }
 
+  /** Textbook 2×C χ² from dense contingency counts, zero-expected cells
+    * skipped — the model chiSquareByLabel must reproduce.
+    */
+  private def modelChi2(present: Map[(String, String), Long],
+                        classTotals: Map[String, Long]): Map[String, Double] = {
+    val n = classTotals.values.sum
+    val features = present.keys.map(_._1).toSet
+    features.map { f =>
+      // keys is a Set — map through a Seq or equal per-class counts dedup
+      val pf = classTotals.keys.toSeq.map(c => present.getOrElse((f, c), 0L)).sum
+      val chi2 = classTotals.toSeq.map { case (c, nc) =>
+        val a = present.getOrElse((f, c), 0L)
+        val ep = pf.toDouble * nc / n
+        val ea = (n - pf).toDouble * nc / n
+        val t1 = (a - ep) * (a - ep) / ep
+        val t2 = if (ea > 0) (nc - a - ea) * (nc - a - ea) / ea else 0.0
+        t1 + t2
+      }.sum
+      f -> chi2
+    }.toMap
+  }
+
+  test("chiSquareByLabel matches the dense contingency model (incl. zero cells)") {
+    // feature "only-a" appears ONLY in class A docs (perfect association,
+    // and a zero (feature, B) cell that must densify); "both" is balanced
+    val docs = Seq(
+      (1L, "A", Seq("fa", "fb")), (2L, "A", Seq("fa")),
+      (3L, "A", Seq("fb")), (4L, "B", Seq("fb")),
+      (5L, "B", Seq("fb")), (6L, "B", Seq()))
+    val features = docs.flatMap { case (id, _, fs) => fs.map(f => (id, f)) }
+      .toDF("id", "feature")
+    val labels = docs.map { case (id, l, _) => (id, l) }.toDF("id", "lbl")
+    val got = Features.chiSquareByLabel(features, labels, "id", "feature", "lbl")
+      .as[(String, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val present = docs.flatMap { case (_, l, fs) => fs.map(f => (f, l)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val classTotals = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val want = modelChi2(present, classTotals)
+    assert(got.keySet == want.keySet)
+    for ((f, chi2) <- want) {
+      assert(math.abs(got(f)._2 - chi2) < 1e-5, s"feature $f")
+    }
+    assert(got("fa")._1 == 2L && got("fb")._1 == 4L)
+    // perfect association must outscore the balanced feature
+    assert(got("fa")._2 > got("fb")._2)
+  }
+
   test("hashingVectorize rejects out-of-range prefix lengths") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

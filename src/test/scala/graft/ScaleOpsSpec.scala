@@ -627,6 +627,45 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("globalPrefixSum: exclusive running sums match the scanLeft model, both directions, multi-column") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 500).map(k => (k.toDouble / 7.0, rnd.nextInt(10).toLong,
+      rnd.nextInt(5).toLong))
+    val df = rows.toDF("k", "x", "y")
+    for (asc <- Seq(true, false); p <- Seq(1, 5, 32)) {
+      val ordered = if (asc) rows.sortBy(_._1) else rows.sortBy(-_._1)
+      val expX = ordered.map(_._2).scanLeft(0L)(_ + _).init
+      val expY = ordered.map(_._3).scanLeft(0L)(_ + _).init
+      val model = ordered.map(_._1).lazyZip(expX).lazyZip(expY)
+        .map((k, a, b) => k -> (a, b)).toMap
+      val got = ScaleOps.globalPrefixSum(df, "k",
+        Seq("x" -> "px", "y" -> "py"), ascending = asc, numPartitions = p)
+        .select(col("k"), col("px"), col("py"))
+        .as[(Double, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      assert(got == model, s"asc=$asc p=$p")
+    }
+  }
+
+  test("percentileRank == SQL PERCENT_RANK semantics (ties share, nulls excluded)") {
+    val s = spark; import s.implicits._
+    val vals: Seq[java.lang.Long] =
+      Seq[java.lang.Long](10L, 20L, 20L, 20L, 30L, 40L, 40L, null, 50L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val got = ScaleOps.percentileRank(df, "v")
+      .select(col("id"), col("pct_rank"))
+      .as[(Long, Double)].collect().toMap
+    val nonNull = vals.filter(_ != null).map(_.toLong)
+    val n = nonNull.size
+    for ((v, i) <- vals.zipWithIndex if v != null) {
+      val below = nonNull.count(_ < v.toLong)
+      assert(got(i.toLong) == below.toDouble / (n - 1), s"id $i")
+    }
+    assert(!got.contains(7L), "null value must not be ranked")
+  }
+
   /** Brute-force dominance filter — the definition skyline2D must match. */
   private def bruteSkyline(pts: Seq[(Double, Double)]): Map[(Double, Double), Long] = {
     val counts = pts.groupBy(identity).view.mapValues(_.size.toLong).toMap
