@@ -1247,6 +1247,21 @@ object Queries {
         expr("CAST(n_chars AS BIGINT)").as("n_chars"),
         round(col("pct_rank"), 9).as("pct_rank"))
 
+  /** 3-core of the co-purchase graph ([[graft.operators.GraphOps.kCore]]):
+    * iterative peeling with data-dependent termination — the one shape the
+    * battery's other iterative row (d169, fixed iterations) doesn't cover.
+    * The engine early-exits at the fixpoint; the oracle unrolls 12 peel
+    * stages, and peeling is monotone, so they agree whenever the data
+    * converges within 12 rounds (probed: 1 / 11 / 3 rounds at
+    * sf0.001/0.01/0.1 — margin documented, re-probe on a data drop).
+    * sf0.1's 3-core is EMPTY (sparse graph) — correctly empty on both
+    * engines, the non-vacuous regimes are the smaller SFs.
+    */
+  def d175KCore(s: SparkSession, d: String): DataFrame =
+    graft.operators.GraphOps.kCore(coPurchaseEdges(s, d), k = 3)
+      .select(expr("CAST(node AS BIGINT)").as("node"),
+        expr("CAST(core_deg AS BIGINT)").as("core_deg"))
+
   /** Fixed-width histogram of event values per type (bin = floor(value/50)):
     * the one-pass distribution profile. Bin assignment divides identical
     * raw doubles in both engines (closest value sits 2e-4 from a boundary);
@@ -2942,6 +2957,7 @@ object Queries {
     "d172_pr_curve" -> (d172PrCurve _),
     "d173_chi2_features" -> (d173Chi2 _),
     "d174_global_percentile" -> (d174GlobalPercentile _),
+    "d175_kcore" -> (d175KCore _),
   )
 
   private val toksSql =
@@ -4551,6 +4567,37 @@ object Queries {
         | ROUND(CAST(percent_rank() OVER (ORDER BY n_chars) AS DOUBLE), 9)
         |   AS pct_rank
         |FROM documents WHERE n_chars IS NOT NULL""".stripMargin,
+
+    // 12 unrolled peel stages; peeling is monotone, so the engine's
+    // fixpoint early-exit lands on the same set whenever convergence fits
+    // (probed 1/11/3 rounds at the three SFs)
+    "d175_kcore" -> {
+      // every stage reads its predecessor THREE times (census union ×2 +
+      // the filtered edge scan) — without MATERIALIZED, CTE inlining
+      // expands the base scan 3^12-fold and DuckDB runs out of fds
+      val stages = (1 to 12).map { i =>
+        val prev = s"e${i - 1}"
+        s"""d$i AS MATERIALIZED (SELECT n, COUNT(*) AS dg FROM
+           |  (SELECT a AS n FROM $prev UNION ALL SELECT b FROM $prev)
+           |  GROUP BY 1),
+           |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE dg >= 3),
+           |e$i AS MATERIALIZED (SELECT a, b FROM $prev
+           |  WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+         |  FROM lineitem),
+         |pr AS (SELECT a.i AS pa, b.i AS pb FROM li a JOIN li b
+         |  ON a.g = b.g AND a.i < b.i),
+         |e0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM
+         |  (SELECT pa, pb, COUNT(*) AS c FROM pr GROUP BY 1, 2)
+         |  WHERE c >= 2),
+         |$stages
+         |SELECT CAST(node AS BIGINT) AS node,
+         | CAST(COUNT(*) AS BIGINT) AS core_deg FROM
+         | (SELECT a AS node FROM e12 UNION ALL SELECT b FROM e12)
+         |GROUP BY 1""".stripMargin
+    },
 
     // the recurrence unrolled: identical IEEE per-edge terms, ROUND 9 last
     "d169_pagerank" ->

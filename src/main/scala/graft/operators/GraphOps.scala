@@ -90,6 +90,48 @@ object GraphOps {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly drop every node
+    * whose degree in the REMAINING graph is below k, until a fixpoint (or
+    * maxRounds). What survives is the k-core — the standard dense-region
+    * extractor for community pruning and spam-subgraph detection.
+    *
+    * Each round is one degree census + two semi-joins over the current
+    * edge frame, localCheckpoint'ed so round r's plan never replays rounds
+    * 1..r−1; convergence tests the checkpointed frame's count (a driver
+    * scalar per round, never data). Peeling is monotone — each round's
+    * edge set is a subset of the last — so a no-change round IS the
+    * fixpoint and early exit is exact: running fewer than maxRounds
+    * changes nothing once converged.
+    *
+    * Input: distinct undirected edges (a, b), a < b.
+    * Output: (node, core_deg) for every surviving node — empty when the
+    * graph has no k-core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    var e = edges.select(col("a"), col("b")).localCheckpoint()
+    var lastCount = e.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("n"))
+      val e2 = e
+        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val nextCount = e2.count()
+      converged = nextCount == lastCount
+      lastCount = nextCount
+      e = e2
+      round += 1
+    }
+    e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Damped PageRank on an undirected graph, a fixed number of synchronous
     * iterations from the uniform start:
     *   pr'(v) = (1 − d)/N + d · Σ_{u ~ v} pr(u) / deg(u).

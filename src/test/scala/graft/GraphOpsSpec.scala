@@ -89,6 +89,53 @@ class GraphOpsSpec extends SparkTestBase {
     assert(math.abs(got.values.sum - 1.0) < 1e-6)
   }
 
+  /** Reference peeling, iterate-to-fixpoint. */
+  private def modelKCore(edges: Set[(Long, Long)], k: Int): Map[Long, Int] = {
+    var es = edges
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next != es
+      es = next
+    }
+    es.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  test("kCore matches iterative-peeling model; cascade peeling actually cascades") {
+    // a 4-clique (3-core) with a pendant chain hanging off it: the chain
+    // peels one link per round — multi-round convergence, not one shot
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = (clique ++ chain).toSet
+    val got = GraphOps.kCore(edges.toSeq.toDF("a", "b"), k = 2)
+      .as[(Long, Long)].collect().toMap
+    val want = modelKCore(edges, 2).map { case (n, d) => n -> d.toLong }
+    assert(got == want)
+    assert(got.keySet == (1L to 4L).toSet, "the chain must peel away fully")
+    // seeded random graph against the model, two k values
+    val rnd = new scala.util.Random(47)
+    val rand = (for {
+      a <- 1L to 40L; b <- (a + 1) to 40L
+      if rnd.nextDouble() < 0.12
+    } yield (a, b)).toSet
+    for (k <- Seq(2, 3)) {
+      val g = GraphOps.kCore(rand.toSeq.toDF("a", "b"), k)
+        .as[(Long, Long)].collect().toMap
+      assert(g == modelKCore(rand, k).map { case (n, d) => n -> d.toLong },
+        s"k=$k")
+    }
+  }
+
+  test("kCore: graph below the threshold empties; clique survives whole") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(GraphOps.kCore(tri.toDF("a", "b"), k = 3).count() == 0L)
+    assert(GraphOps.kCore(tri.toDF("a", "b"), k = 2).count() == 3L)
+  }
+
   test("pageRank: path-graph ends rank below the middle; zero iterations is uniform") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     val pr = GraphOps.pageRank(path.toDF("a", "b"), iterations = 5)
