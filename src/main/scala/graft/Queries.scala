@@ -1107,6 +1107,7 @@ object Queries {
       .select(col("doc_id"),
         graft.functions.TextFunctions.tokens(lower(col("text"))).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
+      .localCheckpoint() // stats aggregate + tf subtree both tokenize it
     val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
@@ -1136,9 +1137,14 @@ object Queries {
     */
   def d166Calibration(s: SparkSession, d: String): DataFrame =
     graft.operators.EvalMetrics.calibrationReport(
-      Tables.events(s, d).select(
-        least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0)).as("p"),
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("lbl")),
+      Tables.events(s, d)
+        // filter BEFORE the clip: Spark's greatest/least skip nulls, so an
+        // unfiltered null value would silently become p = 0.0 while the
+        // oracle's WHERE excludes the row
+        .filter(col("value").isNotNull)
+        .select(
+          least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0)).as("p"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("lbl")),
       "p", "lbl", nBins = 10)
 
   /** Pareto frontier ([[graft.operators.ScaleOps.skyline2D]]) of parts:
@@ -2960,6 +2966,28 @@ object Queries {
     "d175_kcore" -> (d175KCore _),
   )
 
+  /** ONE definition for the rank-sum AUC oracle — d164 (batch) and d170
+    * (streaming fold) must stay on the identical SQL, or an edit to one
+    * silently breaks the streaming-equals-batch invariant d170 proves.
+    */
+  private val aucOracleSql =
+    """WITH t AS (SELECT value AS score,
+      |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl
+      | FROM events WHERE value IS NOT NULL),
+      |g AS (SELECT score, CAST(SUM(lbl) AS BIGINT) AS pos,
+      |  CAST(COUNT(*) - SUM(lbl) AS BIGINT) AS neg FROM t GROUP BY 1),
+      |c AS (SELECT pos, neg,
+      |  CAST(COALESCE(SUM(neg) OVER (ORDER BY score
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS negbelow FROM g)
+      |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+      | CAST(SUM(neg) AS BIGINT) AS n_neg,
+      | CAST(SUM(pos * (2 * negbelow + neg)) AS BIGINT) AS auc_num,
+      | CAST(2 * SUM(pos) * SUM(neg) AS BIGINT) AS auc_den,
+      | ROUND(CAST(SUM(pos * (2 * negbelow + neg)) AS DOUBLE) /
+      |   (2 * SUM(pos) * SUM(neg)), 6) AS auc
+      |FROM c""".stripMargin
+
   private val toksSql =
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
   private val toksLowerSql =
@@ -4373,23 +4401,7 @@ object Queries {
 
     // textbook single-window rank-sum — the engine's two-level prefix scan
     // must land on the identical integer numerator/denominator
-    "d164_auc" ->
-      """WITH t AS (SELECT value AS score,
-        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl
-        | FROM events WHERE value IS NOT NULL),
-        |g AS (SELECT score, CAST(SUM(lbl) AS BIGINT) AS pos,
-        |  CAST(COUNT(*) - SUM(lbl) AS BIGINT) AS neg FROM t GROUP BY 1),
-        |c AS (SELECT pos, neg,
-        |  CAST(COALESCE(SUM(neg) OVER (ORDER BY score
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |    AS negbelow FROM g)
-        |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
-        | CAST(SUM(neg) AS BIGINT) AS n_neg,
-        | CAST(SUM(pos * (2 * negbelow + neg)) AS BIGINT) AS auc_num,
-        | CAST(2 * SUM(pos) * SUM(neg) AS BIGINT) AS auc_den,
-        | ROUND(CAST(SUM(pos * (2 * negbelow + neg)) AS DOUBLE) /
-        |   (2 * SUM(pos) * SUM(neg)), 6) AS auc
-        |FROM c""".stripMargin,
+    "d164_auc" -> aucOracleSql,
 
     // d144's BM25 with a query dimension, then the NDCG@10 window algebra
     "d165_ndcg" ->
@@ -4474,23 +4486,7 @@ object Queries {
 
     // the streaming fold of the additive (score, pos, neg) statistic must
     // land on the batch d164 answer exactly — same oracle
-    "d170_stream_auc" ->
-      """WITH t AS (SELECT value AS score,
-        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl
-        | FROM events WHERE value IS NOT NULL),
-        |g AS (SELECT score, CAST(SUM(lbl) AS BIGINT) AS pos,
-        |  CAST(COUNT(*) - SUM(lbl) AS BIGINT) AS neg FROM t GROUP BY 1),
-        |c AS (SELECT pos, neg,
-        |  CAST(COALESCE(SUM(neg) OVER (ORDER BY score
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |    AS negbelow FROM g)
-        |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
-        | CAST(SUM(neg) AS BIGINT) AS n_neg,
-        | CAST(SUM(pos * (2 * negbelow + neg)) AS BIGINT) AS auc_num,
-        | CAST(2 * SUM(pos) * SUM(neg) AS BIGINT) AS auc_den,
-        | ROUND(CAST(SUM(pos * (2 * negbelow + neg)) AS DOUBLE) /
-        |   (2 * SUM(pos) * SUM(neg)), 6) AS auc
-        |FROM c""".stripMargin,
+    "d170_stream_auc" -> aucOracleSql,
 
     // the full hashed assignment re-derived: md5 prefixes render
     // identically cross-engine, so the census pins every bucket

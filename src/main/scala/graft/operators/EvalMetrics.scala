@@ -105,16 +105,15 @@ object EvalMetrics {
         (col("__pos_above") + col("pos")).cast("long").as("tp"),
         (col("__neg_above") + col("neg")).cast("long").as("fp"),
         (col("__p") - col("__pos_above") - col("pos")).cast("long").as("fn"))
-      .withColumn("prec",
-        round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
-      .withColumn("rec",
-        round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+      .withColumn("__prec", col("tp").cast("double") / (col("tp") + col("fp")))
+      .withColumn("__rec", col("tp").cast("double") / (col("tp") + col("fn")))
+      .withColumn("prec", round(col("__prec"), 6))
+      .withColumn("rec", round(col("__rec"), 6))
       .withColumn("f1",
         when(col("tp") > 0, round(
-          lit(2.0) * (col("tp").cast("double") / (col("tp") + col("fp"))) *
-            (col("tp").cast("double") / (col("tp") + col("fn"))) /
-            ((col("tp").cast("double") / (col("tp") + col("fp"))) +
-              (col("tp").cast("double") / (col("tp") + col("fn")))), 6)))
+          lit(2.0) * col("__prec") * col("__rec") /
+            (col("__prec") + col("__rec")), 6)))
+      .drop("__prec", "__rec")
   }
 
   /** Per-query NDCG@k over a ranked candidate frame.
@@ -169,8 +168,9 @@ object EvalMetrics {
       .select(col(probCol).cast("double").as("p"),
         col(labelCol).cast("long").as("lbl"))
       .filter(col("p").isNotNull && col("lbl").isNotNull)
-      .withColumn("bin",
-        least(floor(col("p") * nBins), lit(nBins - 1L)).cast("long"))
+      .withColumn("bin", // symmetric clamp: p ≤ 0 → bin 0, p ≥ 1 → top bin
+        least(greatest(floor(col("p") * nBins), lit(0L)), lit(nBins - 1L))
+          .cast("long"))
       .groupBy(col("bin"))
       .agg(
         count(lit(1)).cast("long").as("n"),

@@ -55,10 +55,15 @@ object Features {
                        idCol: String, featureCol: String,
                        labelCol: String): DataFrame = {
     val docLabel = labels.select(col(idCol).as("id"), col(labelCol).as("lbl"))
+      // an unlabeled doc would count in the totals but its grid cell could
+      // never join (SQL null equality), phantom-zeroing every feature it
+      // carries — exclude it from the population entirely
+      .filter(col("id").isNotNull && col("lbl").isNotNull)
       .distinct().localCheckpoint() // class census + presence join both read it
     val classes = docLabel.groupBy(col("lbl"))
       .agg(count(lit(1)).as("n_c")).localCheckpoint()
-    val nTotal = classes.agg(sum(col("n_c"))).collect().head.getLong(0)
+    val totalRow = classes.agg(sum(col("n_c"))).collect().head
+    val nTotal = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val present = features
       .select(col(idCol).as("id"), col(featureCol).as("feature")).distinct()
       .join(docLabel, "id")

@@ -63,16 +63,16 @@ object GraphOps {
     val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     // deg is node-sized — shuffle-join it, never broadcast by assumption
+    // ONE definition of the total order — all three projections must agree
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
     val oriented = e
       .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
       .select(
-        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-          col("a")).otherwise(col("b")).as("src"),
-        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-          col("b")).otherwise(col("a")).as("dst"),
-        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-          col("db")).otherwise(col("da")).as("degd"))
+        when(fwd, col("a")).otherwise(col("b")).as("src"),
+        when(fwd, col("b")).otherwise(col("a")).as("dst"),
+        when(fwd, col("db")).otherwise(col("da")).as("degd"))
       .localCheckpoint() // three consumers below; compute the orientation once
     // wedge (u→v, u→w) with v ≺ w in the SAME (deg, node) total order
     val wedges = oriented.as("e1").join(oriented.as("e2"),

@@ -911,7 +911,8 @@ object ScaleOps {
     val clean = df.filter(col(valueCol).isNotNull)
     val counts = clean.groupBy(col(valueCol))
       .agg(count(lit(1)).as("__n")).localCheckpoint()
-    val total = counts.agg(sum(col("__n"))).collect().head.getLong(0)
+    val totalRow = counts.agg(sum(col("__n"))).collect().head
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val ranked = globalPrefixSum(counts, valueCol, Seq("__n" -> "__below"))
       .withColumn(outCol,
         if (total > 1) col("__below").cast("double") / lit((total - 1).toDouble)

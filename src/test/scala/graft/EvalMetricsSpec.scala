@@ -150,6 +150,14 @@ class EvalMetricsSpec extends SparkTestBase {
     assert(dcgOf(base) == dcgOf(noisy))
   }
 
+  test("calibrationReport clamps out-of-range probabilities into the edge bins") {
+    val rows = Seq((-0.25, 0L), (0.05, 0L), (1.5, 1L), (0.95, 1L))
+    val out = EvalMetrics.calibrationReport(rows.toDF("p", "lbl"), "p", "lbl")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 2L, 9L -> 2L),
+      s"p<0 joins bin 0, p>1 joins the top bin: $out")
+  }
+
   test("calibrationReport: bin edges, totals, and the ECE identity") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.fill(500) {

@@ -95,6 +95,27 @@ class FeaturesSpec extends SparkTestBase {
     assert(got("fa")._2 > got("fb")._2)
   }
 
+  test("chiSquareByLabel: unlabeled docs are excluded, not phantom-zeroed") {
+    val features = Seq((1L, "f"), (2L, "f"), (3L, "f"), (4L, "g"))
+      .toDF("id", "feature")
+    val labels = Seq((1L, "A"), (2L, "B"), (4L, "B")).toDF("id", "lbl")
+    val labelsWithNull = labels.union(
+      Seq((3L, null.asInstanceOf[String])).toDF("id", "lbl"))
+    val clean = Features.chiSquareByLabel(features, labels, "id", "feature", "lbl")
+      .collect().map(_.toSeq).toSet
+    val withNull = Features.chiSquareByLabel(features, labelsWithNull,
+      "id", "feature", "lbl").collect().map(_.toSeq).toSet
+    assert(withNull == clean,
+      "a null-labeled doc must not shift any feature's contingency")
+  }
+
+  test("chiSquareByLabel: empty labels yield an empty report, not an NPE") {
+    val features = Seq((1L, "f")).toDF("id", "feature")
+    val labels = Seq.empty[(Long, String)].toDF("id", "lbl")
+    assert(Features.chiSquareByLabel(features, labels, "id", "feature", "lbl")
+      .count() == 0L)
+  }
+
   test("hashingVectorize rejects out-of-range prefix lengths") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

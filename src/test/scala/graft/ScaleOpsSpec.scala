@@ -664,6 +664,11 @@ class ScaleOpsSpec extends SparkTestBase {
       assert(got(i.toLong) == below.toDouble / (n - 1), s"id $i")
     }
     assert(!got.contains(7L), "null value must not be ranked")
+    // empty / all-null input degrades to an empty frame, not an NPE
+    val empty = Seq.empty[(Long, java.lang.Long)].toDF("id", "v")
+    assert(ScaleOps.percentileRank(empty, "v").count() == 0L)
+    val allNull = Seq((1L, null.asInstanceOf[java.lang.Long])).toDF("id", "v")
+    assert(ScaleOps.percentileRank(allNull, "v").count() == 0L)
   }
 
   /** Brute-force dominance filter — the definition skyline2D must match. */
