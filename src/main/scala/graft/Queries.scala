@@ -1268,6 +1268,95 @@ object Queries {
       .select(expr("CAST(node AS BIGINT)").as("node"),
         expr("CAST(core_deg AS BIGINT)").as("core_deg"))
 
+  /** K-anonymity release gate ([[graft.operators.Privacy.kAnonymize]]) over
+    * customers: quasi tuple (nation, segment, balance sign), one
+    * generalization level (balance sign → '*'), then suppression, k = 5.
+    * Each level's census runs only over the still-unresolved remainder —
+    * the oracle replicates that cascade with windowed CTEs. All decisions
+    * are exact integer counts. Non-vacuity probed: levels 0/1/suppressed
+    * hold 5/11/134 rows at sf0.001 and 1379/5/116 at sf0.01; at sf0.1 the
+    * middle level is correctly EMPTY on both engines (dense cells leave no
+    * small-group remainder big enough to pool).
+    */
+  def d176KAnonymize(s: SparkSession, d: String): DataFrame = {
+    val quasiL0 = Seq(
+      "nation" -> col("c_nationkey"),
+      "seg" -> col("c_mktsegment"),
+      "bal" -> when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos")))
+    val quasiL1 = Seq(
+      "nation" -> col("c_nationkey"),
+      "seg" -> col("c_mktsegment"),
+      "bal" -> lit("*"))
+    graft.operators.Privacy.kAnonymize(
+      Tables.customer(s, d), Seq("c_custkey"), Seq(quasiL0, quasiL1), k = 5)
+      .select(expr("CAST(c_custkey AS BIGINT)").as("c_custkey"),
+        col("nation"), col("seg"), col("bal"),
+        expr("CAST(level AS INT)").as("level"))
+  }
+
+  /** Weakly connected components
+    * ([[graft.operators.GraphOps.connectedComponents]]) of the co-purchase
+    * graph: min-label propagation + pointer jumping to a data-dependent
+    * fixpoint (O(log diameter) rounds — the scalable complement of d45's
+    * bounded-collect union-find, and the third iteration regime after
+    * d169's fixed count and d175's monotone peel). The oracle unrolls 8
+    * neighbor-min + jump stages; the engine converges in ≤ 7 rounds at all
+    * three SFs (probed — re-probe on a data drop). Components: 1 giant at
+    * sf0.001, 9 at sf0.01, 2350 at sf0.1.
+    */
+  def d177Components(s: SparkSession, d: String): DataFrame =
+    graft.operators.GraphOps.connectedComponents(coPurchaseEdges(s, d))
+      .select(expr("CAST(component AS BIGINT)").as("component"),
+        expr("CAST(n_nodes AS BIGINT)").as("n_nodes"))
+
+  /** Hive-partitioned layout round-trip
+    * ([[graft.operators.ScaleOps.writeHivePartitioned]]): events written
+    * partitioned by day (with small-file control — one file per partition
+    * dir, not one per task × partition), read back under a 5-day filter
+    * that PRUNES at the directory level (PartitionedLayoutSpec pins
+    * PartitionFilters and the pruned file count; this row pins the
+    * content). The coarse-grained complement of d136's z-order intra-file
+    * skipping and d137's bloom point lookups. Same scratch contract as
+    * d70: path fixed per (user, input dir), overwrite mode, single-writer.
+    */
+  def d178PartitionedLayout(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hivepart_" + System.getProperty("user.name", "anon") + "_" +
+        pathTag(d)).getAbsolutePath
+    val ev = Tables.events(s, d)
+    graft.operators.ScaleOps.writeHivePartitioned(
+      ev.select(col("event_type"), col("value"),
+        date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd").as("day")),
+      path, "day")
+    // partition-type inference reads day=2024-01-10 dirs back as DATE; the
+    // string-literal bounds coerce correctly against DATE (literal→date
+    // cast, pruning intact) AND against STRING (ISO dates order
+    // lexicographically), and the output casts to STRING either way so the
+    // schema matches the oracle's VARCHAR
+    s.read.parquet(path)
+      .filter(col("day") >= "2024-01-10" && col("day") <= "2024-01-14")
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_events"),
+        expr("CAST(graft_money_sum(value, 2) AS DOUBLE)").as("sum_value"))
+  }
+
+  /** Daily OHLC bars ([[graft.operators.ScaleOps.resampleOhlc]]) per event
+    * type: open/close ride lexicographic min/max over (ts, value) structs —
+    * ONE hash aggregation, no window shuffle — while the oracle spells the
+    * same selection as first/last row_number ordered by (ts, value).
+    * Open/high/low/close are untouched input doubles (exact cross-engine);
+    * the bucket sum runs through the fixed-point SUM like d71.
+    */
+  def d179OhlcBars(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScaleOps.resampleOhlc(
+      Tables.events(s, d).select(col("event_type"), col("ts_ms"),
+        col("value")),
+      Seq("event_type"), "ts_ms", "value", bucketMs = 86400000L)
+      .select(col("event_type"),
+        expr("CAST(bucket_start AS BIGINT)").as("bucket_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        expr("CAST(n_ticks AS BIGINT)").as("n_ticks"), col("sum_value"))
+
   /** Fixed-width histogram of event values per type (bin = floor(value/50)):
     * the one-pass distribution profile. Bin assignment divides identical
     * raw doubles in both engines (closest value sits 2e-4 from a boundary);
@@ -2964,6 +3053,10 @@ object Queries {
     "d173_chi2_features" -> (d173Chi2 _),
     "d174_global_percentile" -> (d174GlobalPercentile _),
     "d175_kcore" -> (d175KCore _),
+    "d176_kanonymize" -> (d176KAnonymize _),
+    "d177_components" -> (d177Components _),
+    "d178_partitioned_layout" -> (d178PartitionedLayout _),
+    "d179_ohlc_bars" -> (d179OhlcBars _),
   )
 
   /** ONE definition for the rank-sum AUC oracle — d164 (batch) and d170
@@ -4631,5 +4724,89 @@ object Queries {
         |  GROUP BY adj.dst, nn.n)
         |SELECT CAST(node AS BIGINT) AS node, ROUND(pr, 9) AS pr
         |FROM p3""".stripMargin,
+
+    // the k-anonymity cascade: each level's census runs over the previous
+    // level's REMAINDER only; suppression preserves row count
+    "d176_kanonymize" ->
+      """WITH g0 AS (SELECT c_custkey AS id,
+        |  CAST(c_nationkey AS VARCHAR) AS nation, c_mktsegment AS seg,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal
+        | FROM customer),
+        |c0 AS (SELECT *, COUNT(*) OVER (PARTITION BY nation, seg, bal) AS n
+        |  FROM g0),
+        |k0 AS (SELECT id, nation, seg, bal, 0 AS level FROM c0 WHERE n >= 5),
+        |r0 AS (SELECT id, nation, seg FROM c0 WHERE n < 5),
+        |c1 AS (SELECT *, COUNT(*) OVER (PARTITION BY nation, seg) AS n
+        |  FROM r0),
+        |k1 AS (SELECT id, nation, seg, '*' AS bal, 1 AS level FROM c1
+        |  WHERE n >= 5),
+        |r1 AS (SELECT id FROM c1 WHERE n < 5)
+        |SELECT CAST(id AS BIGINT) AS c_custkey, nation, seg, bal, level
+        | FROM k0
+        |UNION ALL SELECT CAST(id AS BIGINT), nation, seg, bal, level FROM k1
+        |UNION ALL SELECT CAST(id AS BIGINT), '*', '*', '*', 2 FROM r1"""
+        .stripMargin,
+
+    // 8 unrolled neighbor-min + pointer-jump stages; labels only decrease,
+    // so the engine's sum-fixpoint early exit lands on the same labeling
+    // whenever convergence fits (probed <= 7 rounds at the three SFs).
+    // MATERIALIZED per the d175 lesson: each stage is read multiple times
+    "d177_components" -> {
+      val stages = (1 to 8).map { i =>
+        val prev = s"l${i - 1}"
+        s"""m$i AS MATERIALIZED (SELECT adj.u AS node, MIN(l.lbl) AS nmin
+           |  FROM adj JOIN $prev l ON l.node = adj.v GROUP BY 1),
+           |t$i AS MATERIALIZED (SELECT l.node,
+           |   LEAST(l.lbl, m.nmin) AS lbl
+           |  FROM $prev l JOIN m$i m ON m.node = l.node),
+           |l$i AS MATERIALIZED (SELECT x.node, y.lbl AS lbl
+           |  FROM t$i x JOIN t$i y ON y.node = x.lbl)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+         |  FROM lineitem),
+         |pr AS (SELECT a.i AS pa, b.i AS pb FROM li a JOIN li b
+         |  ON a.g = b.g AND a.i < b.i),
+         |e AS MATERIALIZED (SELECT pa AS a, pb AS b FROM
+         |  (SELECT pa, pb, COUNT(*) AS c FROM pr GROUP BY 1, 2)
+         |  WHERE c >= 2),
+         |adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+         |  UNION ALL SELECT b, a FROM e),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM adj),
+         |$stages
+         |SELECT CAST(lbl AS BIGINT) AS component,
+         | CAST(COUNT(*) AS BIGINT) AS n_nodes FROM l8 GROUP BY 1"""
+        .stripMargin
+    },
+
+    // content under the 5-day partition filter; the layout/pruning half is
+    // pinned by PartitionedLayoutSpec
+    "d178_partitioned_layout" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-14'
+        |GROUP BY 1""".stripMargin,
+
+    // open/close spelled as rank-1 rows ordered by (ts, value) — the
+    // portable equivalent of the engine's lexicographic struct min/max
+    "d179_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms, value
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, (ms // 86400000) * 86400000 AS bucket_start,
+        |  ms, value FROM e),
+        |w AS (SELECT event_type, bucket_start, value,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start
+        |    ORDER BY ms, value) AS rn_a,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start
+        |    ORDER BY ms DESC, value DESC) AS rn_d
+        | FROM b)
+        |SELECT event_type, CAST(bucket_start AS BIGINT) AS bucket_start,
+        | MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        | MAX(value) AS high, MIN(value) AS low,
+        | MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        | CAST(COUNT(*) AS BIGINT) AS n_ticks,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
   )
 }

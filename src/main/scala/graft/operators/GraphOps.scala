@@ -132,6 +132,68 @@ object GraphOps {
       .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Weakly connected components by min-label propagation accelerated with
+    * pointer jumping, run to a data-dependent fixpoint.
+    *
+    * Each round does two steps:
+    *   1. neighbor-min:  lbl'(v) = min(lbl(v), min over neighbors lbl(u))
+    *   2. pointer jump:  lbl''(v) = lbl'(lbl'(v))
+    * Labels are always node ids (minima over node-id sets), so the jump is
+    * a self-join of the label frame on lbl = node. The jump halves the
+    * longest label-chain each round, so convergence is O(log diameter)
+    * rounds instead of O(diameter) for plain propagation — the difference
+    * between ~8 and ~thousands of shuffles on a 100 TB path graph.
+    *
+    * Convergence is detected from sum(lbl): labels only ever decrease
+    * (both steps are min operations), so an unchanged sum IS the fixpoint —
+    * one driver scalar per round, no change-count join. The sum runs in
+    * DECIMAL(38,0) so billions of 64-bit ids cannot overflow the probe.
+    *
+    * Iterative-plan hygiene as in [[pageRank]]: adjacency materialized
+    * once, the label frame localCheckpoint'ed each round.
+    *
+    * Input: distinct undirected edges (a, b), a < b.
+    * Output: one row per component — (component, n_nodes), component = the
+    * minimum node id in it.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("v")) // the side every round's label join keys on
+      .localCheckpoint()
+    var lbl = adj.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    def labelSum(f: DataFrame): java.math.BigDecimal =
+      Option(f.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)) // SUM over zero rows is NULL (empty edge set)
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var lastSum = labelSum(lbl)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nbrMin = adj
+        .join(lbl.select(col("node").as("v"), col("lbl").as("nl")), Seq("v"))
+        .groupBy(col("u").as("node")).agg(min(col("nl")).as("nmin"))
+      // every node has >= 1 neighbor (it came from an edge), so the join
+      // back is inner-safe; least() keeps the node's own label in play
+      val l1 = lbl.join(nbrMin, Seq("node"))
+        .select(col("node"), least(col("lbl"), col("nmin")).as("lbl"))
+      val l2 = l1
+        .join(l1.select(col("node").as("lbl"), col("lbl").as("jl")), Seq("lbl"))
+        .select(col("node"), col("jl").as("lbl"))
+        .localCheckpoint()
+      val s = labelSum(l2)
+      converged = s.compareTo(lastSum) == 0
+      lastSum = s
+      lbl = l2
+      round += 1
+    }
+    lbl.groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Damped PageRank on an undirected graph, a fixed number of synchronous
     * iterations from the uniform start:
     *   pr'(v) = (1 − d)/N + d · Σ_{u ~ v} pr(u) / deg(u).

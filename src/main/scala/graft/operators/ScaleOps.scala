@@ -776,13 +776,72 @@ object ScaleOps {
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Hive-style partitioned layout write with small-file control.
+    *
+    * The naive `df.write.partitionBy(p)` opens one file per (task ×
+    * partition-value) pair — at 1000 executors × 365 days that is 365k
+    * files of a few KB each, the classic small-file explosion. This writer
+    * first repartitions on (partition value, file slot), so each partition
+    * directory receives AT MOST `filesPerPartition` files (exactly that
+    * many when the partition carries enough rows and AQE doesn't coalesce
+    * neighboring shuffle partitions — coalescing can merge slots into one
+    * writer task, never split one). `filesPerPartition` sizes a day's data
+    * to ~128 MiB files at the target scale (1 suffices for the test SFs).
+    *
+    * The payoff is read-side partition PRUNING: a filter on `partCol`
+    * never opens non-matching directories (`PartitionFilters` in the scan,
+    * pinned by PartitionedLayoutSpec) — the coarse complement of d136's
+    * intra-file z-order skipping.
+    */
+  def writeHivePartitioned(df: DataFrame, path: String, partCol: String,
+                           filesPerPartition: Int = 1): Unit = {
+    require(filesPerPartition >= 1, s"filesPerPartition: $filesPerPartition")
+    val slot = pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition))
+    df.repartition(col(partCol), slot)
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+  }
+
   /** Range-partitioned write for time-ordered data: partition pruning on the
     * partition column + ordered files for merge-friendly scans.
     */
   def writePartitionedByDay(
-      df: DataFrame, path: String, tsCol: String): Unit =
-    df.withColumn("__day", date_format(col(tsCol), "yyyy-MM-dd"))
-      .write.mode("overwrite").partitionBy("__day").parquet(path)
+      df: DataFrame, path: String, tsCol: String): Unit = {
+    val withDay =
+      df.withColumn("__day", date_format(col(tsCol), "yyyy-MM-dd"))
+    writeHivePartitioned(withDay, path, "__day")
+  }
+
+  /** OHLC downsampling: per (key, fixed time bucket) open / high / low /
+    * close / count — the standard resolution-reduction step for
+    * time-series feature tables.
+    *
+    * ONE hash aggregation (no window, no second shuffle): open and close
+    * ride lexicographic `min(struct(ts, value))` / `max(struct(ts, value))`
+    * — deterministic even under duplicate timestamps, because the value
+    * itself breaks the tie (equivalent to `first_value ... ORDER BY ts,
+    * value`, which is the portable SQL spelling an oracle uses). High/low
+    * are plain min/max; the value sum runs through the fixed-point SUM so
+    * per-bucket totals are summation-order-exact.
+    *
+    * Input: tsMsCol BIGINT epoch-millis, valCol DOUBLE.
+    * Output: key ++ (bucket_start BIGINT, open, high, low, close DOUBLE,
+    * n_ticks BIGINT, sum_value DOUBLE with 2-decimal fixed-point).
+    */
+  def resampleOhlc(df: DataFrame, keyCols: Seq[String], tsMsCol: String,
+                   valCol: String, bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive: $bucketMs")
+    df.filter(col(valCol).isNotNull)
+      .groupBy(keyCols.map(col) :+
+        (floor(col(tsMsCol) / bucketMs).cast("long") * bucketMs)
+          .as("bucket_start"): _*)
+      .agg(
+        min(struct(col(tsMsCol), col(valCol))).getField(valCol).as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max(struct(col(tsMsCol), col(valCol))).getField(valCol).as("close"),
+        count(lit(1)).as("n_ticks"),
+        expr(s"CAST(graft_money_sum($valCol, 2) AS DOUBLE)").as("sum_value"))
+  }
 
   /** Sizing guidance, applied: shuffle partition count for a target
     * partition size (default 128 MiB post-compression estimate).

@@ -136,6 +136,52 @@ class GraphOpsSpec extends SparkTestBase {
     assert(GraphOps.kCore(tri.toDF("a", "b"), k = 2).count() == 3L)
   }
 
+  private def modelComponents(edges: Set[(Long, Long)]): Map[Long, Long] = {
+    // union-find reference, independent of the propagation algebra
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toSeq.groupBy(find).map { case (r, ns) => r -> ns.size.toLong }
+  }
+
+  test("connectedComponents matches union-find on a seeded random graph") {
+    // four disjoint vertex blocks, random edges inside each: >= 4
+    // components guaranteed, with random sub-fragmentation per block
+    val rnd = new scala.util.Random(31)
+    val rand = (for {
+      block <- 0L until 4L
+      a <- 1L to 15L; b <- (a + 1) to 15L
+      if rnd.nextDouble() < 0.12
+    } yield (block * 100 + a, block * 100 + b)).toSet
+    val got = GraphOps.connectedComponents(rand.toSeq.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val want = modelComponents(rand)
+    assert(got == want, s"components diverge: $got vs $want")
+    assert(want.size > 3, "seed must produce a multi-component graph")
+  }
+
+  test("connectedComponents: long path needs pointer jumping, islands stay apart") {
+    // a 64-node path has diameter 63: plain min-propagation needs ~63
+    // rounds, the jump-accelerated loop must finish inside maxRounds = 10
+    val path = (1L until 64L).map(i => (i, i + 1))
+    val islands = Seq((100L, 101L), (200L, 201L), (200L, 202L))
+    val out = GraphOps.connectedComponents(
+      (path ++ islands).toDF("a", "b"), maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 64L, 100L -> 2L, 200L -> 3L), s"got $out")
+  }
+
+  test("connectedComponents: empty edges yield an empty result") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(GraphOps.connectedComponents(empty).count() == 0L)
+  }
+
   test("pageRank: path-graph ends rank below the middle; zero iterations is uniform") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     val pr = GraphOps.pageRank(path.toDF("a", "b"), iterations = 5)

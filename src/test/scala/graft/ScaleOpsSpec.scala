@@ -703,4 +703,25 @@ class ScaleOpsSpec extends SparkTestBase {
       .as[(Double, Double, Long)].collect()
     assert(one.toSeq == Seq((0.0, 100.0, 1L)))
   }
+
+  test("resampleOhlc: model bars, duplicate-ts ties deterministic, nulls out") {
+    val s = spark; import s.implicits._
+    // bucket = 100ms; bucket 0 has a ts tie at open (value breaks it) and
+    // at close; bucket 1 is a single tick; a null value must vanish
+    val ticks = Seq(
+      ("a", 10L, Some(5.0)), ("a", 10L, Some(3.0)), // tie: open = 3.0
+      ("a", 50L, Some(9.5)), ("a", 99L, Some(1.5)),
+      ("a", 99L, Some(7.0)),                        // tie: close = 7.0
+      ("a", 150L, Some(4.25)), ("a", 120L, None),
+      ("b", 20L, Some(2.0)), ("b", 30L, Some(6.0))
+    ).toDF("k", "ts", "v")
+    val got = ScaleOps.resampleOhlc(ticks, Seq("k"), "ts", "v", bucketMs = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)),
+        r.getLong(6), r.getDouble(7))).toSet
+    assert(got == Set(
+      ("a", 0L, (3.0, 9.5, 1.5, 7.0), 5L, 26.0),
+      ("a", 100L, (4.25, 4.25, 4.25, 4.25), 1L, 4.25),
+      ("b", 0L, (2.0, 6.0, 2.0, 6.0), 2L, 8.0)), s"got $got")
+  }
 }
