@@ -1357,6 +1357,25 @@ object Queries {
         col("open"), col("high"), col("low"), col("close"),
         expr("CAST(n_ticks AS BIGINT)").as("n_ticks"), col("sum_value"))
 
+  /** BPE tokenizer training ([[graft.operators.Features.bpeTrain]]): 12
+    * merges learned from the document corpus — enough depth that merged
+    * symbols re-enter later pairs (probed at sf0.01: step 6 merges
+    * "m"+"er", step 12 "jo"+"in"), so the row pins merged-symbol reuse,
+    * not just first-order character pairs. The engine touches the corpus
+    * once (word-frequency shuffle) and iterates on the vocabulary-sized
+    * word table, one argmax row to the driver per step; the oracle unrolls
+    * the identical greedy recurrence as 12 CTE stages (pair stats →
+    * total-order argmax → wrapped-symbol REPLACE). All decisions are exact
+    * integer counts under the (count DESC, pair ASC) total order, so the
+    * learned merge table is engine-portable.
+    */
+  def d180BpeMerges(s: SparkSession, d: String): DataFrame =
+    graft.operators.Features.bpeTrain(Tables.documents(s, d), "text",
+      nMerges = 12)
+      .select(expr("CAST(step AS INT)").as("step"), col("pair_left"),
+        col("pair_right"), col("merged"),
+        expr("CAST(pair_count AS BIGINT)").as("pair_count"))
+
   /** Fixed-width histogram of event values per type (bin = floor(value/50)):
     * the one-pass distribution profile. Bin assignment divides identical
     * raw doubles in both engines (closest value sits 2e-4 from a boundary);
@@ -3057,6 +3076,7 @@ object Queries {
     "d177_components" -> (d177Components _),
     "d178_partitioned_layout" -> (d178PartitionedLayout _),
     "d179_ohlc_bars" -> (d179OhlcBars _),
+    "d180_bpe_merges" -> (d180BpeMerges _),
   )
 
   /** ONE definition for the rank-sum AUC oracle — d164 (batch) and d170
@@ -4808,5 +4828,40 @@ object Queries {
         | CAST(COUNT(*) AS BIGINT) AS n_ticks,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // the greedy BPE recurrence unrolled: per stage, weighted adjacent-pair
+    // stats -> (count DESC, pair ASC) argmax -> wrapped-symbol REPLACE
+    // (non-overlapping left-to-right == greedy BPE, sound because wrapped
+    // symbols share no characters and the alphabet is [a-z]+)
+    "d180_bpe_merges" -> {
+      val stages = (1 to 12).map { i =>
+        val prev = s"s${i - 1}"
+        s"""p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i + 1] AS b,
+           |   CAST(SUM(cnt) AS BIGINT) AS c
+           |  FROM $prev, UNNEST(range(1, len(syms))) t(i) GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (SELECT a, b, c FROM p$i
+           |  ORDER BY c DESC, a, b LIMIT 1),
+           |s$i AS MATERIALIZED (SELECT word, cnt,
+           |   string_split(substr(r, 2, length(r) - 2), ')(') AS syms
+           |  FROM (SELECT word, cnt,
+           |    REPLACE('(' || array_to_string(syms, ')(') || ')',
+           |      '(' || b$i.a || ')(' || b$i.b || ')',
+           |      '(' || b$i.a || b$i.b || ')') AS r
+           |   FROM $prev, b$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (SELECT
+         |  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         | FROM documents),
+         |wc AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY 1),
+         |s0 AS MATERIALIZED (SELECT word, cnt, string_split(word, '') AS syms
+         |  FROM wc),
+         |$stages
+         |SELECT CAST(1 AS INT) AS step, a AS pair_left, b AS pair_right,
+         |  a || b AS merged, c AS pair_count FROM b1
+         |${(2 to 12).map(i =>
+             s"UNION ALL SELECT CAST($i AS INT), a, b, a || b, c FROM b$i")
+             .mkString("\n")}"""
+        .stripMargin
+    },
   )
 }

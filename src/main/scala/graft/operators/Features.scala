@@ -32,6 +32,77 @@ object Features {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** BPE tokenizer training: learn `nMerges` byte-pair merges from the
+    * corpus — the vocabulary-construction step of an LLM data pipeline.
+    *
+    * The corpus is touched ONCE (tokenize → word-frequency table, one
+    * shuffle); every merge iteration then runs on the distinct-word table,
+    * which is vocabulary-sized (Heaps' law: millions of rows at 100 TB,
+    * never corpus-sized), stays fully distributed (pair stats are one
+    * aggregate over exploded adjacent-symbol pairs, weighted by word
+    * count), and ships exactly ONE row to the driver per step (the argmax
+    * pair) — unlike the textbook in-memory trainer, which collects the
+    * whole vocabulary. localCheckpoint per step keeps the iterative plan
+    * one-step deep.
+    *
+    * Determinism: counts are exact integers; the winning pair is the total
+    * order (count DESC, left ASC, right ASC), so ties break identically in
+    * any engine. Merge application is greedy left-to-right (standard BPE):
+    * each word's symbols are rendered `(s1)(s2)...`, and a plain
+    * non-overlapping REPLACE of `(a)(b)` → `(ab)` is exact because every
+    * occurrence spans whole wrapped symbols that share no characters —
+    * sound because the symbol alphabet is [a-z]+ (closed under merging),
+    * so the parenthesis markers can never collide with symbol content.
+    *
+    * Output: (step INT, pair_left, pair_right, merged STRING,
+    * pair_count BIGINT) — the ordered merge table a tokenizer ships.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be positive: $nMerges")
+    val spark = df.sparkSession
+    var words = df
+      .select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        expr("regexp_extract_all(word, '[a-z]', 0)").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to nMerges if !exhausted) {
+      // adjacent pairs via zip_with over shifted slices — no array
+      // indexing, so the expression is ANSI-mode-proof
+      val top = words
+        .select(col("cnt"), explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+            |         slice(syms, 2, size(syms) - 1),
+            |         (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is a single symbol
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((step, a, b, a + b, c))
+        // a and b are [a-z]+ by construction — safe to splice as SQL
+        // literals (and unspliceable content cannot reach here)
+        words = words
+          .withColumn("__r", expr(
+            s"""replace(concat('(', array_join(syms, ')('), ')'),
+               |        '($a)($b)', '($a$b)')""".stripMargin))
+          .select(col("word"), col("cnt"),
+            expr("split(substring(__r, 2, length(__r) - 2), '\\\\)\\\\(')")
+              .as("syms"))
+          .localCheckpoint()
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+      .toDF("step", "pair_left", "pair_right", "merged", "pair_count")
+  }
+
   /** Chi-square feature selection score: for every feature, the χ² statistic
     * of its presence/absence-by-class contingency table against the
     * document label — the classic filter for pruning a hashed feature

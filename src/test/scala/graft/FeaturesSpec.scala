@@ -125,4 +125,65 @@ class FeaturesSpec extends SparkTestBase {
       Features.hashingVectorize(df, "doc_id", "text", prefixLen = 9)
     }
   }
+
+  /** Reference BPE trainer: greedy left-to-right merges on symbol vectors,
+    * tie-break (count DESC, left ASC, right ASC) — independent of the
+    * engine's wrapped-string REPLACE algebra.
+    */
+  private def modelBpe(texts: Seq[String],
+                       n: Int): Seq[(Int, String, String, String, Long)] = {
+    def mergeSeq(syms: Vector[String], a: String,
+                 b: String): Vector[String] = {
+      val acc = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          acc += (a + b); i += 2
+        } else { acc += syms(i); i += 1 }
+      }
+      acc.result()
+    }
+    var words: Map[Vector[String], Long] = texts
+      .flatMap(t => "[a-z]+".r.findAllIn(t.toLowerCase))
+      .groupBy(w => w.map(_.toString).toVector)
+      .map { case (v, ws) => v -> ws.size.toLong }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= n && !done) {
+      val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, c) <- words; w <- syms.sliding(2) if w.length == 2)
+        stats((w(0), w(1))) += c
+      if (stats.isEmpty) done = true
+      else {
+        val ((a, b), c) = stats.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((step, a, b, a + b, c))
+        words = words.map { case (syms, c) => mergeSeq(syms, a, b) -> c }
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  test("bpeTrain matches the greedy reference, ties and repeats included") {
+    val s = spark; import s.implicits._
+    // 'aaaa' forces overlapping-candidate greediness ((aa)(aa), not a(aa)a);
+    // banana/bandana exercise multi-char merges; counts create real ties
+    val texts = Seq("aab aab banana", "banana bandana aaaa",
+      "aaaa cc cc dd dd")
+    val got = Features.bpeTrain(texts.toDF("text"), "text", nMerges = 6)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got == modelBpe(texts, 6), s"merge tables diverge: $got")
+  }
+
+  test("bpeTrain stops early when every word is one symbol") {
+    val s = spark; import s.implicits._
+    val got = Features.bpeTrain(Seq("ab ab cd").toDF("text"), "text",
+      nMerges = 10).collect()
+    // 'ab' and 'cd' each collapse in one merge; afterwards no pairs remain
+    assert(got.length == 2, s"expected 2 merges then exhaustion: ${got.length}")
+  }
 }
