@@ -1376,6 +1376,62 @@ object Queries {
         col("pair_right"), col("merged"),
         expr("CAST(pair_count AS BIGINT)").as("pair_count"))
 
+  /** Kaplan–Meier survival curve ([[graft.operators.EvalMetrics
+    * .kaplanMeier]]) of user engagement: duration = distinct active days,
+    * event = the user's error count exceeds their purchase count (~50%
+    * observed, the rest right-censored — probed at all three SFs). The
+    * engine's census + two two-level prefix scans against the oracle's
+    * single-window spelling of the same recurrence; survival = exp of the
+    * accumulated ln(1 − d/n) terms, ROUND 6 absorbing summation-order
+    * ulps.
+    */
+  def d181KaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(date_format(timestamp_millis(col("ts_ms")),
+          "yyyy-MM-dd")).as("t"),
+        when(
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)) >
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)),
+          1).otherwise(0).as("observed"))
+    graft.operators.EvalMetrics.kaplanMeier(perUser, "t", "observed")
+      .select(expr("CAST(t AS BIGINT)").as("duration_days"),
+        expr("CAST(n_risk AS BIGINT)").as("n_risk"),
+        expr("CAST(n_events AS BIGINT)").as("n_events"),
+        expr("CAST(n_censored AS BIGINT)").as("n_censored"),
+        round(col("survival"), 6).as("survival"))
+  }
+
+  /** Weight-of-Evidence / Information-Value report
+    * ([[graft.operators.Features.woeIv]]): customer account balance in 10
+    * exact equi-depth bins scored against "ever placed an URGENT order".
+    * Bin assignment is integer-exact global rank arithmetic (two-level
+    * scan + per-value tie-break by id, mirrored by the oracle's
+    * ROW_NUMBER); WoE/IV are IEEE ratios of exact counts with Laplace
+    * 0.5 smoothing, every double CAST explicit on the DuckDB side so no
+    * DECIMAL arithmetic sneaks into the float algebra (the d169 lesson).
+    */
+  def d182WoeIv(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+      .withColumn("__u", lit(1))
+    val labeled = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .join(urgent, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_acctbal"),
+        coalesce(col("__u"), lit(0)).as("lbl"))
+    graft.operators.Features.woeIv(labeled, "c_custkey", "c_acctbal", "lbl",
+      nBins = 10)
+      .select(expr("CAST(bin AS BIGINT)").as("bin"),
+        expr("CAST(n AS BIGINT)").as("n"),
+        expr("CAST(n_good AS BIGINT)").as("n_good"),
+        expr("CAST(n_bad AS BIGINT)").as("n_bad"),
+        round(col("woe"), 6).as("woe"),
+        round(col("iv_term"), 6).as("iv_term"))
+  }
+
   /** Fixed-width histogram of event values per type (bin = floor(value/50)):
     * the one-pass distribution profile. Bin assignment divides identical
     * raw doubles in both engines (closest value sits 2e-4 from a boundary);
@@ -3077,6 +3133,8 @@ object Queries {
     "d178_partitioned_layout" -> (d178PartitionedLayout _),
     "d179_ohlc_bars" -> (d179OhlcBars _),
     "d180_bpe_merges" -> (d180BpeMerges _),
+    "d181_kaplan_meier" -> (d181KaplanMeier _),
+    "d182_woe_iv" -> (d182WoeIv _),
   )
 
   /** ONE definition for the rank-sum AUC oracle — d164 (batch) and d170
@@ -4863,5 +4921,59 @@ object Queries {
              .mkString("\n")}"""
         .stripMargin
     },
+
+    // the KM recurrence as one ordered window; the engine's two-level
+    // scans must land on the same curve (ROUND 6 absorbs summation order)
+    "d181_kaplan_meier" ->
+      """WITH u AS (SELECT user_id,
+        |  CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS t,
+        |  CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) >
+        |            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |       THEN 1 ELSE 0 END AS obs
+        | FROM events GROUP BY 1),
+        |g AS (SELECT t, CAST(SUM(obs) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) - SUM(obs) AS BIGINT) AS n_censored
+        | FROM u GROUP BY 1),
+        |w AS (SELECT g.*, (SELECT COUNT(*) FROM u) -
+        |  CAST(COALESCE(SUM(n_events + n_censored) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS n_risk
+        | FROM g),
+        |s AS (SELECT *, CASE WHEN n_events < n_risk
+        |    THEN ln(CAST(1 AS DOUBLE) - CAST(n_events AS DOUBLE) / n_risk)
+        |    ELSE CAST(0 AS DOUBLE) END AS term,
+        |  CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END AS dead FROM w)
+        |SELECT t AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+        | n_events, n_censored,
+        | ROUND(CASE WHEN SUM(dead) OVER (ORDER BY t) > 0
+        |   THEN CAST(0 AS DOUBLE)
+        |   ELSE exp(SUM(term) OVER (ORDER BY t)) END, 6) AS survival
+        |FROM s""".stripMargin,
+
+    // equi-depth rank binning via ROW_NUMBER (v, id) — identical to the
+    // engine's prefix + per-value tie-break; every double CAST explicit
+    "d182_woe_iv" ->
+      """WITH lab AS (SELECT c_custkey AS id, c_acctbal AS v,
+        |  CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+        |    WHERE o_orderpriority = '1-URGENT') THEN 1 ELSE 0 END AS lbl
+        | FROM customer),
+        |r AS (SELECT lbl,
+        |  ROW_NUMBER() OVER (ORDER BY v, id) - 1 AS rk FROM lab),
+        |b AS (SELECT (rk * 10) // (SELECT COUNT(*) FROM lab) AS bin, lbl
+        | FROM r),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(lbl) AS BIGINT) AS n_good,
+        |  CAST(COUNT(*) - SUM(lbl) AS BIGINT) AS n_bad FROM b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_good) AS BIGINT) AS gt,
+        |  CAST(SUM(n_bad) AS BIGINT) AS bt FROM g)
+        |SELECT CAST(bin AS BIGINT) AS bin, n, n_good, n_bad,
+        | ROUND(ln(((CAST(n_good AS DOUBLE) + CAST(0.5 AS DOUBLE)) / gt) /
+        |          ((CAST(n_bad AS DOUBLE) + CAST(0.5 AS DOUBLE)) / bt)), 6)
+        |   AS woe,
+        | ROUND((CAST(n_good AS DOUBLE) / gt - CAST(n_bad AS DOUBLE) / bt) *
+        |   ln(((CAST(n_good AS DOUBLE) + CAST(0.5 AS DOUBLE)) / gt) /
+        |      ((CAST(n_bad AS DOUBLE) + CAST(0.5 AS DOUBLE)) / bt)), 6)
+        |   AS iv_term
+        |FROM g, t""".stripMargin,
   )
 }

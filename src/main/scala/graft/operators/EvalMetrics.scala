@@ -191,4 +191,48 @@ object EvalMetrics {
         round(abs(col("__conf") - col("__acc")) * (col("n") / col("__total")), 6)
           .as("ece_term"))
   }
+
+  /** Kaplan–Meier survival estimator with right-censoring — the standard
+    * churn/retention curve:  S(t) = Π_{u ≤ t} (1 − d_u / n_u), where d_u
+    * counts observed events at duration u and n_u the subjects still at
+    * risk. Input is one row per SUBJECT: (durationCol integral,
+    * observedCol 1 = event observed / 0 = censored).
+    *
+    * Scale shape: one hash aggregation to the per-duration census (the
+    * frame everything else touches — its cardinality is the number of
+    * DISTINCT durations, calendar-bounded, not subject-count-bounded),
+    * then two [[ScaleOps.globalPrefixSum]] two-level scans: the first
+    * turns the census into at-risk counts (n_t = N − #{duration < t}),
+    * the second accumulates the log-survival terms — no single-partition
+    * window anywhere. The product runs as exp(Σ ln(1 − d/n)): each term is
+    * IEEE-identical cross-engine; summation-order ulps are absorbed by the
+    * caller's output rounding.
+    *
+    * The d = n boundary (everyone at risk dies at t): ln(0) is dodged by
+    * a flag prefix — survival is exactly 0.0 from the first such t on.
+    *
+    * Output, one row per distinct duration: (t BIGINT, n_risk BIGINT,
+    * n_events BIGINT, n_censored BIGINT, survival DOUBLE, unrounded).
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  observedCol: String): DataFrame = {
+    val perT = df.groupBy(col(durationCol).cast("long").as("t"))
+      .agg(sum(when(col(observedCol) === 1, 1L).otherwise(0L)).as("n_events"),
+        sum(when(col(observedCol) === 1, 0L).otherwise(1L)).as("n_censored"))
+    val n = df.count() // driver scalar: the cohort size
+    val atRisk = ScaleOps.globalPrefixSum(perT, "t",
+      Seq("n_events" -> "__pd", "n_censored" -> "__pc"))
+      .withColumn("n_risk", lit(n) - col("__pd") - col("__pc"))
+      .withColumn("__term",
+        when(col("n_events") < col("n_risk"),
+          log(lit(1.0) - col("n_events").cast("double") / col("n_risk")))
+          .otherwise(lit(0.0)))
+      .withColumn("__dead",
+        when(col("n_events") >= col("n_risk"), 1L).otherwise(0L))
+    ScaleOps.globalPrefixSum(atRisk, "t",
+      Seq("__term" -> "__pterm", "__dead" -> "__pdead"))
+      .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
+        when(col("__pdead") + col("__dead") > 0, lit(0.0))
+          .otherwise(exp(col("__pterm") + col("__term"))).as("survival"))
+  }
 }

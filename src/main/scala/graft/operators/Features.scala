@@ -32,6 +32,60 @@ object Features {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** Weight-of-Evidence / Information-Value feature evaluation over
+    * equi-depth bins — the credit-scoring-style predictive-power report
+    * for a numeric feature against a binary label.
+    *
+    * Binning is exact equi-depth by GLOBAL row rank with a deterministic
+    * tie-break: rank = (exclusive prefix count of strictly-smaller feature
+    * values, via [[ScaleOps.globalPrefixSum]]'s two-level scan — no
+    * single-partition window) + (row_number within the value, ordered by
+    * id — a per-value partitioned window). bin = rank · nBins / N in
+    * integer arithmetic, so bin assignment is engine-exact.
+    *
+    * WoE_i = ln( ((g_i + 0.5)/G) / ((b_i + 0.5)/B) ) — the +0.5 Laplace
+    * smoothing keeps empty cells finite (the standard convention);
+    * iv_term_i = (g_i/G − b_i/B) · WoE_i, Σ iv_term = the feature's IV.
+    * Counts are exact integers; the ratios/ln are IEEE on both engines
+    * (round on output).
+    *
+    * Output, one row per bin: (bin BIGINT, n BIGINT, n_good BIGINT,
+    * n_bad BIGINT, woe DOUBLE, iv_term DOUBLE — both unrounded).
+    */
+  def woeIv(df: DataFrame, idCol: String, valueCol: String,
+            labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val perVal = df.groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__vn"))
+    val pre = ScaleOps.globalPrefixSum(perVal, "__v", Seq("__vn" -> "__pfx"))
+    val n = df.count() // driver scalar: total rows
+    require(n > 0, "woeIv needs a non-empty input")
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(valueCol)).orderBy(col(idCol))
+    val binned = df
+      .join(pre.select(col("__v").as(valueCol), col("__pfx")), Seq(valueCol))
+      .withColumn("__rank",
+        col("__pfx") + row_number().over(wv).cast("long") - 1L)
+      // `div`, not `/`: Spark's `/` on integers is DOUBLE division
+      .withColumn("bin", expr(s"(__rank * $nBins) div ${n}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("n_bad"))
+    // grand totals ride a broadcast single-row frame — one scan of the
+    // nBins-row census, no re-scan of the input
+    val totals = binned.agg(sum(col("n_good")).as("__g"),
+      sum(col("n_bad")).as("__b"))
+    binned.crossJoin(broadcast(totals))
+      .withColumn("__dg", (col("n_good") + lit(0.5)) / col("__g"))
+      .withColumn("__db", (col("n_bad") + lit(0.5)) / col("__b"))
+      .withColumn("woe", log(col("__dg") / col("__db")))
+      .select(col("bin"), col("n"), col("n_good"), col("n_bad"), col("woe"),
+        ((col("n_good").cast("double") / col("__g") -
+          col("n_bad").cast("double") / col("__b")) * col("woe"))
+          .as("iv_term"))
+  }
+
   /** BPE tokenizer training: learn `nMerges` byte-pair merges from the
     * corpus — the vocabulary-construction step of an LLM data pipeline.
     *

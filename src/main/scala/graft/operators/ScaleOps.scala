@@ -900,6 +900,11 @@ object ScaleOps {
     * Rows must be UNIQUE on `orderCol` (pre-aggregate first): with
     * duplicates the intra-tie prefix order would be nondeterministic.
     * Several sums ride one scan: `sums` maps value column → output column.
+    *
+    * Value columns may be integral (exact LongType prefixes) or floating
+    * (DoubleType prefixes — note the two-level grouping sums in a
+    * different order than a sequential scan, so expect the usual
+    * summation-order ulps against a single-window reference).
     */
   def globalPrefixSum(df: DataFrame, orderCol: String,
                       sums: Seq[(String, String)], ascending: Boolean = true,
@@ -914,22 +919,40 @@ object ScaleOps {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint() // pin partition ids for both consumers below
     // driver-side prefix over ≤ p rows × |sums| longs — never data-sized
+    // per value column: floating columns accumulate as Double, everything
+    // else must be exact-integral Long
+    val floating: Seq[Boolean] = sums.map { case (v, _) =>
+      df.schema(v).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => true
+        case _ => false
+      }
+    }
     val totals = ranged.groupBy(col("__pid"))
       .agg(sums.map { case (v, _) => sum(col(v)).as(s"__t_$v") }.head,
         sums.drop(1).map { case (v, _) => sum(col(v)).as(s"__t_$v") }: _*)
       .collect()
-      .map(r => (r.getInt(0), sums.map { case (v, _) =>
-        r.getAs[Any](s"__t_$v") match {
-          case null => 0L
-          case l: Long => l
-          case other => throw new IllegalArgumentException(
-            s"globalPrefixSum needs integral value columns, got $other")
-        }
-      }))
+      .map(r => (r.getInt(0), sums.zip(floating).map {
+        case ((v, _), isF) =>
+          r.getAs[Any](s"__t_$v") match {
+            case null => if (isF) 0.0 else 0L
+            case l: Long => l
+            case d: Double => d
+            case other => throw new IllegalArgumentException(
+              s"globalPrefixSum needs integral or double value columns, " +
+                s"got $other for $v")
+          }
+      }.toSeq))
       .sortBy(_._1)
-    val offsets = totals.scanLeft((Int.MinValue, sums.map(_ => 0L))) {
+    val zeros: Seq[Any] = floating.map(isF => if (isF) 0.0 else 0L)
+    def add(a: Any, b: Any): Any = (a, b) match {
+      case (x: Long, y: Long) => x + y
+      case (x: Double, y: Double) => x + y
+      case other => throw new IllegalStateException(s"mixed sum types: $other")
+    }
+    val offsets = totals.scanLeft((Int.MinValue, zeros)) {
       case ((_, acc), (pid, tot)) =>
-        (pid, acc.lazyZip(tot).map(_ + _))
+        (pid, acc.lazyZip(tot).map(add).toSeq)
     }.sliding(2).collect {
       case Array((_, acc), (pid, _)) => (pid, acc)
     }.toSeq
@@ -939,17 +962,22 @@ object ScaleOps {
     val offsetSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("__pid",
         org.apache.spark.sql.types.IntegerType) +:
-        sums.map { case (v, _) => org.apache.spark.sql.types.StructField(
-          s"__o_$v", org.apache.spark.sql.types.LongType) })
+        sums.zip(floating).map { case ((v, _), isF) =>
+          org.apache.spark.sql.types.StructField(s"__o_$v",
+            if (isF) org.apache.spark.sql.types.DoubleType
+            else org.apache.spark.sql.types.LongType)
+        })
     val offsetDf = session.createDataFrame(
       session.sparkContext.parallelize(offsetRows, 1), offsetSchema)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(ord)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    sums.foldLeft(ranged.join(broadcast(offsetDf), Seq("__pid"))) {
-      case (acc, (v, out)) =>
+    sums.zip(floating).foldLeft(
+      ranged.join(broadcast(offsetDf), Seq("__pid"))) {
+      case (acc, ((v, out), isF)) =>
+        val zero = if (isF) lit(0.0) else lit(0L)
         acc.withColumn(out,
-          coalesce(sum(col(v)).over(w), lit(0L)) + col(s"__o_$v"))
+          coalesce(sum(col(v)).over(w), zero) + col(s"__o_$v"))
     }.drop("__pid" +: sums.map { case (v, _) => s"__o_$v" }: _*)
   }
 

@@ -183,4 +183,58 @@ class EvalMetricsSpec extends SparkTestBase {
     // overall ECE strictly positive
     assert(out.map(_.getDouble(5)).sum > 0.01)
   }
+
+  /** Textbook KM reference: sequential product over sorted durations. */
+  private def modelKm(subjects: Seq[(Long, Int)])
+      : Seq[(Long, Long, Long, Long, Double)] = {
+    val byT = subjects.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = subjects.size.toLong
+    var surv = 1.0
+    byT.map { case (t, ss) =>
+      val d = ss.count(_._2 == 1).toLong
+      val c = ss.size - d
+      val row =
+        if (d >= atRisk) (t, atRisk, d, c, 0.0)
+        else { surv *= 1.0 - d.toDouble / atRisk; (t, atRisk, d, c, surv) }
+      if (d >= atRisk) surv = 0.0
+      atRisk -= ss.size
+      row
+    }
+  }
+
+  test("kaplanMeier matches the sequential product, censoring included") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val subjects = (1 to 400).map { i =>
+      (1L + rnd.nextInt(12), if (rnd.nextBoolean()) 1 else 0)
+    }
+    val got = EvalMetrics.kaplanMeier(
+      subjects.toDF("t", "obs"), "t", "obs")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    val want = modelKm(subjects)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3 && g._4 == w._4,
+        s"census diverges: $g vs $w")
+      assert(math.abs(g._5 - w._5) < 1e-9, s"survival diverges: $g vs $w")
+    }
+    // monotone non-increasing, starts <= 1
+    assert(got.map(_._5).toSeq.sliding(2).forall {
+      case Seq(a, b) => b <= a + 1e-12; case _ => true })
+  }
+
+  test("kaplanMeier: everyone dying at the last time pins survival to zero") {
+    val s = spark; import s.implicits._
+    // 3 die at t=1 (of 6 at risk), 1 censored at t=2, 2 die at t=3 (= all
+    // remaining at risk) -> S(3) exactly 0.0, no ln(0) anywhere
+    val subjects = Seq((1L, 1), (1L, 1), (1L, 1), (2L, 0), (3L, 1), (3L, 1))
+    val got = EvalMetrics.kaplanMeier(subjects.toDF("t", "obs"), "t", "obs")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(got(0) == ((1L, 6L, 3L, 0L, 0.5)))
+    assert(got(1) == ((2L, 3L, 0L, 1L, 0.5)))
+    assert(got(2) == ((3L, 2L, 2L, 0L, 0.0)))
+  }
 }

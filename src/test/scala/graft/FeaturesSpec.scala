@@ -179,6 +179,42 @@ class FeaturesSpec extends SparkTestBase {
     assert(got == modelBpe(texts, 6), s"merge tables diverge: $got")
   }
 
+  test("woeIv matches the rank model: exact bins, smoothing, tie routing") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(5)
+    // heavy ties on v (only 7 distinct values over 200 rows) so tie
+    // routing by id across bin boundaries is actually exercised
+    val rows = (1L to 200L).map(i =>
+      (i, (rnd.nextInt(7) * 10).toDouble, if (rnd.nextInt(3) == 0) 1 else 0))
+    val got = Features.woeIv(rows.toDF("id", "v", "lbl"), "id", "v", "lbl",
+      nBins = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    // reference: sort by (v, id), rank, integer-bin, smoothed WoE
+    val ranked = rows.sortBy(t => (t._2, t._1)).zipWithIndex
+    val byBin = ranked.groupBy { case (_, rk) => rk.toLong * 5 / 200 }
+      .toSeq.sortBy(_._1)
+    val gTot = rows.count(_._3 == 1).toDouble
+    val bTot = rows.size - gTot
+    val want = byBin.map { case (bin, rs) =>
+      val g = rs.count(_._1._3 == 1).toLong
+      val b = rs.size - g
+      val woe = math.log(((g + 0.5) / gTot) / ((b + 0.5) / bTot))
+      (bin, rs.size.toLong, g, b.toLong, woe, (g / gTot - b / bTot) * woe)
+    }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (gg, ww) =>
+      assert(gg._1 == ww._1 && gg._2 == ww._2 && gg._3 == ww._3 &&
+        gg._4 == ww._4, s"bin census diverges: $gg vs $ww")
+      assert(math.abs(gg._5 - ww._5) < 1e-12 &&
+        math.abs(gg._6 - ww._6) < 1e-12, s"woe/iv diverge: $gg vs $ww")
+    }
+    // exact equi-depth: bins differ by at most one row
+    val sizes = got.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"bins not equi-depth: $sizes")
+  }
+
   test("bpeTrain stops early when every word is one symbol") {
     val s = spark; import s.implicits._
     val got = Features.bpeTrain(Seq("ab ab cd").toDF("text"), "text",

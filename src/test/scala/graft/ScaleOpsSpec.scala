@@ -648,6 +648,28 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("globalPrefixSum: double value columns prefix-sum to within ulps of the model") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map(k => (k.toLong, rnd.nextDouble() - 0.3,
+      rnd.nextInt(10).toLong))
+    val df = rows.toDF("k", "x", "c")
+    for (p <- Seq(1, 5, 32)) {
+      // mixed long + double columns ride the same scan
+      val got = ScaleOps.globalPrefixSum(df, "k",
+        Seq("x" -> "px", "c" -> "pc"), numPartitions = p)
+        .select(col("k"), col("px"), col("pc"))
+        .as[(Long, Double, Long)].collect().sortBy(_._1)
+      val expX = rows.map(_._2).scanLeft(0.0)(_ + _).init
+      val expC = rows.map(_._3).scanLeft(0L)(_ + _).init
+      got.zip(expX.zip(expC)).foreach { case ((k, px, pc), (ex, ec)) =>
+        assert(pc == ec, s"long column exact: k=$k p=$p")
+        assert(math.abs(px - ex) < 1e-9,
+          s"double column within summation-order ulps: k=$k p=$p $px vs $ex")
+      }
+    }
+  }
+
   test("percentileRank == SQL PERCENT_RANK semantics (ties share, nulls excluded)") {
     val s = spark; import s.implicits._
     val vals: Seq[java.lang.Long] =
