@@ -471,4 +471,41 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!finalPlan.contains("Join"),
       "the final plan must not replay iteration joins:\n" + finalPlan.take(2000))
   }
+
+  test("d176: each anonymity census windows over its quasi tags, never globally") {
+    val plan = planOf(Queries.d176KAnonymize(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val windows = finalPlan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, "expected the per-level census windows")
+    assert(windows.forall(_.contains("__q_")),
+      "every census window must partition by the quasi tags (a global " +
+        "window would serialize the release into one task):\n" +
+        windows.mkString("\n"))
+  }
+
+  test("d179: OHLC bars are ONE hash aggregation — no window, no second shuffle") {
+    val plan = planOf(Queries.d179OhlcBars(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Window "),
+      "open/close must ride struct min/max inside the aggregate, not a " +
+        "window:\n" + finalPlan.take(3000))
+    val exchanges = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected exactly one shuffle (the groupBy), got $exchanges:\n" +
+        finalPlan.take(3000))
+  }
+
+  test("d181/d182: prefix scans and tie-break windows all partition; none global") {
+    for (df <- Seq(Queries.d181KaplanMeier(spark, d),
+      Queries.d182WoeIv(spark, d))) {
+      val finalPlan = planOf(df).split("== Initial Plan ==").head
+      val windows = finalPlan.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(windows.nonEmpty, "expected partitioned windows in the plan")
+      assert(windows.forall(w => w.contains("pid") || w.contains("c_acctbal")),
+        "every window must partition by pid (prefix scan) or the feature " +
+          "value (tie-break) — an unpartitioned window would serialize " +
+          "the frame:\n" + windows.mkString("\n"))
+    }
+  }
 }
