@@ -3135,7 +3135,33 @@ object Queries {
     "d180_bpe_merges" -> (d180BpeMerges _),
     "d181_kaplan_meier" -> (d181KaplanMeier _),
     "d182_woe_iv" -> (d182WoeIv _),
+    "d183_stream_ohlc" ->
+      (graft.streaming.StreamingBattery.d183StreamOhlc _),
   )
+
+  /** ONE definition for the OHLC oracle — d179 (batch) and d183 (streaming
+    * fold) must stay on the identical SQL, same contract as
+    * [[aucOracleSql]]: open/close spelled as rank-1 rows ordered by
+    * (ts, value), the portable equivalent of lexicographic struct min/max.
+    */
+  private val ohlcOracleSql: String =
+    """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms, value
+      |  FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT event_type, (ms // 86400000) * 86400000 AS bucket_start,
+      |  ms, value FROM e),
+      |w AS (SELECT event_type, bucket_start, value,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start
+      |    ORDER BY ms, value) AS rn_a,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start
+      |    ORDER BY ms DESC, value DESC) AS rn_d
+      | FROM b)
+      |SELECT event_type, CAST(bucket_start AS BIGINT) AS bucket_start,
+      | MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      | MAX(value) AS high, MIN(value) AS low,
+      | MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      | CAST(COUNT(*) AS BIGINT) AS n_ticks,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2""".stripMargin
 
   /** ONE definition for the rank-sum AUC oracle — d164 (batch) and d170
     * (streaming fold) must stay on the identical SQL, or an edit to one
@@ -4867,25 +4893,11 @@ object Queries {
         |GROUP BY 1""".stripMargin,
 
     // open/close spelled as rank-1 rows ordered by (ts, value) — the
-    // portable equivalent of the engine's lexicographic struct min/max
-    "d179_ohlc_bars" ->
-      """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms, value
-        |  FROM events WHERE value IS NOT NULL),
-        |b AS (SELECT event_type, (ms // 86400000) * 86400000 AS bucket_start,
-        |  ms, value FROM e),
-        |w AS (SELECT event_type, bucket_start, value,
-        |  ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start
-        |    ORDER BY ms, value) AS rn_a,
-        |  ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start
-        |    ORDER BY ms DESC, value DESC) AS rn_d
-        | FROM b)
-        |SELECT event_type, CAST(bucket_start AS BIGINT) AS bucket_start,
-        | MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
-        | MAX(value) AS high, MIN(value) AS low,
-        | MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
-        | CAST(COUNT(*) AS BIGINT) AS n_ticks,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM w GROUP BY 1, 2""".stripMargin,
+    // portable equivalent of the engine's lexicographic struct min/max.
+    // ONE definition shared with d183's streaming fold (the d170/d164
+    // convention: the streaming-equals-batch proof dies if either drifts)
+    "d179_ohlc_bars" -> ohlcOracleSql,
+    "d183_stream_ohlc" -> ohlcOracleSql,
 
     // the greedy BPE recurrence unrolled: per stage, weighted adjacent-pair
     // stats -> (count DESC, pair ASC) argmax -> wrapped-symbol REPLACE

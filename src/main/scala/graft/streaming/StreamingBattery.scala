@@ -622,6 +622,77 @@ object StreamingBattery {
     } finally deleteRecursively(root)
   }
 
+  /** Streaming OHLC bars: the second instance of the d170 pattern — a
+    * metric whose per-batch partials are a MERGEABLE sufficient statistic
+    * folds incrementally and must land on the batch twin's exact answer.
+    * Here every OHLC component merges: open/close keys are struct
+    * min/max (min of mins / max of maxes), high/low plain min/max, counts
+    * add, and the fixed-point 2-decimal sums re-sum exactly (integers
+    * under the hood). Oracle = d179's SQL verbatim (shared definition, the
+    * d170/d164 convention).
+    */
+  def d183StreamOhlc(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+      StructField, StructType}
+    val root = Files.createTempDirectory("graft-stream-ohlc")
+    try {
+      val in = root.resolve("in")
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts_ms"), col("value"))
+        .filter(col("value").isNotNull)
+        .repartition(4).write.parquet(in.toString)
+      def partials(df: DataFrame): DataFrame = df
+        .groupBy(col("event_type"),
+          (floor(col("ts_ms") / 86400000L).cast("long") * 86400000L)
+            .as("bucket_start"))
+        .agg(min(struct(col("ts_ms"), col("value"))).as("okey"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max(struct(col("ts_ms"), col("value"))).as("ckey"),
+          count(lit(1)).as("n_ticks"),
+          expr("CAST(graft_money_sum(value, 2) AS DOUBLE)").as("sum_value"))
+      val tickStruct = StructType(Seq(StructField("ts_ms", LongType),
+        StructField("value", DoubleType)))
+      var acc = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("event_type", StringType),
+          StructField("bucket_start", LongType),
+          StructField("okey", tickStruct), StructField("high", DoubleType),
+          StructField("low", DoubleType), StructField("ckey", tickStruct),
+          StructField("n_ticks", LongType),
+          StructField("sum_value", DoubleType))))
+      var nBatches = 0
+      val src = s.readStream.schema(s.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          nBatches += 1
+          // merged table is (type × day)-sized; checkpoint so the fold's
+          // lineage never chains across batches
+          acc = acc.unionByName(partials(batch))
+            .groupBy(col("event_type"), col("bucket_start"))
+            .agg(min(col("okey")).as("okey"), max(col("high")).as("high"),
+              min(col("low")).as("low"), max(col("ckey")).as("ckey"),
+              sum(col("n_ticks")).as("n_ticks"),
+              expr("CAST(graft_money_sum(sum_value, 2) AS DOUBLE)")
+                .as("sum_value"))
+            .localCheckpoint(true)
+          ()
+        }
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      require(nBatches >= 2,
+        s"expected a multi-batch OHLC fold, got $nBatches batch(es)")
+      acc.select(col("event_type"),
+        expr("CAST(bucket_start AS BIGINT)").as("bucket_start"),
+        col("okey.value").as("open"), col("high"), col("low"),
+        col("ckey.value").as("close"),
+        expr("CAST(n_ticks AS BIGINT)").as("n_ticks"), col("sum_value"))
+        .localCheckpoint(true)
+    } finally deleteRecursively(root)
+  }
+
   def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame =
       withShufflePartitions(s, 8) {
     def side(tpe: String, pre: String): DataFrame = {

@@ -285,4 +285,14 @@ class StreamingBatterySpec extends SparkTestBase {
     assert(r.getLong(0) > 0 && r.getLong(1) > 0,
       s"degenerate class balance: $r")
   }
+
+  test("d183 streaming OHLC fold == batch d179 (every component mergeable)") {
+    val got = graft.streaming.StreamingBattery.d183StreamOhlc(spark, sf)
+    val want = Queries.d179OhlcBars(spark, sf)
+    assertSameRows(got, want)
+    // teeth: some bucket must have open != close (a fold that only ever
+    // saw one tick per bucket would trivially pass)
+    assert(got.filter(col("open") =!= col("close")).count() > 0,
+      "every bucket degenerate: open == close everywhere")
+  }
 }
