@@ -55,6 +55,9 @@ object Features {
   def woeIv(df: DataFrame, idCol: String, valueCol: String,
             labelCol: String, nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val scratch = Seq("__v", "__vn", "__pfx", "__rank", "bin")
+    require(!df.columns.exists(scratch.contains),
+      s"input columns collide with woeIv scratch names $scratch")
     val perVal = df.groupBy(col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__vn"))
     val pre = ScaleOps.globalPrefixSum(perVal, "__v", Seq("__vn" -> "__pfx"))
@@ -72,6 +75,9 @@ object Features {
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("n_good"),
         sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("n_bad"))
+      // the census feeds BOTH the totals aggregate and the report join —
+      // pin it so the rank/bin derivation runs once (the d166 lesson)
+      .localCheckpoint()
     // grand totals ride a broadcast single-row frame — one scan of the
     // nBins-row census, no re-scan of the input
     val totals = binned.agg(sum(col("n_good")).as("__g"),

@@ -40,6 +40,9 @@ object Privacy {
     require(levels.forall(_.map(_._1) == qNames),
       s"every level must bind the same quasi columns in order: $qNames")
     val qTags = qNames.map(n => s"__q_$n")
+    require(!df.columns.exists(c => qTags.contains(c) || c == "__n"),
+      s"input columns collide with kAnonymize scratch names " +
+        s"(${qTags.mkString(", ")}, __n)")
     var rest = df
     var out: Option[DataFrame] = None
     for ((level, li) <- levels.zipWithIndex) {

@@ -496,16 +496,16 @@ class PlanAuditSpec extends SparkTestBase {
         finalPlan.take(3000))
   }
 
-  test("d181/d182: prefix scans and tie-break windows all partition; none global") {
-    for (df <- Seq(Queries.d181KaplanMeier(spark, d),
-      Queries.d182WoeIv(spark, d))) {
-      val finalPlan = planOf(df).split("== Initial Plan ==").head
-      val windows = finalPlan.linesIterator.filter(_.contains("Window ")).toSeq
-      assert(windows.nonEmpty, "expected partitioned windows in the plan")
-      assert(windows.forall(w => w.contains("pid") || w.contains("c_acctbal")),
-        "every window must partition by pid (prefix scan) or the feature " +
-          "value (tie-break) — an unpartitioned window would serialize " +
-          "the frame:\n" + windows.mkString("\n"))
-    }
+  test("d181: prefix-scan windows all partition by pid; none global") {
+    // d182's windows sit behind woeIv's census localCheckpoint and can't
+    // be seen from the final plan; its scan shape is covered by the
+    // shared globalPrefixSum pin (d164) + the FeaturesSpec rank model
+    val finalPlan = planOf(Queries.d181KaplanMeier(spark, d))
+      .split("== Initial Plan ==").head
+    val windows = finalPlan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, "expected the partition-local prefix window")
+    assert(windows.forall(_.contains("pid")),
+      "every window must partition by pid — an unpartitioned window " +
+        "would serialize the frame:\n" + windows.mkString("\n"))
   }
 }
