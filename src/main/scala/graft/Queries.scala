@@ -1376,6 +1376,23 @@ object Queries {
         col("pair_right"), col("merged"),
         expr("CAST(pair_count AS BIGINT)").as("pair_count"))
 
+  /** BPE segmentation ([[graft.operators.Features.bpeSegment]]): the d180
+    * merge table applied back to the corpus in learned order — training
+    * and application must agree, which the shared oracle CTE chain pins
+    * (this row reads the chain's final word state s12, d180 reads its
+    * decisions b1..b12). Application is map-only: the 12 merges fold into
+    * one nested codegen'd REPLACE expression.
+    */
+  def d184BpeSegment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = graft.operators.Features.bpeTrain(docs, "text", nMerges = 12)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Features.bpeSegment(docs, "text", merges)
+      .select(col("word"), expr("CAST(cnt AS BIGINT)").as("cnt"),
+        col("tokens"), expr("CAST(n_tokens AS BIGINT)").as("n_tokens"))
+  }
+
   /** Kaplan–Meier survival curve ([[graft.operators.EvalMetrics
     * .kaplanMeier]]) of user engagement: duration = distinct active days,
     * event = the user's error count exceeds their purchase count (~50%
@@ -3137,6 +3154,7 @@ object Queries {
     "d182_woe_iv" -> (d182WoeIv _),
     "d183_stream_ohlc" ->
       (graft.streaming.StreamingBattery.d183StreamOhlc _),
+    "d184_bpe_segment" -> (d184BpeSegment _),
   )
 
   /** ONE definition for the OHLC oracle — d179 (batch) and d183 (streaming
@@ -3162,6 +3180,39 @@ object Queries {
       | CAST(COUNT(*) AS BIGINT) AS n_ticks,
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM w GROUP BY 1, 2""".stripMargin
+
+  /** ONE definition of the 12-stage BPE training CTE chain — d180 reads
+    * the merge decisions (b1..b12), d184 reads the final segmented word
+    * state (s12). Shared so the training-vs-application agreement the two
+    * rows jointly prove cannot drift apart. Per stage: weighted
+    * adjacent-pair stats → (count DESC, pair ASC) argmax → wrapped-symbol
+    * REPLACE (non-overlapping left-to-right == greedy BPE; sound because
+    * wrapped symbols share no characters and the alphabet is [a-z]+).
+    */
+  private val bpeStagesSql: String = {
+    val stages = (1 to 12).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i + 1] AS b,
+         |   CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM $prev, UNNEST(range(1, len(syms))) t(i) GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT a, b, c FROM p$i
+         |  ORDER BY c DESC, a, b LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT word, cnt,
+         |   string_split(substr(r, 2, length(r) - 2), ')(') AS syms
+         |  FROM (SELECT word, cnt,
+         |    REPLACE('(' || array_to_string(syms, ')(') || ')',
+         |      '(' || b$i.a || ')(' || b$i.b || ')',
+         |      '(' || b$i.a || b$i.b || ')') AS r
+         |   FROM $prev, b$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT
+       |  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       | FROM documents),
+       |wc AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT word, cnt, string_split(word, '') AS syms
+       |  FROM wc),
+       |$stages""".stripMargin
+  }
 
   /** ONE definition for the rank-sum AUC oracle — d164 (batch) and d170
     * (streaming fold) must stay on the identical SQL, or an edit to one
@@ -4903,36 +4954,23 @@ object Queries {
     // stats -> (count DESC, pair ASC) argmax -> wrapped-symbol REPLACE
     // (non-overlapping left-to-right == greedy BPE, sound because wrapped
     // symbols share no characters and the alphabet is [a-z]+)
-    "d180_bpe_merges" -> {
-      val stages = (1 to 12).map { i =>
-        val prev = s"s${i - 1}"
-        s"""p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i + 1] AS b,
-           |   CAST(SUM(cnt) AS BIGINT) AS c
-           |  FROM $prev, UNNEST(range(1, len(syms))) t(i) GROUP BY 1, 2),
-           |b$i AS MATERIALIZED (SELECT a, b, c FROM p$i
-           |  ORDER BY c DESC, a, b LIMIT 1),
-           |s$i AS MATERIALIZED (SELECT word, cnt,
-           |   string_split(substr(r, 2, length(r) - 2), ')(') AS syms
-           |  FROM (SELECT word, cnt,
-           |    REPLACE('(' || array_to_string(syms, ')(') || ')',
-           |      '(' || b$i.a || ')(' || b$i.b || ')',
-           |      '(' || b$i.a || b$i.b || ')') AS r
-           |   FROM $prev, b$i))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH toks AS (SELECT
-         |  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-         | FROM documents),
-         |wc AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY 1),
-         |s0 AS MATERIALIZED (SELECT word, cnt, string_split(word, '') AS syms
-         |  FROM wc),
-         |$stages
+    "d180_bpe_merges" ->
+      s"""$bpeStagesSql
          |SELECT CAST(1 AS INT) AS step, a AS pair_left, b AS pair_right,
          |  a || b AS merged, c AS pair_count FROM b1
          |${(2 to 12).map(i =>
              s"UNION ALL SELECT CAST($i AS INT), a, b, a || b, c FROM b$i")
              .mkString("\n")}"""
-        .stripMargin
-    },
+        .stripMargin,
+
+    // segmentation = the training chain's FINAL word state: applying the
+    // learned merges in order to the corpus words IS s12's symbol table
+    "d184_bpe_segment" ->
+      s"""$bpeStagesSql
+         |SELECT word, CAST(cnt AS BIGINT) AS cnt,
+         |  array_to_string(syms, ' ') AS tokens,
+         |  CAST(len(syms) AS BIGINT) AS n_tokens
+         |FROM s12""".stripMargin,
 
     // the KM recurrence as one ordered window; the engine's two-level
     // scans must land on the same curve (ROUND 6 absorbs summation order)

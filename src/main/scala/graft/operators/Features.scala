@@ -163,6 +163,44 @@ object Features {
       .toDF("step", "pair_left", "pair_right", "merged", "pair_count")
   }
 
+  /** BPE segmentation: apply a learned merge table (in learned order) to
+    * the corpus — the tokenizer-application half of [[bpeTrain]]. Exact
+    * token counts per word are what a packing/budgeting pipeline consumes.
+    *
+    * Map-only after the word-frequency shuffle: the merge list folds into
+    * ONE nested codegen'd expression (12 merges = 12 nested REPLACEs over
+    * the wrapped-symbol encoding — same soundness argument as training:
+    * wrapped symbols share no characters, alphabet closed over [a-z]+).
+    * Applying merges in learned order over the initial character split is
+    * BY CONSTRUCTION the training chain's final word state, which is what
+    * the battery row pins cross-engine.
+    *
+    * Output: (word, cnt BIGINT, tokens STRING space-joined,
+    * n_tokens BIGINT).
+    */
+  def bpeSegment(df: DataFrame, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "empty merge table")
+    require(merges.forall { case (a, b) =>
+      a.matches("[a-z]+") && b.matches("[a-z]+") },
+      "merge symbols must be [a-z]+ (the bpeTrain alphabet)")
+    val wrapped0 =
+      "concat('(', array_join(regexp_extract_all(word, '[a-z]', 0), ')('), ')')"
+    val folded = merges.foldLeft(wrapped0) { case (acc, (a, b)) =>
+      s"replace($acc, '($a)($b)', '($a$b)')"
+    }
+    df.select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__r", expr(folded))
+      .select(col("word"), col("cnt"),
+        expr("split(substring(__r, 2, length(__r) - 2), '\\\\)\\\\(')")
+          .as("__syms"))
+      .select(col("word"), col("cnt"),
+        array_join(col("__syms"), " ").as("tokens"),
+        size(col("__syms")).cast("long").as("n_tokens"))
+  }
+
   /** Chi-square feature selection score: for every feature, the χ² statistic
     * of its presence/absence-by-class contingency table against the
     * document label — the classic filter for pruning a hashed feature

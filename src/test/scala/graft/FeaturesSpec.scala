@@ -215,6 +215,42 @@ class FeaturesSpec extends SparkTestBase {
     assert(sizes.max - sizes.min <= 1, s"bins not equi-depth: $sizes")
   }
 
+  test("bpeSegment: learned-order application matches the greedy reference") {
+    val s = spark; import s.implicits._
+    val texts = Seq("aab aab banana", "banana bandana aaaa", "aaaa cc cc")
+    val merges = modelBpe(texts, 5).map(m => (m._2, m._3))
+    val got = Features.bpeSegment(texts.toDF("text"), "text", merges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    // reference: fold mergeSeq over each distinct word in merge order
+    def seg(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector) { case (syms, (a, b)) =>
+        val acc = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            acc += (a + b); i += 2
+          } else { acc += syms(i); i += 1 }
+        }
+        acc.result()
+      }
+    val words = texts.flatMap(t => "[a-z]+".r.findAllIn(t.toLowerCase))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    assert(got.keySet == words.keySet)
+    for ((w, cnt) <- words) {
+      val sg = seg(w)
+      assert(got(w) == ((sg.mkString(" "), sg.length.toLong)),
+        s"word '$w' segments diverge: ${got(w)} vs $sg")
+    }
+    // boundary teeth: a merge must never apply inside a LONGER symbol
+    // ('an' inside 'banana' only where 'a','n' are whole adjacent symbols)
+    val m2 = Features.bpeSegment(Seq("nan banana").toDF("text"), "text",
+      Seq(("a", "n"), ("n", "an"))).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(m2("nan") == "nan", s"got ${m2("nan")}") // n + an merge fully
+    assert(m2("banana") == "b an an a", s"got ${m2("banana")}") // no ('n','an') pair
+  }
+
   test("bpeTrain stops early when every word is one symbol") {
     val s = spark; import s.implicits._
     val got = Features.bpeTrain(Seq("ab ab cd").toDF("text"), "text",
