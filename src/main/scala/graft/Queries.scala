@@ -3190,6 +3190,11 @@ object Queries {
     * wrapped symbols share no characters and the alphabet is [a-z]+).
     */
   private val bpeStagesSql: String = {
+    // bb_i guards pair exhaustion: an empty b_i (vocabulary fully merged
+    // before stage 12) would cross-join s_{i-1} down to ZERO rows; the
+    // aggregate COALESCE always yields one row, and the '0' sentinel is
+    // outside the [a-z] alphabet so its pattern never matches — the stage
+    // degrades to identity, exactly like the engine's early exit
     val stages = (1 to 12).map { i =>
       val prev = s"s${i - 1}"
       s"""p$i AS MATERIALIZED (SELECT syms[i] AS a, syms[i + 1] AS b,
@@ -3197,13 +3202,15 @@ object Queries {
          |  FROM $prev, UNNEST(range(1, len(syms))) t(i) GROUP BY 1, 2),
          |b$i AS MATERIALIZED (SELECT a, b, c FROM p$i
          |  ORDER BY c DESC, a, b LIMIT 1),
+         |bb$i AS MATERIALIZED (SELECT COALESCE(MAX(a), '0') AS a,
+         |  COALESCE(MAX(b), '0') AS b FROM b$i),
          |s$i AS MATERIALIZED (SELECT word, cnt,
          |   string_split(substr(r, 2, length(r) - 2), ')(') AS syms
          |  FROM (SELECT word, cnt,
          |    REPLACE('(' || array_to_string(syms, ')(') || ')',
-         |      '(' || b$i.a || ')(' || b$i.b || ')',
-         |      '(' || b$i.a || b$i.b || ')') AS r
-         |   FROM $prev, b$i))""".stripMargin
+         |      '(' || bb$i.a || ')(' || bb$i.b || ')',
+         |      '(' || bb$i.a || bb$i.b || ')') AS r
+         |   FROM $prev, bb$i))""".stripMargin
     }.mkString(",\n")
     s"""WITH toks AS (SELECT
        |  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word

@@ -219,9 +219,14 @@ object EvalMetrics {
     val perT = df.groupBy(col(durationCol).cast("long").as("t"))
       .agg(sum(when(col(observedCol) === 1, 1L).otherwise(0L)).as("n_events"),
         sum(when(col(observedCol) === 1, 0L).otherwise(1L)).as("n_censored"))
-    val n = df.count() // driver scalar: the cohort size
-    val atRisk = ScaleOps.globalPrefixSum(perT, "t",
+    val pre = ScaleOps.globalPrefixSum(perT, "t",
       Seq("n_events" -> "__pd", "n_censored" -> "__pc"))
+    // cohort size from the (checkpointed) census — the input is scanned
+    // exactly once, by the census aggregation itself
+    val n = Option(pre
+      .agg(sum(col("n_events") + col("n_censored"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val atRisk = pre
       .withColumn("n_risk", lit(n) - col("__pd") - col("__pc"))
       .withColumn("__term",
         when(col("n_events") < col("n_risk"),

@@ -58,14 +58,21 @@ object Features {
     val scratch = Seq("__v", "__vn", "__pfx", "__rank", "bin")
     require(!df.columns.exists(scratch.contains),
       s"input columns collide with woeIv scratch names $scratch")
-    val perVal = df.groupBy(col(valueCol).as("__v"))
+    // rows with a NULL feature are EXCLUDED (a NULL would silently vanish
+    // in the rank equi-join below while still inflating n — the bins must
+    // partition exactly the rows that carry a value)
+    val dfv = df.filter(col(valueCol).isNotNull)
+    val perVal = dfv.groupBy(col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__vn"))
     val pre = ScaleOps.globalPrefixSum(perVal, "__v", Seq("__vn" -> "__pfx"))
-    val n = df.count() // driver scalar: total rows
-    require(n > 0, "woeIv needs a non-empty input")
+    // cohort size from the (already-checkpointed) value census — never a
+    // second scan of the input
+    val n = Option(pre.agg(sum(col("__vn"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(n > 0, "woeIv needs a non-empty input (after NULL exclusion)")
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col(valueCol)).orderBy(col(idCol))
-    val binned = df
+    val binned = dfv
       .join(pre.select(col("__v").as(valueCol), col("__pfx")), Seq(valueCol))
       .withColumn("__rank",
         col("__pfx") + row_number().over(wv).cast("long") - 1L)
@@ -82,6 +89,12 @@ object Features {
     // nBins-row census, no re-scan of the input
     val totals = binned.agg(sum(col("n_good")).as("__g"),
       sum(col("n_bad")).as("__b"))
+    // an entirely one-class cohort has no finite WoE (ln of a zero-total
+    // ratio) — fail loudly rather than emit an Infinity/NaN report
+    val t0 = totals.head
+    require(t0.getLong(0) > 0 && t0.getLong(1) > 0,
+      s"woeIv needs both classes present: good=${t0.getLong(0)} " +
+        s"bad=${t0.getLong(1)}")
     binned.crossJoin(broadcast(totals))
       .withColumn("__dg", (col("n_good") + lit(0.5)) / col("__g"))
       .withColumn("__db", (col("n_bad") + lit(0.5)) / col("__b"))

@@ -157,6 +157,7 @@ object GraphOps {
     * minimum node id in it.
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
     val e = edges.select(col("a"), col("b")).localCheckpoint()
     val adj = e.select(col("a").as("u"), col("b").as("v"))
       .union(e.select(col("b").as("u"), col("a").as("v")))
@@ -190,6 +191,11 @@ object GraphOps {
       lbl = l2
       round += 1
     }
+    // a truncated labeling is WRONG (partially merged components), not
+    // conservative — fail loudly rather than return it
+    require(converged,
+      s"connectedComponents did not converge within $maxRounds rounds — " +
+        "raise maxRounds (pointer jumping needs ~log2(diameter) rounds)")
     lbl.groupBy(col("lbl").as("component"))
       .agg(count(lit(1)).as("n_nodes"))
   }

@@ -49,8 +49,12 @@ object Privacy {
       var withQ = rest
       for (((_, c), t) <- level.zip(qTags))
         withQ = withQ.withColumn(t, c.cast("string"))
+      // pin each level's census: kept, the remainder, AND every later
+      // level all read `counted` — unpinned, level j's window would
+      // recompute once per downstream consumer (O(levels²) shuffles)
       val counted = withQ.withColumn("__n",
         count(lit(1)).over(Window.partitionBy(qTags.map(col): _*)))
+        .localCheckpoint()
       val kept = counted.filter(col("__n") >= k)
         .select(idCols.map(col) ++ qTags.zip(qNames).map {
           case (t, n) => col(t).as(n)

@@ -794,21 +794,29 @@ object ScaleOps {
     * intra-file z-order skipping.
     */
   def writeHivePartitioned(df: DataFrame, path: String, partCol: String,
-                           filesPerPartition: Int = 1): Unit = {
+                           filesPerPartition: Int = 1,
+                           sortWithin: Seq[String] = Nil): Unit = {
     require(filesPerPartition >= 1, s"filesPerPartition: $filesPerPartition")
     val slot = pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition))
-    df.repartition(col(partCol), slot)
-      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+    val parted = df.repartition(col(partCol), slot)
+    // sortWithin restores within-file order after the slot shuffle (the
+    // partition column leads so a coalesced task holding several partition
+    // values still writes each file internally ordered)
+    val laid =
+      if (sortWithin.isEmpty) parted
+      else parted.sortWithinPartitions((partCol +: sortWithin).map(col): _*)
+    laid.write.mode("overwrite").partitionBy(partCol).parquet(path)
   }
 
   /** Range-partitioned write for time-ordered data: partition pruning on the
-    * partition column + ordered files for merge-friendly scans.
+    * partition column + ordered files (sorted within, so timestamp
+    * row-group stats stay narrow) for merge-friendly scans.
     */
   def writePartitionedByDay(
       df: DataFrame, path: String, tsCol: String): Unit = {
     val withDay =
       df.withColumn("__day", date_format(col(tsCol), "yyyy-MM-dd"))
-    writeHivePartitioned(withDay, path, "__day")
+    writeHivePartitioned(withDay, path, "__day", sortWithin = Seq(tsCol))
   }
 
   /** OHLC downsampling: per (key, fixed time bucket) open / high / low /

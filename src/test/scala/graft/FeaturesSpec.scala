@@ -215,6 +215,29 @@ class FeaturesSpec extends SparkTestBase {
     assert(sizes.max - sizes.min <= 1, s"bins not equi-depth: $sizes")
   }
 
+  test("woeIv: NULL feature rows are excluded from bins AND the cohort size") {
+    val s = spark; import s.implicits._
+    val rows: Seq[(Long, java.lang.Double, Int)] =
+      (1L to 40L).map(i => (i, java.lang.Double.valueOf(i.toDouble),
+        (i % 3 == 0).compare(false))) ++
+        Seq((98L, null, 1), (99L, null, 0))
+    val out = Features.woeIv(rows.toDF("id", "v", "lbl"), "id", "v", "lbl",
+      nBins = 4).collect()
+    // the 2 null rows vanish entirely: 40 remaining rows -> four 10-row
+    // bins (an n that still counted nulls would make bin 0 start short)
+    assert(out.map(_.getLong(1)).sum == 40L, "null rows leaked into bins")
+    assert(out.forall(_.getLong(1) == 10L),
+      s"equi-depth broken by null counting: ${out.map(_.getLong(1)).toSeq}")
+  }
+
+  test("woeIv: an entirely one-class cohort fails loudly, not Infinity") {
+    val s = spark; import s.implicits._
+    val rows = (1L to 20L).map(i => (i, i.toDouble, 0))
+    intercept[IllegalArgumentException] {
+      Features.woeIv(rows.toDF("id", "v", "lbl"), "id", "v", "lbl", nBins = 2)
+    }
+  }
+
   test("bpeSegment: learned-order application matches the greedy reference") {
     val s = spark; import s.implicits._
     val texts = Seq("aab aab banana", "banana bandana aaaa", "aaaa cc cc")

@@ -70,6 +70,25 @@ class PartitionedLayoutSpec extends SparkTestBase {
     deleteRecursively(root)
   }
 
+  test("writePartitionedByDay: files internally time-sorted (narrow ts stats)") {
+    val root = Files.createTempDirectory("graft-hivepart-sorted").toString
+    val ev = Tables.events(spark, d)
+      .select(col("event_type"), col("value"),
+        timestamp_millis(col("ts_ms")).as("t"))
+    ScaleOps.writePartitionedByDay(ev, s"$root/t", "t")
+    val dirs = new java.io.File(s"$root/t").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("__day="))
+    assert(dirs.nonEmpty)
+    for (dir <- dirs.take(5);
+         f <- dir.listFiles.filter(_.getName.endsWith(".parquet"))) {
+      val ts = spark.read.parquet(f.getAbsolutePath)
+        .select(col("t")).collect().map(_.getTimestamp(0).getTime)
+      assert(ts.sameElements(ts.sorted),
+        s"${dir.getName}/${f.getName} not internally time-sorted")
+    }
+    deleteRecursively(root)
+  }
+
   test("filesPerPartition > 1 spreads each partition over that many files") {
     val root = Files.createTempDirectory("graft-hivepart-n").toString
     val df = Tables.orders(spark, d)

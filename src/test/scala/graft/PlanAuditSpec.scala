@@ -472,13 +472,17 @@ class PlanAuditSpec extends SparkTestBase {
       "the final plan must not replay iteration joins:\n" + finalPlan.take(2000))
   }
 
-  test("d176: each anonymity census windows over its quasi tags, never globally") {
+  test("d176: level censuses are pinned once; any visible window is quasi-partitioned") {
+    // each level's census is localCheckpoint'ed (kept + remainder + later
+    // levels all read it — unpinned it would recompute per consumer), so
+    // the final plan unions checkpoint scans, d169-style
     val plan = planOf(Queries.d176KAnonymize(spark, d))
     val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("Scan ExistingRDD"),
+      "expected the per-level census checkpoints:\n" + finalPlan.take(2000))
     val windows = finalPlan.linesIterator.filter(_.contains("Window ")).toSeq
-    assert(windows.nonEmpty, "expected the per-level census windows")
     assert(windows.forall(_.contains("__q_")),
-      "every census window must partition by the quasi tags (a global " +
+      "any census window must partition by the quasi tags (a global " +
         "window would serialize the release into one task):\n" +
         windows.mkString("\n"))
   }
