@@ -1393,6 +1393,71 @@ object Queries {
         col("tokens"), expr("CAST(n_tokens AS BIGINT)").as("n_tokens"))
   }
 
+  /** First-order Markov transition matrix over each user's event sequence
+    * — the behavior-model census (what follows what, with probabilities).
+    * ONE user-partitioned window (parallel across users, never global)
+    * derives each event's successor under the (ts, event_id) total order —
+    * the tie-break makes simultaneous events deterministic cross-engine.
+    * The 5×5 transition census is checkpointed and its row totals
+    * broadcast back; p = exact-count ratio, ROUND 6.
+    */
+  def d185MarkovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_ms"),
+        col("event_id"))
+      .withColumn("__next", lead(col("event_type"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the totals census AND the report join
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__tot"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"),
+        expr("CAST(n AS BIGINT)").as("n_transitions"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6)
+          .as("p"))
+  }
+
+  /** Lag-1..7 autocorrelation of the daily event-count series per type —
+    * the seasonality probe of a time-series profile. The daily census is
+    * tiny (types × days) and checkpointed; each lag pairs day d with
+    * d+lag via one equi-join, and Pearson r comes from exact integer
+    * sums cast to DOUBLE before any arithmetic (products stay < 2^53
+    * here; a 100 TB deployment swaps the accumulators to DECIMAL(38,0)).
+    * Degenerate (zero-variance) series are filtered on BOTH engines.
+    */
+  def d186Autocorrelation(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // both join sides + 7 lags read this census
+    val x = daily.select(col("event_type"), col("day"),
+        col("cnt").as("x"))
+      .withColumn("lag", explode(expr("sequence(1, 7)")))
+    val y = daily.select(col("event_type"), col("day").as("__yday"),
+      col("cnt").as("y"))
+    x.join(y, Seq("event_type"))
+      .filter(col("__yday") === col("day") + col("lag"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("x")).cast("double").as("__sx"),
+        sum(col("y")).cast("double").as("__sy"),
+        sum(col("x") * col("y")).cast("double").as("__sxy"),
+        sum(col("x") * col("x")).cast("double").as("__sxx"),
+        sum(col("y") * col("y")).cast("double").as("__syy"))
+      .withColumn("__vx", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__vy", col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .filter(col("__vx") > 0 && col("__vy") > 0)
+      .select(col("event_type"), expr("CAST(lag AS INT)").as("lag"),
+        expr("CAST(__n AS BIGINT)").as("n_pairs"),
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          sqrt(col("__vx") * col("__vy")), 6).as("acf"))
+  }
+
   /** Kaplan–Meier survival curve ([[graft.operators.EvalMetrics
     * .kaplanMeier]]) of user engagement: duration = distinct active days,
     * event = the user's error count exceeds their purchase count (~50%
@@ -3155,6 +3220,8 @@ object Queries {
     "d183_stream_ohlc" ->
       (graft.streaming.StreamingBattery.d183StreamOhlc _),
     "d184_bpe_segment" -> (d184BpeSegment _),
+    "d185_markov_transitions" -> (d185MarkovTransitions _),
+    "d186_autocorrelation" -> (d186Autocorrelation _),
   )
 
   /** ONE definition for the OHLC oracle — d179 (batch) and d183 (streaming
@@ -4978,6 +5045,46 @@ object Queries {
          |  array_to_string(syms, ' ') AS tokens,
          |  CAST(len(syms) AS BIGINT) AS n_tokens
          |FROM s12""".stripMargin,
+
+    // successor via the same (ms, event_id)-ordered per-user window;
+    // probabilities are exact-count ratios
+    "d185_markov_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms,
+        |  event_id FROM events),
+        |t AS (SELECT event_type AS from_type,
+        |  LEAD(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id) AS to_type
+        | FROM e),
+        |g AS (SELECT from_type, to_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_transitions
+        | FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, SUM(n_transitions) AS tt FROM g
+        | GROUP BY 1)
+        |SELECT g.from_type, g.to_type, g.n_transitions,
+        | ROUND(CAST(g.n_transitions AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+        |   AS p
+        |FROM g JOIN tot USING (from_type)""".stripMargin,
+
+    // Pearson r over exact integer sums CAST to DOUBLE before arithmetic;
+    // the zero-variance filter is applied identically on both engines
+    "d186_autocorrelation" ->
+      """WITH dly AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, l.lag, a.cnt AS x, b.cnt AS y
+        | FROM dly a, UNNEST(range(1, 8)) l(lag), dly b
+        | WHERE b.event_type = a.event_type AND b.day = a.day + l.lag),
+        |g AS (SELECT event_type, lag,
+        |  CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(x) AS DOUBLE) AS sx,
+        |  CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |  CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |  CAST(SUM(y * y) AS DOUBLE) AS syy
+        | FROM p GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag AS INT) AS lag,
+        | CAST(n AS BIGINT) AS n_pairs,
+        | ROUND((n * sxy - sx * sy) /
+        |   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+        |FROM g WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0"""
+        .stripMargin,
 
     // the KM recurrence as one ordered window; the engine's two-level
     // scans must land on the same curve (ROUND 6 absorbs summation order)
