@@ -1458,6 +1458,66 @@ object Queries {
           sqrt(col("__vx") * col("__vy")), 6).as("acf"))
   }
 
+  /** Theil–Sen robust trend per event type: the median of all pairwise
+    * slopes of the daily-count series — the outlier-resistant alternative
+    * to least squares. The pair fan-out is bounded by the CALENDAR
+    * (days², not data²): the census is checkpointed, pairs expand within
+    * type only, and the exact median rides a type-partitioned window
+    * (avg of the two middles for even counts — IEEE-identical to
+    * DuckDB's median on doubles). Slopes are ratios of exact integers.
+    */
+  def d187TheilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // both sides of the pair join read this census
+    val slopes = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.cnt") - col("a.cnt")).cast("double") /
+          (col("b.day") - col("a.day")).cast("double")).as("slope"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("slope"))
+    slopes
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      // `div`: Spark's `/` would make these double comparisons and silently
+      // skip the lower middle on even counts
+      .filter(expr("__rn = (__n + 1) div 2 OR __rn = __n div 2 + 1"))
+      .groupBy(col("event_type"))
+      .agg(expr("CAST(MAX(__n) AS BIGINT)").as("n_pairs"),
+        round(avg(col("slope")), 6).as("trend"))
+  }
+
+  /** Benford first-digit audit of order totals — the data-forensics
+    * screen for fabricated numerics. Exact digit census (first digit via
+    * string algebra on the absolute value — no float log in the
+    * BUCKETING, so assignment is engine-exact), expected mass
+    * log10(1 + 1/d), and the chi-square distance. One aggregation; the
+    * 9-row report carries its own grand total (no second scan).
+    */
+  def d188BenfordAudit(s: SparkSession, d: String): DataFrame = {
+    val digits = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 0)
+      .select(substring(regexp_replace(col("o_totalprice").cast("string"),
+        "[^1-9]", ""), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // census feeds the total AND the report
+    val total = digits.agg(sum(col("n")).as("__t"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), expr("CAST(n AS BIGINT)").as("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6)
+          .as("observed_p"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("benford_p"),
+        round(pow(col("n").cast("double") / col("__t").cast("double") -
+            log(10.0, lit(1.0) + lit(1.0) / col("digit")), 2) /
+          log(10.0, lit(1.0) + lit(1.0) / col("digit")) *
+          col("__t").cast("double"), 6).as("chi2_term"))
+  }
+
   /** Kaplan–Meier survival curve ([[graft.operators.EvalMetrics
     * .kaplanMeier]]) of user engagement: duration = distinct active days,
     * event = the user's error count exceeds their purchase count (~50%
@@ -3222,6 +3282,8 @@ object Queries {
     "d184_bpe_segment" -> (d184BpeSegment _),
     "d185_markov_transitions" -> (d185MarkovTransitions _),
     "d186_autocorrelation" -> (d186Autocorrelation _),
+    "d187_theil_sen" -> (d187TheilSen _),
+    "d188_benford_audit" -> (d188BenfordAudit _),
   )
 
   /** ONE definition for the OHLC oracle — d179 (batch) and d183 (streaming
@@ -5045,6 +5107,40 @@ object Queries {
          |  array_to_string(syms, ' ') AS tokens,
          |  CAST(len(syms) AS BIGINT) AS n_tokens
          |FROM s12""".stripMargin,
+
+    // exact median of pairwise slopes; DuckDB's MEDIAN on doubles equals
+    // the engine's middle-two average (ROUND 6 absorbs interpolation ulps)
+    "d187_theil_sen" ->
+      """WITH dly AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |sl AS (SELECT a.event_type,
+        |  CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+        |    AS slope
+        | FROM dly a JOIN dly b ON b.event_type = a.event_type
+        |  AND a.day < b.day)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        | ROUND(MEDIAN(slope), 6) AS trend
+        |FROM sl GROUP BY 1""".stripMargin,
+
+    // first digit via the SAME string algebra (global regexp flag!);
+    // expected mass log10(1 + 1/d), chi-square distance per digit
+    "d188_benford_audit" ->
+      """WITH dg AS (SELECT CAST(substring(regexp_replace(
+        |    CAST(o_totalprice AS VARCHAR), '[^1-9]', '', 'g'), 1, 1)
+        |    AS INT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM dg
+        | GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM g)
+        |SELECT digit, n,
+        | ROUND(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS observed_p,
+        | ROUND(log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit), 6)
+        |   AS benford_p,
+        | ROUND(POWER(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) -
+        |     log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit), 2) /
+        |   log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit) *
+        |   CAST(tt AS DOUBLE), 6) AS chi2_term
+        |FROM g, t""".stripMargin,
 
     // successor via the same (ms, event_id)-ordered per-user window;
     // probabilities are exact-count ratios
