@@ -1458,6 +1458,72 @@ object Queries {
           sqrt(col("__vx") * col("__vy")), 6).as("acf"))
   }
 
+  /** Uplift Qini curve — the causal-evaluation companion of d172's PR
+    * curve: users ranked by a model score (descending), cumulative
+    * treated/control outcome counts per decile, and the Qini statistic
+    * Q(k) = Yt(k) − Yc(k)·Nt(k)/Nc(k). Treatment is the engine's
+    * portable md5 half-space gate (the d81/d162 convention), outcome a
+    * fixed purchase-count threshold; the score is fixed-point-exact
+    * (money-sum / count), so ranking never depends on double summation
+    * order. Deciles ride the d182 rank machinery (two-level prefix scan +
+    * per-value tie-break); the cumulative pass is a window over the
+    * 10-row decile census — bounded by nBins, never data-sized. The
+    * empty-control edge (possible at tiny SFs) yields NULL on both
+    * engines via the same CASE guard.
+    */
+  def d189UpliftQini(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        (expr("CAST(graft_money_sum(value, 2) AS DOUBLE)") /
+          count(lit(1))).as("score"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("__np"))
+      .filter(col("score").isNotNull) // defensive: all-null-value user
+      .select(col("user_id"), col("score"),
+        when(concat(lit("0"),
+          substring(md5(col("user_id").cast("string")), 1, 6)) < "0800000",
+          1L).otherwise(0L).as("t"),
+        when(col("__np") >= 13, 1L).otherwise(0L).as("y"))
+    val perVal = users.groupBy(col("score").as("__v"))
+      .agg(count(lit(1)).as("__vn"))
+    val pre = graft.operators.ScaleOps.globalPrefixSum(perVal, "__v",
+      Seq("__vn" -> "__pfx"), ascending = false)
+    val n = Option(pre.agg(sum(col("__vn"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("score")).orderBy(col("user_id"))
+    val binned = users
+      .join(pre.select(col("__v").as("score"), col("__pfx")), Seq("score"))
+      .withColumn("__rank",
+        col("__pfx") + row_number().over(wv).cast("long") - 1L)
+      .withColumn("bin", expr(s"(__rank * 10) div ${n}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("t")).as("nt"), sum(lit(1L) - col("t")).as("nc"),
+        sum(col("t") * col("y")).as("yt"),
+        sum((lit(1L) - col("t")) * col("y")).as("yc"))
+      .localCheckpoint() // the decile census; cumulative pass reads it
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    binned
+      .withColumn("cum_nt", sum(col("nt")).over(wc))
+      .withColumn("cum_nc", sum(col("nc")).over(wc))
+      .withColumn("cum_yt", sum(col("yt")).over(wc))
+      .withColumn("cum_yc", sum(col("yc")).over(wc))
+      .select(expr("CAST(bin AS BIGINT)").as("bin"),
+        expr("CAST(n AS BIGINT)").as("n"),
+        expr("CAST(cum_nt AS BIGINT)").as("cum_nt"),
+        expr("CAST(cum_nc AS BIGINT)").as("cum_nc"),
+        expr("CAST(cum_yt AS BIGINT)").as("cum_yt"),
+        expr("CAST(cum_yc AS BIGINT)").as("cum_yc"),
+        round(when(col("cum_nc") > 0,
+          col("cum_yt").cast("double") - col("cum_yc").cast("double") *
+            col("cum_nt").cast("double") / col("cum_nc").cast("double")),
+          6).as("qini"))
+  }
+
   /** Theil–Sen robust trend per event type: the median of all pairwise
     * slopes of the daily-count series — the outlier-resistant alternative
     * to least squares. The pair fan-out is bounded by the CALENDAR
@@ -3284,6 +3350,7 @@ object Queries {
     "d186_autocorrelation" -> (d186Autocorrelation _),
     "d187_theil_sen" -> (d187TheilSen _),
     "d188_benford_audit" -> (d188BenfordAudit _),
+    "d189_uplift_qini" -> (d189UpliftQini _),
   )
 
   /** ONE definition for the OHLC oracle — d179 (batch) and d183 (streaming
@@ -5107,6 +5174,43 @@ object Queries {
          |  array_to_string(syms, ' ') AS tokens,
          |  CAST(len(syms) AS BIGINT) AS n_tokens
          |FROM s12""".stripMargin,
+
+    // the same md5 half-space treatment gate, fixed outcome threshold,
+    // ROW_NUMBER decile ranks, and the guarded Qini algebra
+    "d189_uplift_qini" ->
+      """WITH u AS (SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |    AS score,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+        | FROM events GROUP BY 1),
+        |l AS (SELECT user_id, score,
+        |  CASE WHEN '0' || substring(md5(CAST(user_id AS VARCHAR)), 1, 6)
+        |       < '0800000' THEN 1 ELSE 0 END AS t,
+        |  CASE WHEN np >= 13 THEN 1 ELSE 0 END AS y
+        | FROM u WHERE score IS NOT NULL),
+        |r AS (SELECT t, y,
+        |  ROW_NUMBER() OVER (ORDER BY score DESC, user_id) - 1 AS rk
+        | FROM l),
+        |b AS (SELECT (rk * 10) // (SELECT COUNT(*) FROM l) AS bin, t, y
+        | FROM r),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(t) AS BIGINT) AS nt,
+        |  CAST(COUNT(*) - SUM(t) AS BIGINT) AS nc,
+        |  CAST(SUM(t * y) AS BIGINT) AS yt,
+        |  CAST(SUM((1 - t) * y) AS BIGINT) AS yc FROM b GROUP BY 1),
+        |c AS (SELECT bin, n,
+        |  CAST(SUM(nt) OVER w AS BIGINT) AS cum_nt,
+        |  CAST(SUM(nc) OVER w AS BIGINT) AS cum_nc,
+        |  CAST(SUM(yt) OVER w AS BIGINT) AS cum_yt,
+        |  CAST(SUM(yc) OVER w AS BIGINT) AS cum_yc
+        | FROM g WINDOW w AS (ORDER BY bin
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(bin AS BIGINT) AS bin, n, cum_nt, cum_nc, cum_yt,
+        | cum_yc,
+        | ROUND(CASE WHEN cum_nc > 0 THEN CAST(cum_yt AS DOUBLE) -
+        |   CAST(cum_yc AS DOUBLE) * CAST(cum_nt AS DOUBLE) /
+        |   CAST(cum_nc AS DOUBLE) END, 6) AS qini
+        |FROM c""".stripMargin,
 
     // exact median of pairwise slopes; DuckDB's MEDIAN on doubles equals
     // the engine's middle-two average (ROUND 6 absorbs interpolation ulps)
