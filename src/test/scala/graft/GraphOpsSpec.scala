@@ -182,6 +182,28 @@ class GraphOpsSpec extends SparkTestBase {
     assert(GraphOps.connectedComponents(empty).count() == 0L)
   }
 
+  test("connectedComponents agrees with Dedup's cluster labeling (both paths)") {
+    // two INDEPENDENT implementations (pointer-jump propagation vs
+    // driver union-find / min-label loop) must induce the same partition
+    val rnd = new scala.util.Random(97)
+    val rand = (for {
+      a <- 1L to 80L; b <- (a + 1) to 80L
+      if rnd.nextDouble() < 0.03
+    } yield (a, b)).toSet.toSeq
+    val pairFrame = rand.toDF("id1", "id2")
+    val fromGraph = GraphOps.connectedComponents(rand.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap // component -> size
+    for (maxDriverEdges <- Seq(1L << 22, 1L)) { // union-find AND loop paths
+      val fromDedup = graft.operators.Dedup
+        .connectedComponents(pairFrame, maxDriverEdges = maxDriverEdges)
+        .as[(Long, Long)].collect().toSeq
+        .groupBy(_._2).map { case (c, ms) => c -> ms.size.toLong }
+      assert(fromDedup == fromGraph,
+        s"cluster census diverges (maxDriverEdges=$maxDriverEdges): " +
+          s"$fromDedup vs $fromGraph")
+    }
+  }
+
   test("pageRank: path-graph ends rank below the middle; zero iterations is uniform") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     val pr = GraphOps.pageRank(path.toDF("a", "b"), iterations = 5)
