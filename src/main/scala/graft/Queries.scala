@@ -1299,9 +1299,9 @@ object Queries {
     * graph: min-label propagation + pointer jumping to a data-dependent
     * fixpoint (O(log diameter) rounds — the scalable complement of d45's
     * bounded-collect union-find, and the third iteration regime after
-    * d169's fixed count and d175's monotone peel). The oracle unrolls 8
+    * d169's fixed count and d175's monotone peel). The oracle unrolls 10
     * neighbor-min + jump stages; the engine converges in ≤ 7 rounds at all
-    * three SFs (probed — re-probe on a data drop). Components: 1 giant at
+    * three SFs (probed — 3 rounds of margin, re-probe on a data drop). Components: 1 giant at
     * sf0.001, 9 at sf0.01, 2350 at sf0.1.
     */
   def d177Components(s: SparkSession, d: String): DataFrame =
@@ -5105,12 +5105,13 @@ object Queries {
         |UNION ALL SELECT CAST(id AS BIGINT), '*', '*', '*', 2 FROM r1"""
         .stripMargin,
 
-    // 8 unrolled neighbor-min + pointer-jump stages; labels only decrease,
-    // so the engine's sum-fixpoint early exit lands on the same labeling
-    // whenever convergence fits (probed <= 7 rounds at the three SFs).
-    // MATERIALIZED per the d175 lesson: each stage is read multiple times
+    // 10 unrolled neighbor-min + pointer-jump stages; labels only
+    // decrease, so the engine's sum-fixpoint early exit lands on the same
+    // labeling whenever convergence fits (probed <= 7 rounds at the three
+    // SFs — 3 rounds of margin; pointer jumping makes extra stages cheap
+    // insurance against a data drop). MATERIALIZED per the d175 lesson
     "d177_components" -> {
-      val stages = (1 to 8).map { i =>
+      val stages = (1 to 10).map { i =>
         val prev = s"l${i - 1}"
         s"""m$i AS MATERIALIZED (SELECT adj.u AS node, MIN(l.lbl) AS nmin
            |  FROM adj JOIN $prev l ON l.node = adj.v GROUP BY 1),
@@ -5132,7 +5133,7 @@ object Queries {
          |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM adj),
          |$stages
          |SELECT CAST(lbl AS BIGINT) AS component,
-         | CAST(COUNT(*) AS BIGINT) AS n_nodes FROM l8 GROUP BY 1"""
+         | CAST(COUNT(*) AS BIGINT) AS n_nodes FROM l10 GROUP BY 1"""
         .stripMargin
     },
 
