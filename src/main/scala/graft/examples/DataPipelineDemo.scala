@@ -138,6 +138,52 @@ object DataPipelineDemo {
     val avroBack = graft.sources.AvroIO.read(spark, avroDir).count()
     println(s"[pipeline] wrote $avroBack eval records (avro/deflate) to $avroDir")
 
+    // 10. tokenizer vocabulary: train BPE merges on the CLEANED corpus
+    // (one corpus shuffle, merge loop on the vocabulary-sized word table),
+    // then segment with the learned table and report the token budget the
+    // shards above will actually pay under this tokenizer
+    val bpe = graft.operators.Features.bpeTrain(survivors, "text",
+      nMerges = 12)
+    val merges = bpe.orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    println(s"[pipeline] BPE merges: " +
+      merges.map { case (a, b) => s"$a+$b" }.mkString(", "))
+    val segmented = graft.operators.Features.bpeSegment(
+      survivors, "text", merges)
+    val bpeTokens = segmented
+      .agg(sum(col("cnt") * col("n_tokens"))).first.getLong(0)
+    println(s"[pipeline] corpus BPE tokens: $bpeTokens")
+
+    // 11. near-dup cluster audit: the distributed fixpoint components over
+    // the LSH pair graph — cluster-size census for the curation report
+    val clusters = graft.operators.GraphOps.connectedComponents(
+      pairs.select(col("id1").as("a"), col("id2").as("b")))
+    val clusterCensus = clusters.groupBy(col("n_nodes"))
+      .agg(count(lit(1)).as("n_clusters")).orderBy(col("n_nodes"))
+    clusterCensus.show(5, false)
+
+    // 12. telemetry side-channel: the user-activity profile that ships
+    // with the corpus goes through the k-anonymity gate first — balance
+    // sign generalizes, then suppresses, so no released quasi tuple
+    // identifies fewer than 5 users
+    val profile = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+    val anonymized = graft.operators.Privacy.kAnonymize(
+      profile, Seq("user_id"),
+      Seq(
+        Seq("activity" -> when(col("n_events") >= 60, lit("high"))
+          .otherwise(lit("low")),
+          "breadth" -> col("n_types")),
+        Seq("activity" -> when(col("n_events") >= 60, lit("high"))
+          .otherwise(lit("low")),
+          "breadth" -> lit("*"))),
+      k = 5)
+    val suppressed = anonymized.filter(col("level") === 2).count()
+    println(s"[pipeline] anonymized profile: ${anonymized.count()} rows, " +
+      s"$suppressed suppressed")
+
     survivors.unpersist(); masked.unpersist(); nearDeduped.unpersist()
     exact.unpersist()
     spark.stop()
