@@ -1458,6 +1458,23 @@ object Queries {
           sqrt(col("__vx") * col("__vy")), 6).as("acf"))
   }
 
+  /** Token-budget mixture export
+    * ([[graft.operators.ScaleOps.budgetedMixtureSample]]): at most 10,000
+    * chars per language, selected as the deterministic (md5(id), id)-
+    * ordered prefix of each stratum — the quota paid in COST units, the
+    * budget-exact complement of d159's count-proportional mixture. The
+    * exclusive running cost ships in the output, so the oracle pins the
+    * whole selection order, not just membership.
+    */
+  def d190BudgetMixture(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScaleOps.budgetedMixtureSample(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars")),
+      "lang", "doc_id", "n_chars", budget = 10000L)
+      .select(expr("CAST(doc_id AS BIGINT)").as("doc_id"), col("lang"),
+        expr("CAST(n_chars AS BIGINT)").as("n_chars"),
+        expr("CAST(cum_start AS BIGINT)").as("cum_start"))
+
   /** Uplift Qini curve — the causal-evaluation companion of d172's PR
     * curve: users ranked by a model score (descending), cumulative
     * treated/control outcome counts per decile, and the Qini statistic
@@ -3351,6 +3368,7 @@ object Queries {
     "d187_theil_sen" -> (d187TheilSen _),
     "d188_benford_audit" -> (d188BenfordAudit _),
     "d189_uplift_qini" -> (d189UpliftQini _),
+    "d190_budget_mixture" -> (d190BudgetMixture _),
   )
 
   /** ONE definition for the OHLC oracle — d179 (batch) and d183 (streaming
@@ -5175,6 +5193,18 @@ object Queries {
          |  array_to_string(syms, ' ') AS tokens,
          |  CAST(len(syms) AS BIGINT) AS n_tokens
          |FROM s12""".stripMargin,
+
+    // the identical (md5(id), id) stratum order and exclusive running cost
+    "d190_budget_mixture" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |  CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum_start
+        | FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        | CAST(n_chars AS BIGINT) AS n_chars, cum_start
+        |FROM r WHERE cum_start < 10000""".stripMargin,
 
     // the same md5 half-space treatment gate, fixed outcome threshold,
     // ROW_NUMBER decile ranks, and the guarded Qini algebra

@@ -159,6 +159,40 @@ object ScaleOps {
     * Scale shape: stratum counts (one small shuffle) → targets broadcast →
     * ONE map-side gate over the corpus. Nothing corpus-sized shuffles.
     */
+  /** BUDGETED mixture sampling: keep a deterministic pseudo-random prefix
+    * of each stratum worth at most `budget` units of `costCol` (tokens,
+    * chars, bytes) — the "give me N tokens per language" export, where the
+    * quota is paid in cost units rather than document counts
+    * ([[temperatureMixtureSample]]'s regime).
+    *
+    * Selection order inside a stratum is (md5(id), id) — the engine's
+    * portable shuffle order: bit-identical in any md5-capable system, no
+    * RNG state, stable under retries. A document is kept iff the
+    * cumulative cost of everything ordered before it is still under
+    * budget (contiguous-prefix contract, same as [[packSequences]]: the
+    * last kept document may overshoot; none is split).
+    *
+    * ONE shuffle: a per-stratum window — strata process in parallel, and a
+    * stratum must fit one reducer's spillable sort (at 100 TB budget per
+    * (source, date), not per corpus, exactly like packSequences streams).
+    *
+    * Output: input columns + `cum_start` (BIGINT, the exclusive running
+    * cost before this row) for kept rows only.
+    */
+  def budgetedMixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+                            costCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(!df.columns.contains("cum_start"),
+      "output column 'cum_start' collides with the input schema")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("cum_start",
+        coalesce(sum(col(costCol)).over(w), lit(0L)).cast("long"))
+      .filter(col("cum_start") < budget)
+  }
+
   def temperatureMixtureSample(df: DataFrame, stratumCol: String,
       idCol: String, totalTarget: Long, alpha: Double): DataFrame = {
     require(totalTarget > 0, s"totalTarget must be positive: $totalTarget")

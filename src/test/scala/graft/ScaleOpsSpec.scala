@@ -726,6 +726,34 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(one.toSeq == Seq((0.0, 100.0, 1L)))
   }
 
+  test("budgetedMixtureSample: md5-prefix order, overshoot-by-one, per-stratum") {
+    val s = spark; import s.implicits._
+    val rows = (1L to 60L).map(i => (i, if (i % 2 == 0) "a" else "b", 7L))
+    val df = rows.toDF("id", "g", "cost")
+    val got = ScaleOps.budgetedMixtureSample(df, "g", "id", "cost", budget = 20L)
+      .select(col("id"), col("g"), col("cum_start"))
+      .as[(Long, String, Long)].collect()
+    // model: per stratum, (md5(id), id) order, keep while exclusive cum < 20
+    def md5hex(x: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy(r => (md5hex(r._1), r._1)).zipWithIndex
+        .map { case ((id, _, c), k) => (id, g, k * 7L) }
+        .filter(_._3 < 20L)
+    }
+    assertMultiset(got.toSeq, want)
+    // cost 7, budget 20 -> kept 3 per stratum, last one OVERSHOOTS to 21
+    // (contiguous-prefix contract: the last kept doc is never split)
+    assert(got.count(_._2 == "a") == 3 && got.count(_._2 == "b") == 3)
+    // determinism: a second run keeps the identical set
+    val again = ScaleOps.budgetedMixtureSample(df.repartition(7), "g", "id",
+      "cost", budget = 20L)
+      .select(col("id"), col("g"), col("cum_start"))
+      .as[(Long, String, Long)].collect()
+    assertMultiset(again.toSeq, got.toSeq)
+  }
+
   test("resampleOhlc: model bars, duplicate-ts ties deterministic, nulls out") {
     val s = spark; import s.implicits._
     // bucket = 100ms; bucket 0 has a ts tie at open (value breaks it) and
