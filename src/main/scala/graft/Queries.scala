@@ -1502,19 +1502,12 @@ object Queries {
           substring(md5(col("user_id").cast("string")), 1, 6)) < "0800000",
           1L).otherwise(0L).as("t"),
         when(col("__np") >= 13, 1L).otherwise(0L).as("y"))
-    val perVal = users.groupBy(col("score").as("__v"))
-      .agg(count(lit(1)).as("__vn"))
-    val pre = graft.operators.ScaleOps.globalPrefixSum(perVal, "__v",
-      Seq("__vn" -> "__pfx"), ascending = false)
-    val n = Option(pre.agg(sum(col("__vn"))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val wv = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("score")).orderBy(col("user_id"))
-    val binned = users
-      .join(pre.select(col("__v").as("score"), col("__pfx")), Seq("score"))
-      .withColumn("__rank",
-        col("__pfx") + row_number().over(wv).cast("long") - 1L)
-      .withColumn("bin", expr(s"(__rank * 10) div ${n}L"))
+      // the events groupBy feeds the decile census AND the rank join —
+      // pin it so the data-sized aggregation runs once
+      .localCheckpoint()
+    val binned = graft.operators.Features
+      .equiDepthBins(users, "user_id", "score", nBins = 10,
+        descending = true)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col("t")).as("nt"), sum(lit(1L) - col("t")).as("nc"),
@@ -1546,8 +1539,10 @@ object Queries {
     * to least squares. The pair fan-out is bounded by the CALENDAR
     * (days², not data²): the census is checkpointed, pairs expand within
     * type only, and the exact median rides a type-partitioned window
-    * (avg of the two middles for even counts — IEEE-identical to
-    * DuckDB's median on doubles). Slopes are ratios of exact integers.
+    * (avg of the two middles for even counts — DuckDB's interpolated
+    * MEDIAN may differ in the last ulp there, which the output ROUND 6
+    * absorbs; odd counts select an exact element on both engines).
+    * Slopes are ratios of exact integers.
     */
   def d187TheilSen(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
@@ -1582,11 +1577,18 @@ object Queries {
     * 9-row report carries its own grand total (no second scan).
     */
   def d188BenfordAudit(s: SparkSession, d: String): DataFrame = {
-    val digits = Tables.orders(s, d)
+    val census = Tables.orders(s, d)
       .filter(col("o_totalprice") > 0)
       .select(substring(regexp_replace(col("o_totalprice").cast("string"),
         "[^1-9]", ""), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    // densify over the 1..9 spine: a digit with ZERO observations still
+    // owes its full expected-count chi-square term — omitting it would
+    // understate the very distance this audit computes
+    val digits = s.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .join(census, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
       .localCheckpoint() // census feeds the total AND the report
     val total = digits.agg(sum(col("n")).as("__t"))
     digits.crossJoin(broadcast(total))
@@ -5264,8 +5266,11 @@ object Queries {
         |    CAST(o_totalprice AS VARCHAR), '[^1-9]', '', 'g'), 1, 1)
         |    AS INT) AS digit
         |  FROM orders WHERE o_totalprice > 0),
-        |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM dg
-        | GROUP BY 1),
+        |g0 AS (SELECT digit, COUNT(*) AS cn FROM dg GROUP BY 1),
+        |g AS (SELECT CAST(sp.digit AS INT) AS digit,
+        |  CAST(COALESCE(g0.cn, 0) AS BIGINT) AS n
+        | FROM (SELECT UNNEST(range(1, 10)) AS digit) sp
+        | LEFT JOIN g0 ON g0.digit = sp.digit),
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM g)
         |SELECT digit, n,
         | ROUND(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS observed_p,

@@ -151,7 +151,8 @@ object DataPipelineDemo {
     val segmented = graft.operators.Features.bpeSegment(
       survivors, "text", merges)
     val bpeTokens = segmented
-      .agg(sum(col("cnt") * col("n_tokens"))).first.getLong(0)
+      .agg(coalesce(sum(col("cnt") * col("n_tokens")), lit(0L)))
+      .first.getLong(0)
     println(s"[pipeline] corpus BPE tokens: $bpeTokens")
 
     // 11. near-dup cluster audit: the distributed fixpoint components over

@@ -52,32 +52,50 @@ object Features {
     * Output, one row per bin: (bin BIGINT, n BIGINT, n_good BIGINT,
     * n_bad BIGINT, woe DOUBLE, iv_term DOUBLE — both unrounded).
     */
-  def woeIv(df: DataFrame, idCol: String, valueCol: String,
-            labelCol: String, nBins: Int = 10): DataFrame = {
+  /** Exact equi-depth bin assignment by GLOBAL row rank — the shared
+    * machinery under [[woeIv]] and the battery's Qini row: rank =
+    * (exclusive prefix count of strictly earlier feature values, via
+    * [[ScaleOps.globalPrefixSum]]'s two-level scan — no single-partition
+    * window) + (row_number within the value, ordered by id). bin = rank ·
+    * nBins / N in integer `div` arithmetic (engine-exact; `/` would be
+    * DOUBLE division).
+    *
+    * Rows with a NULL `valueCol` are EXCLUDED (a NULL would silently
+    * vanish in the rank equi-join while still inflating N). The cohort
+    * size comes from the value census — the input is scanned once.
+    * `descending = true` ranks the largest values into bin 0 (score
+    * curves); default ascending (feature binning).
+    *
+    * Output: the non-null input rows + `bin` (LONG in [0, nBins)).
+    */
+  def equiDepthBins(df: DataFrame, idCol: String, valueCol: String,
+                    nBins: Int, descending: Boolean = false): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2: $nBins")
     val scratch = Seq("__v", "__vn", "__pfx", "__rank", "bin")
     require(!df.columns.exists(scratch.contains),
-      s"input columns collide with woeIv scratch names $scratch")
-    // rows with a NULL feature are EXCLUDED (a NULL would silently vanish
-    // in the rank equi-join below while still inflating n — the bins must
-    // partition exactly the rows that carry a value)
+      s"input columns collide with equiDepthBins scratch names $scratch")
     val dfv = df.filter(col(valueCol).isNotNull)
     val perVal = dfv.groupBy(col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__vn"))
-    val pre = ScaleOps.globalPrefixSum(perVal, "__v", Seq("__vn" -> "__pfx"))
-    // cohort size from the (already-checkpointed) value census — never a
-    // second scan of the input
+    val pre = ScaleOps.globalPrefixSum(perVal, "__v", Seq("__vn" -> "__pfx"),
+      ascending = !descending)
     val n = Option(pre.agg(sum(col("__vn"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    require(n > 0, "woeIv needs a non-empty input (after NULL exclusion)")
+    require(n > 0,
+      "equiDepthBins needs a non-empty input (after NULL exclusion)")
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col(valueCol)).orderBy(col(idCol))
-    val binned = dfv
+    dfv
       .join(pre.select(col("__v").as(valueCol), col("__pfx")), Seq(valueCol))
       .withColumn("__rank",
         col("__pfx") + row_number().over(wv).cast("long") - 1L)
-      // `div`, not `/`: Spark's `/` on integers is DOUBLE division
       .withColumn("bin", expr(s"(__rank * $nBins) div ${n}L"))
+      .drop("__pfx", "__rank")
+  }
+
+  def woeIv(df: DataFrame, idCol: String, valueCol: String,
+            labelCol: String, nBins: Int = 10): DataFrame = {
+    val binned = equiDepthBins(df, idCol, valueCol, nBins)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("n_good"),

@@ -138,27 +138,6 @@ object ScaleOps {
     df.withColumn(outCol, labeled)
   }
 
-  /** Temperature-weighted mixture downsampling — the standard LLM
-    * data-mixture primitive (multilingual/multi-source sampling with
-    * p_s ∝ n_s^alpha, alpha < 1 flattening the head so low-resource strata
-    * keep more of the budget; alpha = 1 is proportional, alpha = 0
-    * uniform-per-stratum). Per stratum s the target is
-    * `round(totalTarget · n_s^alpha / Σ_t n_t^alpha)` capped at n_s, and
-    * the kept SET is the deterministic md5-gated
-    * [[deterministicWeightedSample]] at the exact rational target_s/n_s —
-    * bit-reproducible across retries, engines, and cluster layouts.
-    *
-    * Cross-engine note: the targets go through doubles (pow/sqrt are
-    * IEEE-correctly-rounded; the stratum-count SUM is order-sensitive in
-    * the last ulp), so a target sitting EXACTLY on a rounding boundary
-    * could differ by 1 between engines. Strata counts are corpus facts —
-    * at 1e-13 relative noise that requires a boundary hit to ~12
-    * significant digits; callers wanting hard determinism across engines
-    * pick totalTarget so no x_s lands on .5 (probed for the battery row).
-    *
-    * Scale shape: stratum counts (one small shuffle) → targets broadcast →
-    * ONE map-side gate over the corpus. Nothing corpus-sized shuffles.
-    */
   /** BUDGETED mixture sampling: keep a deterministic pseudo-random prefix
     * of each stratum worth at most `budget` units of `costCol` (tokens,
     * chars, bytes) — the "give me N tokens per language" export, where the
@@ -193,6 +172,27 @@ object ScaleOps {
       .filter(col("cum_start") < budget)
   }
 
+  /** Temperature-weighted mixture downsampling — the standard LLM
+    * data-mixture primitive (multilingual/multi-source sampling with
+    * p_s ∝ n_s^alpha, alpha < 1 flattening the head so low-resource strata
+    * keep more of the budget; alpha = 1 is proportional, alpha = 0
+    * uniform-per-stratum). Per stratum s the target is
+    * `round(totalTarget · n_s^alpha / Σ_t n_t^alpha)` capped at n_s, and
+    * the kept SET is the deterministic md5-gated
+    * [[deterministicWeightedSample]] at the exact rational target_s/n_s —
+    * bit-reproducible across retries, engines, and cluster layouts.
+    *
+    * Cross-engine note: the targets go through doubles (pow/sqrt are
+    * IEEE-correctly-rounded; the stratum-count SUM is order-sensitive in
+    * the last ulp), so a target sitting EXACTLY on a rounding boundary
+    * could differ by 1 between engines. Strata counts are corpus facts —
+    * at 1e-13 relative noise that requires a boundary hit to ~12
+    * significant digits; callers wanting hard determinism across engines
+    * pick totalTarget so no x_s lands on .5 (probed for the battery row).
+    *
+    * Scale shape: stratum counts (one small shuffle) → targets broadcast →
+    * ONE map-side gate over the corpus. Nothing corpus-sized shuffles.
+    */
   def temperatureMixtureSample(df: DataFrame, stratumCol: String,
       idCol: String, totalTarget: Long, alpha: Double): DataFrame = {
     require(totalTarget > 0, s"totalTarget must be positive: $totalTarget")
