@@ -1475,6 +1475,121 @@ object Queries {
         expr("CAST(n_chars AS BIGINT)").as("n_chars"),
         expr("CAST(cum_start AS BIGINT)").as("cum_start"))
 
+  /** SCD Type-2 order-status history
+    * ([[graft.operators.ScaleOps.changeHistory]]): each customer's status
+    * sequence under the (order-date ms, orderkey) total order collapsed
+    * into runs with half-open [valid_from, valid_to) ranges — the
+    * versioned-dimension build. Probed non-vacuous: 15,000 orders
+    * collapse to 10,508 runs at sf0.01, so run formation (not just
+    * pass-through) is what hashes. The whole build rides ONE
+    * customer-hash shuffle (both windows + the run aggregation share the
+    * partitioning).
+    */
+  def d191ChangeHistory(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))").as("ms"),
+      col("o_orderkey"), col("o_orderstatus"))
+    graft.operators.ScaleOps.changeHistory(o, Seq("o_custkey"),
+        Seq("ms", "o_orderkey"), "o_orderstatus")
+      .select(expr("CAST(o_custkey AS BIGINT)").as("o_custkey"),
+        col("o_orderstatus"),
+        expr("CAST(valid_from AS BIGINT)").as("valid_from"),
+        expr("CAST(valid_to AS BIGINT)").as("valid_to"),
+        expr("CAST(n_rows AS BIGINT)").as("n_rows"))
+  }
+
+  /** Per-region revenue Gini ([[graft.operators.EvalMetrics.giniByGroup]])
+    * over customer lifetime revenue in exact cents — the full-distribution
+    * concentration metric (d113's top-decile share reads one point of this
+    * Lorenz curve). Customers with no orders count as zeros (left join +
+    * coalesce — dropping them would understate inequality); numerator and
+    * denominator are exact integers, ROUND 9 on the single division.
+    */
+  def d192Gini(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(expr(
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)")
+        .as("cents"))
+    val cust = Tables.customer(s, d)
+      .join(Tables.nation(s, d),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val x = cust.join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("r_name"), col("c_custkey"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    graft.operators.EvalMetrics.giniByGroup(x, "r_name", "cents",
+      "c_custkey")
+  }
+
+  /** Last-touch campaign attribution
+    * ([[graft.operators.TemporalJoins.lastTouchAttribution]]): every
+    * purchase attributes to the user's most recent click within 7 days
+    * (campaign parsed from the props JSON); unattributed purchases land
+    * in campaign −1 — part of the answer, not dropped. Probed
+    * discriminating at sf0.01: 1,771 of 1,981 purchases attribute, so
+    * both the window bound and the strict-precedence order move rows.
+    * Revenue is the standing exact-DECIMAL money sum.
+    */
+  def d193Attribution(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        col("event_type"), col("value"),
+        expr("CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)")
+          .as("campaign"))
+    graft.operators.TemporalJoins.lastTouchAttribution(e,
+        "user_id", "ts_ms", "event_id",
+        col("event_type") === "click", col("event_type") === "purchase",
+        Seq("campaign"), windowMillis = 7L * 86400000L)
+      .groupBy(coalesce(col("touch_campaign"), lit(-1L)).as("campaign"))
+      .agg(count(lit(1)).as("n_purchases"),
+        expr("CAST(graft_money_sum(value, 2) AS DOUBLE)").as("revenue"))
+      .select(expr("CAST(campaign AS BIGINT)").as("campaign"),
+        expr("CAST(n_purchases AS BIGINT)").as("n_purchases"),
+        col("revenue"))
+  }
+
+  /** BFS hop distances ([[graft.operators.GraphOps.bfsDistances]]) from
+    * the co-purchase graph's highest-degree part (ties to the smallest
+    * id), bounded at 4 hops — the "related items within k clicks" radius
+    * query. Probed at sf0.01: hops 1-4 first-reach 15/55/192/561 nodes,
+    * so every level's anti-join moves rows. The oracle walks the same
+    * four levels as independent set-algebra stages.
+    */
+  def d194Bfs(s: SparkSession, d: String): DataFrame = {
+    val edges = coPurchaseEdges(s, d).localCheckpoint()
+    val seed = edges.select(col("a").as("n"))
+      .union(edges.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("n").asc).limit(1)
+      .head.getLong(0)
+    graft.operators.GraphOps.bfsDistances(edges, Seq(seed), maxHops = 4)
+      .select(expr("CAST(node AS BIGINT)").as("node"),
+        expr("CAST(hop AS INT)").as("hop"))
+  }
+
+  /** Exact bounded EWMA ([[graft.operators.ScaleOps.ewmaSmoothed]]) over
+    * each user's view-value series in cents: power-of-two weights over
+    * the last 8 observations make the smoothed value a ratio of two
+    * exact integers — deterministic cross-engine with NO rounding, the
+    * float-free twin of a recursive α=1/2 EWMA. One user-hash window
+    * shuffle carries all 8 lags.
+    */
+  def d195Ewma(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .filter(col("event_type") === "view" && col("value").isNotNull)
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.operators.ScaleOps.ewmaSmoothed(e, Seq("user_id"),
+        Seq("ts_ms", "event_id"), "cents", depth = 8)
+      .select(expr("CAST(user_id AS BIGINT)").as("user_id"),
+        expr("CAST(ts_ms AS BIGINT)").as("ts_ms"),
+        expr("CAST(event_id AS BIGINT)").as("event_id"),
+        expr("CAST(cents AS BIGINT)").as("cents"), col("ewma"))
+  }
+
   /** Uplift Qini curve — the causal-evaluation companion of d172's PR
     * curve: users ranked by a model score (descending), cumulative
     * treated/control outcome counts per decile, and the Qini statistic
@@ -3371,6 +3486,11 @@ object Queries {
     "d188_benford_audit" -> (d188BenfordAudit _),
     "d189_uplift_qini" -> (d189UpliftQini _),
     "d190_budget_mixture" -> (d190BudgetMixture _),
+    "d191_change_history" -> (d191ChangeHistory _),
+    "d192_gini" -> (d192Gini _),
+    "d193_attribution" -> (d193Attribution _),
+    "d194_bfs" -> (d194Bfs _),
+    "d195_ewma" -> (d195Ewma _),
   )
 
   /** ONE definition for the OHLC oracle — d179 (batch) and d183 (streaming
@@ -5375,5 +5495,137 @@ object Queries {
         |      ((CAST(n_bad AS DOUBLE) + CAST(0.5 AS DOUBLE)) / bt)), 6)
         |   AS iv_term
         |FROM g, t""".stripMargin,
+
+    // the gaps-and-islands idiom re-derived: LAG-change flag (NULL-safe
+    // via IS DISTINCT FROM == Spark's <=> negation), running-sum island
+    // id, next run's start as this run's end
+    "d191_change_history" ->
+      """WITH o AS (SELECT o_custkey AS k, o_orderstatus AS st,
+        |  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ms,
+        |  o_orderkey AS id FROM orders),
+        |f AS (SELECT *, CASE WHEN LAG(st) OVER
+        |    (PARTITION BY k ORDER BY ms, id) IS DISTINCT FROM st
+        |  THEN 1 ELSE 0 END AS chg FROM o),
+        |g AS (SELECT *, SUM(chg) OVER (PARTITION BY k ORDER BY ms, id
+        |  ROWS UNBOUNDED PRECEDING) AS island FROM f),
+        |r AS (SELECT k, island, MIN(st) AS st, MIN(ms) AS valid_from,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows FROM g GROUP BY 1, 2)
+        |SELECT CAST(k AS BIGINT) AS o_custkey, st AS o_orderstatus,
+        | CAST(valid_from AS BIGINT) AS valid_from,
+        | CAST(LEAD(valid_from) OVER (PARTITION BY k ORDER BY island)
+        |   AS BIGINT) AS valid_to,
+        | n_rows
+        |FROM r""".stripMargin,
+
+    // Gini by per-region ascending rank: numerator/denominator exact
+    // integers (HUGEINT on this side), one division, ROUND 9; no-order
+    // customers join in as zeros on both engines
+    "d192_gini" ->
+      """WITH rev AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS cents FROM orders GROUP BY 1),
+        |x AS (SELECT r_name, c_custkey, COALESCE(cents, 0) AS cents
+        | FROM customer
+        | JOIN nation ON n_nationkey = c_nationkey
+        | JOIN region ON r_regionkey = n_regionkey
+        | LEFT JOIN rev ON o_custkey = c_custkey),
+        |r AS (SELECT r_name, cents, ROW_NUMBER() OVER
+        |  (PARTITION BY r_name ORDER BY cents, c_custkey) AS i FROM x)
+        |SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(cents) AS BIGINT) AS total,
+        | CASE WHEN COUNT(*) > 1 AND SUM(cents) > 0 THEN
+        |   ROUND(CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)
+        |       AS DOUBLE) /
+        |     CAST(COUNT(*) * SUM(cents) AS DOUBLE), 9) END AS gini
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // carried click state re-derived as IGNORE-NULLS last_value over the
+    // strict [unbounded, 1 PRECEDING] frame; the 7-day bound applied
+    // after the scan, unattributed purchases grouped under -1
+    "d193_attribution" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty,
+        |  epoch_ms(ts) AS ms, event_id AS id, value AS v,
+        |  CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS camp
+        | FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT *,
+        |  LAST_VALUE(CASE WHEN ty = 'click' THEN ms END IGNORE NULLS)
+        |    OVER win AS cms,
+        |  LAST_VALUE(CASE WHEN ty = 'click' THEN camp END IGNORE NULLS)
+        |    OVER win AS ccamp
+        | FROM e WINDOW win AS (PARTITION BY u ORDER BY ms, id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT COALESCE(CASE WHEN cms IS NOT NULL
+        |    AND cms >= ms - 604800000 THEN ccamp END, -1) AS campaign,
+        |  v FROM w WHERE ty = 'purchase')
+        |SELECT CAST(campaign AS BIGINT) AS campaign,
+        | CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        | CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // four BFS levels as independent set-algebra stages (MATERIALIZED —
+    // the d175 CTE-inlining lesson); seed = (max degree, min node)
+    "d194_bfs" ->
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g,
+        |  l_partkey AS i FROM lineitem),
+        |e AS MATERIALIZED (SELECT pa AS a, pb AS b FROM
+        |  (SELECT a.i AS pa, b.i AS pb, COUNT(*) AS c FROM li a
+        |    JOIN li b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2)
+        |  WHERE c >= 2),
+        |und AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |d0 AS MATERIALIZED (SELECT n AS node FROM
+        |  (SELECT n, COUNT(*) AS dg FROM
+        |    (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+        |  ORDER BY dg DESC, n LIMIT 1),
+        |d1 AS MATERIALIZED (SELECT DISTINCT v AS node FROM und
+        |  JOIN d0 ON u = d0.node
+        |  WHERE v NOT IN (SELECT node FROM d0)),
+        |d2 AS MATERIALIZED (SELECT DISTINCT v AS node FROM und
+        |  JOIN d1 ON u = d1.node
+        |  WHERE v NOT IN (SELECT node FROM d0 UNION ALL
+        |    SELECT node FROM d1)),
+        |d3 AS MATERIALIZED (SELECT DISTINCT v AS node FROM und
+        |  JOIN d2 ON u = d2.node
+        |  WHERE v NOT IN (SELECT node FROM d0 UNION ALL
+        |    SELECT node FROM d1 UNION ALL SELECT node FROM d2)),
+        |d4 AS MATERIALIZED (SELECT DISTINCT v AS node FROM und
+        |  JOIN d3 ON u = d3.node
+        |  WHERE v NOT IN (SELECT node FROM d0 UNION ALL
+        |    SELECT node FROM d1 UNION ALL SELECT node FROM d2
+        |    UNION ALL SELECT node FROM d3))
+        |SELECT CAST(node AS BIGINT) AS node, CAST(0 AS INT) AS hop FROM d0
+        |UNION ALL SELECT CAST(node AS BIGINT), CAST(1 AS INT) FROM d1
+        |UNION ALL SELECT CAST(node AS BIGINT), CAST(2 AS INT) FROM d2
+        |UNION ALL SELECT CAST(node AS BIGINT), CAST(3 AS INT) FROM d3
+        |UNION ALL SELECT CAST(node AS BIGINT), CAST(4 AS INT) FROM d4"""
+        .stripMargin,
+
+    // the 8 lags spelled out; weights 128..1, numerator/denominator
+    // exact integers, the single division correctly rounded — no ROUND
+    "d195_ewma" ->
+      """WITH e AS (SELECT user_id AS u, epoch_ms(ts) AS ms,
+        |  event_id AS id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+        |l AS (SELECT u, ms, id, cents,
+        |  LAG(cents, 1) OVER win AS l1, LAG(cents, 2) OVER win AS l2,
+        |  LAG(cents, 3) OVER win AS l3, LAG(cents, 4) OVER win AS l4,
+        |  LAG(cents, 5) OVER win AS l5, LAG(cents, 6) OVER win AS l6,
+        |  LAG(cents, 7) OVER win AS l7
+        | FROM e WINDOW win AS (PARTITION BY u ORDER BY ms, id))
+        |SELECT CAST(u AS BIGINT) AS user_id, CAST(ms AS BIGINT) AS ts_ms,
+        | CAST(id AS BIGINT) AS event_id, cents,
+        | CAST(128 * cents + COALESCE(64 * l1, 0) + COALESCE(32 * l2, 0) +
+        |   COALESCE(16 * l3, 0) + COALESCE(8 * l4, 0) +
+        |   COALESCE(4 * l5, 0) + COALESCE(2 * l6, 0) +
+        |   COALESCE(1 * l7, 0) AS DOUBLE) /
+        | CAST(128 + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END +
+        |   CASE WHEN l2 IS NULL THEN 0 ELSE 32 END +
+        |   CASE WHEN l3 IS NULL THEN 0 ELSE 16 END +
+        |   CASE WHEN l4 IS NULL THEN 0 ELSE 8 END +
+        |   CASE WHEN l5 IS NULL THEN 0 ELSE 4 END +
+        |   CASE WHEN l6 IS NULL THEN 0 ELSE 2 END +
+        |   CASE WHEN l7 IS NULL THEN 0 ELSE 1 END AS DOUBLE) AS ewma
+        |FROM l""".stripMargin,
   )
 }

@@ -240,4 +240,50 @@ object EvalMetrics {
         when(col("__pdead") + col("__dead") > 0, lit(0.0))
           .otherwise(exp(col("__pterm") + col("__term"))).as("survival"))
   }
+
+  /** Gini concentration index per group — the full-distribution
+    * inequality measure (data-mixture concentration, revenue
+    * concentration, token-budget skew), complementing the top-decile
+    * share (d113) which reads one point of the same Lorenz curve.
+    *
+    * With the group's values x_1 ≤ … ≤ x_n (ties broken by `idCol` for a
+    * total order) and S = Σx,
+    *   G = (2·Σ i·x_i − (n+1)·S) / (n·S)
+    * — every sum is exact integer arithmetic (`valueCol` must be
+    * integral; scale money to cents first), so numerator and denominator
+    * are exact and their single division of integers < 2^53 is correctly
+    * rounded cross-engine (a 100 TB deployment with n·S beyond 2^53 swaps
+    * the two accumulators to DECIMAL(38,0) — same shape). Zero-sum or
+    * single-member groups emit NULL (Gini undefined), not a division
+    * artifact.
+    *
+    * Distribution: the rank window partitions by `groupCol` — parallel
+    * across groups, nothing global. When groups are FEW and huge (this
+    * battery's 5 regions at 100 TB), the per-group rank inside one window
+    * partition becomes the bottleneck; the documented scale path is the
+    * [[ScaleOps.globalPrefixSum]] two-level scan ordered by
+    * (group, value, id), which yields the same Σ i·x_i per group from
+    * running sums — shape available, constant groups just don't need it
+    * at tested SFs.
+    *
+    * Output per group: (groupCol, n BIGINT, total BIGINT, gini DOUBLE
+    * ROUND 9).
+    */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                  idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__x").asc, col(idCol).asc)
+    df.select(col(groupCol), col(valueCol).cast("long").as("__x"),
+        col(idCol))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("total"),
+        sum(col("__i") * col("__x")).as("__ix"))
+      .select(col(groupCol), col("n").cast("long").as("n"),
+        col("total").cast("long").as("total"),
+        when(col("n") > 1 && col("total") > 0,
+          round((lit(2L) * col("__ix") - (col("n") + lit(1L)) * col("total"))
+            .cast("double") /
+            (col("n") * col("total")).cast("double"), 9)).as("gini"))
+  }
 }

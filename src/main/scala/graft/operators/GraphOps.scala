@@ -243,4 +243,54 @@ object GraphOps {
     }
     pr.select(col("node"), round(col("pr"), 9).as("pr"))
   }
+
+  /** Multi-source BFS hop distances, bounded at `maxHops`: the minimum
+    * number of edges from any seed to each reachable node — ego-network
+    * extraction, influence radius, and "related items within k clicks"
+    * all reduce to this.
+    *
+    * Level-synchronous frontier expansion: each round joins the CURRENT
+    * frontier (nodes first reached last round — never the whole visited
+    * set) against the adjacency frame, then anti-joins the visited set to
+    * keep only first arrivals. Per-round shuffle cost is
+    * O(frontier × avg-degree), the minimum any distributed BFS pays; the
+    * adjacency frame is partitioned once on the join key and reused every
+    * round. An empty frontier is the exact fixpoint (every reachable node
+    * within maxHops already has its minimal hop — hop levels are found in
+    * order), so early exit changes nothing.
+    *
+    * Iterative-plan hygiene as in [[pageRank]]: visited/frontier frames
+    * are localCheckpoint'ed per round so round r never replays 1..r−1.
+    *
+    * Input: distinct undirected edges (a, b) a < b, and seed node ids.
+    * Output: (node, hop) with hop in [0, maxHops] — seeds at hop 0.
+    */
+  def bfsDistances(edges: DataFrame, seeds: Seq[Long],
+                   maxHops: Int): DataFrame = {
+    require(seeds.nonEmpty, "bfsDistances needs at least one seed")
+    require(maxHops >= 0, s"maxHops must be non-negative: $maxHops")
+    val session = edges.sparkSession
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("u")) // the side every round's frontier join keys on
+      .localCheckpoint()
+    import session.implicits._
+    var visited = seeds.distinct.toDF("node")
+      .withColumn("hop", lit(0)).localCheckpoint()
+    var frontier = visited.select(col("node")).localCheckpoint()
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = adj.join(frontier.withColumnRenamed("node", "u"),
+          Seq("u"), "left_semi")
+        .select(col("v").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.union(next.withColumn("hop", lit(hop)))
+        .localCheckpoint()
+      frontier = next
+    }
+    visited.select(col("node"), col("hop").cast("int").as("hop"))
+  }
 }

@@ -1089,4 +1089,88 @@ object ScaleOps {
       .mapPartitions(sweep)
       .toDF(minCol, maxCol, "n_points")
   }
+
+  /** SCD Type-2 change history: collapse each key's ordered value sequence
+    * into runs of consecutive equal values, with effective ranges — the
+    * versioned-dimension build every lakehouse needs (who had which status,
+    * from when to when). Run boundaries are the gaps-and-islands idiom:
+    * a LAG-change flag summed into an island id; both windows plus the
+    * per-island aggregation ride ONE (key)-hash partitioning, so however
+    * many versions a key has, the whole build is a single shuffle,
+    * parallel across keys.
+    *
+    * `orderCols` must be a total order within each key (include a
+    * tie-break id — an ambiguous order makes run membership
+    * nondeterministic). Output per run: keyCols, valueCol, `valid_from`
+    * (first orderCol value of the run), `valid_to` (the NEXT run's
+    * valid_from, NULL for the current run — the half-open [from, to)
+    * convention), `n_rows`. NULL values form runs of their own
+    * (NULL-safe change detection), so a missing attribute version is a
+    * tracked epoch, not a dropped row.
+    */
+  def changeHistory(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "changeHistory needs key columns")
+    require(orderCols.nonEmpty, "changeHistory needs an ordering")
+    val W = org.apache.spark.sql.expressions.Window
+    val key = keyCols.map(col)
+    val ord = orderCols.map(col)
+    val wSeq = W.partitionBy(key: _*).orderBy(ord: _*)
+    val flagged = df
+      .withColumn("__chg",
+        when(lag(col(valueCol), 1).over(wSeq) <=> col(valueCol), lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("__island", sum(col("__chg"))
+        .over(wSeq.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    val runs = flagged
+      .groupBy((key :+ col("__island")): _*)
+      .agg(first(col(valueCol)).as(valueCol),
+        min(col(orderCols.head)).as("valid_from"),
+        count(lit(1)).as("n_rows"))
+    val wRun = W.partitionBy(key: _*).orderBy(col("__island"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .drop("__island")
+  }
+
+  /** Exact bounded EWMA over each key's ordered series, in integer
+    * arithmetic end-to-end: weights are powers of two (most recent lag
+    * heaviest), so the smoothed value is a ratio of two exact integers —
+    * num = Σ_{j=0..depth−1} x_{t−j}·2^(depth−1−j), den = Σ of the weights
+    * actually present — and the single final division of two exact
+    * integers < 2^53 is correctly rounded, hence bit-identical on any
+    * IEEE engine. A float-α recursive EWMA is history-length-dependent
+    * and accumulates ulps engine-differently; the bounded power-of-two
+    * form is the deterministic twin (α = 1/2, truncated at `depth` lags,
+    * re-normalized over available history so early rows are exact too).
+    *
+    * All `depth` LAGs ride ONE window spec — one hash shuffle on
+    * `partitionCols`, parallel across keys, nothing global. `valueCol`
+    * must be integral (scale money to cents first); products stay exact
+    * while max|x|·2^depth < 2^53.
+    */
+  def ewmaSmoothed(df: DataFrame, partitionCols: Seq[String],
+      orderCols: Seq[String], valueCol: String, depth: Int = 8,
+      outCol: String = "ewma"): DataFrame = {
+    require(partitionCols.nonEmpty, "ewmaSmoothed needs partition columns")
+    require(orderCols.nonEmpty, "ewmaSmoothed needs an ordering")
+    require(depth >= 1 && depth <= 32, s"depth out of range: $depth")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val lags = (0 until depth).map(j =>
+      if (j == 0) col(valueCol) else lag(col(valueCol), j).over(w))
+    val weights = (0 until depth).map(j => 1L << (depth - 1 - j))
+    val num = lags.zip(weights).map { case (l, wt) =>
+      coalesce(l * lit(wt), lit(0L))
+    }.reduce(_ + _)
+    val den = lags.zip(weights).map { case (l, wt) =>
+      when(l.isNotNull, lit(wt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // a NULL current value with no in-window history gives den = 0; emit
+    // NULL, not an engine-dependent division artifact (Spark doubles give
+    // Infinity/NaN on /0 where DuckDB gives NULL)
+    df.withColumn(outCol,
+      when(den > 0, num.cast("double") / den.cast("double")))
+  }
 }

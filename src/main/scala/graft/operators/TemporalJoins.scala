@@ -84,4 +84,58 @@ object TemporalJoins {
       .filter(abs(col("__lts") - col("__rts")) <= widthMillis)
       .drop("__bucket", "__lts", "__rts")
   }
+
+  /** Last-touch attribution: attach to every conversion row the most
+    * recent preceding touch row (same key, strictly earlier in the
+    * (ts, tiebreak) total order, within `windowMillis`) — the marketing /
+    * experiment-exposure attribution shape, and temporally the in-stream
+    * sibling of [[asOfJoin]]: here touches and conversions already live
+    * in ONE event stream, so no union is needed and the whole operator is
+    * a single key-partitioned window scan (one hash shuffle, parallel
+    * across keys, nothing global).
+    *
+    * The carried touch is a struct of (ts, tiebreak, `touchCols`…) taken
+    * via `last(ignoreNulls)` over rows [unbounded, 1 PRECEDING] — the
+    * strict precedence means a conversion at the same (ts, tiebreak)
+    * instant as a touch does NOT attribute to it (tiebreak order decides
+    * simultaneity deterministically). Touches older than the window
+    * null out AFTER the scan (exact, per-row), so attributed rows carry
+    * the touch payload and stale/absent-touch conversions survive with
+    * NULLs — the unattributed remainder is part of the answer.
+    *
+    * @param df           the event stream (touches + conversions + noise)
+    * @param keyCol       attribution scope (user/session)
+    * @param tsCol        BIGINT event-time milliseconds
+    * @param tieCol       unique tie-break within (key, ts)
+    * @param isTouch      predicate marking touch rows
+    * @param isConversion predicate marking conversion rows
+    * @param touchCols    touch columns to attach (prefixed `touch_`)
+    * @param windowMillis max touch age; <= 0 means unbounded
+    */
+  def lastTouchAttribution(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      isTouch: org.apache.spark.sql.Column,
+      isConversion: org.apache.spark.sql.Column,
+      touchCols: Seq[String], windowMillis: Long): DataFrame = {
+    require(touchCols.nonEmpty, "lastTouchAttribution needs touch columns")
+    val payload = struct(
+      (Seq(col(tsCol).cast("long").as("__tts"), col(tieCol).as("__ttie")) ++
+        touchCols.map(col)): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).cast("long").asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scanned = df
+      .withColumn("__touch",
+        last(when(isTouch, payload), ignoreNulls = true).over(w))
+      .filter(isConversion)
+    val fresh = if (windowMillis > 0)
+      col("__touch").isNotNull &&
+        col("__touch.__tts") >= col(tsCol).cast("long") - windowMillis
+    else col("__touch").isNotNull
+    val attributed = scanned.withColumn("__t", when(fresh, col("__touch")))
+    attributed.select(
+      (df.columns.map(col) ++
+        touchCols.map(c => col(s"__t.$c").as(s"touch_$c")) :+
+        col("__t.__tts").as("touch_ts")): _*)
+  }
 }

@@ -237,4 +237,46 @@ class EvalMetricsSpec extends SparkTestBase {
     assert(got(1) == ((2L, 3L, 0L, 1L, 0.5)))
     assert(got(2) == ((3L, 2L, 2L, 0L, 0.0)))
   }
+
+  test("giniByGroup: closed-form extremes and the exact-integer formula") {
+    val s = spark
+    import s.implicits._
+    val rows =
+      // group "eq": perfect equality -> G = 0
+      (1L to 4L).map(i => ("eq", i, 100L)) ++
+      // group "one": one member holds everything -> G = (n-1)/n = 0.75
+      Seq(("one", 1L, 0L), ("one", 2L, 0L), ("one", 3L, 0L),
+        ("one", 4L, 400L)) ++
+      // group "mix": hand-computed — x = (1,2,3,4) ascending,
+      // G = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40 = 0.25
+      Seq(("mix", 10L, 1L), ("mix", 11L, 2L), ("mix", 12L, 3L),
+        ("mix", 13L, 4L)) ++
+      // degenerate groups: all-zero total and a single member -> NULL
+      Seq(("zero", 1L, 0L), ("zero", 2L, 0L), ("solo", 1L, 42L))
+    val got = EvalMetrics.giniByGroup(
+        rows.toDF("g", "id", "v"), "g", "v", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(got("eq") == ((4L, 400L, Some(0.0))))
+    assert(got("one") == ((4L, 400L, Some(0.75))))
+    assert(got("mix") == ((4L, 10L, Some(0.25))))
+    assert(got("zero") == ((2L, 0L, None)))
+    assert(got("solo") == ((1L, 42L, None)))
+  }
+
+  test("giniByGroup: tie-break id makes equal values deterministic; order-free") {
+    val s = spark
+    import s.implicits._
+    // heavy ties: rank assignment among equals is id-ordered, but Gini is
+    // rank-sum based so ANY consistent tie order gives the same answer —
+    // assert invariance under input permutation and repartitioning
+    val base = Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L),
+      ("g", 4L, 85L))
+    val a = EvalMetrics.giniByGroup(base.toDF("g", "id", "v"),
+      "g", "v", "id").collect().map(_.toSeq).toSeq
+    val b = EvalMetrics.giniByGroup(
+        base.reverse.toDF("g", "id", "v").repartition(7),
+        "g", "v", "id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }

@@ -213,4 +213,38 @@ class GraphOpsSpec extends SparkTestBase {
       .as[(Long, Double)].collect().toMap
     assert(uniform.values.toSet == Set(0.2))
   }
+
+  test("bfsDistances: minimal hops, maxHops bound, unreachable excluded") {
+    // path 1-2-3-4-5 plus shortcut 1-4 (min distance must win: 4 is at
+    // hop 1, 5 at hop 2) and an island 8-9 (never reached)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (8L, 9L)).toDF("a", "b")
+    val got = GraphOps.bfsDistances(edges, Seq(1L), maxHops = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+    // the bound truncates: maxHops = 1 keeps only the seed's neighbors
+    val near = GraphOps.bfsDistances(edges, Seq(1L), maxHops = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(near == Map(1L -> 0, 2L -> 1, 4L -> 1))
+    // maxHops = 0 is the seed set itself
+    assert(GraphOps.bfsDistances(edges, Seq(1L), maxHops = 0)
+      .as[(Long, Int)].collect().toMap == Map(1L -> 0))
+  }
+
+  test("bfsDistances: multi-source takes the minimum over seeds; early exit is exact") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    // seeds at both ends of the path: node 3 is hop 2 from either
+    val got = GraphOps.bfsDistances(edges, Seq(1L, 5L), maxHops = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+    // maxHops far beyond the diameter changes nothing (empty-frontier
+    // exit) — same answer as the exact-diameter run
+    val exact = GraphOps.bfsDistances(edges, Seq(1L, 5L), maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got == exact)
+    // a seed duplicated in the input stays one row at hop 0
+    val dup = GraphOps.bfsDistances(edges, Seq(1L, 1L), maxHops = 1)
+      .as[(Long, Int)].collect().toSeq
+    assert(dup.count(_._1 == 1L) == 1)
+  }
 }

@@ -774,4 +774,78 @@ class ScaleOpsSpec extends SparkTestBase {
       ("a", 100L, (4.25, 4.25, 4.25, 4.25), 1L, 4.25),
       ("b", 0L, (2.0, 6.0, 2.0, 6.0), 2L, 8.0)), s"got $got")
   }
+
+  test("changeHistory: runs collapse, half-open ranges chain, NULL is a tracked epoch") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq[(String, Long, Long, java.lang.Long)](
+      // key k1: A A B A -> three runs (the same value RETURNING opens a
+      // NEW run — SCD2, not a distinct census)
+      ("k1", 10L, 1L, 1L), ("k1", 20L, 2L, 1L),
+      ("k1", 30L, 3L, 2L), ("k1", 40L, 4L, 1L),
+      // key k2: value -> NULL -> value; the NULL epoch is its own run
+      ("k2", 10L, 5L, 7L), ("k2", 20L, 6L, null), ("k2", 30L, 7L, 7L))
+      .toDF("k", "ts", "id", "v")
+    val got = ScaleOps.changeHistory(rows, Seq("k"), Seq("ts", "id"), "v")
+      .select("k", "v", "valid_from", "valid_to", "n_rows")
+      .collect().map(r => (r.getString(0), Option(r.get(1)),
+        r.getLong(2), Option(r.get(3)), r.getLong(4))).toSeq
+    assertMultiset(got, Seq(
+      ("k1", Some(1L), 10L, Some(30L), 2L),
+      ("k1", Some(2L), 30L, Some(40L), 1L),
+      ("k1", Some(1L), 40L, None, 1L),
+      ("k2", Some(7L), 10L, Some(20L), 1L),
+      ("k2", None, 20L, Some(30L), 1L),
+      ("k2", Some(7L), 30L, None, 1L)))
+  }
+
+  test("changeHistory: tie-break column decides simultaneous rows deterministically") {
+    val s = spark
+    import s.implicits._
+    // two rows at the SAME ts: id order makes B the later value, so the
+    // history is A[run of 1] then B — regardless of input row order
+    val rows = Seq(("k", 10L, 2L, "B"), ("k", 10L, 1L, "A"))
+      .toDF("k", "ts", "id", "v")
+    val got = ScaleOps.changeHistory(rows, Seq("k"), Seq("ts", "id"), "v")
+      .select("v", "valid_to").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toSeq
+    assertMultiset(got, Seq(("A", Some(10L)), ("B", None)))
+  }
+
+  test("ewmaSmoothed matches the integer weight model; short history renormalizes") {
+    val s = spark
+    import s.implicits._
+    val xs = Seq(100L, 200L, 400L, 800L, 50L, 60L, 70L, 80L, 90L, 30L)
+    val df = xs.zipWithIndex
+      .map { case (v, i) => ("u", i.toLong, v) }.toDF("k", "ts", "v")
+    val got = ScaleOps.ewmaSmoothed(df, Seq("k"), Seq("ts"), "v", depth = 8)
+      .select("ts", "ewma").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // in-memory model: weights 2^(depth-1-j) over the last up-to-8 values
+    def model(t: Int): Double = {
+      val lags = (0 to math.min(7, t)).map(j => xs(t - j))
+      val num = lags.zipWithIndex.map { case (x, j) => x * (1L << (7 - j)) }.sum
+      val den = lags.indices.map(j => 1L << (7 - j)).sum
+      num.toDouble / den.toDouble
+    }
+    xs.indices.foreach { t =>
+      assert(got(t.toLong) == model(t), s"t=$t") // exact, not approx
+    }
+    // first row: no history, ewma == the value itself
+    assert(got(0L) == 100.0)
+  }
+
+  test("ewmaSmoothed: null values contribute nothing; no-history null row yields NULL") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(String, Long, java.lang.Long)](
+      ("u", 0L, null), ("u", 1L, 100L), ("u", 2L, null))
+      .toDF("k", "ts", "v")
+    val got = ScaleOps.ewmaSmoothed(df, Seq("k"), Seq("ts"), "v", depth = 4)
+      .select("ts", "ewma").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(0L).isEmpty)        // den = 0 -> NULL, never Infinity/NaN
+    assert(got(1L) == Some(100.0)) // null history rows drop out of both sums
+    assert(got(2L) == Some(100.0)) // null current row smooths over history
+  }
 }
