@@ -3491,7 +3491,41 @@ object Queries {
     "d193_attribution" -> (d193Attribution _),
     "d194_bfs" -> (d194Bfs _),
     "d195_ewma" -> (d195Ewma _),
+    "d196_stream_ewma" ->
+      (graft.streaming.StreamingBattery.d196StreamEwma _),
   )
+
+  /** ONE definition for the EWMA oracle — d195 (batch window plan) and
+    * d196 (streaming ring-buffer state) must stay on the identical SQL,
+    * same contract as [[aucOracleSql]]/[[ohlcOracleSql]]: the 8 lags
+    * spelled out, integer numerator/denominator, a single correctly-
+    * rounded division and NO rounding anywhere.
+    */
+  private val ewmaOracleSql: String =
+    """WITH e AS (SELECT user_id AS u, epoch_ms(ts) AS ms,
+      |  event_id AS id,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      | FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+      |l AS (SELECT u, ms, id, cents,
+      |  LAG(cents, 1) OVER win AS l1, LAG(cents, 2) OVER win AS l2,
+      |  LAG(cents, 3) OVER win AS l3, LAG(cents, 4) OVER win AS l4,
+      |  LAG(cents, 5) OVER win AS l5, LAG(cents, 6) OVER win AS l6,
+      |  LAG(cents, 7) OVER win AS l7
+      | FROM e WINDOW win AS (PARTITION BY u ORDER BY ms, id))
+      |SELECT CAST(u AS BIGINT) AS user_id, CAST(ms AS BIGINT) AS ts_ms,
+      | CAST(id AS BIGINT) AS event_id, cents,
+      | CAST(128 * cents + COALESCE(64 * l1, 0) + COALESCE(32 * l2, 0) +
+      |   COALESCE(16 * l3, 0) + COALESCE(8 * l4, 0) +
+      |   COALESCE(4 * l5, 0) + COALESCE(2 * l6, 0) +
+      |   COALESCE(1 * l7, 0) AS DOUBLE) /
+      | CAST(128 + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END +
+      |   CASE WHEN l2 IS NULL THEN 0 ELSE 32 END +
+      |   CASE WHEN l3 IS NULL THEN 0 ELSE 16 END +
+      |   CASE WHEN l4 IS NULL THEN 0 ELSE 8 END +
+      |   CASE WHEN l5 IS NULL THEN 0 ELSE 4 END +
+      |   CASE WHEN l6 IS NULL THEN 0 ELSE 2 END +
+      |   CASE WHEN l7 IS NULL THEN 0 ELSE 1 END AS DOUBLE) AS ewma
+      |FROM l""".stripMargin
 
   /** ONE definition for the OHLC oracle — d179 (batch) and d183 (streaming
     * fold) must stay on the identical SQL, same contract as
@@ -5602,30 +5636,10 @@ object Queries {
 
     // the 8 lags spelled out; weights 128..1, numerator/denominator
     // exact integers, the single division correctly rounded — no ROUND
-    "d195_ewma" ->
-      """WITH e AS (SELECT user_id AS u, epoch_ms(ts) AS ms,
-        |  event_id AS id,
-        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        | FROM events WHERE event_type = 'view' AND value IS NOT NULL),
-        |l AS (SELECT u, ms, id, cents,
-        |  LAG(cents, 1) OVER win AS l1, LAG(cents, 2) OVER win AS l2,
-        |  LAG(cents, 3) OVER win AS l3, LAG(cents, 4) OVER win AS l4,
-        |  LAG(cents, 5) OVER win AS l5, LAG(cents, 6) OVER win AS l6,
-        |  LAG(cents, 7) OVER win AS l7
-        | FROM e WINDOW win AS (PARTITION BY u ORDER BY ms, id))
-        |SELECT CAST(u AS BIGINT) AS user_id, CAST(ms AS BIGINT) AS ts_ms,
-        | CAST(id AS BIGINT) AS event_id, cents,
-        | CAST(128 * cents + COALESCE(64 * l1, 0) + COALESCE(32 * l2, 0) +
-        |   COALESCE(16 * l3, 0) + COALESCE(8 * l4, 0) +
-        |   COALESCE(4 * l5, 0) + COALESCE(2 * l6, 0) +
-        |   COALESCE(1 * l7, 0) AS DOUBLE) /
-        | CAST(128 + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END +
-        |   CASE WHEN l2 IS NULL THEN 0 ELSE 32 END +
-        |   CASE WHEN l3 IS NULL THEN 0 ELSE 16 END +
-        |   CASE WHEN l4 IS NULL THEN 0 ELSE 8 END +
-        |   CASE WHEN l5 IS NULL THEN 0 ELSE 4 END +
-        |   CASE WHEN l6 IS NULL THEN 0 ELSE 2 END +
-        |   CASE WHEN l7 IS NULL THEN 0 ELSE 1 END AS DOUBLE) AS ewma
-        |FROM l""".stripMargin,
+    "d195_ewma" -> ewmaOracleSql,
+
+    // the streaming ring-buffer state must land on the batch window
+    // plan's answer exactly — same oracle
+    "d196_stream_ewma" -> ewmaOracleSql,
   )
 }

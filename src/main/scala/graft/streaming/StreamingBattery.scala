@@ -693,6 +693,82 @@ object StreamingBattery {
     } finally deleteRecursively(root)
   }
 
+  /** Streaming exact EWMA, oracle-gated: the ORDER-SENSITIVE state shape
+    * no other streaming row exercises — [[StreamingOps.ewmaStream]]'s ring
+    * buffer is sequence-dependent (AUC/OHLC fold commutative statistics;
+    * this one does not commute), so the row also proves the ordering
+    * contract end-to-end: the input is staged as three EVENT-TIME SLICES
+    * with strictly increasing file mtimes and replayed one file per
+    * micro-batch (FileStreamSource default is oldest-first), giving every
+    * user an in-order arrival across batches. The result hash-checks
+    * against the SAME DuckDB oracle as batch d195 — a state ring carried
+    * across three micro-batches must reproduce the batch window plan
+    * bit-for-bit (the division of exact integers is correctly rounded on
+    * both paths).
+    *
+    * Vacuity guards: three non-empty slices, and at least one user must
+    * SPAN slices (state crossing a batch boundary is the property under
+    * test — a single-batch replay would pass trivially).
+    */
+  def d196StreamEwma(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val sp = s; import sp.implicits._
+    val root = Files.createTempDirectory("graft-stream-ewma")
+    try {
+      val in = root.resolve("in"); Files.createDirectories(in)
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "view" && col("value").isNotNull)
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .localCheckpoint() // feeds 3 slice writes + the vacuity census
+      val Array(loCut, hiCut) = ev.stat
+        .approxQuantile("ts_ms", Array(1.0 / 3, 2.0 / 3), 0.0)
+      val slices = Seq(
+        ev.filter(col("ts_ms") < loCut.toLong),
+        ev.filter(col("ts_ms") >= loCut.toLong &&
+          col("ts_ms") < hiCut.toLong),
+        ev.filter(col("ts_ms") >= hiCut.toLong))
+      // a user present in >= 2 slices carries ring state across a
+      // micro-batch boundary; this data has ~150 users over months, so
+      // spanning is generic — but guard it, don't assume it
+      val spanning = slices.zipWithIndex
+        .map { case (sl, i) => sl.select(col("user_id")).distinct()
+          .withColumn("__s", lit(i)) }
+        .reduce(_ unionByName _)
+        .groupBy(col("user_id")).agg(countDistinct(col("__s")).as("ns"))
+        .filter(col("ns") >= 2).count()
+      require(spanning > 0, "no user spans two slices: ring-state " +
+        "carry-over across micro-batches would be untested")
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        require(sl.count() > 0, s"empty time slice $i")
+        val tmp = root.resolve(s"tmp$i")
+        sl.coalesce(1).write.parquet(tmp.toString)
+        val part = Files.list(tmp)
+          .filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = in.resolve(f"slice-$i%02d.parquet")
+        Files.move(part, dst)
+        // oldest-first replay keys on modification time — make the
+        // slice order explicit, never filesystem-accidental
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - (slices.size - i) * 60000L))
+      }
+      val src = s.readStream
+        .schema(s.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+        .as[(Long, Long, Long, Long)]
+      val out = StreamingOps.ewmaStream(src, depth = 8)
+        .toDF("user_id", "ts_ms", "event_id", "cents", "ewma")
+      runToTable(s, out)
+        .select(expr("CAST(user_id AS BIGINT)").as("user_id"),
+          expr("CAST(ts_ms AS BIGINT)").as("ts_ms"),
+          expr("CAST(event_id AS BIGINT)").as("event_id"),
+          expr("CAST(cents AS BIGINT)").as("cents"), col("ewma"))
+    } finally deleteRecursively(root)
+  }
+
   def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame =
       withShufflePartitions(s, 8) {
     def side(tpe: String, pre: String): DataFrame = {

@@ -540,4 +540,53 @@ object StreamingOps {
     }
     out.iterator
   }
+
+  /** Order-sensitive streaming EWMA: the streaming twin of
+    * [[graft.operators.ScaleOps.ewmaSmoothed]] — per key, a ring buffer of
+    * the last `depth − 1` values rides the state store, each arriving row
+    * emits the exact power-of-two-weighted average of itself plus the
+    * ring (same integer num/den arithmetic as the batch operator, so the
+    * emitted doubles are bit-identical to the batch plan's).
+    *
+    * This is a NEW state shape for the streaming layer: unlike the
+    * mergeable-statistic folds (AUC d170, OHLC d183), EWMA state is
+    * SEQUENCE-dependent — commutativity does not hold, so correctness
+    * needs the ordering contract: rows of one key must arrive in
+    * (ts, tie) order ACROSS micro-batches (within a batch the operator
+    * sorts the group itself). A bounded backfill gets this by staging
+    * files in event-time slices (the battery row does); a production
+    * stream gets it from a time-ordered source (e.g. a log partitioned by
+    * key with in-partition order, the Kafka-per-key guarantee). State is
+    * O(depth) longs per key — no TTL needed at battery scale; a standing
+    * deployment wraps this in the usual watermark TTL.
+    *
+    * Input columns (by name): key, ts, tie, value — all BIGINT.
+    * Output: (key, ts, tie, value, ewma).
+    */
+  def ewmaStream(input: Dataset[(Long, Long, Long, Long)],
+                 depth: Int): Dataset[(Long, Long, Long, Long, Double)] = {
+    require(depth >= 1 && depth <= 32, s"depth out of range: $depth")
+    val session = input.sparkSession
+    import session.implicits._
+    implicit val ringEnc: Encoder[List[Long]] =
+      Encoders.kryo(classOf[List[Long]])
+    input.groupByKey(_._1)
+      .flatMapGroupsWithState[List[Long], (Long, Long, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[List[Long]]) =>
+          var ring = state.getOption.getOrElse(Nil) // most recent first
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+            case (_, ts, tie, x) =>
+              val lags = (x :: ring).take(depth)
+              val num = lags.zipWithIndex
+                .map { case (v, j) => v * (1L << (depth - 1 - j)) }.sum
+              val den = lags.indices.map(j => 1L << (depth - 1 - j)).sum
+              ring = (x :: ring).take(depth - 1)
+              (key, ts, tie, x, num.toDouble / den.toDouble)
+          }
+          state.update(ring)
+          out.iterator
+      }
+  }
 }

@@ -295,4 +295,43 @@ class StreamingBatterySpec extends SparkTestBase {
     assert(got.filter(col("open") =!= col("close")).count() > 0,
       "every bucket degenerate: open == close everywhere")
   }
+
+  test("d196 streaming EWMA ring == batch d195 window plan, bit-for-bit") {
+    val got = graft.streaming.StreamingBattery.d196StreamEwma(spark, sf)
+    val want = Queries.d195Ewma(spark, sf)
+    assertSameRows(got, want) // EXACT doubles — no rounding on either side
+    // teeth: some row must smooth over a FULL ring (8 observations) —
+    // otherwise the depth-truncation path went unexercised
+    val full = got.as[(Long, Long, Long, Long, Double)](
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long, Double)])
+      .collect().groupBy(_._1).values.map(_.length).max
+    assert(full >= 8, s"longest per-user series $full < depth 8")
+  }
+
+  test("ewmaStream carries ring state across micro-batches (MemoryStream, 2 adds)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val out = graft.streaming.StreamingOps.ewmaStream(mem.toDS(), depth = 4)
+    val sink = s"ewma_mem_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // batch 1: key 1 sees values 100, 200 (in-batch order by ts)
+      mem.addData((1L, 2L, 1L, 200L), (1L, 1L, 1L, 100L))
+      q.processAllAvailable()
+      // batch 2: value 400 must smooth over the REMEMBERED 200, 100
+      mem.addData((1L, 3L, 1L, 400L))
+      q.processAllAvailable()
+      val got = s.table(sink)
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(r => r._2 -> r._5).toMap
+      assert(got(1L) == 100.0)                    // 8*100/8
+      assert(got(2L) == (8 * 200 + 4 * 100) / 12.0)
+      // cross-batch: 8*400 + 4*200 + 2*100 over 8+4+2
+      assert(got(3L) == (8 * 400 + 4 * 200 + 2 * 100) / 14.0)
+    } finally q.stop()
+  }
 }
