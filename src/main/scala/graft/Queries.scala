@@ -1569,6 +1569,44 @@ object Queries {
         expr("CAST(hop AS INT)").as("hop"))
   }
 
+  /** Item-item cosine recommender
+    * ([[graft.operators.GraphOps.itemSimilarityTopK]]): top-3 similar
+    * parts per part from co-purchase counts, sim = c_ab/√(c_a·c_b) —
+    * exact integers into two correctly-rounded IEEE ops (sqrt, divide),
+    * so the raw doubles hash cross-engine and rank deterministically
+    * (partner id breaks ties). The per-item top-3 is the
+    * row_number-filter idiom, pre-pruned by the WindowRankToTopK rule
+    * before its shuffle.
+    */
+  def d197ItemSimilarity(s: SparkSession, d: String): DataFrame =
+    graft.operators.GraphOps.itemSimilarityTopK(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("g"),
+          col("l_partkey").as("i")),
+        "g", "i", minCount = 2L, k = 3)
+      .select(expr("CAST(item AS BIGINT)").as("item"),
+        expr("CAST(partner AS BIGINT)").as("partner"),
+        expr("CAST(pair_cnt AS BIGINT)").as("pair_cnt"),
+        expr("CAST(item_cnt AS BIGINT)").as("item_cnt"),
+        expr("CAST(partner_cnt AS BIGINT)").as("partner_cnt"),
+        col("sim"), col("rank"))
+
+  /** Common-neighbor link prediction
+    * ([[graft.operators.GraphOps.commonNeighborScores]]): the 50
+    * strongest PREDICTED co-purchase links (non-adjacent pairs ranked by
+    * neighborhood Jaccard, ties broken by the pair ids — a strict total
+    * order, so the LIMIT boundary is deterministic). orderBy().limit()
+    * plans as TakeOrdered — per-partition top-50 heaps, no global sort
+    * shuffle.
+    */
+  def d198LinkPrediction(s: SparkSession, d: String): DataFrame =
+    graft.operators.GraphOps.commonNeighborScores(coPurchaseEdges(s, d))
+      .orderBy(col("score").desc, col("u").asc, col("w").asc).limit(50)
+      .select(expr("CAST(u AS BIGINT)").as("u"),
+        expr("CAST(w AS BIGINT)").as("w"),
+        expr("CAST(common AS BIGINT)").as("common"),
+        expr("CAST(deg_u AS BIGINT)").as("deg_u"),
+        expr("CAST(deg_w AS BIGINT)").as("deg_w"), col("score"))
+
   /** Exact bounded EWMA ([[graft.operators.ScaleOps.ewmaSmoothed]]) over
     * each user's view-value series in cents: power-of-two weights over
     * the last 8 observations make the smoothed value a ratio of two
@@ -3493,6 +3531,8 @@ object Queries {
     "d195_ewma" -> (d195Ewma _),
     "d196_stream_ewma" ->
       (graft.streaming.StreamingBattery.d196StreamEwma _),
+    "d197_item_similarity" -> (d197ItemSimilarity _),
+    "d198_link_prediction" -> (d198LinkPrediction _),
   )
 
   /** ONE definition for the EWMA oracle — d195 (batch window plan) and
@@ -5641,5 +5681,56 @@ object Queries {
     // the streaming ring-buffer state must land on the batch window
     // plan's answer exactly — same oracle
     "d196_stream_ewma" -> ewmaOracleSql,
+
+    // cosine from exact counts: sqrt and divide are single
+    // correctly-rounded IEEE ops, raw doubles hash; partner id breaks
+    // rank ties identically
+    "d197_item_similarity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem),
+        |pc AS (SELECT a.i AS pa, b.i AS pb, CAST(COUNT(*) AS BIGINT)
+        |   AS cnt
+        | FROM li a JOIN li b ON a.g = b.g AND a.i < b.i
+        | GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM li
+        | GROUP BY 1),
+        |dirx AS (SELECT pa AS item, pb AS partner, cnt FROM pc
+        | UNION ALL SELECT pb, pa, cnt FROM pc),
+        |sc AS (SELECT d.item, d.partner, d.cnt AS pair_cnt,
+        |  a.c AS item_cnt, b.c AS partner_cnt,
+        |  CAST(d.cnt AS DOUBLE) / sqrt(CAST(a.c * b.c AS DOUBLE)) AS sim
+        | FROM dirx d JOIN ic a ON a.i = d.item
+        | JOIN ic b ON b.i = d.partner),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+        |  ORDER BY sim DESC, partner) AS rk FROM sc)
+        |SELECT CAST(item AS BIGINT) AS item,
+        | CAST(partner AS BIGINT) AS partner, pair_cnt, item_cnt,
+        | partner_cnt, sim, CAST(rk AS INT) AS rank
+        |FROM r WHERE rk <= 3""".stripMargin,
+
+    // wedge-count Jaccard over non-adjacent pairs; (score, u, w) is a
+    // strict total order so the LIMIT 50 boundary is deterministic
+    "d198_link_prediction" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem),
+        |e AS (SELECT pa AS a, pb AS b FROM
+        |  (SELECT a.i AS pa, b.i AS pb, COUNT(*) AS c FROM li a
+        |    JOIN li b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2)
+        |  WHERE c >= 2),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj
+        | GROUP BY 1),
+        |wed AS (SELECT l.v AS u, r.v AS w, CAST(COUNT(*) AS BIGINT)
+        |   AS common
+        | FROM adj l JOIN adj r ON l.u = r.u AND l.v < r.v GROUP BY 1, 2),
+        |nonadj AS (SELECT wed.* FROM wed LEFT JOIN e
+        |  ON e.a = wed.u AND e.b = wed.w WHERE e.a IS NULL),
+        |sc AS (SELECT n.u, n.w, n.common, du.deg AS deg_u, dw.deg AS deg_w,
+        |  CAST(n.common AS DOUBLE) /
+        |    CAST(du.deg + dw.deg - n.common AS DOUBLE) AS score
+        | FROM nonadj n JOIN deg du ON du.u = n.u JOIN deg dw ON dw.u = n.w)
+        |SELECT CAST(u AS BIGINT) AS u, CAST(w AS BIGINT) AS w, common,
+        | deg_u, deg_w, score
+        |FROM sc ORDER BY score DESC, u, w LIMIT 50""".stripMargin,
   )
 }

@@ -29,6 +29,14 @@ object GraphOps {
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
                         minCount: Long = 1L): DataFrame =
+    coOccurrenceCounts(df, groupCol, itemCol, minCount)
+      .select(col("a"), col("b"))
+
+  /** [[coOccurrenceEdges]] keeping the per-pair group count — the edge
+    * weight collaborative-filtering similarity needs.
+    */
+  def coOccurrenceCounts(df: DataFrame, groupCol: String, itemCol: String,
+                         minCount: Long = 1L): DataFrame =
     // basket idiom (one shuffle builds each group's distinct item set;
     // pairs expand IN-GROUP via HOFs) instead of a self-join, which would
     // shuffle the input twice; collect_set dedups (group, item) repeats,
@@ -43,7 +51,6 @@ object GraphOps {
       .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-      .select(col("a"), col("b"))
 
   /** Exact triangle count by degree orientation.
     *
@@ -292,5 +299,99 @@ object GraphOps {
       frontier = next
     }
     visited.select(col("node"), col("hop").cast("int").as("hop"))
+  }
+
+  /** Item-item cosine similarity with per-item top-k — the classic
+    * co-occurrence collaborative-filtering recommender:
+    *   sim(a, b) = c_ab / sqrt(c_a · c_b)
+    * with c_ab the number of groups containing both items and c_i the
+    * number containing item i. Every input to the formula is an exact
+    * integer; sqrt and the division are single correctly-rounded IEEE
+    * ops, so the scores are bit-identical cross-engine and rank
+    * deterministically (ties broken by partner id).
+    *
+    * Distribution: the pair census is the [[coOccurrenceCounts]] basket
+    * idiom (one group shuffle, in-group expansion); item counts are an
+    * item-hash aggregate joined back by item (item-sized, shuffled not
+    * broadcast by assumption); the top-k window partitions by item —
+    * and because it is the row_number-filter idiom, the
+    * `WindowRankToTopK` rule pre-prunes each partition to k before the
+    * window's shuffle.
+    *
+    * Output: (item, partner, pair_cnt, item_cnt, partner_cnt, sim, rank)
+    * for rank ≤ k, both directions of every pair.
+    */
+  def itemSimilarityTopK(df: DataFrame, groupCol: String, itemCol: String,
+                         minCount: Long = 1L, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val pairs = coOccurrenceCounts(df, groupCol, itemCol, minCount)
+      .localCheckpoint() // feeds both direction expansions
+    val itemCnt = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .distinct()
+      .groupBy(col("i")).agg(count(lit(1)).as("c"))
+    val directed = pairs
+      .select(col("a").as("item"), col("b").as("partner"), col("cnt"))
+      .union(pairs
+        .select(col("b").as("item"), col("a").as("partner"), col("cnt")))
+    val scored = directed
+      .join(itemCnt.select(col("i").as("item"), col("c").as("item_cnt")),
+        Seq("item"))
+      .join(itemCnt.select(col("i").as("partner"),
+        col("c").as("partner_cnt")), Seq("partner"))
+      .withColumn("sim", col("cnt").cast("double") /
+        sqrt((col("item_cnt") * col("partner_cnt")).cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("sim").desc, col("partner").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("partner"), col("cnt").as("pair_cnt"),
+        col("item_cnt"), col("partner_cnt"), col("sim"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** Common-neighbor link prediction: for every NON-adjacent pair with at
+    * least one shared neighbor, the count of shared neighbors and the
+    * neighborhood-Jaccard score
+    *   J(u, w) = common / (deg(u) + deg(w) − common)
+    * — exact integers into one correctly-rounded division, so scores and
+    * their ordering are engine-portable.
+    *
+    * The wedge join through each middle node costs deg(middle)² — the
+    * one genuinely quadratic term — so middles above `maxMiddleDegree`
+    * are excluded (documented cap, same contract as the dedup pair caps:
+    * a 100 TB graph's super-hubs contribute near-zero Jaccard evidence
+    * per pair anyway, their common-neighbor mass spreads over deg² pairs).
+    * Degrees in the output are TRUE degrees (the census runs before the
+    * cap; the cap only bounds which middles generate wedges).
+    *
+    * Input: distinct undirected edges (a, b), a < b.
+    * Output: (u, w, common, deg_u, deg_w, score), u < w, non-adjacent.
+    */
+  def commonNeighborScores(edges: DataFrame,
+                           maxMiddleDegree: Long = 10000L): DataFrame = {
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // read by the cap filter AND two score joins
+    val capped = adj
+      .join(deg.filter(col("deg") <= maxMiddleDegree).select(col("u")),
+        Seq("u"), "left_semi")
+      .select(col("u").as("m"), col("v").as("x"))
+    val common = capped.as("l").join(capped.as("r"),
+        col("l.m") === col("r.m") && col("l.x") < col("r.x"))
+      .groupBy(col("l.x").as("u"), col("r.x").as("w"))
+      .agg(count(lit(1)).as("common"))
+      // predicted links only: drop pairs already connected
+      .join(e.select(col("a").as("u"), col("b").as("w")),
+        Seq("u", "w"), "left_anti")
+    common
+      .join(deg.select(col("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("u").as("w"), col("deg").as("deg_w")), Seq("w"))
+      .select(col("u"), col("w"), col("common"), col("deg_u"), col("deg_w"),
+        (col("common").cast("double") /
+          (col("deg_u") + col("deg_w") - col("common")).cast("double"))
+          .as("score"))
   }
 }

@@ -247,4 +247,56 @@ class GraphOpsSpec extends SparkTestBase {
       .as[(Long, Int)].collect().toSeq
     assert(dup.count(_._1 == 1L) == 1)
   }
+
+  test("itemSimilarityTopK: hand-computed cosines, both directions, k cut") {
+    // baskets: g1={1,2}, g2={1,2}, g3={1,3}, g4={1,3}, g5={2,3}
+    // c_1=4 c_2=3 c_3=3; c_12=2 c_13=2 c_23=1
+    val rows = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L),
+      (3L, 3L), (4L, 1L), (4L, 3L), (5L, 2L), (5L, 3L))
+    val got = GraphOps.itemSimilarityTopK(
+        SparkTestBase.spark.createDataFrame(rows).toDF("g", "i"),
+        "g", "i", minCount = 1L, k = 2)
+      .select("item", "partner", "sim", "rank").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getInt(3))))
+      .toMap
+    val s12 = 2.0 / math.sqrt((4 * 3).toDouble)
+    val s13 = 2.0 / math.sqrt((4 * 3).toDouble)
+    val s23 = 1.0 / math.sqrt((3 * 3).toDouble)
+    // item 1: partners 2 and 3 tie on sim — partner id breaks the tie
+    assert(got((1L, 2L)) == ((s12, 1)))
+    assert(got((1L, 3L)) == ((s13, 2)))
+    // both directions exist, each with its own rank
+    assert(got((2L, 1L)) == ((s12, 1)))
+    assert(got((2L, 3L)) == ((s23, 2)))
+    assert(got((3L, 1L)) == ((s13, 1)))
+    assert(got((3L, 2L)) == ((s23, 2)))
+    // k = 1 cuts the tie loser deterministically
+    val top1 = GraphOps.itemSimilarityTopK(
+        SparkTestBase.spark.createDataFrame(rows).toDF("g", "i"),
+        "g", "i", minCount = 1L, k = 1)
+      .select("item", "partner").as[(Long, Long)].collect().toSet
+    assert(top1 == Set((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("commonNeighborScores: counts shared neighbors, excludes edges, caps middles") {
+    // square 1-2-3-4-1: (1,3) and (2,4) are the non-adjacent diagonals,
+    // each with 2 common neighbors and degree 2 -> J = 2/(2+2-2) = 1.0
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val got = GraphOps.commonNeighborScores(square)
+      .select("u", "w", "common", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+    // adjacent pairs with common neighbors are NOT predictions: triangle
+    // plus a pendant — only the pendant pair (2,4) via middle 1 appears
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val triGot = GraphOps.commonNeighborScores(tri)
+      .select("u", "w", "common", "deg_u", "deg_w", "score")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(triGot == Set((2L, 4L, 1L, 2L, 1L, 0.5), (3L, 4L, 1L, 2L, 1L, 0.5)))
+    // capping out the hub middle (node 1, deg 3) removes its wedges but
+    // keeps TRUE degrees in whatever survives
+    val capped = GraphOps.commonNeighborScores(tri, maxMiddleDegree = 2L)
+      .select("u", "w").as[(Long, Long)].collect().toSet
+    assert(capped.isEmpty) // every 2-path in tri runs through node 1
+  }
 }

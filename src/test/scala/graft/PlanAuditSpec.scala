@@ -512,4 +512,31 @@ class PlanAuditSpec extends SparkTestBase {
       "every window must partition by pid — an unpartitioned window " +
         "would serialize the frame:\n" + windows.mkString("\n"))
   }
+
+  test("d197: the per-item top-3 pre-prunes via TopKPerKey before its window shuffle") {
+    val plan = planOf(Queries.d197ItemSimilarity(spark, d))
+    assert(plan.contains("TopKPerKey"),
+      "row_number-filter idiom no longer rewritten:\n" + plan.take(2000))
+  }
+
+  test("d198: global top-50 plans TakeOrdered, never a global sort exchange") {
+    val plan = planOf(Queries.d198LinkPrediction(spark, d))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Exchange rangepartitioning"),
+      "global sort crept in:\n" + plan.take(3000))
+  }
+
+  test("d191/d195: SCD2 history and EWMA each ride ONE key-hash shuffle") {
+    for ((q, name) <- Seq(
+        (Queries.d191ChangeHistory(spark, d), "d191"),
+        (Queries.d195Ewma(spark, d), "d195"))) {
+      val finalPlan = planOf(q).split("== Initial Plan ==").head
+      val exchanges = finalPlan.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1,
+        s"$name: expected exactly 1 hash exchange, got $exchanges:\n" +
+          finalPlan.take(3000))
+    }
+  }
 }
