@@ -1553,9 +1553,10 @@ object Queries {
   /** BFS hop distances ([[graft.operators.GraphOps.bfsDistances]]) from
     * the co-purchase graph's highest-degree part (ties to the smallest
     * id), bounded at 4 hops — the "related items within k clicks" radius
-    * query. Probed at sf0.01: hops 1-4 first-reach 15/55/192/561 nodes,
-    * so every level's anti-join moves rows. The oracle walks the same
-    * four levels as independent set-algebra stages.
+    * query. Probed at sf0.01 (on the DEDUPED (order, part) graph the
+    * operator defines): hops 1-4 first-reach 13/58/183/470 nodes, so
+    * every level's anti-join moves rows. The oracle walks the same four
+    * levels as independent set-algebra stages.
     */
   def d194Bfs(s: SparkSession, d: String): DataFrame = {
     val edges = coPurchaseEdges(s, d).localCheckpoint()
@@ -1618,16 +1619,8 @@ object Queries {
     * sf0.01, top-10 counts 19..12.
     */
   def d199EventPaths(s: SparkSession, d: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_ms"), col("event_id"))
-    Tables.events(s, d)
-      .withColumn("__prev", lag(col("ts_ms"), 1).over(wOrd))
-      .withColumn("__brk",
-        when(col("__prev").isNull ||
-          col("ts_ms") - col("__prev") > 21600000L, 1L).otherwise(0L))
-      .withColumn("__sid", sum(col("__brk"))
-        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("__sid"))
+    withSessionIds(Tables.events(s, d))
+      .groupBy(col("user_id"), col("session_id"))
       .agg(sort_array(collect_list(struct(col("ts_ms"), col("event_id"),
         col("event_type")))).as("__evs"))
       .filter(expr("size(__evs) >= 3"))
@@ -1927,15 +1920,28 @@ object Queries {
     * Ordering is total (ts_ms, event_id), so both engines assign identical
     * session ids.
     */
-  def d75Sessionize(s: SparkSession, d: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
-    Tables.events(s, d)
+  /** Gap sessionization (gaps-and-islands): per user under the
+    * (ts_ms, event_id) total order, a new `session_id` opens when the gap
+    * to the previous event exceeds `gapMs`. ONE definition — d75 (the
+    * session census) and d199 (session paths) must stay on the identical
+    * break rule, or a tuned gap would silently diverge the two rows.
+    */
+  private def withSessionIds(events: DataFrame,
+      gapMs: Long = 21600000L): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    events
       .withColumn("__prev", lag(col("ts_ms"), 1).over(wOrd))
       .withColumn("__brk",
-        when(col("__prev").isNull || col("ts_ms") - col("__prev") > 21600000L, 1L)
-          .otherwise(0L))
-      .withColumn("session_id",
-        sum(col("__brk")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        when(col("__prev").isNull || col("ts_ms") - col("__prev") > gapMs,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__brk"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__brk")
+  }
+
+  def d75Sessionize(s: SparkSession, d: String): DataFrame = {
+    withSessionIds(Tables.events(s, d))
       .groupBy(col("user_id"), col("session_id"))
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_events"),
         expr("CAST(MIN(ts_ms) AS BIGINT)").as("start_ms"),
@@ -3589,11 +3595,13 @@ object Queries {
       | FROM e WINDOW win AS (PARTITION BY u ORDER BY ms, id))
       |SELECT CAST(u AS BIGINT) AS user_id, CAST(ms AS BIGINT) AS ts_ms,
       | CAST(id AS BIGINT) AS event_id, cents,
-      | CAST(128 * cents + COALESCE(64 * l1, 0) + COALESCE(32 * l2, 0) +
+      | CAST(COALESCE(128 * cents, 0) + COALESCE(64 * l1, 0) +
+      |   COALESCE(32 * l2, 0) +
       |   COALESCE(16 * l3, 0) + COALESCE(8 * l4, 0) +
       |   COALESCE(4 * l5, 0) + COALESCE(2 * l6, 0) +
       |   COALESCE(1 * l7, 0) AS DOUBLE) /
-      | CAST(128 + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END +
+      | CAST(CASE WHEN cents IS NULL THEN 0 ELSE 128 END +
+      |   CASE WHEN l1 IS NULL THEN 0 ELSE 64 END +
       |   CASE WHEN l2 IS NULL THEN 0 ELSE 32 END +
       |   CASE WHEN l3 IS NULL THEN 0 ELSE 16 END +
       |   CASE WHEN l4 IS NULL THEN 0 ELSE 8 END +
@@ -5648,24 +5656,26 @@ object Queries {
         |     CAST(COUNT(*) * SUM(cents) AS DOUBLE), 9) END AS gini
         |FROM r GROUP BY 1""".stripMargin,
 
-    // carried click state re-derived as IGNORE-NULLS last_value over the
-    // strict [unbounded, 1 PRECEDING] frame; the 7-day bound applied
-    // after the scan, unattributed purchases grouped under -1
+    // carried click state re-derived as ONE IGNORE-NULLS struct over the
+    // strict [unbounded, 1 PRECEDING] frame — (ts, campaign) travel
+    // atomically, exactly like the operator's payload struct (two
+    // independent windows would pair a NEWER click's ts with an OLDER
+    // click's campaign if a campaign ever parsed NULL); the 7-day bound
+    // applies after the scan, unattributed purchases group under -1
     "d193_attribution" ->
       """WITH e AS (SELECT user_id AS u, event_type AS ty,
         |  epoch_ms(ts) AS ms, event_id AS id, value AS v,
         |  CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS camp
         | FROM events WHERE value IS NOT NULL),
         |w AS (SELECT *,
-        |  LAST_VALUE(CASE WHEN ty = 'click' THEN ms END IGNORE NULLS)
-        |    OVER win AS cms,
-        |  LAST_VALUE(CASE WHEN ty = 'click' THEN camp END IGNORE NULLS)
-        |    OVER win AS ccamp
+        |  LAST_VALUE(CASE WHEN ty = 'click'
+        |    THEN struct_pack(tms := ms, tcamp := camp) END IGNORE NULLS)
+        |    OVER win AS tch
         | FROM e WINDOW win AS (PARTITION BY u ORDER BY ms, id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-        |p AS (SELECT COALESCE(CASE WHEN cms IS NOT NULL
-        |    AND cms >= ms - 604800000 THEN ccamp END, -1) AS campaign,
-        |  v FROM w WHERE ty = 'purchase')
+        |p AS (SELECT COALESCE(CASE WHEN tch.tms IS NOT NULL
+        |    AND tch.tms >= ms - 604800000 THEN tch.tcamp END, -1)
+        |  AS campaign, v FROM w WHERE ty = 'purchase')
         |SELECT CAST(campaign AS BIGINT) AS campaign,
         | CAST(COUNT(*) AS BIGINT) AS n_purchases,
         | CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -32,18 +32,21 @@ object GraphOps {
     coOccurrenceCounts(df, groupCol, itemCol, minCount)
       .select(col("a"), col("b"))
 
-  /** [[coOccurrenceEdges]] keeping the per-pair group count — the edge
-    * weight collaborative-filtering similarity needs.
+  /** One shuffle builds each group's distinct, sorted item set — the
+    * basket every co-occurrence derivation expands from.
     */
-  def coOccurrenceCounts(df: DataFrame, groupCol: String, itemCol: String,
-                         minCount: Long = 1L): DataFrame =
-    // basket idiom (one shuffle builds each group's distinct item set;
-    // pairs expand IN-GROUP via HOFs) instead of a self-join, which would
-    // shuffle the input twice; collect_set dedups (group, item) repeats,
-    // sort_array makes every pair emerge already ordered a < b
+  private def basketSets(df: DataFrame, groupCol: String,
+                         itemCol: String): DataFrame =
     df.select(col(groupCol).as("g"), col(itemCol).as("i"))
       .groupBy(col("g"))
       .agg(sort_array(collect_set(col("i"))).as("__is"))
+
+  /** In-group pair expansion of a [[basketSets]] frame → per-pair group
+    * counts, every pair already ordered a < b.
+    */
+  private def basketPairCounts(baskets: DataFrame,
+                               minCount: Long): DataFrame =
+    baskets
       .select(explode(expr(
         """flatten(transform(__is, (x, i) ->
           |  transform(slice(__is, i + 2, size(__is)),
@@ -51,6 +54,18 @@ object GraphOps {
       .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+
+  /** [[coOccurrenceEdges]] keeping the per-pair group count — the edge
+    * weight collaborative-filtering similarity needs.
+    *
+    * Basket idiom (one shuffle builds each group's distinct item set;
+    * pairs expand IN-GROUP via HOFs) instead of a self-join, which would
+    * shuffle the input twice; collect_set dedups (group, item) repeats,
+    * sort_array makes every pair emerge already ordered a < b.
+    */
+  def coOccurrenceCounts(df: DataFrame, groupCol: String, itemCol: String,
+                         minCount: Long = 1L): DataFrame =
+    basketPairCounts(basketSets(df, groupCol, itemCol), minCount)
 
   /** Exact triangle count by degree orientation.
     *
@@ -277,7 +292,11 @@ object GraphOps {
     require(seeds.nonEmpty, "bfsDistances needs at least one seed")
     require(maxHops >= 0, s"maxHops must be non-negative: $maxHops")
     val session = edges.sparkSession
-    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    // edges feed ONLY the adjacency frame, and THAT is the checkpoint —
+    // a second edge-level checkpoint would materialize the same rows
+    // twice (callers with an expensive edge derivation should pass it
+    // materialized; the union below reads it in both directions)
+    val e = edges.select(col("a"), col("b"))
     val adj = e.select(col("a").as("u"), col("b").as("v"))
       .union(e.select(col("b").as("u"), col("a").as("v")))
       .repartition(col("u")) // the side every round's frontier join keys on
@@ -324,10 +343,14 @@ object GraphOps {
   def itemSimilarityTopK(df: DataFrame, groupCol: String, itemCol: String,
                          minCount: Long = 1L, k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
-    val pairs = coOccurrenceCounts(df, groupCol, itemCol, minCount)
+    // ONE input shuffle: both the pair census and the item counts derive
+    // from the same materialized basket sets (re-scanning the raw input
+    // for a distinct+count would pay two more full-input shuffles)
+    val baskets = basketSets(df, groupCol, itemCol).localCheckpoint()
+    val pairs = basketPairCounts(baskets, minCount)
       .localCheckpoint() // feeds both direction expansions
-    val itemCnt = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
-      .distinct()
+    val itemCnt = baskets
+      .select(explode(col("__is")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("c"))
     val directed = pairs
       .select(col("a").as("item"), col("b").as("partner"), col("cnt"))

@@ -744,9 +744,11 @@ object StreamingBattery {
         require(sl.count() > 0, s"empty time slice $i")
         val tmp = root.resolve(s"tmp$i")
         sl.coalesce(1).write.parquet(tmp.toString)
-        val part = Files.list(tmp)
+        val listing = Files.list(tmp)
+        val part = try listing
           .filter(p => p.toString.endsWith(".parquet"))
           .findFirst().get()
+        finally listing.close() // Files.list leaks a directory fd unclosed
         val dst = in.resolve(f"slice-$i%02d.parquet")
         Files.move(part, dst)
         // oldest-first replay keys on modification time — make the
