@@ -279,4 +279,27 @@ class EvalMetricsSpec extends SparkTestBase {
         "g", "v", "id").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("giniByGroup equals the independent mean-absolute-difference formula") {
+    val s = spark
+    import s.implicits._
+    // G = Σᵢⱼ|xᵢ−xⱼ| / (2n²μ) — a DIFFERENT closed form than the
+    // rank-sum the operator computes; agreement on seeded random groups
+    // pins the algebra, not the implementation
+    val rnd = new scala.util.Random(11)
+    val rows = for (g <- 0 until 6; i <- 0 until (5 + rnd.nextInt(40)))
+      yield (s"g$g", (g * 1000 + i).toLong, rnd.nextInt(1000000).toLong)
+    val got = EvalMetrics.giniByGroup(rows.toDF("g", "id", "v"),
+        "g", "v", "id")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    for ((g, rs) <- rows.groupBy(_._1)) {
+      val xs = rs.map(_._3)
+      val n = xs.size
+      val sumAbs = (for (a <- xs; b <- xs) yield math.abs(a - b))
+        .map(BigInt(_)).sum
+      val want = sumAbs.toDouble / (2.0 * n * n * (xs.map(BigInt(_)).sum
+        .toDouble / n))
+      assert(math.abs(got(g) - want) < 1e-9, s"$g: ${got(g)} vs $want")
+    }
+  }
 }

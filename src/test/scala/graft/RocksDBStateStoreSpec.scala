@@ -130,4 +130,28 @@ class RocksDBStateStoreSpec extends SparkTestBase {
     assertMultiset(
       got.collect().map(_.toSeq).toSeq, want.collect().map(_.toSeq).toSeq)
   }
+
+  test("ewmaStream's kryo ring buffer survives the RocksDB byte store across batches") {
+    val s = rocks
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val out = StreamingOps.ewmaStream(mem.toDS(), depth = 4)
+    val sink = "rocks_ewma_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1L, 1L, 100L), (1L, 2L, 1L, 200L))
+      q.processAllAvailable()
+      // the ring (200, 100) must come back from the NATIVE store, not a
+      // heap reference — a kryo decode failure or lost update here is
+      // exactly what the default provider cannot catch
+      mem.addData((1L, 3L, 1L, 400L))
+      q.processAllAvailable()
+      val got = s.table(sink)
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(r => r._2 -> r._5).toMap
+      assert(got(3L) == (8 * 400 + 4 * 200 + 2 * 100) / 14.0)
+    } finally q.stop()
+  }
 }

@@ -848,4 +848,72 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(got(1L) == Some(100.0)) // null history rows drop out of both sums
     assert(got(2L) == Some(100.0)) // null current row smooths over history
   }
+
+  test("changeHistory matches an in-memory reference on seeded random sequences") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    // 10 keys x 30 rows, values from a SMALL alphabet (forces runs), a
+    // few nulls, duplicate timestamps broken by id
+    val rows = for (k <- 0 until 10; i <- 0 until 30) yield {
+      val v: java.lang.Long =
+        if (rnd.nextInt(10) == 0) null else rnd.nextInt(3).toLong
+      (s"k$k", rnd.nextInt(10).toLong, (k * 100 + i).toLong, v)
+    }
+    val got = ScaleOps.changeHistory(rows.toDF("k", "ts", "id", "v"),
+        Seq("k"), Seq("ts", "id"), "v")
+      .select("k", "v", "valid_from", "valid_to", "n_rows")
+      .collect().map(r => (r.getString(0), Option(r.get(1)),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4))).toSeq
+    // reference: sort, fold into runs, chain valid_to
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+      val ordered = rs.sortBy(r => (r._2, r._3))
+      val runs = scala.collection.mutable.ListBuffer
+        .empty[(Option[Long], Long, Long)] // (value, from, n)
+      for ((_, ts, _, v) <- ordered) {
+        val ov = Option(v).map(_.longValue)
+        if (runs.nonEmpty && runs.last._1 == ov)
+          runs.update(runs.size - 1,
+            (ov, runs.last._2, runs.last._3 + 1))
+        else runs += ((ov, ts, 1L))
+      }
+      runs.toSeq.zipWithIndex.map { case ((v, from, n), i) =>
+        val to = if (i + 1 < runs.size) Some(runs(i + 1)._2) else None
+        (k, v, from, to, n)
+      }
+    }
+    assertMultiset(got, want)
+  }
+
+  test("ewmaSmoothed matches the model on seeded multi-key sequences with nulls") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for (k <- 0 until 5; i <- 0 until 40) yield {
+      val v: java.lang.Long =
+        if (rnd.nextInt(8) == 0) null else rnd.nextInt(100000).toLong
+      (s"k$k", i.toLong, v)
+    }
+    val got = ScaleOps.ewmaSmoothed(rows.toDF("k", "ts", "v"),
+        Seq("k"), Seq("ts"), "v", depth = 8)
+      .select("k", "ts", "ewma").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    for ((k, rsRaw) <- rows.groupBy(_._1)) {
+      val rs = rsRaw.sortBy(_._2)
+      for (idx <- rs.indices) {
+        // model mirrors the LAG semantics: positional lags (null values
+        // occupy their lag slot and contribute to neither sum)
+        val lags = (0 to math.min(7, idx))
+          .map(j => Option(rs(idx - j)._3).map(_.longValue))
+        val num = lags.zipWithIndex.collect {
+          case (Some(x), j) => x * (1L << (7 - j)) }.sum
+        val den = lags.zipWithIndex.collect {
+          case (Some(_), j) => 1L << (7 - j) }.sum
+        val want = if (den > 0) Some(num.toDouble / den.toDouble) else None
+        assert(got((k, idx.toLong)) == want, s"$k idx=$idx") // exact
+      }
+    }
+  }
 }
