@@ -1608,6 +1608,70 @@ object Queries {
         expr("CAST(deg_u AS BIGINT)").as("deg_u"),
         expr("CAST(deg_w AS BIGINT)").as("deg_w"), col("score"))
 
+  /** Periodic snapshot reconstruction from SCD2 intervals — the inverse
+    * of d191 and its end-to-end cross-validation: each status run
+    * [valid_from, valid_to) expands to the 28-day-period snapshot
+    * instants it covers (pure integer ceil/floor arithmetic, no calendar
+    * functions), and the per-(period, status) census counts customers.
+    * Runs are disjoint per customer, so COUNT(*) IS the customer count —
+    * a run-formation bug in changeHistory (overlap, gap, wrong boundary)
+    * shifts these counts. The explode is CALENDAR-bounded (runs ×
+    * periods-covered ≈ 1.15M rows at sf0.1, linear in data × period
+    * grain), never data².
+    */
+  def d200PeriodicSnapshots(s: SparkSession, d: String): DataFrame = {
+    val P = 2419200000L // 28 days in ms
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))").as("ms"),
+      col("o_orderkey"), col("o_orderstatus"))
+      .localCheckpoint() // feeds the run build AND the max-period scalar
+    val maxP = o.agg(max(col("ms"))).head.getLong(0) / P
+    graft.operators.ScaleOps.changeHistory(o, Seq("o_custkey"),
+        Seq("ms", "o_orderkey"), "o_orderstatus")
+      .withColumn("__p0", expr(s"(valid_from + ${P - 1}) div $P"))
+      .withColumn("__pEnd", when(col("valid_to").isNull, lit(maxP))
+        .otherwise(expr(s"(valid_to - 1) div $P")))
+      .filter(col("__pEnd") >= col("__p0"))
+      .select(col("o_orderstatus"),
+        explode(expr("sequence(__p0, __pEnd)")).as("p"))
+      .groupBy(col("p"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_customers"))
+      .select(expr("CAST(p AS BIGINT)").as("p"), col("o_orderstatus"),
+        expr("CAST(n_customers AS BIGINT)").as("n_customers"))
+  }
+
+  /** Rolling OLS trend: per event type, the least-squares slope of the
+    * daily-count series over a trailing 14-day RANGE frame — the moving
+    * trend feature d74's moving average cannot express (a mean is level,
+    * a slope is direction). All five sufficient statistics (n, Σx, Σy,
+    * Σxy, Σxx) ride ONE window spec = one type-hash shuffle over the
+    * tiny daily census; slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) is a ratio
+    * of exact BIGINT expressions (products ≤ ~10^11 here; DECIMAL(38,0)
+    * at 100 TB grains), so the single division is correctly rounded and
+    * the raw double hashes. Single-day windows (denominator 0) yield
+    * NULL on both engines.
+    */
+  def d201RollingSlope(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-13, 0)
+    daily
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("day")).over(w))
+      .withColumn("__sy", sum(col("cnt")).over(w))
+      .withColumn("__sxy", sum(col("day") * col("cnt")).over(w))
+      .withColumn("__sxx", sum(col("day") * col("day")).over(w))
+      .withColumn("__den", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .select(col("event_type"), expr("CAST(day AS BIGINT)").as("day"),
+        expr("CAST(cnt AS BIGINT)").as("cnt"),
+        expr("CAST(__n AS BIGINT)").as("n_days"),
+        when(col("__den") > 0,
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") / col("__den").cast("double")).as("slope"))
+  }
+
   /** Top session paths — ORDERED-sequence extraction, the shape no other
     * row exercises (d185's transitions are pairwise; this is the ordered
     * k-prefix): d75's gap sessionization, then each ≥3-event session's
@@ -3574,6 +3638,8 @@ object Queries {
     "d197_item_similarity" -> (d197ItemSimilarity _),
     "d198_link_prediction" -> (d198LinkPrediction _),
     "d199_event_paths" -> (d199EventPaths _),
+    "d200_periodic_snapshots" -> (d200PeriodicSnapshots _),
+    "d201_rolling_slope" -> (d201RollingSlope _),
   )
 
   /** ONE definition for the EWMA oracle — d195 (batch window plan) and
@@ -5795,5 +5861,54 @@ object Queries {
         | FROM p WHERE len(tys) >= 3 GROUP BY 1)
         |SELECT path, n_sessions FROM c
         |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
+
+    // d191's island algebra + pure-integer period cover: first period
+    // >= valid_from is a ceil div, last period < valid_to a floor div;
+    // disjoint runs make COUNT(*) the customer census
+    "d200_periodic_snapshots" ->
+      """WITH o AS (SELECT o_custkey AS k, o_orderstatus AS st,
+        |  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ms,
+        |  o_orderkey AS id FROM orders),
+        |f AS (SELECT *, CASE WHEN LAG(st) OVER
+        |    (PARTITION BY k ORDER BY ms, id) IS DISTINCT FROM st
+        |  THEN 1 ELSE 0 END AS chg FROM o),
+        |g AS (SELECT *, SUM(chg) OVER (PARTITION BY k ORDER BY ms, id
+        |  ROWS UNBOUNDED PRECEDING) AS island FROM f),
+        |r AS (SELECT k, island, MIN(st) AS st, MIN(ms) AS vf
+        | FROM g GROUP BY 1, 2),
+        |r2 AS (SELECT *, LEAD(vf) OVER (PARTITION BY k ORDER BY island)
+        |   AS vt FROM r),
+        |mx AS (SELECT MAX(ms) // 2419200000 AS maxp FROM o),
+        |ex AS (SELECT st, UNNEST(range(
+        |   (vf + 2419200000 - 1) // 2419200000,
+        |   CASE WHEN vt IS NULL THEN (SELECT maxp FROM mx)
+        |     ELSE (vt - 1) // 2419200000 END + 1)) AS p
+        | FROM r2
+        | WHERE (CASE WHEN vt IS NULL THEN (SELECT maxp FROM mx)
+        |    ELSE (vt - 1) // 2419200000 END) >=
+        |   (vf + 2419200000 - 1) // 2419200000)
+        |SELECT CAST(p AS BIGINT) AS p, st AS o_orderstatus,
+        | CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM ex GROUP BY 1, 2""".stripMargin,
+
+    // five sufficient statistics over one named RANGE window; slope is
+    // a ratio of exact BIGINT expressions — raw double, no rounding
+    "d201_rolling_slope" ->
+      """WITH dly AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, day, cnt,
+        |  CAST(COUNT(*) OVER win AS BIGINT) AS n,
+        |  CAST(SUM(day) OVER win AS BIGINT) AS sx,
+        |  CAST(SUM(cnt) OVER win AS BIGINT) AS sy,
+        |  CAST(SUM(day * cnt) OVER win AS BIGINT) AS sxy,
+        |  CAST(SUM(day * day) OVER win AS BIGINT) AS sxx
+        | FROM dly WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |  RANGE BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(day AS BIGINT) AS day, cnt,
+        | n AS n_days,
+        | CASE WHEN n * sxx - sx * sx > 0 THEN
+        |   CAST(n * sxy - sx * sy AS DOUBLE) /
+        |   CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+        |FROM s""".stripMargin,
   )
 }
