@@ -1640,6 +1640,39 @@ object Queries {
         expr("CAST(n_customers AS BIGINT)").as("n_customers"))
   }
 
+  /** Clamped running balance — the Lindley recursion
+    * b_t = max(0, b_{t−1} + δ_t), which looks inherently sequential but
+    * has the closed form b_t = S_t − min(0, min_{j≤t} S_j) (reflection
+    * identity: S = cumulative sum of deltas), so it runs as TWO STACKED
+    * windows on ONE user-hash partitioning — fully declarative, no
+    * per-key sequential fold, no UDF. Purchases credit the balance in
+    * exact cents, errors debit it, the floor is 0. Probed load-bearing:
+    * 2,448 of 3,995 rows at sf0.01 differ from the naive
+    * GREATEST(S_t, 0) — the running-min term is what hashes. All
+    * arithmetic exact BIGINT.
+    */
+  def d202ClampedBalance(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        when(col("event_type") === "purchase",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .otherwise(
+            -expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("delta"))
+      .withColumn("__cum", sum(col("delta")).over(w))
+      .withColumn("__mn", min(col("__cum")).over(w))
+      .select(expr("CAST(user_id AS BIGINT)").as("user_id"),
+        expr("CAST(ts_ms AS BIGINT)").as("ts_ms"),
+        expr("CAST(event_id AS BIGINT)").as("event_id"),
+        expr("CAST(delta AS BIGINT)").as("delta"),
+        expr("CAST(__cum - LEAST(0L, __mn) AS BIGINT)").as("balance"))
+  }
+
   /** Rolling OLS trend: per event type, the least-squares slope of the
     * daily-count series over a trailing 14-day RANGE frame — the moving
     * trend feature d74's moving average cannot express (a mean is level,
@@ -3640,7 +3673,33 @@ object Queries {
     "d199_event_paths" -> (d199EventPaths _),
     "d200_periodic_snapshots" -> (d200PeriodicSnapshots _),
     "d201_rolling_slope" -> (d201RollingSlope _),
+    "d202_clamped_balance" -> (d202ClampedBalance _),
+    "d203_stream_attribution" ->
+      (graft.streaming.StreamingBattery.d203StreamAttribution _),
   )
+
+  /** ONE definition for the attribution oracle — d193 (batch window
+    * plan) and d203 (streaming carried-touch state) must stay on the
+    * identical SQL, same contract as [[ewmaOracleSql]].
+    */
+  private val attributionOracleSql: String =
+    """WITH e AS (SELECT user_id AS u, event_type AS ty,
+      |  epoch_ms(ts) AS ms, event_id AS id, value AS v,
+      |  CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS camp
+      | FROM events WHERE value IS NOT NULL),
+      |w AS (SELECT *,
+      |  LAST_VALUE(CASE WHEN ty = 'click'
+      |    THEN struct_pack(tms := ms, tcamp := camp) END IGNORE NULLS)
+      |    OVER win AS tch
+      | FROM e WINDOW win AS (PARTITION BY u ORDER BY ms, id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |p AS (SELECT COALESCE(CASE WHEN tch.tms IS NOT NULL
+      |    AND tch.tms >= ms - 604800000 THEN tch.tcamp END, -1)
+      |  AS campaign, v FROM w WHERE ty = 'purchase')
+      |SELECT CAST(campaign AS BIGINT) AS campaign,
+      | CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      | CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM p GROUP BY 1""".stripMargin
 
   /** ONE definition for the EWMA oracle — d195 (batch window plan) and
     * d196 (streaming ring-buffer state) must stay on the identical SQL,
@@ -5728,24 +5787,11 @@ object Queries {
     // independent windows would pair a NEWER click's ts with an OLDER
     // click's campaign if a campaign ever parsed NULL); the 7-day bound
     // applies after the scan, unattributed purchases group under -1
-    "d193_attribution" ->
-      """WITH e AS (SELECT user_id AS u, event_type AS ty,
-        |  epoch_ms(ts) AS ms, event_id AS id, value AS v,
-        |  CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS camp
-        | FROM events WHERE value IS NOT NULL),
-        |w AS (SELECT *,
-        |  LAST_VALUE(CASE WHEN ty = 'click'
-        |    THEN struct_pack(tms := ms, tcamp := camp) END IGNORE NULLS)
-        |    OVER win AS tch
-        | FROM e WINDOW win AS (PARTITION BY u ORDER BY ms, id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-        |p AS (SELECT COALESCE(CASE WHEN tch.tms IS NOT NULL
-        |    AND tch.tms >= ms - 604800000 THEN tch.tcamp END, -1)
-        |  AS campaign, v FROM w WHERE ty = 'purchase')
-        |SELECT CAST(campaign AS BIGINT) AS campaign,
-        | CAST(COUNT(*) AS BIGINT) AS n_purchases,
-        | CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM p GROUP BY 1""".stripMargin,
+    "d193_attribution" -> attributionOracleSql,
+
+    // the streaming carried-touch state must land on the batch window
+    // plan's campaign census exactly — same oracle
+    "d203_stream_attribution" -> attributionOracleSql,
 
     // four BFS levels as independent set-algebra stages (MATERIALIZED —
     // the d175 CTE-inlining lesson); seed = (max degree, min node)
@@ -5909,6 +5955,28 @@ object Queries {
         | CASE WHEN n * sxx - sx * sx > 0 THEN
         |   CAST(n * sxy - sx * sy AS DOUBLE) /
         |   CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+        |FROM s""".stripMargin,
+
+    // the reflection identity spelled out: cumulative sum, then running
+    // min of it (two stacked windows — DuckDB can't nest them in one),
+    // balance = S - LEAST(0, runmin(S)); all-integer
+    "d202_clamped_balance" ->
+      """WITH e AS (SELECT user_id AS u, epoch_ms(ts) AS ms,
+        |  event_id AS id,
+        |  CASE WHEN event_type = 'purchase'
+        |    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  END AS delta
+        | FROM events WHERE value IS NOT NULL
+        |  AND event_type IN ('purchase', 'error')),
+        |c AS (SELECT u, ms, id, delta, SUM(delta) OVER
+        |  (PARTITION BY u ORDER BY ms, id ROWS UNBOUNDED PRECEDING)
+        |   AS cum FROM e),
+        |s AS (SELECT *, MIN(cum) OVER (PARTITION BY u ORDER BY ms, id
+        |  ROWS UNBOUNDED PRECEDING) AS mn FROM c)
+        |SELECT CAST(u AS BIGINT) AS user_id, CAST(ms AS BIGINT) AS ts_ms,
+        | CAST(id AS BIGINT) AS event_id, CAST(delta AS BIGINT) AS delta,
+        | CAST(cum - LEAST(0, mn) AS BIGINT) AS balance
         |FROM s""".stripMargin,
   )
 }

@@ -99,6 +99,50 @@ object StreamingBattery {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => { Files.deleteIfExists(f); () })
 
+  /** Stage a frame as three event-time terciles with strictly increasing
+    * file mtimes in `in` — the ordered-replay contract the ORDER-SENSITIVE
+    * state rows (d196 EWMA ring, d203 carried touch) rely on:
+    * FileStreamSource's default oldest-first listing + maxFilesPerTrigger=1
+    * then replays every key's rows in (ts, tie) order across micro-batches.
+    * Guards: no slice may be empty, and at least one `keyCol` value must
+    * SPAN two slices (state crossing a batch boundary is the property
+    * under test — a single-batch replay would pass trivially).
+    */
+  private def stageTimeSlices(df: DataFrame, tsCol: String, keyCol: String,
+      root: Path, in: Path): Unit = {
+    val Array(loCut, hiCut) = df.stat
+      .approxQuantile(tsCol, Array(1.0 / 3, 2.0 / 3), 0.0)
+    val slices = Seq(
+      df.filter(col(tsCol) < loCut.toLong),
+      df.filter(col(tsCol) >= loCut.toLong && col(tsCol) < hiCut.toLong),
+      df.filter(col(tsCol) >= hiCut.toLong))
+    val spanning = slices.zipWithIndex
+      .map { case (sl, i) => sl.select(col(keyCol)).distinct()
+        .withColumn("__s", lit(i)) }
+      .reduce(_ unionByName _)
+      .groupBy(col(keyCol)).agg(countDistinct(col("__s")).as("ns"))
+      .filter(col("ns") >= 2).count()
+    require(spanning > 0, "no key spans two slices: state carry-over " +
+      "across micro-batches would be untested")
+    slices.zipWithIndex.foreach { case (sl, i) =>
+      require(sl.count() > 0, s"empty time slice $i")
+      val tmp = root.resolve(s"tmp$i")
+      sl.coalesce(1).write.parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing
+        .filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally listing.close() // Files.list leaks a directory fd unclosed
+      val dst = in.resolve(f"slice-$i%02d.parquet")
+      Files.move(part, dst)
+      // oldest-first replay keys on modification time — make the slice
+      // order explicit, never filesystem-accidental
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (slices.size - i) * 60000L))
+    }
+  }
+
   /** Streaming exact dedup, oracle-gated: events keyed on
     * (user, type, hour) flow through [[StreamingOps.dedupExactStream]];
     * the projected row carries ONLY key-determined columns, so whichever
@@ -722,41 +766,7 @@ object StreamingBattery {
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
             .as("cents"))
         .localCheckpoint() // feeds 3 slice writes + the vacuity census
-      val Array(loCut, hiCut) = ev.stat
-        .approxQuantile("ts_ms", Array(1.0 / 3, 2.0 / 3), 0.0)
-      val slices = Seq(
-        ev.filter(col("ts_ms") < loCut.toLong),
-        ev.filter(col("ts_ms") >= loCut.toLong &&
-          col("ts_ms") < hiCut.toLong),
-        ev.filter(col("ts_ms") >= hiCut.toLong))
-      // a user present in >= 2 slices carries ring state across a
-      // micro-batch boundary; this data has ~150 users over months, so
-      // spanning is generic — but guard it, don't assume it
-      val spanning = slices.zipWithIndex
-        .map { case (sl, i) => sl.select(col("user_id")).distinct()
-          .withColumn("__s", lit(i)) }
-        .reduce(_ unionByName _)
-        .groupBy(col("user_id")).agg(countDistinct(col("__s")).as("ns"))
-        .filter(col("ns") >= 2).count()
-      require(spanning > 0, "no user spans two slices: ring-state " +
-        "carry-over across micro-batches would be untested")
-      slices.zipWithIndex.foreach { case (sl, i) =>
-        require(sl.count() > 0, s"empty time slice $i")
-        val tmp = root.resolve(s"tmp$i")
-        sl.coalesce(1).write.parquet(tmp.toString)
-        val listing = Files.list(tmp)
-        val part = try listing
-          .filter(p => p.toString.endsWith(".parquet"))
-          .findFirst().get()
-        finally listing.close() // Files.list leaks a directory fd unclosed
-        val dst = in.resolve(f"slice-$i%02d.parquet")
-        Files.move(part, dst)
-        // oldest-first replay keys on modification time — make the
-        // slice order explicit, never filesystem-accidental
-        Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() - (slices.size - i) * 60000L))
-      }
+      stageTimeSlices(ev, "ts_ms", "user_id", root, in)
       val src = s.readStream
         .schema(s.read.parquet(in.toString).schema)
         .option("maxFilesPerTrigger", "1").parquet(in.toString)
@@ -768,6 +778,48 @@ object StreamingBattery {
           expr("CAST(ts_ms AS BIGINT)").as("ts_ms"),
           expr("CAST(event_id AS BIGINT)").as("event_id"),
           expr("CAST(cents AS BIGINT)").as("cents"), col("ewma"))
+    } finally deleteRecursively(root)
+  }
+
+  /** Streaming last-touch attribution, oracle-gated: the second
+    * ORDER-SENSITIVE state row ([[StreamingOps.lastTouchStream]] — state
+    * = the latest click per user, the Lindley-simple end of the spectrum
+    * d196's ring anchors). Same three-slice ordered replay; the
+    * per-purchase attributions land in the sink and aggregate batch-side
+    * to exactly d193's campaign census — ONE shared oracle proves the
+    * carried-touch state equals the batch window plan.
+    */
+  def d203StreamAttribution(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val sp = s; import sp.implicits._
+    val root = Files.createTempDirectory("graft-stream-attr")
+    try {
+      val in = root.resolve("in"); Files.createDirectories(in)
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull &&
+          col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          when(col("event_type") === "click", 1).otherwise(2).as("kind"),
+          coalesce(
+            expr("CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)"),
+            lit(-1L)).as("campaign"),
+          col("value"))
+        .localCheckpoint()
+      stageTimeSlices(ev, "ts_ms", "user_id", root, in)
+      val src = s.readStream
+        .schema(s.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+        .as[(Long, Long, Long, Int, Long, Double)]
+      val out = StreamingOps
+        .lastTouchStream(src, windowMillis = 7L * 86400000L)
+        .toDF("user_id", "ts_ms", "event_id", "campaign", "value")
+      runToTable(s, out)
+        .groupBy(col("campaign"))
+        .agg(count(lit(1)).as("n_purchases"),
+          expr("CAST(graft_money_sum(value, 2) AS DOUBLE)").as("revenue"))
+        .select(expr("CAST(campaign AS BIGINT)").as("campaign"),
+          expr("CAST(n_purchases AS BIGINT)").as("n_purchases"),
+          col("revenue"))
     } finally deleteRecursively(root)
   }
 

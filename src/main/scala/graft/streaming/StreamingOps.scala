@@ -563,6 +563,53 @@ object StreamingOps {
     * Input columns (by name): key, ts, tie, value — all BIGINT.
     * Output: (key, ts, tie, value, ewma).
     */
+  /** Order-sensitive streaming last-touch attribution: the streaming twin
+    * of [[graft.operators.TemporalJoins.lastTouchAttribution]]. State per
+    * key is the latest touch (ts, payload); each conversion row emits
+    * with the carried payload when the touch is within `windowMillis`
+    * (−1 otherwise — unattributed conversions are part of the answer).
+    * Same ordering contract as [[ewmaStream]]: rows of one key must
+    * arrive in (ts, tie) order across micro-batches (within a batch the
+    * group sorts itself); same-instant ties resolve by the tie column —
+    * a touch tied with a conversion attributes only if its tie orders
+    * FIRST (strict precedence, matching the batch operator's
+    * [unbounded, 1 PRECEDING] frame).
+    *
+    * Input: (key, ts, tie, kind, payload, value) — kind 1 = touch,
+    * 2 = conversion, anything else ignored.
+    * Output per conversion: (key, ts, tie, attributedPayload, value).
+    */
+  def lastTouchStream(input: Dataset[(Long, Long, Long, Int, Long, Double)],
+                      windowMillis: Long)
+      : Dataset[(Long, Long, Long, Long, Double)] = {
+    val session = input.sparkSession
+    import session.implicits._
+    implicit val stEnc: Encoder[Option[(Long, Long)]] =
+      Encoders.kryo(classOf[Option[(Long, Long)]])
+    input.groupByKey(_._1)
+      .flatMapGroupsWithState[Option[(Long, Long)],
+        (Long, Long, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Int, Long, Double)],
+         state: GroupState[Option[(Long, Long)]]) =>
+          var touch: Option[(Long, Long)] = state.getOption.flatten
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).flatMap {
+            case (_, ts, tie, kind, payload, value) =>
+              if (kind == 1) { touch = Some((ts, payload)); Nil }
+              else if (kind == 2) {
+                val attributed = touch match {
+                  case Some((tts, p))
+                    if windowMillis <= 0 || tts >= ts - windowMillis => p
+                  case _ => -1L
+                }
+                Seq((key, ts, tie, attributed, value))
+              } else Nil
+          }
+          state.update(touch)
+          out.iterator
+      }
+  }
+
   def ewmaStream(input: Dataset[(Long, Long, Long, Long)],
                  depth: Int): Dataset[(Long, Long, Long, Long, Double)] = {
     require(depth >= 1 && depth <= 32, s"depth out of range: $depth")

@@ -334,4 +334,42 @@ class StreamingBatterySpec extends SparkTestBase {
       assert(got(3L) == (8 * 400 + 4 * 200 + 2 * 100) / 14.0)
     } finally q.stop()
   }
+
+  test("d203 streaming carried-touch == batch d193 campaign census") {
+    val got = graft.streaming.StreamingBattery
+      .d203StreamAttribution(spark, sf)
+    val want = Queries.d193Attribution(spark, sf)
+    assertSameRows(got, want)
+    // teeth: both attributed and unattributed campaigns must exist
+    assert(got.filter(col("campaign") === -1L).count() > 0,
+      "no unattributed purchases: the window bound went unexercised")
+    assert(got.filter(col("campaign") >= 0L).count() > 0,
+      "nothing attributed: the carried-touch path went unexercised")
+  }
+
+  test("lastTouchStream carries touch state across micro-batches (MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Int, Long, Double)]
+    val out = graft.streaming.StreamingOps
+      .lastTouchStream(mem.toDS(), windowMillis = 100L)
+    val sink = s"attr_mem_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // batch 1: touch(camp 7) then an in-batch conversion
+      mem.addData((1L, 10L, 1L, 1, 7L, 5.0), (1L, 20L, 2L, 2, 0L, 1.0))
+      q.processAllAvailable()
+      // batch 2: a conversion inside the window must use the REMEMBERED
+      // touch; one past the window must fall to -1
+      mem.addData((1L, 100L, 3L, 2, 0L, 2.0), (1L, 300L, 4L, 2, 0L, 3.0))
+      q.processAllAvailable()
+      val got = s.table(sink)
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(r => r._2 -> r._4).toMap
+      assert(got == Map(20L -> 7L, 100L -> 7L, 300L -> -1L))
+    } finally q.stop()
+  }
 }
