@@ -1705,6 +1705,126 @@ object Queries {
             .cast("double") / col("__den").cast("double")).as("slope"))
   }
 
+  /** Hierarchy flattening by path doubling
+    * ([[graft.operators.GraphOps.treeDepths]]): a deterministic customer
+    * referral forest — parent(c) = md5-prefix-int(c) mod c for c > 0
+    * (always a strictly SMALLER key, so acyclicity is constructive;
+    * custkey 0 is the single root) — and the exact depth of every
+    * customer. The md5-derived parent is engine-portable (Spark
+    * conv(hex,16,10), DuckDB ('0x'||hex)::BIGINT — the same 6-hex-digit
+    * prefix the sampling gates use), and the oracle re-derives depth
+    * with a WITH RECURSIVE walk: the battery's only recursive-CTE
+    * oracle. Random-parent trees have O(log n) depth (probed 15/18/21
+    * at the three SFs), so the engine converges in ~5 doubling rounds
+    * where a parent-at-a-time walk would take 21 — and at 100 TB a
+    * depth-1000 chain would cost 10 rounds, not 1000.
+    */
+  def d204TreeDepth(s: SparkSession, d: String): DataFrame = {
+    val parents = Tables.customer(s, d)
+      .select(col("c_custkey").as("node"),
+        when(col("c_custkey") > 0,
+          expr("CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 6)" +
+            ", 16, 10) AS BIGINT) % c_custkey"))
+          .as("parent"))
+    graft.operators.GraphOps.treeDepths(parents)
+      .join(parents, Seq("node"))
+      .select(expr("CAST(node AS BIGINT)").as("c_custkey"),
+        expr("CAST(parent AS BIGINT)").as("parent"),
+        expr("CAST(depth AS BIGINT)").as("depth"))
+  }
+
+  /** FIFO supply/demand matching as interval algebra — the classic
+    * "impossible in SQL without a cursor" allocation, restated as pure
+    * prefix sums: per part, odd-suppkey lines are the supply queue and
+    * even-suppkey lines the demand queue (both FIFO by (shipdate,
+    * orderkey, linenumber) — a total order, (orderkey, linenumber) is
+    * the PK); each row owns the half-open centi-unit interval
+    * [cum − qty, cum) of its queue, and demand row d consumes from
+    * supply row s exactly where their intervals overlap:
+    * alloc = min(hi) − max(lo). No per-unit explosion, no recursion:
+    * two windowed prefix sums and ONE equi-join on l_partkey with a
+    * residual overlap filter — and per key the matching is LINEAR
+    * (segments interleave, pairs ≤ n_supply + n_demand − 1), so the
+    * output is corpus-sized, not quadratic. Quantities ride as exact
+    * DECIMAL(18,2)×100 BIGINTs. Unmatched tails (supply past total
+    * demand and vice versa) drop via the strict inequalities.
+    */
+  def d205FifoMatch(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_shipdate"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("qty_c"))
+    def queue(parity: Int) = {
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.filter(col("l_suppkey") % 2 === parity)
+        .withColumn("hi", sum(col("qty_c")).over(w))
+        .withColumn("lo", col("hi") - col("qty_c"))
+    }
+    val demand = queue(0).select(col("l_partkey"),
+      col("l_orderkey").as("d_orderkey"),
+      col("l_linenumber").as("d_linenumber"),
+      col("lo").as("d_lo"), col("hi").as("d_hi"))
+    val supply = queue(1).select(col("l_partkey"),
+      col("l_orderkey").as("s_orderkey"),
+      col("l_linenumber").as("s_linenumber"),
+      col("lo").as("s_lo"), col("hi").as("s_hi"))
+    demand.join(supply, Seq("l_partkey"))
+      .filter(col("s_lo") < col("d_hi") && col("d_lo") < col("s_hi"))
+      .select(expr("CAST(l_partkey AS BIGINT)").as("l_partkey"),
+        expr("CAST(d_orderkey AS BIGINT)").as("d_orderkey"),
+        expr("CAST(d_linenumber AS BIGINT)").as("d_linenumber"),
+        expr("CAST(s_orderkey AS BIGINT)").as("s_orderkey"),
+        expr("CAST(s_linenumber AS BIGINT)").as("s_linenumber"),
+        (least(col("d_hi"), col("s_hi")) -
+          greatest(col("d_lo"), col("s_lo"))).as("alloc_c"))
+  }
+
+  /** Largest-remainder apportionment: split exactly 10,000 slots across
+    * (nation, mktsegment) cells proportional to order revenue —
+    * discrete proportional allocation where the naive ROUND() both
+    * over- and under-shoots the total. All-integer: base = (S·rev) div
+    * total, then the S − Σbase leftover slots go to the largest
+    * remainders (S·rev mod total), ties broken (nation, seg). The
+    * remainder rank runs through [[graft.operators.ScaleOps
+    * .globalPrefixSum]] on a padded sort key — NO un-partitioned window,
+    * so a 10-million-cell allocation ranks through the same two bounded
+    * shuffles as 125 cells. S·rev_c needs rev_total ≤ 2^63/S — holds
+    * through sf100; beyond that lift the cents sums to DECIMAL(38,0).
+    * Σseats == S exactly (spec-pinned).
+    */
+  def d206Apportionment(s: SparkSession, d: String): DataFrame = {
+    val seats = 10000L
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(expr("CAST(c_nationkey AS BIGINT)").as("nation"),
+        col("c_mktsegment").as("seg"))
+      .agg(expr("SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+        "AS BIGINT))").as("rev_c"))
+    val tot = rev.agg(sum(col("rev_c")).as("__tot"))
+    val based = rev.crossJoin(broadcast(tot))
+      .withColumn("base_seats", expr(s"($seats * rev_c) div __tot"))
+      .withColumn("__rem", expr(s"($seats * rev_c) % __tot"))
+    val leftover = based.agg((lit(seats) - sum(col("base_seats")))
+      .as("__left"))
+    // descending remainder as an ascending fixed-width key: tot − rem,
+    // zero-padded past any BIGINT (19 digits), then the tie-break cols
+    val ranked = graft.operators.ScaleOps.globalPrefixSum(
+      based.withColumn("__ord",
+        concat(lpad((col("__tot") - col("__rem")).cast("string"), 20, "0"),
+          lpad(col("nation").cast("string"), 4, "0"), col("seg")))
+        .withColumn("__one", lit(1L)),
+      "__ord", Seq("__one" -> "__before"))
+    ranked.crossJoin(broadcast(leftover))
+      .select(col("nation"), col("seg"), col("rev_c"),
+        col("base_seats"),
+        (col("base_seats") +
+          when(col("__before") < col("__left"), 1L).otherwise(0L))
+          .as("seats"))
+  }
+
   /** Top session paths — ORDERED-sequence extraction, the shape no other
     * row exercises (d185's transitions are pairwise; this is the ordered
     * k-prefix): d75's gap sessionization, then each ≥3-event session's
@@ -3676,6 +3796,9 @@ object Queries {
     "d202_clamped_balance" -> (d202ClampedBalance _),
     "d203_stream_attribution" ->
       (graft.streaming.StreamingBattery.d203StreamAttribution _),
+    "d204_tree_depth" -> (d204TreeDepth _),
+    "d205_fifo_match" -> (d205FifoMatch _),
+    "d206_apportionment" -> (d206Apportionment _),
   )
 
   /** ONE definition for the attribution oracle — d193 (batch window
@@ -5978,5 +6101,69 @@ object Queries {
         | CAST(id AS BIGINT) AS event_id, CAST(delta AS BIGINT) AS delta,
         | CAST(cum - LEAST(0, mn) AS BIGINT) AS balance
         |FROM s""".stripMargin,
+
+    // the battery's only recursive-CTE oracle: DuckDB walks the forest
+    // one level per recursion step; the engine path-doubles instead.
+    // Same md5 parent on both sides ('0x'||hex cast vs conv(hex,16,10))
+    "d204_tree_depth" ->
+      """WITH RECURSIVE ch AS (
+        | SELECT c_custkey AS c,
+        |  CASE WHEN c_custkey > 0 THEN
+        |   ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT
+        |    % c_custkey END AS p
+        | FROM customer),
+        |t AS (
+        | SELECT c, p, 0 AS depth FROM ch WHERE p IS NULL
+        | UNION ALL
+        | SELECT ch.c, ch.p, t.depth + 1 FROM ch JOIN t ON ch.p = t.c)
+        |SELECT CAST(c AS BIGINT) AS c_custkey, CAST(p AS BIGINT) AS parent,
+        | CAST(depth AS BIGINT) AS depth
+        |FROM t""".stripMargin,
+
+    // FIFO matching = overlap of the two queues' prefix-sum intervals;
+    // strict inequalities drop zero-width and tail segments identically
+    "d205_fifo_match" ->
+      """WITH li AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+        |  l_orderkey AS ok, l_linenumber AS ln, l_shipdate AS sd,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q
+        | FROM lineitem),
+        |cum AS (SELECT *, CAST(SUM(q) OVER (PARTITION BY pk, sk % 2
+        |   ORDER BY sd, ok, ln ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+        | FROM li),
+        |d AS (SELECT pk, ok, ln, hi - q AS lo, hi FROM cum WHERE sk % 2 = 0),
+        |s AS (SELECT pk, ok, ln, hi - q AS lo, hi FROM cum WHERE sk % 2 = 1)
+        |SELECT CAST(d.pk AS BIGINT) AS l_partkey,
+        | CAST(d.ok AS BIGINT) AS d_orderkey,
+        | CAST(d.ln AS BIGINT) AS d_linenumber,
+        | CAST(s.ok AS BIGINT) AS s_orderkey,
+        | CAST(s.ln AS BIGINT) AS s_linenumber,
+        | CAST(LEAST(d.hi, s.hi) - GREATEST(d.lo, s.lo) AS BIGINT) AS alloc_c
+        |FROM d JOIN s ON d.pk = s.pk
+        | AND s.lo < d.hi AND d.lo < s.hi""".stripMargin,
+
+    // every SUM is CAST back to BIGINT (DuckDB SUM returns HUGEINT —
+    // the d59 lesson); // and % stay in BIGINT
+    "d206_apportionment" ->
+      """WITH rev AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  c_mktsegment AS seg,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS rev_c
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY 1, 2),
+        |f AS (SELECT *,
+        |  CAST((10000 * rev_c) // (SELECT CAST(SUM(rev_c) AS BIGINT)
+        |    FROM rev) AS BIGINT) AS base_seats,
+        |  CAST((10000 * rev_c) % (SELECT CAST(SUM(rev_c) AS BIGINT)
+        |    FROM rev) AS BIGINT) AS rem
+        | FROM rev),
+        |l AS (SELECT *,
+        |  10000 - (SELECT CAST(SUM(base_seats) AS BIGINT) FROM f)
+        |    AS leftover,
+        |  ROW_NUMBER() OVER (ORDER BY rem DESC, nation, seg) AS rk
+        | FROM f)
+        |SELECT nation, seg, rev_c, base_seats,
+        | CAST(base_seats + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |   AS BIGINT) AS seats
+        |FROM l""".stripMargin,
   )
 }

@@ -38,4 +38,47 @@ class BatterySpec extends SparkTestBase {
     }
     assert(clampedSomewhere, "no row ever hit the floor: identity untested")
   }
+
+  test("d204's doubled depths equal the sequential parent walk on real data") {
+    val rows = Queries.d204TreeDepth(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2)))
+    assert(rows.length == 150)
+    val parent = rows.map(r => r._1 -> r._2).toMap
+    def walk(c: Long): Long = // acyclic by construction: parent < node
+      if (parent(c) == -1L) 0L else 1L + walk(parent(c))
+    rows.foreach { case (c, _, depth) => assert(depth == walk(c)) }
+    assert(rows.map(_._3).max >= 5L, "forest too shallow: doubling untested")
+  }
+
+  test("d205 conserves quantity: per-part allocation = min(supply, demand)") {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d).selectExpr("l_partkey",
+      "l_suppkey % 2 AS par",
+      "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tot = li.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).sum).toMap.withDefaultValue(0L)
+    val alloc = Queries.d205FifoMatch(spark, d)
+      .groupBy("l_partkey").sum("alloc_c").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parts = li.map(_._1).distinct
+    assert(parts.exists(p => tot((p, 0L)) > 0 && tot((p, 1L)) > 0))
+    parts.foreach { p =>
+      val want = math.min(tot((p, 0L)), tot((p, 1L)))
+      assert(alloc.getOrElse(p, 0L) == want,
+        s"part $p: allocated ${alloc.getOrElse(p, 0L)}, expected $want")
+    }
+  }
+
+  test("d206 allocates exactly 10000 seats, each cell base or base+1") {
+    val rows = Queries.d206Apportionment(spark, "/root/testdata/sf0.001")
+      .select("base_seats", "seats").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).sum == 10000L, "largest-remainder must hit S exactly")
+    assert(rows.forall { case (b, s) => s == b || s == b + 1 })
+    assert(rows.exists { case (b, s) => s == b + 1 },
+      "no remainder seat assigned: rank path untested")
+  }
 }

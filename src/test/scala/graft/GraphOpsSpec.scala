@@ -299,4 +299,40 @@ class GraphOpsSpec extends SparkTestBase {
       .select("u", "w").as[(Long, Long)].collect().toSet
     assert(capped.isEmpty) // every 2-path in tri runs through node 1
   }
+
+  test("treeDepths: chain + forest depths exact; doubling beats the walk") {
+    // chain 0<-1<-2<-...<-9 (depth 9, needs ceil(log2(9)) = 4 doubling
+    // rounds) plus a second root 100 with two direct children
+    val parents = (Seq((0L, Option.empty[Long]), (100L, None)) ++
+      (1L to 9L).map(i => (i, Some(i - 1))) ++
+      Seq((101L, Some(100L)), (102L, Some(100L))))
+      .toDF("node", "parent")
+    val got = GraphOps.treeDepths(parents)
+      .as[(Long, Long)].collect().toMap
+    val want = (0L to 9L).map(i => i -> i).toMap ++
+      Map(100L -> 0L, 101L -> 1L, 102L -> 1L)
+    assert(got == want)
+    // maxRounds exactly at the bound (4 doubling rounds + 1 fixpoint
+    // confirmation) still converges; well below it must fail loudly
+    // (a truncated depth map is WRONG)
+    assert(GraphOps.treeDepths(parents, maxRounds = 5).count() == 13L)
+    intercept[IllegalArgumentException] {
+      GraphOps.treeDepths(parents, maxRounds = 2).count()
+    }
+  }
+
+  test("treeDepths: cycle and dangling parent both fail loudly") {
+    val cyc = Seq((0L, Option.empty[Long]), (1L, Some(2L)), (2L, Some(1L)))
+      .toDF("node", "parent")
+    intercept[IllegalArgumentException] {
+      GraphOps.treeDepths(cyc, maxRounds = 6).count()
+    }
+    // 2's parent 7 has no node row: converges structurally but must be
+    // rejected by the dangling audit, not returned with a wrong depth
+    val dangling = Seq((0L, Option.empty[Long]), (1L, Some(0L)),
+      (2L, Some(7L))).toDF("node", "parent")
+    intercept[IllegalArgumentException] {
+      GraphOps.treeDepths(dangling).count()
+    }
+  }
 }

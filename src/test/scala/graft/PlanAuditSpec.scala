@@ -539,4 +539,30 @@ class PlanAuditSpec extends SparkTestBase {
           finalPlan.take(3000))
     }
   }
+
+  test("d205: both FIFO queues shuffle once on l_partkey; the overlap join reuses that partitioning") {
+    val finalPlan = planOf(Queries.d205FifoMatch(spark, d))
+      .split("== Initial Plan ==").head
+    // one hash exchange per queue side, and NOTHING more: the window's
+    // partitionBy(l_partkey) output feeds the equi-join unshuffled
+    val exchanges = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2,
+      s"expected 2 hash exchanges (one per queue), got $exchanges:\n" +
+        finalPlan.take(3000))
+    assert(!finalPlan.contains("NestedLoop"),
+      "overlap predicate must ride the equi-join as a residual filter")
+  }
+
+  test("d206: apportionment plans no un-partitioned window and broadcasts its scalars") {
+    val finalPlan = planOf(Queries.d206Apportionment(spark, d))
+      .split("== Initial Plan ==").head
+    val globalWindows = finalPlan.linesIterator.count(l =>
+      l.trim.startsWith("Window ") && !l.contains("__pid"))
+    assert(globalWindows == 0,
+      s"remainder ranking leaked a global window:\n${finalPlan.take(3000)}")
+    assert(finalPlan.contains("BroadcastNestedLoopJoin") ||
+      finalPlan.contains("BroadcastExchange"),
+      "the 1-row total/leftover scalars should broadcast")
+  }
 }
