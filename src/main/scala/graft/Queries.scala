@@ -3799,7 +3799,31 @@ object Queries {
     "d204_tree_depth" -> (d204TreeDepth _),
     "d205_fifo_match" -> (d205FifoMatch _),
     "d206_apportionment" -> (d206Apportionment _),
+    "d207_stream_scd2" ->
+      (graft.streaming.StreamingBattery.d207StreamScd2 _),
   )
+
+  /** ONE definition for the SCD2 oracle — d191 (batch gaps-and-islands
+    * plan) and d207 (streaming open-run state) must stay on the
+    * identical SQL, same contract as [[ewmaOracleSql]].
+    */
+  private val scd2OracleSql: String =
+    """WITH o AS (SELECT o_custkey AS k, o_orderstatus AS st,
+      |  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ms,
+      |  o_orderkey AS id FROM orders),
+      |f AS (SELECT *, CASE WHEN LAG(st) OVER
+      |    (PARTITION BY k ORDER BY ms, id) IS DISTINCT FROM st
+      |  THEN 1 ELSE 0 END AS chg FROM o),
+      |g AS (SELECT *, SUM(chg) OVER (PARTITION BY k ORDER BY ms, id
+      |  ROWS UNBOUNDED PRECEDING) AS island FROM f),
+      |r AS (SELECT k, island, MIN(st) AS st, MIN(ms) AS valid_from,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows FROM g GROUP BY 1, 2)
+      |SELECT CAST(k AS BIGINT) AS o_custkey, st AS o_orderstatus,
+      | CAST(valid_from AS BIGINT) AS valid_from,
+      | CAST(LEAD(valid_from) OVER (PARTITION BY k ORDER BY island)
+      |   AS BIGINT) AS valid_to,
+      | n_rows
+      |FROM r""".stripMargin
 
   /** ONE definition for the attribution oracle — d193 (batch window
     * plan) and d203 (streaming carried-touch state) must stay on the
@@ -5864,23 +5888,11 @@ object Queries {
     // the gaps-and-islands idiom re-derived: LAG-change flag (NULL-safe
     // via IS DISTINCT FROM == Spark's <=> negation), running-sum island
     // id, next run's start as this run's end
-    "d191_change_history" ->
-      """WITH o AS (SELECT o_custkey AS k, o_orderstatus AS st,
-        |  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ms,
-        |  o_orderkey AS id FROM orders),
-        |f AS (SELECT *, CASE WHEN LAG(st) OVER
-        |    (PARTITION BY k ORDER BY ms, id) IS DISTINCT FROM st
-        |  THEN 1 ELSE 0 END AS chg FROM o),
-        |g AS (SELECT *, SUM(chg) OVER (PARTITION BY k ORDER BY ms, id
-        |  ROWS UNBOUNDED PRECEDING) AS island FROM f),
-        |r AS (SELECT k, island, MIN(st) AS st, MIN(ms) AS valid_from,
-        |  CAST(COUNT(*) AS BIGINT) AS n_rows FROM g GROUP BY 1, 2)
-        |SELECT CAST(k AS BIGINT) AS o_custkey, st AS o_orderstatus,
-        | CAST(valid_from AS BIGINT) AS valid_from,
-        | CAST(LEAD(valid_from) OVER (PARTITION BY k ORDER BY island)
-        |   AS BIGINT) AS valid_to,
-        | n_rows
-        |FROM r""".stripMargin,
+    "d191_change_history" -> scd2OracleSql,
+
+    // the streaming twin folds the same history incrementally; ONE
+    // shared oracle proves run-boundary-for-run-boundary equality
+    "d207_stream_scd2" -> scd2OracleSql,
 
     // Gini by per-region ascending rank: numerator/denominator exact
     // integers (HUGEINT on this side), one division, ROUND 9; no-order

@@ -126,21 +126,28 @@ object StreamingBattery {
       "across micro-batches would be untested")
     slices.zipWithIndex.foreach { case (sl, i) =>
       require(sl.count() > 0, s"empty time slice $i")
-      val tmp = root.resolve(s"tmp$i")
-      sl.coalesce(1).write.parquet(tmp.toString)
-      val listing = Files.list(tmp)
-      val part = try listing
-        .filter(p => p.toString.endsWith(".parquet"))
-        .findFirst().get()
-      finally listing.close() // Files.list leaks a directory fd unclosed
-      val dst = in.resolve(f"slice-$i%02d.parquet")
-      Files.move(part, dst)
-      // oldest-first replay keys on modification time — make the slice
-      // order explicit, never filesystem-accidental
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - (slices.size - i) * 60000L))
+      stageOneFile(sl, root, in, f"slice-$i%02d.parquet",
+        System.currentTimeMillis() - (slices.size - i) * 60000L)
     }
+  }
+
+  /** Write `df` as ONE parquet file at `in/name` with an explicit mtime —
+    * oldest-first replay keys on modification time, so slice order must
+    * be explicit, never filesystem-accidental.
+    */
+  private def stageOneFile(df: DataFrame, root: Path, in: Path,
+      name: String, mtimeMillis: Long): Unit = {
+    val tmp = root.resolve(s"tmp-$name")
+    df.coalesce(1).write.parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val part = try listing
+      .filter(p => p.toString.endsWith(".parquet"))
+      .findFirst().get()
+    finally listing.close() // Files.list leaks a directory fd unclosed
+    val dst = in.resolve(name)
+    Files.move(part, dst)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
   }
 
   /** Streaming exact dedup, oracle-gated: events keyed on
@@ -820,6 +827,52 @@ object StreamingBattery {
         .select(expr("CAST(campaign AS BIGINT)").as("campaign"),
           expr("CAST(n_purchases AS BIGINT)").as("n_purchases"),
           col("revenue"))
+    } finally deleteRecursively(root)
+  }
+
+  /** Streaming SCD Type-2 maintenance, oracle-gated: the third
+    * ORDER-SENSITIVE state row ([[StreamingOps.scd2Stream]] — state = the
+    * OPEN run per customer; closed runs stream out append-only). Same
+    * three-slice ordered replay as d196/d203, plus a FOURTH staged file —
+    * one flush sentinel per customer, latest mtime, so the final
+    * micro-batch emits every still-open run with valid_to NULL. The sink
+    * then hash-checks against the SHARED scd2OracleSql: the incrementally
+    * maintained history must equal batch d191's one-shot gaps-and-islands
+    * plan, run boundary for run boundary.
+    */
+  def d207StreamScd2(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val sp = s; import sp.implicits._
+    val root = Files.createTempDirectory("graft-stream-scd2")
+    try {
+      val in = root.resolve("in"); Files.createDirectories(in)
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey").as("k"),
+          expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))").as("ms"),
+          col("o_orderkey").as("tie"), col("o_orderstatus").as("st"),
+          lit(0).as("kind"))
+        .localCheckpoint() // feeds 3 slice writes + the flush key census
+      stageTimeSlices(o, "ms", "k", root, in)
+      // the flush batch: one sentinel per key, staged strictly last
+      stageOneFile(
+        o.select(col("k")).distinct()
+          .select(col("k"), lit(Long.MaxValue).as("ms"),
+            lit(Long.MaxValue).as("tie"), lit("").as("st"),
+            lit(1).as("kind")),
+        root, in, "zz-flush.parquet", System.currentTimeMillis())
+      val src = s.readStream
+        .schema(s.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+        .as[(Long, Long, Long, String, Int)]
+      val out = StreamingOps.scd2Stream(src)
+        .toDF("o_custkey", "o_orderstatus", "valid_from", "valid_to",
+          "n_rows")
+      runToTable(s, out)
+        .select(expr("CAST(o_custkey AS BIGINT)").as("o_custkey"),
+          col("o_orderstatus"),
+          expr("CAST(valid_from AS BIGINT)").as("valid_from"),
+          expr("CAST(valid_to AS BIGINT)").as("valid_to"),
+          expr("CAST(n_rows AS BIGINT)").as("n_rows"))
     } finally deleteRecursively(root)
   }
 

@@ -636,4 +636,55 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  /** Incrementally-maintained SCD Type-2 change history — the streaming
+    * twin of [[graft.operators.ScaleOps.changeHistory]]. State per key is
+    * the OPEN run (status, valid_from, n_rows); each arriving row either
+    * extends it (same status → n_rows + 1) or closes it (emit with
+    * valid_to = the new row's ts, open a fresh run). Closed runs stream
+    * out append-only; the still-open run is emitted with valid_to = None
+    * only when a `flush` sentinel row (kind = 1) arrives for the key —
+    * the AvailableNow battery stages one sentinel per key as the LAST
+    * micro-batch, and a production pipeline would flush on retention
+    * boundaries the same way. Order contract: rows within a batch are
+    * folded in (ts, tie) order; cross-batch order is the caller's file
+    * staging (oldest-first), same as [[ewmaStream]].
+    *
+    * Input: (key, ts, tie, status, kind) — kind 0 = data, 1 = flush.
+    * Output: (key, status, valid_from, valid_to: Option, n_rows).
+    */
+  def scd2Stream(input: Dataset[(Long, Long, Long, String, Int)])
+      : Dataset[(Long, String, Long, Option[Long], Long)] = {
+    val session = input.sparkSession
+    import session.implicits._
+    implicit val stEnc: Encoder[Option[(String, Long, Long)]] =
+      Encoders.kryo(classOf[Option[(String, Long, Long)]])
+    input.groupByKey(_._1)
+      .flatMapGroupsWithState[Option[(String, Long, Long)],
+        (Long, String, Long, Option[Long], Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, String, Int)],
+         state: GroupState[Option[(String, Long, Long)]]) =>
+          var cur: Option[(String, Long, Long)] = state.getOption.flatten
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).flatMap {
+            case (_, _, _, _, kind) if kind == 1 =>
+              val closing = cur.map { case (st, vf, n) =>
+                (key, st, vf, Option.empty[Long], n)
+              }
+              cur = None
+              closing
+            case (_, ts, _, st, _) => cur match {
+              case Some((s0, vf, n)) if s0 == st =>
+                cur = Some((s0, vf, n + 1)); Nil
+              case Some((s0, vf, n)) =>
+                cur = Some((st, ts, 1L))
+                Seq((key, s0, vf, Some(ts), n))
+              case None =>
+                cur = Some((st, ts, 1L)); Nil
+            }
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
 }

@@ -372,4 +372,52 @@ class StreamingBatterySpec extends SparkTestBase {
       assert(got == Map(20L -> 7L, 100L -> 7L, 300L -> -1L))
     } finally q.stop()
   }
+
+  test("d207 streaming SCD2 == batch d191 gaps-and-islands, run for run") {
+    val got = graft.streaming.StreamingBattery.d207StreamScd2(spark, sf)
+    val want = Queries.d191ChangeHistory(spark, sf)
+    assertSameRows(got, want)
+    // teeth: closed runs (valid_to set) AND flushed open runs must both
+    // exist, and some run must span more than one source row
+    assert(got.filter(col("valid_to").isNotNull).count() > 0)
+    assert(got.filter(col("valid_to").isNull).count() > 0)
+    assert(got.filter(col("n_rows") > 1L).count() > 0,
+      "every run is singleton: the extend-run state path went unexercised")
+  }
+
+  test("scd2Stream carries the open run across micro-batches (MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Int)]
+    val out = graft.streaming.StreamingOps.scd2Stream(mem.toDS())
+    val sink = s"scd2_mem_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // batch 1: A A — opens a 2-row run, nothing emitted yet
+      mem.addData((1L, 10L, 1L, "A", 0), (1L, 20L, 2L, "A", 0))
+      q.processAllAvailable()
+      assert(s.table(sink).count() == 0L)
+      // batch 2: a third A must EXTEND the remembered run; then B closes
+      // it — the closed run must span all three A rows across batches
+      mem.addData((1L, 30L, 3L, "A", 0), (1L, 40L, 4L, "B", 0))
+      q.processAllAvailable()
+      // batch 3: flush emits the open B run with valid_to = NULL
+      mem.addData((1L, Long.MaxValue, 9L, "", 1))
+      q.processAllAvailable()
+      val got = s.table(sink)
+        .as[(Long, String, Long, Option[Long], Long)].collect().toSet
+      assert(got == Set(
+        (1L, "A", 10L, Some(40L), 3L),
+        (1L, "B", 40L, None, 1L)))
+      // after the flush, state is cleared: new data opens a FRESH run
+      mem.addData((1L, 50L, 5L, "B", 0), (1L, Long.MaxValue, 9L, "", 1))
+      q.processAllAvailable()
+      assert(s.table(sink)
+        .as[(Long, String, Long, Option[Long], Long)].collect().toSet
+        .contains((1L, "B", 50L, None, 1L)))
+    } finally q.stop()
+  }
 }
