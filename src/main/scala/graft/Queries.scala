@@ -1825,6 +1825,91 @@ object Queries {
           .as("seats"))
   }
 
+  /** Burst (trending-term) detection with NO floating point: weekly
+    * part-name term counts from shipped lineitems, each week's count
+    * lifted against the prior week by integer CROSS-MULTIPLICATION —
+    * burst ⇔ cnt_w · tot_{w−1} > 2 · cnt_{w−1} · tot_w (share more than
+    * doubled) — never a ratio of doubles two engines could round apart.
+    * The distinct wrinkle vs d111's LAG trend: SPARSE buckets. A term
+    * absent last week has no LAG row, so the previous count is gated on
+    * lag(week) == week − 1 (else 0), and a term bursting from zero
+    * qualifies by the min-count floor alone. Week totals join back per
+    * week (≤ a few hundred rows — broadcast); products stay < 2^63
+    * while weekly corpus counts < ~3e9. One term-key window + two
+    * broadcast joins: corpus-linear at any scale.
+    */
+  def d208BurstTerms(s: SparkSession, d: String): DataFrame = {
+    val minCount = 3L
+    val census = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(explode(split(col("p_name"), " ")).as("term"),
+        expr("unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 604800000")
+          .as("week"))
+      .groupBy(col("term"), col("week"))
+      .agg(count(lit(1)).as("cnt"))
+    val weekTot = census.groupBy(col("week"))
+      .agg(sum(col("cnt")).as("tot"))
+    val w = Window.partitionBy(col("term")).orderBy(col("week"))
+    census
+      .withColumn("__lw", lag(col("week"), 1).over(w))
+      .withColumn("prev_cnt",
+        when(col("__lw") === col("week") - 1, lag(col("cnt"), 1).over(w))
+          .otherwise(lit(0L)))
+      .join(broadcast(weekTot), Seq("week"))
+      .join(broadcast(weekTot.select((col("week") + 1).as("week"),
+        col("tot").as("__ptot"))), Seq("week"), "left")
+      .withColumn("__ptot", coalesce(col("__ptot"), lit(0L)))
+      .withColumn("burst",
+        when(col("cnt") < minCount, lit(0L))
+          .when(col("prev_cnt") === 0L || col("__ptot") === 0L, lit(1L))
+          .when(col("cnt") * col("__ptot") >
+            lit(2L) * col("prev_cnt") * col("tot"), lit(1L))
+          .otherwise(lit(0L)))
+      .select(col("term"), expr("CAST(week AS BIGINT)").as("week"),
+        expr("CAST(cnt AS BIGINT)").as("cnt"),
+        expr("CAST(prev_cnt AS BIGINT)").as("prev_cnt"),
+        expr("CAST(burst AS BIGINT)").as("burst"))
+  }
+
+  /** Overlapping-interval MERGE (union of spans) — the third member of
+    * the islands family, and the one the other two don't cover: d191
+    * breaks on VALUE change, d75 on a fixed POINT gap; here each order
+    * owns a real duration (priority-dependent service window) and
+    * islands break where a span's start clears the RUNNING MAX of all
+    * previous ends — max(hi) over [unbounded, 1 PRECEDING], the
+    * prev-running-max reflection that handles nested/contained spans a
+    * naive lag(hi) would get wrong. One customer-hash window shuffle +
+    * one aggregation; all-integer millis.
+    */
+  def d209IntervalMerge(s: SparkSession, d: String): DataFrame = {
+    val W = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("lo"), col("hi"), col("o_orderkey"))
+    val spans = Tables.orders(s, d)
+      .withColumn("lo",
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))"))
+      .withColumn("hi", col("lo") + lit(86400000L) *
+        when(col("o_orderpriority") === "1-URGENT", 28L)
+          .when(col("o_orderpriority") === "2-HIGH", 21L)
+          .when(col("o_orderpriority") === "3-MEDIUM", 14L)
+          .when(col("o_orderpriority") === "4-NOT SPECIFIED", 7L)
+          .otherwise(3L))
+    spans
+      .withColumn("__pmax",
+        max(col("hi")).over(W.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("lo") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new"))
+        .over(W.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("o_custkey"), col("__isl"))
+      .agg(min(col("lo")).as("span_start"), max(col("hi")).as("span_end"),
+        count(lit(1)).as("n_orders"))
+      .select(expr("CAST(o_custkey AS BIGINT)").as("o_custkey"),
+        expr("CAST(span_start AS BIGINT)").as("span_start"),
+        expr("CAST(span_end AS BIGINT)").as("span_end"),
+        expr("CAST(n_orders AS BIGINT)").as("n_orders"))
+  }
+
   /** Top session paths — ORDERED-sequence extraction, the shape no other
     * row exercises (d185's transitions are pairwise; this is the ordered
     * k-prefix): d75's gap sessionization, then each ≥3-event session's
@@ -3801,6 +3886,8 @@ object Queries {
     "d206_apportionment" -> (d206Apportionment _),
     "d207_stream_scd2" ->
       (graft.streaming.StreamingBattery.d207StreamScd2 _),
+    "d208_burst_terms" -> (d208BurstTerms _),
+    "d209_interval_merge" -> (d209IntervalMerge _),
   )
 
   /** ONE definition for the SCD2 oracle — d191 (batch gaps-and-islands
@@ -6177,5 +6264,54 @@ object Queries {
         | CAST(base_seats + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
         |   AS BIGINT) AS seats
         |FROM l""".stripMargin,
+
+    // burst = integer cross-multiplied share lift; sparse-bucket LAG is
+    // gated on week adjacency exactly like the operator
+    "d208_burst_terms" ->
+      """WITH c AS (SELECT UNNEST(string_split(p_name, ' ')) AS term,
+        |  epoch_ms(l_shipdate) // 604800000 AS week
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |g AS (SELECT term, week, CAST(COUNT(*) AS BIGINT) AS cnt
+        | FROM c GROUP BY 1, 2),
+        |t AS (SELECT week, CAST(SUM(cnt) AS BIGINT) AS tot
+        | FROM g GROUP BY 1),
+        |x AS (SELECT g.term, g.week, g.cnt,
+        |  CASE WHEN LAG(g.week) OVER w = g.week - 1
+        |    THEN LAG(g.cnt) OVER w ELSE 0 END AS prev_cnt,
+        |  t.tot, COALESCE(p.tot, 0) AS ptot
+        | FROM g JOIN t ON g.week = t.week
+        |  LEFT JOIN t p ON g.week = p.week + 1
+        | WINDOW w AS (PARTITION BY g.term ORDER BY g.week))
+        |SELECT term, CAST(week AS BIGINT) AS week, cnt,
+        | CAST(prev_cnt AS BIGINT) AS prev_cnt,
+        | CAST(CASE WHEN cnt < 3 THEN 0
+        |   WHEN prev_cnt = 0 OR ptot = 0 THEN 1
+        |   WHEN cnt * ptot > 2 * prev_cnt * tot THEN 1
+        |   ELSE 0 END AS BIGINT) AS burst
+        |FROM x""".stripMargin,
+
+    // islands break where lo clears the RUNNING MAX of previous ends —
+    // the prev-max frame handles contained spans a lag(hi) would miss
+    "d209_interval_merge" ->
+      """WITH sp AS (SELECT o_custkey AS k, o_orderkey AS id,
+        |  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS lo,
+        |  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) + CAST(86400000
+        |    AS BIGINT) *
+        |   CASE o_orderpriority WHEN '1-URGENT' THEN 28
+        |    WHEN '2-HIGH' THEN 21 WHEN '3-MEDIUM' THEN 14
+        |    WHEN '4-NOT SPECIFIED' THEN 7 ELSE 3 END AS hi
+        | FROM orders),
+        |f AS (SELECT *, MAX(hi) OVER (PARTITION BY k ORDER BY lo, hi, id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        | FROM sp),
+        |g AS (SELECT *, CASE WHEN pmax IS NULL OR lo > pmax
+        |   THEN 1 ELSE 0 END AS nw FROM f),
+        |i AS (SELECT *, SUM(nw) OVER (PARTITION BY k ORDER BY lo, hi, id
+        |   ROWS UNBOUNDED PRECEDING) AS isl FROM g)
+        |SELECT CAST(k AS BIGINT) AS o_custkey,
+        | CAST(MIN(lo) AS BIGINT) AS span_start,
+        | CAST(MAX(hi) AS BIGINT) AS span_end,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM i GROUP BY k, isl""".stripMargin,
   )
 }

@@ -72,6 +72,44 @@ class BatterySpec extends SparkTestBase {
     }
   }
 
+  test("d209 merged spans are disjoint, ordered, and cover every order") {
+    val d = "/root/testdata/sf0.001"
+    val spans = Queries.d209IntervalMerge(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val orderCount = Tables.orders(spark, d).groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spans.groupBy(_._1).foreach { case (k, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, hi1, _), (_, lo2, _, _)) =>
+          assert(hi1 < lo2, s"customer $k: spans overlap after merging")
+        case _ =>
+      }
+      assert(sorted.map(_._4).sum == orderCount(k),
+        s"customer $k: merged spans lost or double-counted orders")
+      sorted.foreach { case (_, lo, hi, _) => assert(lo < hi) }
+    }
+    assert(spans.exists(_._4 > 1), "no span merged >1 order: merge untested")
+  }
+
+  test("d208 burst flags satisfy the integer-lift definition on real data") {
+    val rows = Queries.d208BurstTerms(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // every burst row clears the floor; every from-zero row with the
+    // floor IS a burst (the sparse-bucket branch)
+    rows.foreach { case (_, _, cnt, prev, burst) =>
+      if (burst == 1L) assert(cnt >= 3L)
+      if (prev == 0L && cnt >= 3L) assert(burst == 1L)
+    }
+    assert(rows.exists { case (_, _, _, p, b) => p == 0L && b == 1L },
+      "no burst-from-zero row: the sparse-bucket branch went unexercised")
+    assert(rows.exists { case (_, _, _, p, b) => p > 0L && b == 1L },
+      "no cross-multiplied burst: the lift branch went unexercised")
+  }
+
   test("d206 allocates exactly 10000 seats, each cell base or base+1") {
     val rows = Queries.d206Apportionment(spark, "/root/testdata/sf0.001")
       .select("base_seats", "seats").collect()

@@ -554,6 +554,23 @@ class PlanAuditSpec extends SparkTestBase {
       "overlap predicate must ride the equi-join as a residual filter")
   }
 
+  test("d208/d209: burst and interval-merge windows all carry a partition key; week totals broadcast") {
+    val p8 = planOf(Queries.d208BurstTerms(spark, d))
+      .split("== Initial Plan ==").head
+    assert(!p8.contains("Exchange SinglePartition") ||
+      p8.contains("BroadcastExchange"),
+      "d208 must not funnel data through one partition")
+    assert(p8.contains("BroadcastExchange"),
+      "week totals (≤ a few hundred rows) should broadcast to the census")
+    val p9 = planOf(Queries.d209IntervalMerge(spark, d))
+      .split("== Initial Plan ==").head
+    val exchanges = p9.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"d209: expected ONE customer-hash shuffle, got $exchanges:\n" +
+        p9.take(3000))
+  }
+
   test("d206: apportionment plans no un-partitioned window and broadcasts its scalars") {
     val finalPlan = planOf(Queries.d206Apportionment(spark, d))
       .split("== Initial Plan ==").head

@@ -154,4 +154,29 @@ class RocksDBStateStoreSpec extends SparkTestBase {
       assert(got(3L) == (8 * 400 + 4 * 200 + 2 * 100) / 14.0)
     } finally q.stop()
   }
+
+  test("scd2Stream's open run survives the RocksDB byte store across batches") {
+    val s = rocks
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Int)]
+    val out = StreamingOps.scd2Stream(mem.toDS())
+    val sink = "rocks_scd2_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10L, 1L, "A", 0), (1L, 20L, 2L, "A", 0))
+      q.processAllAvailable()
+      // the open run (A, 10, 2) must decode back from the native store
+      // and EXTEND — then close with the full three-row span
+      mem.addData((1L, 30L, 3L, "A", 0), (1L, 40L, 4L, "B", 0),
+        (1L, Long.MaxValue, 9L, "", 1))
+      q.processAllAvailable()
+      val got = s.table(sink)
+        .as[(Long, String, Long, Option[Long], Long)].collect().toSet
+      assert(got == Set(
+        (1L, "A", 10L, Some(40L), 3L),
+        (1L, "B", 40L, None, 1L)))
+    } finally q.stop()
+  }
 }
