@@ -1807,8 +1807,6 @@ object Queries {
     val based = rev.crossJoin(broadcast(tot))
       .withColumn("base_seats", expr(s"($seats * rev_c) div __tot"))
       .withColumn("__rem", expr(s"($seats * rev_c) % __tot"))
-    val leftover = based.agg((lit(seats) - sum(col("base_seats")))
-      .as("__left"))
     // descending remainder as an ascending fixed-width key: tot − rem,
     // zero-padded past any BIGINT (19 digits), then the tie-break cols
     val ranked = graft.operators.ScaleOps.globalPrefixSum(
@@ -1817,6 +1815,10 @@ object Queries {
           lpad(col("nation").cast("string"), 4, "0"), col("seg")))
         .withColumn("__one", lit(1L)),
       "__ord", Seq("__one" -> "__before"))
+    // leftover derives from the CHECKPOINTED rank frame — reading it off
+    // `based` would re-run the corpus-sized join+agg in a separate job
+    val leftover = ranked.agg((lit(seats) - sum(col("base_seats")))
+      .as("__left"))
     ranked.crossJoin(broadcast(leftover))
       .select(col("nation"), col("seg"), col("rev_c"),
         col("base_seats"),

@@ -430,13 +430,14 @@ object GraphOps {
     *
     * Each round composes the ancestor map with itself: anc ← anc(anc),
     * dist ← dist + dist(anc). The known-ancestor distance DOUBLES per
-    * round, so a depth-D forest converges in ceil(log2(D)) rounds of one
-    * keyed self-join each — never the D sequential one-level joins of
-    * the naive parent walk (at 100 TB a depth-1000 hierarchy is 10
-    * shuffles, not 1000). localCheckpoint after each round keeps the
-    * plan one round deep (same hygiene as [[connectedComponents]]); the
-    * per-round `active` count is the convergence census and costs one
-    * action over the already-materialized checkpoint.
+    * round, so a depth-D forest converges in ceil(log2(D)) doubling
+    * rounds plus one fixpoint-confirmation round of one keyed self-join
+    * each — never the D sequential one-level joins of the naive parent
+    * walk (at 100 TB a depth-1000 hierarchy is ~11 shuffles, not 1000).
+    * localCheckpoint after each round keeps the plan one round deep
+    * (same hygiene as [[connectedComponents]]); the per-round `active`
+    * existence probe costs one limit(1) action over the
+    * already-materialized checkpoint.
     *
     * Reference analogue: the reference's transform graph is flattened
     * one level at a time on the driver (translator.py); this is the
@@ -450,8 +451,9 @@ object GraphOps {
     var f = p.filter(col("parent").isNotNull)
       .select(col("node"), col("parent").as("anc"), lit(1L).as("dist"))
       .localCheckpoint()
-    // `active` = rows whose ancestor is still a non-root (had a match in
-    // the self-join); 0 means every anc column is a root and dist = depth
+    // `active` is an existence FLAG (0/1 via limit(1)): 1 while some row
+    // still has a non-root ancestor (matched in the self-join); 0 means
+    // every anc column is a root and dist = depth
     var active = f.limit(1).count()
     var round = 0
     while (active > 0 && round < maxRounds) {
@@ -467,9 +469,11 @@ object GraphOps {
       f = next.drop("__moved")
       round += 1
     }
+    // R rounds settle depth ≤ 2^(R−1): the last round is the fixpoint
+    // confirmation in which nothing moves (depth 9 needs 4 + 1 rounds)
     require(active == 0,
       s"treeDepths did not converge within $maxRounds rounds — the input " +
-        "has a cycle or depth > 2^" + maxRounds)
+        "has a cycle or depth > 2^" + (maxRounds - 1))
     // dangling-parent audit: every settled ancestor must be a real root
     // row, else the chain silently terminated at a key with no node
     val dangling = f.join(

@@ -683,7 +683,10 @@ object StreamingOps {
                 cur = Some((st, ts, 1L)); Nil
             }
           }
-          state.update(cur)
+          // a flushed key must LEAVE the store, not park a kryo'd None
+          // there forever — over an unbounded key space with periodic
+          // flushes, update(None) grows state with cumulative cardinality
+          if (cur.isDefined) state.update(cur) else state.remove()
           out.iterator
       }
   }

@@ -557,9 +557,8 @@ class PlanAuditSpec extends SparkTestBase {
   test("d208/d209: burst and interval-merge windows all carry a partition key; week totals broadcast") {
     val p8 = planOf(Queries.d208BurstTerms(spark, d))
       .split("== Initial Plan ==").head
-    assert(!p8.contains("Exchange SinglePartition") ||
-      p8.contains("BroadcastExchange"),
-      "d208 must not funnel data through one partition")
+    assert(!p8.contains("Exchange SinglePartition"),
+      s"d208 funnels data through one partition:\n${p8.take(3000)}")
     assert(p8.contains("BroadcastExchange"),
       "week totals (≤ a few hundred rows) should broadcast to the census")
     val p9 = planOf(Queries.d209IntervalMerge(spark, d))

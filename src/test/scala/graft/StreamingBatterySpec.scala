@@ -418,6 +418,12 @@ class StreamingBatterySpec extends SparkTestBase {
       assert(s.table(sink)
         .as[(Long, String, Long, Option[Long], Long)].collect().toSet
         .contains((1L, "B", 50L, None, 1L)))
+      // and the flushed key is REMOVED from the store (state.remove, not
+      // a parked None) — over an unbounded key space with periodic
+      // flushes, leaked entries grow state with cumulative cardinality
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 0L,
+        s"flushed key left $stateRows state-store rows behind")
     } finally q.stop()
   }
 }
