@@ -1912,6 +1912,122 @@ object Queries {
         expr("CAST(n_orders AS BIGINT)").as("n_orders"))
   }
 
+  /** Kolmogorov-Smirnov drift per source, with the sup-distance taken
+    * over EXACT integers: at every value of the merged support,
+    * D_num(v) = |cum_s(v)·N_g − cum_g(v)·N_s| (cross-multiplied CDFs —
+    * no per-point double subtraction for engines to round apart), the
+    * statistic is max(D_num)/(N_s·N_g) with ONE final division, and the
+    * argmax value is the MIN v among ties (deterministic). The binless
+    * complement of d68's binned PSI. The evaluation grid is
+    * (distinct values) × (sources) — bounded by the VALUE DOMAIN and
+    * the source census, never the corpus; the per-source CDF rides one
+    * partitioned window over that grid. N_s·N_g must stay < 2^63
+    * (document counts < ~3e9 a side; DECIMAL(38,0) beyond).
+    */
+  def d210KsDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+    val perCell = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val globalCell = docs.groupBy(col("n_chars"))
+      .agg(count(lit(1)).as("gcnt"))
+    val nS = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    // dense (value × source) grid: every source's CDF is a step function
+    // evaluated at every global support point
+    val grid = globalCell.crossJoin(nS.select(col("source")))
+      .join(perCell, Seq("source", "n_chars"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = docs.agg(count(lit(1)).as("n_g"))
+    grid
+      .withColumn("__cs", sum(col("cnt")).over(w))
+      .withColumn("__cg", sum(col("gcnt")).over(w))
+      .join(broadcast(nS), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__d",
+        abs(col("__cs") * col("n_g") - col("__cg") * col("n_s")))
+      .withColumn("__dmax", // same source partitioning — shuffle reused
+        max(col("__d")).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(first(col("n_s")).as("n_s"), first(col("n_g")).as("n_g"),
+        first(col("__dmax")).as("ks_num"),
+        min(when(col("__d") === col("__dmax"), col("n_chars")))
+          .as("ks_at"))
+      .select(col("source"),
+        expr("CAST(n_s AS BIGINT)").as("n_s"),
+        expr("CAST(ks_num AS BIGINT)").as("ks_num"),
+        expr("CAST(ks_at AS BIGINT)").as("ks_at"),
+        (col("ks_num").cast("double") /
+          (col("n_s") * col("n_g")).cast("double")).as("ks_stat"))
+  }
+
+  /** Quantile normalization — re-express every document's length as the
+    * GLOBAL value at its within-language rank position (the omics/ML
+    * feature-alignment transform): r-th of n_g in its language maps to
+    * global rank 1 + ((r−1)·(N−1)) div (n_g−1) (integer arithmetic,
+    * exact endpoints: rank 1 → global min, rank n_g → global max), and
+    * the value at a global rank resolves through a DISTINCT-VALUE rank
+    * table — each value v owns the half-open rank interval
+    * (below(v), below(v)+cnt(v)] — built by [[graft.operators.ScaleOps
+    * .globalPrefixSum]] and joined as a broadcast RANGE probe: value-
+    * domain-sized, never corpus-sized, and NO un-partitioned window
+    * anywhere. Per-language ranks ride one partitioned window.
+    */
+  def d211QuantileNormalize(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val wLang = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ranked = docs
+      .withColumn("__r", row_number().over(wLang))
+      .withColumn("__ng", count(lit(1))
+        .over(Window.partitionBy(col("lang"))))
+    val tot = docs.agg(count(lit(1)).as("__n"))
+    // distinct-value rank table: below = # rows with a smaller value
+    val valueRanks = graft.operators.ScaleOps.globalPrefixSum(
+      docs.groupBy(col("n_chars").as("__v"))
+        .agg(count(lit(1)).as("__cnt")),
+      "__v", Seq("__cnt" -> "__below"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("__tr",
+        when(col("__ng") > 1,
+          lit(1L) + expr("(__r - 1) * (__n - 1) div (__ng - 1)"))
+          .otherwise(lit(1L) + expr("(__n - 1) div 2")))
+      .join(broadcast(valueRanks),
+        col("__tr") > col("__below") &&
+          col("__tr") <= col("__below") + col("__cnt"))
+      .select(expr("CAST(doc_id AS BIGINT)").as("doc_id"), col("lang"),
+        expr("CAST(n_chars AS BIGINT)").as("n_chars"),
+        expr("CAST(__r AS BIGINT)").as("lang_rank"),
+        expr("CAST(__v AS BIGINT)").as("norm_chars"))
+  }
+
+  /** Token-sorted canonicalization — entity-resolution-lite: canonical
+    * key = the document's first FOUR lowercased tokens SORTED and
+    * rejoined, so reordered openings ("alpha beta gamma delta" vs
+    * "gamma alpha delta beta") collide while different word SETS stay
+    * apart — the order-insensitive blocking key record-linkage systems
+    * hang fuzzy comparison on. Census per canonical cluster with the
+    * min doc_id as deterministic representative; genuinely non-vacuous
+    * on this corpus (8 clusters at sf0.01 hold >1 distinct raw prefix).
+    * One hash aggregation; the sort is per-row over 4 tokens, never a
+    * data sort.
+    */
+  def d212CanonicalKeys(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("canon", concat_ws(" ",
+        sort_array(slice(split(lower(col("text")), " "), 1, 4))))
+      .withColumn("raw_prefix",
+        concat_ws(" ", slice(split(lower(col("text")), " "), 1, 4)))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_prefix")).as("n_prefixes"),
+        min(col("doc_id")).as("rep_doc"))
+      .select(col("canon"),
+        expr("CAST(n_docs AS BIGINT)").as("n_docs"),
+        expr("CAST(n_prefixes AS BIGINT)").as("n_prefixes"),
+        expr("CAST(rep_doc AS BIGINT)").as("rep_doc"))
+
   /** Top session paths — ORDERED-sequence extraction, the shape no other
     * row exercises (d185's transitions are pairwise; this is the ordered
     * k-prefix): d75's gap sessionization, then each ≥3-event session's
@@ -3890,7 +4006,38 @@ object Queries {
       (graft.streaming.StreamingBattery.d207StreamScd2 _),
     "d208_burst_terms" -> (d208BurstTerms _),
     "d209_interval_merge" -> (d209IntervalMerge _),
+    "d210_ks_drift" -> (d210KsDrift _),
+    "d211_quantile_normalize" -> (d211QuantileNormalize _),
+    "d212_canonical_keys" -> (d212CanonicalKeys _),
+    "d213_stream_interval_merge" ->
+      (graft.streaming.StreamingBattery.d213StreamIntervalMerge _),
   )
+
+  /** ONE definition for the interval-merge oracle — d209 (batch
+    * running-max island plan) and d213 (streaming open-span state) must
+    * stay on the identical SQL, same contract as [[scd2OracleSql]].
+    */
+  private val intervalMergeOracleSql: String =
+    """WITH sp AS (SELECT o_custkey AS k, o_orderkey AS id,
+      |  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS lo,
+      |  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) + CAST(86400000
+      |    AS BIGINT) *
+      |   CASE o_orderpriority WHEN '1-URGENT' THEN 28
+      |    WHEN '2-HIGH' THEN 21 WHEN '3-MEDIUM' THEN 14
+      |    WHEN '4-NOT SPECIFIED' THEN 7 ELSE 3 END AS hi
+      | FROM orders),
+      |f AS (SELECT *, MAX(hi) OVER (PARTITION BY k ORDER BY lo, hi, id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      | FROM sp),
+      |g AS (SELECT *, CASE WHEN pmax IS NULL OR lo > pmax
+      |   THEN 1 ELSE 0 END AS nw FROM f),
+      |i AS (SELECT *, SUM(nw) OVER (PARTITION BY k ORDER BY lo, hi, id
+      |   ROWS UNBOUNDED PRECEDING) AS isl FROM g)
+      |SELECT CAST(k AS BIGINT) AS o_custkey,
+      | CAST(MIN(lo) AS BIGINT) AS span_start,
+      | CAST(MAX(hi) AS BIGINT) AS span_end,
+      | CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM i GROUP BY k, isl""".stripMargin
 
   /** ONE definition for the SCD2 oracle — d191 (batch gaps-and-islands
     * plan) and d207 (streaming open-run state) must stay on the
@@ -6294,26 +6441,83 @@ object Queries {
 
     // islands break where lo clears the RUNNING MAX of previous ends —
     // the prev-max frame handles contained spans a lag(hi) would miss
-    "d209_interval_merge" ->
-      """WITH sp AS (SELECT o_custkey AS k, o_orderkey AS id,
-        |  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS lo,
-        |  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) + CAST(86400000
-        |    AS BIGINT) *
-        |   CASE o_orderpriority WHEN '1-URGENT' THEN 28
-        |    WHEN '2-HIGH' THEN 21 WHEN '3-MEDIUM' THEN 14
-        |    WHEN '4-NOT SPECIFIED' THEN 7 ELSE 3 END AS hi
-        | FROM orders),
-        |f AS (SELECT *, MAX(hi) OVER (PARTITION BY k ORDER BY lo, hi, id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-        | FROM sp),
-        |g AS (SELECT *, CASE WHEN pmax IS NULL OR lo > pmax
-        |   THEN 1 ELSE 0 END AS nw FROM f),
-        |i AS (SELECT *, SUM(nw) OVER (PARTITION BY k ORDER BY lo, hi, id
-        |   ROWS UNBOUNDED PRECEDING) AS isl FROM g)
-        |SELECT CAST(k AS BIGINT) AS o_custkey,
-        | CAST(MIN(lo) AS BIGINT) AS span_start,
-        | CAST(MAX(hi) AS BIGINT) AS span_end,
-        | CAST(COUNT(*) AS BIGINT) AS n_orders
-        |FROM i GROUP BY k, isl""".stripMargin,
+    "d209_interval_merge" -> intervalMergeOracleSql,
+
+    // the streaming twin folds the same merge incrementally; ONE shared
+    // oracle proves span-for-span equality
+    "d213_stream_interval_merge" -> intervalMergeOracleSql,
+
+    // exact-integer KS: CDFs cross-multiplied at every merged-support
+    // value, sup over integers, argmax = MIN value among ties
+    "d210_ks_drift" ->
+      """WITH pc AS (SELECT source, n_chars,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2),
+        |gc AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS gcnt
+        | FROM documents GROUP BY 1),
+        |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+        | FROM documents GROUP BY 1),
+        |ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_g FROM documents),
+        |grid AS (SELECT ns.source, gc.n_chars, gc.gcnt,
+        |  COALESCE(pc.cnt, 0) AS cnt
+        | FROM gc CROSS JOIN ns
+        |  LEFT JOIN pc ON pc.source = ns.source
+        |   AND pc.n_chars = gc.n_chars),
+        |cdf AS (SELECT source, n_chars,
+        |  CAST(SUM(cnt) OVER w AS BIGINT) AS cs,
+        |  CAST(SUM(gcnt) OVER w AS BIGINT) AS cg
+        | FROM grid WINDOW w AS (PARTITION BY source ORDER BY n_chars
+        |  ROWS UNBOUNDED PRECEDING)),
+        |d AS (SELECT cdf.source, cdf.n_chars, ns.n_s, ng.n_g,
+        |  ABS(cs * ng.n_g - cg * ns.n_s) AS dd
+        | FROM cdf JOIN ns ON cdf.source = ns.source CROSS JOIN ng),
+        |m AS (SELECT *, MAX(dd) OVER (PARTITION BY source) AS dmax
+        | FROM d)
+        |SELECT source, MIN(n_s) AS n_s,
+        | CAST(MIN(dmax) AS BIGINT) AS ks_num,
+        | CAST(MIN(CASE WHEN dd = dmax THEN n_chars END) AS BIGINT)
+        |   AS ks_at,
+        | CAST(MIN(dmax) AS DOUBLE) / CAST(MIN(n_s) * MIN(n_g) AS DOUBLE)
+        |   AS ks_stat
+        |FROM m GROUP BY 1""".stripMargin,
+
+    // within-language rank maps to the global rank lattice by integer
+    // division; value-at-rank resolves through the distinct-value
+    // half-open rank intervals (below, below+cnt]
+    "d211_quantile_normalize" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) AS rk,
+        |  CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS ng
+        | FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+        |v AS (SELECT n_chars AS val, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS below
+        | FROM documents GROUP BY 1),
+        |t AS (SELECT r.*, CASE WHEN ng > 1
+        |   THEN 1 + ((rk - 1) * (nn - 1)) // (ng - 1)
+        |   ELSE 1 + (nn - 1) // 2 END AS tr
+        | FROM r CROSS JOIN n)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        | CAST(n_chars AS BIGINT) AS n_chars,
+        | CAST(rk AS BIGINT) AS lang_rank,
+        | CAST(v.val AS BIGINT) AS norm_chars
+        |FROM t JOIN v ON t.tr > v.below AND t.tr <= v.below + v.cnt"""
+        .stripMargin,
+
+    // DuckDB list_sort == Spark sort_array on ASCII tokens, and [1:4]
+    // slicing == slice(arr, 1, 4); one hash aggregation on the key
+    "d212_canonical_keys" ->
+      """WITH t AS (SELECT doc_id,
+        |  array_to_string(list_sort(
+        |    string_split(lower(text), ' ')[1:4]), ' ') AS canon,
+        |  array_to_string(
+        |    string_split(lower(text), ' ')[1:4], ' ') AS raw_prefix
+        | FROM documents)
+        |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(COUNT(DISTINCT raw_prefix) AS BIGINT) AS n_prefixes,
+        | CAST(MIN(doc_id) AS BIGINT) AS rep_doc
+        |FROM t GROUP BY 1""".stripMargin,
   )
 }

@@ -876,6 +876,52 @@ object StreamingBattery {
     } finally deleteRecursively(root)
   }
 
+  /** Streaming interval merge, oracle-gated: the fourth ORDER-SENSITIVE
+    * state row ([[StreamingOps.intervalMergeStream]] — state = the OPEN
+    * span per customer). Same staged replay + flush-sentinel machinery
+    * as d207; the sink hash-checks against the SHARED
+    * intervalMergeOracleSql — the incrementally merged spans must equal
+    * batch d209's running-max island plan span for span.
+    */
+  def d213StreamIntervalMerge(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val sp = s; import sp.implicits._
+    val root = Files.createTempDirectory("graft-stream-imerge")
+    try {
+      val in = root.resolve("in"); Files.createDirectories(in)
+      val spans = Tables.orders(s, d)
+        .select(col("o_custkey").as("k"),
+          expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))").as("lo"),
+          (expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))") +
+            lit(86400000L) *
+            when(col("o_orderpriority") === "1-URGENT", 28L)
+              .when(col("o_orderpriority") === "2-HIGH", 21L)
+              .when(col("o_orderpriority") === "3-MEDIUM", 14L)
+              .when(col("o_orderpriority") === "4-NOT SPECIFIED", 7L)
+              .otherwise(3L)).as("hi"),
+          col("o_orderkey").as("tie"), lit(0).as("kind"))
+        .localCheckpoint()
+      stageTimeSlices(spans, "lo", "k", root, in)
+      stageOneFile(
+        spans.select(col("k")).distinct()
+          .select(col("k"), lit(Long.MaxValue).as("lo"),
+            lit(Long.MaxValue).as("hi"), lit(Long.MaxValue).as("tie"),
+            lit(1).as("kind")),
+        root, in, "zz-flush.parquet", System.currentTimeMillis())
+      val src = s.readStream
+        .schema(s.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+        .as[(Long, Long, Long, Long, Int)]
+      val out = StreamingOps.intervalMergeStream(src)
+        .toDF("o_custkey", "span_start", "span_end", "n_orders")
+      runToTable(s, out)
+        .select(expr("CAST(o_custkey AS BIGINT)").as("o_custkey"),
+          expr("CAST(span_start AS BIGINT)").as("span_start"),
+          expr("CAST(span_end AS BIGINT)").as("span_end"),
+          expr("CAST(n_orders AS BIGINT)").as("n_orders"))
+    } finally deleteRecursively(root)
+  }
+
   def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame =
       withShufflePartitions(s, 8) {
     def side(tpe: String, pre: String): DataFrame = {

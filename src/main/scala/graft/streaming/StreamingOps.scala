@@ -690,4 +690,53 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  /** Incrementally-maintained interval MERGE — the streaming twin of the
+    * batch running-max island plan (battery d209). State per key is the
+    * OPEN span (lo, maxHi, n); an arriving interval either overlaps it
+    * (lo ≤ maxHi → extend: maxHi = max, n + 1) or clears it (emit the
+    * closed span, open fresh). Correctness rests on lo-ordered arrival:
+    * within a batch rows fold in (lo, hi, tie) order, across batches the
+    * caller's staging must be time-ordered (same contract as
+    * [[scd2Stream]]) — then state.maxHi always equals the batch plan's
+    * running max over ALL previous ends (any older island's end is < the
+    * current island's start by the island-break condition). A flush
+    * sentinel (kind = 1) emits the open span and REMOVES the key's
+    * state.
+    *
+    * Input: (key, lo, hi, tie, kind). Output: (key, span_start,
+    * span_end, n).
+    */
+  def intervalMergeStream(input: Dataset[(Long, Long, Long, Long, Int)])
+      : Dataset[(Long, Long, Long, Long)] = {
+    val session = input.sparkSession
+    import session.implicits._
+    implicit val stEnc: Encoder[Option[(Long, Long, Long)]] =
+      Encoders.kryo(classOf[Option[(Long, Long, Long)]])
+    input.groupByKey(_._1)
+      .flatMapGroupsWithState[Option[(Long, Long, Long)],
+        (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long, Int)],
+         state: GroupState[Option[(Long, Long, Long)]]) =>
+          var cur: Option[(Long, Long, Long)] = state.getOption.flatten
+          val out = rows.toSeq.sortBy(r => (r._2, r._3, r._4)).flatMap {
+            case (_, _, _, _, kind) if kind == 1 =>
+              val closing = cur.map { case (lo, hi, n) => (key, lo, hi, n) }
+              cur = None
+              closing
+            case (_, lo, hi, _, _) => cur match {
+              case Some((slo, shi, n)) if lo <= shi =>
+                cur = Some((slo, math.max(shi, hi), n + 1)); Nil
+              case Some((slo, shi, n)) =>
+                cur = Some((lo, hi, 1L))
+                Seq((key, slo, shi, n))
+              case None =>
+                cur = Some((lo, hi, 1L)); Nil
+            }
+          }
+          if (cur.isDefined) state.update(cur) else state.remove()
+          out.iterator
+      }
+  }
 }

@@ -110,6 +110,47 @@ class BatterySpec extends SparkTestBase {
       "no cross-multiplied burst: the lift branch went unexercised")
   }
 
+  test("d210 KS equals the brute-force sup over empirical CDFs") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d).select("source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val global = docs.map(_._2).sorted
+    val support = global.distinct
+    val got = Queries.d210KsDrift(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val vs = rows.map(_._2)
+      val (nS, nG) = (vs.length.toLong, global.length.toLong)
+      val ds = support.map(v =>
+        v -> math.abs(vs.count(_ <= v) * nG - global.count(_ <= v) * nS))
+      val dmax = ds.map(_._2).max
+      val at = ds.filter(_._2 == dmax).map(_._1).min
+      assert(got(src) == ((nS, dmax, at)), s"KS mismatch for $src")
+    }
+    assert(got.values.exists(_._2 > 0L), "all sources identical: vacuous")
+  }
+
+  test("d211 normalization is monotone per language and hits both endpoints") {
+    val rows = Queries.d211QuantileNormalize(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(2), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val globalMin = rows.map(_._3).min
+    val globalMax = rows.map(_._3).max
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byRank = rs.sortBy(_._2)
+      byRank.sliding(2).foreach {
+        case Array((_, _, _, n1), (_, _, _, n2)) =>
+          assert(n1 <= n2, s"$lang: normalization broke rank order")
+        case _ =>
+      }
+      assert(byRank.head._4 == globalMin, s"$lang: rank 1 must map to global min")
+      assert(byRank.last._4 == globalMax, s"$lang: top rank must map to global max")
+    }
+    assert(rows.exists(r => r._3 != r._4), "nothing moved: vacuous")
+  }
+
   test("d206 allocates exactly 10000 seats, each cell base or base+1") {
     val rows = Queries.d206Apportionment(spark, "/root/testdata/sf0.001")
       .select("base_seats", "seats").collect()

@@ -570,11 +570,38 @@ class PlanAuditSpec extends SparkTestBase {
         p9.take(3000))
   }
 
+  test("d210/d211: drift and normalization plan no un-partitioned window; rank probes broadcast") {
+    for ((df, name) <- Seq(
+        (Queries.d210KsDrift(spark, d), "d210"),
+        (Queries.d211QuantileNormalize(spark, d), "d211"))) {
+      val plan = planOf(df).split("== Initial Plan ==").head
+      // every Window operator must carry a partition key (source/lang);
+      // scalar 1-row aggregates legitimately exchange SinglePartition,
+      // so pin the WINDOW spec, not the exchange
+      val windows = plan.linesIterator
+        .filter(_.contains("Window ")).toSeq
+      assert(windows.nonEmpty, s"$name: expected windowed CDF/rank stages")
+      windows.foreach { l =>
+        // source/lang for the CDF and rank windows; __pid for the
+        // globalPrefixSum value-rank table inside d211
+        assert(l.contains("windowspecdefinition(source") ||
+          l.contains("windowspecdefinition(lang") ||
+          l.contains("windowspecdefinition(__pid"),
+          s"$name window lost its partition key: $l")
+      }
+      assert(plan.contains("BroadcastExchange") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: the bounded side tables should broadcast")
+    }
+  }
+
   test("d206: apportionment plans no un-partitioned window and broadcasts its scalars") {
     val finalPlan = planOf(Queries.d206Apportionment(spark, d))
       .split("== Initial Plan ==").head
+    // (contains, not trim.startsWith — plan lines carry +-/:- prefixes,
+    // which made the first version of this check vacuously pass)
     val globalWindows = finalPlan.linesIterator.count(l =>
-      l.trim.startsWith("Window ") && !l.contains("__pid"))
+      l.contains("Window ") && !l.contains("__pid"))
     assert(globalWindows == 0,
       s"remainder ranking leaked a global window:\n${finalPlan.take(3000)}")
     assert(finalPlan.contains("BroadcastNestedLoopJoin") ||

@@ -426,4 +426,43 @@ class StreamingBatterySpec extends SparkTestBase {
         s"flushed key left $stateRows state-store rows behind")
     } finally q.stop()
   }
+
+  test("d213 streaming interval merge == batch d209, span for span") {
+    val got = graft.streaming.StreamingBattery
+      .d213StreamIntervalMerge(spark, sf)
+    val want = Queries.d209IntervalMerge(spark, sf)
+    assertSameRows(got, want)
+    assert(got.filter(col("n_orders") > 1L).count() > 0,
+      "no span merged >1 interval: the extend path went unexercised")
+  }
+
+  test("intervalMergeStream: extend/contain/clear across batches; flush removes state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Int)]
+    val out = graft.streaming.StreamingOps.intervalMergeStream(mem.toDS())
+    val sink = s"imerge_mem_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // batch 1: [10,50) then a CONTAINED [20,30) — span stays [10,50)
+      mem.addData((1L, 10L, 50L, 1L, 0), (1L, 20L, 30L, 2L, 0))
+      q.processAllAvailable()
+      // batch 2: [40,60) overlaps the REMEMBERED span (40 <= 50) and
+      // extends it to [10,60); then [70,80) clears it — emit [10,60)x3
+      mem.addData((1L, 40L, 60L, 3L, 0), (1L, 70L, 80L, 4L, 0))
+      q.processAllAvailable()
+      // batch 3: flush emits the open [70,80) and removes state
+      mem.addData((1L, Long.MaxValue, Long.MaxValue, 9L, 1))
+      q.processAllAvailable()
+      val got = s.table(sink)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L, 60L, 3L), (1L, 70L, 80L, 1L)))
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 0L,
+        s"flushed key left $stateRows state-store rows behind")
+    } finally q.stop()
+  }
 }
