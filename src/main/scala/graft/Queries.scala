@@ -4011,7 +4011,32 @@ object Queries {
     "d212_canonical_keys" -> (d212CanonicalKeys _),
     "d213_stream_interval_merge" ->
       (graft.streaming.StreamingBattery.d213StreamIntervalMerge _),
+    "d214_stream_balance" ->
+      (graft.streaming.StreamingBattery.d214StreamBalance _),
   )
+
+  /** ONE definition for the clamped-balance oracle — d202 (batch
+    * reflection-identity windows) and d214 (streaming literal Lindley
+    * fold) must stay on the identical SQL.
+    */
+  private val balanceOracleSql: String =
+    """WITH e AS (SELECT user_id AS u, epoch_ms(ts) AS ms,
+      |  event_id AS id,
+      |  CASE WHEN event_type = 'purchase'
+      |    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |  END AS delta
+      | FROM events WHERE value IS NOT NULL
+      |  AND event_type IN ('purchase', 'error')),
+      |c AS (SELECT u, ms, id, delta, SUM(delta) OVER
+      |  (PARTITION BY u ORDER BY ms, id ROWS UNBOUNDED PRECEDING)
+      |   AS cum FROM e),
+      |s AS (SELECT *, MIN(cum) OVER (PARTITION BY u ORDER BY ms, id
+      |  ROWS UNBOUNDED PRECEDING) AS mn FROM c)
+      |SELECT CAST(u AS BIGINT) AS user_id, CAST(ms AS BIGINT) AS ts_ms,
+      | CAST(id AS BIGINT) AS event_id, CAST(delta AS BIGINT) AS delta,
+      | CAST(cum - LEAST(0, mn) AS BIGINT) AS balance
+      |FROM s""".stripMargin
 
   /** ONE definition for the interval-merge oracle — d209 (batch
     * running-max island plan) and d213 (streaming open-span state) must
@@ -6331,24 +6356,11 @@ object Queries {
     // the reflection identity spelled out: cumulative sum, then running
     // min of it (two stacked windows — DuckDB can't nest them in one),
     // balance = S - LEAST(0, runmin(S)); all-integer
-    "d202_clamped_balance" ->
-      """WITH e AS (SELECT user_id AS u, epoch_ms(ts) AS ms,
-        |  event_id AS id,
-        |  CASE WHEN event_type = 'purchase'
-        |    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |    ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |  END AS delta
-        | FROM events WHERE value IS NOT NULL
-        |  AND event_type IN ('purchase', 'error')),
-        |c AS (SELECT u, ms, id, delta, SUM(delta) OVER
-        |  (PARTITION BY u ORDER BY ms, id ROWS UNBOUNDED PRECEDING)
-        |   AS cum FROM e),
-        |s AS (SELECT *, MIN(cum) OVER (PARTITION BY u ORDER BY ms, id
-        |  ROWS UNBOUNDED PRECEDING) AS mn FROM c)
-        |SELECT CAST(u AS BIGINT) AS user_id, CAST(ms AS BIGINT) AS ts_ms,
-        | CAST(id AS BIGINT) AS event_id, CAST(delta AS BIGINT) AS delta,
-        | CAST(cum - LEAST(0, mn) AS BIGINT) AS balance
-        |FROM s""".stripMargin,
+    "d202_clamped_balance" -> balanceOracleSql,
+
+    // the streaming twin folds the LITERAL recursion b = max(0, b+δ);
+    // ONE shared oracle proves it equals the closed form row for row
+    "d214_stream_balance" -> balanceOracleSql,
 
     // the battery's only recursive-CTE oracle: DuckDB walks the forest
     // one level per recursion step; the engine path-doubles instead.

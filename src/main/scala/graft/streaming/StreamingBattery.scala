@@ -922,6 +922,44 @@ object StreamingBattery {
     } finally deleteRecursively(root)
   }
 
+  /** Streaming clamped balance, oracle-gated: the LITERAL Lindley
+    * recursion ([[StreamingOps.balanceStream]], state = one Long per
+    * user) against batch d202's reflection-identity window plan — the
+    * shared oracle proves the closed form and the sequential fold agree
+    * on every row. Per-event output, so no flush sentinel is needed.
+    */
+  def d214StreamBalance(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val sp = s; import sp.implicits._
+    val root = Files.createTempDirectory("graft-stream-bal")
+    try {
+      val in = root.resolve("in"); Files.createDirectories(in)
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull &&
+          col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          when(col("event_type") === "purchase",
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .otherwise(
+              -expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("delta"))
+        .localCheckpoint()
+      stageTimeSlices(ev, "ts_ms", "user_id", root, in)
+      val src = s.readStream
+        .schema(s.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+        .as[(Long, Long, Long, Long)]
+      val out = StreamingOps.balanceStream(src)
+        .toDF("user_id", "ts_ms", "event_id", "delta", "balance")
+      runToTable(s, out)
+        .select(expr("CAST(user_id AS BIGINT)").as("user_id"),
+          expr("CAST(ts_ms AS BIGINT)").as("ts_ms"),
+          expr("CAST(event_id AS BIGINT)").as("event_id"),
+          expr("CAST(delta AS BIGINT)").as("delta"),
+          expr("CAST(balance AS BIGINT)").as("balance"))
+    } finally deleteRecursively(root)
+  }
+
   def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame =
       withShufflePartitions(s, 8) {
     def side(tpe: String, pre: String): DataFrame = {

@@ -739,4 +739,36 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  /** Streaming clamped running balance — the Lindley recursion
+    * b_t = max(0, b_{t−1} + δ_t) folded directly over per-key state
+    * (one Long). The batch twin (battery d202) computes the SAME values
+    * through the reflection identity b_t = S_t − min(0, runmin(S)) in
+    * two stacked windows; this is the recursion the identity avoids,
+    * and the shared oracle proves them equal row for row. Emits every
+    * event with its post-event balance; ordering contract as
+    * [[ewmaStream]] (in-batch (ts, tie) sort, caller-ordered batches).
+    *
+    * Input: (key, ts, tie, delta). Output: (key, ts, tie, delta,
+    * balance).
+    */
+  def balanceStream(input: Dataset[(Long, Long, Long, Long)])
+      : Dataset[(Long, Long, Long, Long, Long)] = {
+    val session = input.sparkSession
+    import session.implicits._
+    input.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[Long]) =>
+          var bal = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+            case (_, ts, tie, delta) =>
+              bal = math.max(0L, bal + delta)
+              (key, ts, tie, delta, bal)
+          }
+          state.update(bal)
+          out.iterator
+      }
+  }
 }

@@ -427,6 +427,40 @@ class StreamingBatterySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("d214 streaming Lindley fold == batch d202 reflection identity, row for row") {
+    val got = graft.streaming.StreamingBattery.d214StreamBalance(spark, sf)
+    val want = Queries.d202ClampedBalance(spark, sf)
+    assertSameRows(got, want)
+    // teeth: the clamp must actually bind somewhere, or the two
+    // formulations agree trivially
+    assert(got.filter(col("balance") === 0L && col("delta") < 0L)
+      .count() > 0, "no row ever hit the floor: clamp untested")
+  }
+
+  test("balanceStream clamps across micro-batches (MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val out = graft.streaming.StreamingOps.balanceStream(mem.toDS())
+    val sink = s"bal_mem_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // batch 1: +100, then -300 clamps to 0 (not -200)
+      mem.addData((1L, 10L, 1L, 100L), (1L, 20L, 2L, -300L))
+      q.processAllAvailable()
+      // batch 2: +50 must start from the REMEMBERED clamped 0, not -200
+      mem.addData((1L, 30L, 3L, 50L))
+      q.processAllAvailable()
+      val got = s.table(sink)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._2 -> r._5).toMap
+      assert(got == Map(10L -> 100L, 20L -> 0L, 30L -> 50L))
+    } finally q.stop()
+  }
+
   test("d213 streaming interval merge == batch d209, span for span") {
     val got = graft.streaming.StreamingBattery
       .d213StreamIntervalMerge(spark, sf)
