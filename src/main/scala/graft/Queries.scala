@@ -1486,9 +1486,7 @@ object Queries {
     * partitioning).
     */
   def d191ChangeHistory(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d).select(col("o_custkey"),
-      expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))").as("ms"),
-      col("o_orderkey"), col("o_orderstatus"))
+    val o = orderStatusEvents(s, d)
     graft.operators.ScaleOps.changeHistory(o, Seq("o_custkey"),
         Seq("ms", "o_orderkey"), "o_orderstatus")
       .select(expr("CAST(o_custkey AS BIGINT)").as("o_custkey"),
@@ -1655,15 +1653,7 @@ object Queries {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ms"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
-      .filter(col("value").isNotNull &&
-        col("event_type").isin("purchase", "error"))
-      .select(col("user_id"), col("ts_ms"), col("event_id"),
-        when(col("event_type") === "purchase",
-          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
-          .otherwise(
-            -expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
-          .as("delta"))
+    balanceDeltas(s, d)
       .withColumn("__cum", sum(col("delta")).over(w))
       .withColumn("__mn", min(col("__cum")).over(w))
       .select(expr("CAST(user_id AS BIGINT)").as("user_id"),
@@ -1883,10 +1873,14 @@ object Queries {
     * naive lag(hi) would get wrong. One customer-hash window shuffle +
     * one aggregation; all-integer millis.
     */
-  def d209IntervalMerge(s: SparkSession, d: String): DataFrame = {
-    val W = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("lo"), col("hi"), col("o_orderkey"))
-    val spans = Tables.orders(s, d)
+  /** ONE definition of the priority-duration span derivation — batch
+    * d209 and streaming d213 must stay on identical Spark expressions,
+    * the same drift rule the shared oracle strings enforce on the SQL
+    * side. Output: (o_custkey, lo, hi, o_orderkey).
+    */
+  private[graft] def orderServiceSpans(s: SparkSession, d: String)
+      : DataFrame =
+    Tables.orders(s, d)
       .withColumn("lo",
         expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))"))
       .withColumn("hi", col("lo") + lit(86400000L) *
@@ -1895,7 +1889,37 @@ object Queries {
           .when(col("o_orderpriority") === "3-MEDIUM", 14L)
           .when(col("o_orderpriority") === "4-NOT SPECIFIED", 7L)
           .otherwise(3L))
-    spans
+      .select(col("o_custkey"), col("lo"), col("hi"), col("o_orderkey"))
+
+  /** ONE definition of the signed-cents delta derivation — batch d202
+    * and streaming d214 share it. Output: (user_id, ts_ms, event_id,
+    * delta).
+    */
+  private[graft] def balanceDeltas(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        when(col("event_type") === "purchase",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .otherwise(
+            -expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("delta"))
+
+  /** ONE definition of the order-status event derivation — batch d191
+    * and streaming d207 share it. Output: (o_custkey, ms, o_orderkey,
+    * o_orderstatus).
+    */
+  private[graft] def orderStatusEvents(s: SparkSession, d: String)
+      : DataFrame =
+    Tables.orders(s, d).select(col("o_custkey"),
+      expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))").as("ms"),
+      col("o_orderkey"), col("o_orderstatus"))
+
+  def d209IntervalMerge(s: SparkSession, d: String): DataFrame = {
+    val W = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("lo"), col("hi"), col("o_orderkey"))
+    orderServiceSpans(s, d)
       .withColumn("__pmax",
         max(col("hi")).over(W.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("__new",
@@ -1926,11 +1950,14 @@ object Queries {
     */
   def d210KsDrift(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+    // ONE corpus scan: the (source, value) census is the sufficient
+    // statistic — global support, per-source sizes, and the grand total
+    // all re-aggregate from it at value-domain cost
     val perCell = docs.groupBy(col("source"), col("n_chars"))
-      .agg(count(lit(1)).as("cnt"))
-    val globalCell = docs.groupBy(col("n_chars"))
-      .agg(count(lit(1)).as("gcnt"))
-    val nS = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val globalCell = perCell.groupBy(col("n_chars"))
+      .agg(sum(col("cnt")).as("gcnt"))
+    val nS = perCell.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
     // dense (value × source) grid: every source's CDF is a step function
     // evaluated at every global support point
     val grid = globalCell.crossJoin(nS.select(col("source")))
@@ -1938,7 +1965,7 @@ object Queries {
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
     val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = docs.agg(count(lit(1)).as("n_g"))
+    val tot = nS.agg(sum(col("n_s")).as("n_g"))
     grid
       .withColumn("__cs", sum(col("cnt")).over(w))
       .withColumn("__cg", sum(col("gcnt")).over(w))
@@ -1972,6 +1999,9 @@ object Queries {
     * .globalPrefixSum]] and joined as a broadcast RANGE probe: value-
     * domain-sized, never corpus-sized, and NO un-partitioned window
     * anywhere. Per-language ranks ride one partitioned window.
+    * Exactness bound: the lattice product (r−1)·(N−1) must stay < 2^63
+    * — corpora ≤ ~3e9 documents (same class of bound d210 documents);
+    * past that, lift the rank arithmetic to DECIMAL(38,0).
     */
   def d211QuantileNormalize(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -1982,12 +2012,13 @@ object Queries {
       .withColumn("__r", row_number().over(wLang))
       .withColumn("__ng", count(lit(1))
         .over(Window.partitionBy(col("lang"))))
-    val tot = docs.agg(count(lit(1)).as("__n"))
-    // distinct-value rank table: below = # rows with a smaller value
+    // distinct-value rank table: below = # rows with a smaller value;
+    // the corpus total re-aggregates from it (no second corpus scan)
     val valueRanks = graft.operators.ScaleOps.globalPrefixSum(
       docs.groupBy(col("n_chars").as("__v"))
         .agg(count(lit(1)).as("__cnt")),
-      "__v", Seq("__cnt" -> "__below"))
+      "__v", Seq("__cnt" -> "__below")).localCheckpoint()
+    val tot = valueRanks.agg(sum(col("__cnt")).as("__n"))
     ranked.crossJoin(broadcast(tot))
       .withColumn("__tr",
         when(col("__ng") > 1,
@@ -2015,6 +2046,11 @@ object Queries {
     */
   def d212CanonicalKeys(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // NULL text is excluded on BOTH engines: Spark's concat_ws would
+      // map it to canon '' (merging null docs into the empty-string
+      // blocking cluster) while DuckDB propagates NULL — filter, don't
+      // let the engines disagree
+      .filter(col("text").isNotNull)
       .withColumn("canon", concat_ws(" ",
         sort_array(slice(split(lower(col("text")), " "), 1, 4))))
       .withColumn("raw_prefix",
@@ -6526,7 +6562,7 @@ object Queries {
         |    string_split(lower(text), ' ')[1:4]), ' ') AS canon,
         |  array_to_string(
         |    string_split(lower(text), ' ')[1:4], ' ') AS raw_prefix
-        | FROM documents)
+        | FROM documents WHERE text IS NOT NULL)
         |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_docs,
         | CAST(COUNT(DISTINCT raw_prefix) AS BIGINT) AS n_prefixes,
         | CAST(MIN(doc_id) AS BIGINT) AS rep_doc

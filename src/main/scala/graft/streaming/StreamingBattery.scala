@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.Tables
+import graft.{Queries, Tables}
 import graft.core._
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -846,9 +846,8 @@ object StreamingBattery {
     val root = Files.createTempDirectory("graft-stream-scd2")
     try {
       val in = root.resolve("in"); Files.createDirectories(in)
-      val o = Tables.orders(s, d)
-        .select(col("o_custkey").as("k"),
-          expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))").as("ms"),
+      val o = Queries.orderStatusEvents(s, d)
+        .select(col("o_custkey").as("k"), col("ms"),
           col("o_orderkey").as("tie"), col("o_orderstatus").as("st"),
           lit(0).as("kind"))
         .localCheckpoint() // feeds 3 slice writes + the flush key census
@@ -889,16 +888,8 @@ object StreamingBattery {
     val root = Files.createTempDirectory("graft-stream-imerge")
     try {
       val in = root.resolve("in"); Files.createDirectories(in)
-      val spans = Tables.orders(s, d)
-        .select(col("o_custkey").as("k"),
-          expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))").as("lo"),
-          (expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))") +
-            lit(86400000L) *
-            when(col("o_orderpriority") === "1-URGENT", 28L)
-              .when(col("o_orderpriority") === "2-HIGH", 21L)
-              .when(col("o_orderpriority") === "3-MEDIUM", 14L)
-              .when(col("o_orderpriority") === "4-NOT SPECIFIED", 7L)
-              .otherwise(3L)).as("hi"),
+      val spans = Queries.orderServiceSpans(s, d)
+        .select(col("o_custkey").as("k"), col("lo"), col("hi"),
           col("o_orderkey").as("tie"), lit(0).as("kind"))
         .localCheckpoint()
       stageTimeSlices(spans, "lo", "k", root, in)
@@ -934,16 +925,7 @@ object StreamingBattery {
     val root = Files.createTempDirectory("graft-stream-bal")
     try {
       val in = root.resolve("in"); Files.createDirectories(in)
-      val ev = Tables.events(s, d)
-        .filter(col("value").isNotNull &&
-          col("event_type").isin("purchase", "error"))
-        .select(col("user_id"), col("ts_ms"), col("event_id"),
-          when(col("event_type") === "purchase",
-            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
-            .otherwise(
-              -expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
-            .as("delta"))
-        .localCheckpoint()
+      val ev = Queries.balanceDeltas(s, d).localCheckpoint()
       stageTimeSlices(ev, "ts_ms", "user_id", root, in)
       val src = s.readStream
         .schema(s.read.parquet(in.toString).schema)
