@@ -2064,6 +2064,187 @@ object Queries {
         expr("CAST(n_prefixes AS BIGINT)").as("n_prefixes"),
         expr("CAST(rep_doc AS BIGINT)").as("rep_doc"))
 
+  /** PMI collocations — which adjacent token pairs co-occur far above
+    * chance (the corpus-statistics primitive behind multi-word-expression
+    * mining and tokenizer-vocab audits; joint-vs-marginal, where d61's
+    * TF-IDF is term-vs-document). Scale shape: the corpus is touched ONCE
+    * (tokenize → in-row bigram expand → one hash aggregate); marginals,
+    * the grand total, and the thresholded probe ALL re-aggregate from the
+    * pinned bigram census at vocabulary² cost (the d210 single-scan
+    * rule), and the count floor is applied BEFORE the marginal joins so
+    * the join probe side is the surviving collocations only. PMI is
+    * computed as ln-sums of exact BIGINT counts — ((ln c_xy + ln N) −
+    * ln c_x) − ln c_y, no count products, so nothing can overflow at any
+    * corpus size. Marginals are defined WITHIN the bigram table (c_x =
+    * occurrences of x as left token, c_y as right) so P(x,·) and P(·,y)
+    * sum to 1 over the same event space as P(x,y).
+    */
+  def d215PmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      // NULL text and sub-2-token docs contribute no bigrams in either
+      // engine; the explicit filter keeps the engines provably agreed
+      .filter(col("text").isNotNull)
+      .select(graft.functions.TextFunctions.tokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= 2)
+    val census = toks.select(explode(expr(
+        """transform(slice(t, 1, size(t) - 1),
+          |  (x, i) -> struct(x AS x, element_at(t, i + 2) AS y))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint() // 4 consumers: marginals ×2, total, probe
+    val cx = census.groupBy(col("x")).agg(sum(col("n_pairs")).as("cx"))
+    val cy = census.groupBy(col("y")).agg(sum(col("n_pairs")).as("cy"))
+    val tot = census.agg(sum(col("n_pairs")).as("nn"))
+    census.filter(col("n_pairs") >= 20)
+      .join(cx, "x").join(cy, "y")
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"),
+        expr("CAST(n_pairs AS BIGINT)").as("n_pairs"),
+        round(log(col("n_pairs").cast("double")) +
+          log(col("nn").cast("double")) -
+          log(col("cx").cast("double")) -
+          log(col("cy").cast("double")), 6).as("pmi"))
+  }
+
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval merge of a
+    * lexical ranking (shared [[bm25Scored]] derivation) and a dense
+    * ranking (the d26 brute-force cosine against vec 0's embedding, so
+    * fusion inherits d26's bit-exact score agreement). Each retriever
+    * contributes 1/(60 + rank) for its top-50; docs surface in either
+    * list alone (the fusion property under test — a NULL rank from one
+    * side must not zero the doc). Scale shape: both candidate lists are
+    * top-k-bounded BEFORE fusion (TakeOrdered for the lexical side, the
+    * per-query window for the dense side), so the fusion join touches
+    * ≤ 100 rows however big the corpus is; the rank-assignment window on
+    * the lexical side runs on a post-limit 50-row set — bounded by
+    * literal, not by data. Ranks order by the ROUNDED bm25 (doc_id
+    * tie-break): rounding happens before ranking in both engines, so a
+    * sub-ulp ln() divergence cannot flip a rank.
+    */
+  def d216RrfFusion(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dense = graft.operators.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        "q_id", "q_vec", k = 50)
+      .select(col("corpus_id").as("doc_id"), col("rnk").as("dense_rnk"))
+    val lex = bm25Scored(s, d)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(50)
+      .withColumn("lex_rnk", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("doc_id"), col("lex_rnk"))
+    dense.join(lex, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("dense_rnk")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rnk")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(20)
+      .select(expr("CAST(doc_id AS BIGINT)").as("doc_id"),
+        col("dense_rnk"), col("lex_rnk"), round(col("rrf"), 6).as("rrf"))
+  }
+
+  /** Day-of-week seasonal decomposition (ratio-to-moving-average) of the
+    * daily order-revenue series: a calendar spine fills revenue gaps with
+    * exact zero-cents days, a centered 7-day moving window supplies the
+    * trend, and each weekday's seasonal index is the AGGREGATE ratio
+    * Σcents·7 / Σwindow — ratio-of-sums, chosen over avg-of-ratios
+    * because both sums stay exact BIGINTs and the index is then ONE
+    * correctly-rounded double division (no order-dependent double
+    * accumulation anywhere; 7·Σcents < 2^63 up to ~10^6× this data,
+    * DECIMAL(38,0) past that). Scale shape: the corpus collapses to the
+    * per-day census first, so the un-partitioned ORDER BY day window is
+    * CALENDAR-bounded (≤ a few thousand rows regardless of corpus size)
+    * — the same bounded-domain exemption d111's month series documents.
+    * dow is pure integer arithmetic (days-since-epoch mod 7, 0 =
+    * Thursday), immune to engine locale/week-start conventions.
+    */
+  def d217SeasonalDecomp(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(col("o_orderdate").cast("date").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+      .groupBy(col("day")).agg(sum(col("__c")).as("cents"))
+      .localCheckpoint() // feeds the bounds scalar AND the spine join
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    spine.join(daily, Seq("day"), "left")
+      .withColumn("cents", coalesce(col("cents"), lit(0L)))
+      .withColumn("__n7", count(lit(1)).over(w))
+      .withColumn("__win7", sum(col("cents")).over(w))
+      // edge days lack a full window; all-zero weeks have no trend to
+      // ratio against — excluded identically in both engines
+      .filter(col("__n7") === 7 && col("__win7") > 0)
+      .withColumn("dow", expr("datediff(day, DATE '1970-01-01') % 7"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("sc"),
+        sum(col("__win7")).as("sw"))
+      .select(expr("CAST(dow AS BIGINT)").as("dow"),
+        expr("CAST(n_days AS BIGINT)").as("n_days"),
+        round(expr("CAST(7 * sc AS DOUBLE)") / expr("CAST(sw AS DOUBLE)"), 6)
+          .as("seasonal_index"),
+        round(expr("CAST(sc AS DOUBLE)") /
+          (lit(100.0) * col("n_days").cast("double")), 4).as("avg_revenue"))
+  }
+
+  /** Merkle anti-entropy diff ([[graft.operators.Integrity.merkleDiff]]):
+    * the base orders snapshot vs a drifted replica (sparse key-ranged
+    * corruption: +1 cent on o_orderkey % 997 = 5, deletions at 17,
+    * duplicated-into-new-keys inserts at 29 — each class a distinct
+    * digest signature). Only DIGESTS cross between the snapshots — the
+    * 100 TB reconciliation regime where row-level diffing (d140) is
+    * unaffordable — and the comparison narrows coarse-group-first, so
+    * network cost is O(dirty buckets). The oracle recomputes the
+    * engine-portable md5 digests AND the narrowing protocol bit-for-bit:
+    * a drifted row, a lost row, or a phantom row each flip exactly the
+    * buckets this row reports.
+    */
+  def d218MerkleDiff(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .localCheckpoint() // feeds its own summary AND the drift derivation
+    val m = col("o_orderkey") % 997
+    val after = base.filter(m =!= 17)
+      .withColumn("cents",
+        when(m === 5, col("cents") + 1L).otherwise(col("cents")))
+      .unionByName(base.filter(m === 29)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L)))
+    graft.operators.Integrity.merkleDiff(base, after, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "cents"),
+        fineDiv = 64L, groupSize = 16)
+      .select(expr("CAST(coarse AS BIGINT)").as("coarse"),
+        expr("CAST(fine AS BIGINT)").as("fine"),
+        col("n_base"), col("n_after"),
+        col("digest_base"), col("digest_after"))
+  }
+
+  /** Isotonic calibration ([[graft.operators.EvalMetrics.isotonicFit]]):
+    * weighted pool-adjacent-violators over 32 md5-hash score bins of the
+    * event stream (label = purchase). The hash binning makes the
+    * empirical bin means near-flat with noise — the pooling-heavy regime
+    * where a PAV bug shows — and the bins pool down to a handful of
+    * blocks at every SF. The oracle is the MINIMAX IDENTITY fit(t) =
+    * max_{i≤t} min_{j≥t} avg(y[i..j]) — an independent closed form of
+    * the same fit, O(bins³) in SQL, bit-equal to PAV's pooled means
+    * because both reduce to the identical Σy/n double divisions —
+    * so the engine's stack algorithm and the oracle share NO algorithmic
+    * structure, only the mathematical definition.
+    */
+  def d219Isotonic(s: SparkSession, d: String): DataFrame =
+    graft.operators.EvalMetrics.isotonicFit(
+      Tables.events(s, d).select(
+        expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 6)" +
+          ", 16, 10) AS BIGINT) % 32").as("b"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y")),
+      "b", "y")
+      .select(expr("CAST(b AS BIGINT)").as("b"), col("n"), col("sy"),
+        round(col("fitted"), 6).as("fitted"))
+
   /** Top session paths — ORDERED-sequence extraction, the shape no other
     * row exercises (d185's transitions are pairwise; this is the ordered
     * k-prefix): d75's gap sessionization, then each ≥3-event session's
@@ -3619,7 +3800,14 @@ object Queries {
     * with identical double literals; the score is rounded to 4 decimals
     * (d106 ln convention).
     */
-  def d144Bm25(s: SparkSession, d: String): DataFrame = {
+  def d144Bm25(s: SparkSession, d: String): DataFrame = bm25Scored(s, d)
+
+  /** ONE definition of the BM25 scoring — d144 (the ranked-retrieval row)
+    * and d216 (the RRF fusion row) must rank on identical scores, the
+    * same shared-derivation rule as [[orderServiceSpans]]. Output:
+    * (doc_id, bm25 ROUND 4).
+    */
+  private[graft] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("hash", "join", "scan")
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -4049,6 +4237,11 @@ object Queries {
       (graft.streaming.StreamingBattery.d213StreamIntervalMerge _),
     "d214_stream_balance" ->
       (graft.streaming.StreamingBattery.d214StreamBalance _),
+    "d215_pmi_collocations" -> (d215PmiCollocations _),
+    "d216_rrf_fusion" -> (d216RrfFusion _),
+    "d217_seasonal_decomp" -> (d217SeasonalDecomp _),
+    "d218_merkle_diff" -> (d218MerkleDiff _),
+    "d219_isotonic" -> (d219Isotonic _),
   )
 
   /** ONE definition for the clamped-balance oracle — d202 (batch
@@ -4271,6 +4464,27 @@ object Queries {
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
   private val stopwordsSql =
     "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are']"
+
+  /** ONE definition of the BM25 scoring CTE chain — d144 (the ranked
+    * retrieval row) and d216 (RRF fusion) must rank on the identical
+    * SQL, the mirror of the shared [[bm25Scored]] Spark derivation.
+    * Ends in a `bm` CTE: (doc_id, bm25 ROUND 4).
+    */
+  private lazy val bm25CtesSql =
+    s"""d AS (SELECT doc_id, $toksLowerSql AS t FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM d),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+       |  FROM dl),
+       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM dl)
+       |  WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+       |  FROM tf GROUP BY 1),
+       |bm AS (SELECT doc_id,
+       |  ROUND(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+       | FROM tf JOIN dfreq USING (term), stats
+       | GROUP BY 1)""".stripMargin
   private val punctReSql = "'[!-/:-@\\[-`{-~]'"
 
   /** DuckDB expansion of [[graft.functions.TextFunctions.wordShingles]] for
@@ -5635,21 +5849,7 @@ object Queries {
         | CAST(MAX(doc_id) AS BIGINT) AS max_doc
         |FROM u GROUP BY 1""".stripMargin,
 
-    "d144_bm25" ->
-      s"""WITH d AS (SELECT doc_id, $toksLowerSql AS t FROM documents),
-         |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM d),
-         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
-         |  FROM dl),
-         |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
-         |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM dl)
-         |  WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2, 3),
-         |dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
-         |  FROM tf GROUP BY 1)
-         |SELECT doc_id,
-         | ROUND(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-         |   (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
-         |FROM tf JOIN dfreq USING (term), stats
-         |GROUP BY 1""".stripMargin,
+    "d144_bm25" -> s"WITH $bm25CtesSql SELECT doc_id, bm25 FROM bm",
 
     // the one-shot aggregate the per-micro-batch incremental fold must
     // reproduce exactly
@@ -6567,5 +6767,152 @@ object Queries {
         | CAST(COUNT(DISTINCT raw_prefix) AS BIGINT) AS n_prefixes,
         | CAST(MIN(doc_id) AS BIGINT) AS rep_doc
         |FROM t GROUP BY 1""".stripMargin,
+
+    // marginals re-aggregate from the bigram census (the d210 single-scan
+    // rule); PMI as ln-sums of exact counts, ((+)-)- association order
+    // matching the Spark column expression exactly
+    "d215_pmi_collocations" ->
+      s"""WITH t0 AS (SELECT $toksLowerSql AS t FROM documents
+         |  WHERE text IS NOT NULL),
+         |t2 AS (SELECT t FROM t0 WHERE len(t) >= 2),
+         |big AS (SELECT t[CAST(i AS INT)] AS x, t[CAST(i AS INT) + 1] AS y
+         |  FROM t2, UNNEST(range(1, len(t))) AS r(i)),
+         |c AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM big GROUP BY 1, 2),
+         |cx AS (SELECT x, CAST(SUM(n) AS BIGINT) AS cx FROM c GROUP BY 1),
+         |cy AS (SELECT y, CAST(SUM(n) AS BIGINT) AS cy FROM c GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c)
+         |SELECT x, y, n AS n_pairs,
+         | ROUND(ln(CAST(n AS DOUBLE)) + ln(CAST(nn AS DOUBLE))
+         |   - ln(CAST(cx AS DOUBLE)) - ln(CAST(cy AS DOUBLE)), 6) AS pmi
+         |FROM c JOIN cx USING (x) JOIN cy USING (y), tot
+         |WHERE n >= 20""".stripMargin,
+
+    // lexical side = the SHARED bm25 CTE chain (rank on the ROUNDED
+    // score, doc_id tie-break); dense side mirrors d26's cosine ranking
+    // for vec 0; every numeric literal CAST to DOUBLE (the d169 lesson)
+    "d216_rrf_fusion" ->
+      s"""WITH $bm25CtesSql,
+         |lr AS (SELECT doc_id, lex_rnk FROM (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC,
+         |    doc_id) AS BIGINT) AS lex_rnk FROM bm) WHERE lex_rnk <= 50),
+         |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |  AS qv FROM embeddings WHERE vec_id = 0),
+         |dr AS (SELECT doc_id, dense_rnk FROM (
+         |  SELECT c.vec_id AS doc_id,
+         |   CAST(ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(
+         |     list_transform(c.embedding, x -> CAST(x AS DOUBLE)), qv)
+         |     DESC, c.vec_id) AS BIGINT) AS dense_rnk
+         |  FROM embeddings c, q) WHERE dense_rnk <= 50)
+         |SELECT CAST(COALESCE(dr.doc_id, lr.doc_id) AS BIGINT) AS doc_id,
+         | dense_rnk, lex_rnk,
+         | ROUND(COALESCE(CAST(1.0 AS DOUBLE) /
+         |    (CAST(60.0 AS DOUBLE) + dense_rnk), CAST(0 AS DOUBLE)) +
+         |   COALESCE(CAST(1.0 AS DOUBLE) /
+         |    (CAST(60.0 AS DOUBLE) + lex_rnk), CAST(0 AS DOUBLE)), 6)
+         |  AS rrf
+         |FROM dr FULL OUTER JOIN lr ON dr.doc_id = lr.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // calendar spine + centered 7-day window over the day census;
+    // aggregate-ratio index from exact BIGINT sums, one double division
+    "d217_seasonal_decomp" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |spine AS (SELECT CAST(UNNEST(generate_series(lo, hi,
+        |  INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |ser AS (SELECT s.day AS day, COALESCE(cents, 0) AS cents
+        | FROM spine s LEFT JOIN daily d ON s.day = d.day),
+        |w AS (SELECT day, cents, COUNT(*) OVER win AS n7,
+        |  CAST(SUM(cents) OVER win AS BIGINT) AS win7
+        | FROM ser WINDOW win AS (ORDER BY day
+        |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |q AS (SELECT date_diff('day', DATE '1970-01-01', day) % 7 AS dow,
+        |  cents, win7 FROM w WHERE n7 = 7 AND win7 > 0)
+        |SELECT CAST(dow AS BIGINT) AS dow,
+        | CAST(COUNT(*) AS BIGINT) AS n_days,
+        | ROUND(CAST(7 * SUM(cents) AS DOUBLE) /
+        |   CAST(SUM(win7) AS DOUBLE), 6) AS seasonal_index,
+        | ROUND(CAST(SUM(cents) AS DOUBLE) /
+        |   (CAST(100 AS DOUBLE) * COUNT(*)), 4) AS avg_revenue
+        |FROM q GROUP BY 1""".stripMargin,
+
+    // the full Merkle protocol, narrowing included: engine-portable md5
+    // row digests XOR-fold per fine key-range bucket, coarse groups
+    // compare first, fine buckets only inside disagreed groups
+    "d218_merkle_diff" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |  o_orderstatus AS st,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents FROM orders),
+        |aft AS (
+        | SELECT k, c, st,
+        |  CASE WHEN k % 997 = 5 THEN cents + 1 ELSE cents END AS cents
+        | FROM base WHERE k % 997 <> 17
+        | UNION ALL
+        | SELECT k + 2000000000, c, st, cents FROM base WHERE k % 997 = 29),
+        |hb AS (SELECT k // 64 AS fine, ('0x' || substr(md5(concat_ws(
+        |  chr(1), CAST(k AS VARCHAR), CAST(c AS VARCHAR),
+        |  CAST(st AS VARCHAR), CAST(cents AS VARCHAR))), 1, 15))::BIGINT
+        |  AS h FROM base),
+        |ha AS (SELECT k // 64 AS fine, ('0x' || substr(md5(concat_ws(
+        |  chr(1), CAST(k AS VARCHAR), CAST(c AS VARCHAR),
+        |  CAST(st AS VARCHAR), CAST(cents AS VARCHAR))), 1, 15))::BIGINT
+        |  AS h FROM aft),
+        |sb AS (SELECT fine // 16 AS coarse, fine,
+        |  CAST(COUNT(*) AS BIGINT) AS n, bit_xor(h) AS dg
+        | FROM hb GROUP BY 1, 2),
+        |sa AS (SELECT fine // 16 AS coarse, fine,
+        |  CAST(COUNT(*) AS BIGINT) AS n, bit_xor(h) AS dg
+        | FROM ha GROUP BY 1, 2),
+        |cb AS (SELECT coarse, COUNT(*) AS nb,
+        |  CAST(SUM(n) AS BIGINT) AS rws, bit_xor(dg) AS cd
+        | FROM sb GROUP BY 1),
+        |ca AS (SELECT coarse, COUNT(*) AS nb,
+        |  CAST(SUM(n) AS BIGINT) AS rws, bit_xor(dg) AS cd
+        | FROM sa GROUP BY 1),
+        |dirty AS (SELECT COALESCE(cb.coarse, ca.coarse) AS coarse
+        | FROM cb FULL OUTER JOIN ca ON cb.coarse = ca.coarse
+        | WHERE cb.nb IS NULL OR ca.nb IS NULL OR cb.nb <> ca.nb
+        |   OR cb.rws <> ca.rws OR cb.cd <> ca.cd),
+        |nb AS (SELECT * FROM sb
+        |  WHERE coarse IN (SELECT coarse FROM dirty)),
+        |na AS (SELECT * FROM sa
+        |  WHERE coarse IN (SELECT coarse FROM dirty))
+        |SELECT CAST(COALESCE(nb.coarse, na.coarse) AS BIGINT) AS coarse,
+        | CAST(COALESCE(nb.fine, na.fine) AS BIGINT) AS fine,
+        | CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_base,
+        | CAST(COALESCE(na.n, 0) AS BIGINT) AS n_after,
+        | CAST(COALESCE(nb.dg, 0) AS BIGINT) AS digest_base,
+        | CAST(COALESCE(na.dg, 0) AS BIGINT) AS digest_after
+        |FROM nb FULL OUTER JOIN na ON nb.fine = na.fine
+        |WHERE COALESCE(nb.n, 0) <> COALESCE(na.n, 0)
+        |  OR COALESCE(nb.dg, 0) <> COALESCE(na.dg, 0)""".stripMargin,
+
+    // the minimax closed form of the isotonic fit — shares NO algorithmic
+    // structure with the engine's PAV stack, only the definition:
+    // fit(t) = max over i<=t of min over j>=t of avg(y[i..j])
+    "d219_isotonic" ->
+      """WITH e AS (SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+        |  1, 6))::BIGINT % 32 AS b,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        | FROM events),
+        |c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(y) AS BIGINT) AS sy FROM e GROUP BY 1),
+        |p AS (SELECT b, n, sy,
+        |  CAST(SUM(n) OVER (ORDER BY b) AS BIGINT) AS cn,
+        |  CAST(SUM(sy) OVER (ORDER BY b) AS BIGINT) AS csy FROM c),
+        |pairs AS (SELECT i.b AS bi, j.b AS bj,
+        |  CAST(j.csy - i.csy + i.sy AS DOUBLE) / (j.cn - i.cn + i.n) AS m
+        | FROM p i JOIN p j ON i.b <= j.b),
+        |mm AS (SELECT t.b AS b, pr.bi AS bi, MIN(pr.m) AS mn
+        | FROM p t JOIN pairs pr ON pr.bi <= t.b AND pr.bj >= t.b
+        | GROUP BY 1, 2),
+        |f AS (SELECT b, MAX(mn) AS fitted FROM mm GROUP BY 1)
+        |SELECT c.b AS b, c.n AS n, c.sy AS sy, ROUND(f.fitted, 6) AS fitted
+        |FROM c JOIN f USING (b)""".stripMargin,
   )
 }

@@ -286,4 +286,83 @@ object EvalMetrics {
             .cast("double") /
             (col("n") * col("total")).cast("double"), 9)).as("gini"))
   }
+
+  /** Isotonic (monotone non-decreasing) regression by pool-adjacent-
+    * violators — the exact calibration map behind probability calibration
+    * (the step beyond [[calibrationReport]]'s fixed binning: PAV LEARNS
+    * the bin boundaries). Returns one row per distinct `xCol` value:
+    * `(x, n, sy, fitted)` where `fitted` is the pooled mean the isotonic
+    * fit assigns to that x.
+    *
+    * Scale shape (the Spark MLlib decomposition): the corpus collapses to
+    * a per-x census in ONE hash aggregate (value-domain-sized, never
+    * row-count-sized), the census range-partitions on x and each
+    * partition runs weighted PAV locally (`mapPartitions` — the genuine
+    * per-partition-sequential case), and only the surviving BLOCKS
+    * (xlo, xhi, n, Σy — one per pool, ≤ census rows, typically far
+    * fewer) reach the driver for the final cross-partition PAV pass.
+    * PAV-of-PAV-blocks equals PAV of the raw sequence, so the two-level
+    * run is exact, and the driver collect is pool-count-bounded, not
+    * data-bounded. Fitted values broadcast back as range lookups.
+    *
+    * Exactness: pool means are compared by Long CROSS PRODUCTS
+    * (syA·nB vs syB·nA), never by double division, so pooling decisions
+    * are exact; `fitted` is the single correctly-rounded double division
+    * Σy/n of exact Longs — identical in any IEEE engine. Bound: the
+    * cross products must stay < 2^63 (Σy·n per compared pool pair);
+    * corpora past ~3·10^9 labeled rows per pool lift to BigInt.
+    *
+    * Ties: equal pooled means merge (>=, not >) — the fit is identical
+    * either way (equal rationals divide to identical doubles), and
+    * merging keeps the block list minimal.
+    *
+    * `xCol` is compared as DOUBLE internally: integer domains beyond
+    * 2^53 should pre-rank to a dense index first.
+    */
+  def isotonicFit(df: DataFrame, xCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    // NULL labels are EXCLUDED (they would inflate n without contributing
+    // to Σy, silently dragging every pooled mean down — the d182 lesson)
+    val census = df.filter(col(labelCol).isNotNull).groupBy(col(xCol))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("sy"))
+      .localCheckpoint() // feeds the PAV scan AND the fitted join-back
+    val sorted = census
+      .select(col(xCol).cast("double").as("__x"), col("n").cast("long"),
+        col("sy").cast("long"))
+      .repartitionByRange(col("__x"))
+      .sortWithinPartitions(col("__x"))
+    def pav(blocks: Iterator[(Double, Double, Long, Long)])
+        : collection.mutable.ArrayBuffer[(Double, Double, Long, Long)] = {
+      val stack = collection.mutable.ArrayBuffer
+        .empty[(Double, Double, Long, Long)]
+      blocks.foreach { b =>
+        stack += b
+        // pool while mean(prev) >= mean(cur), compared exactly
+        while (stack.length >= 2 && {
+          val p = stack(stack.length - 2); val c = stack.last
+          p._4 * c._3 >= c._4 * p._3
+        }) {
+          val c = stack.remove(stack.length - 1)
+          val p = stack.remove(stack.length - 1)
+          stack += ((p._1, c._2, p._3 + c._3, p._4 + c._4))
+        }
+      }
+      stack
+    }
+    val partBlocks = sorted.rdd.mapPartitions { it =>
+      pav(it.map(r => (r.getDouble(0), r.getDouble(0), r.getLong(1),
+        r.getLong(2)))).iterator
+    }.collect()
+    // partitions are range-ordered but collect order is not guaranteed;
+    // re-sort, then one more PAV pass heals the partition boundaries
+    val fin = pav(partBlocks.sortBy(_._1).iterator)
+    val blocksDf = spark.createDataFrame(fin.map { case (lo, hi, n, sy) =>
+      (lo, hi, sy.toDouble / n)
+    }.toSeq).toDF("__xlo", "__xhi", "fitted")
+    census.join(broadcast(blocksDf),
+        col(xCol).cast("double") >= col("__xlo") &&
+        col(xCol).cast("double") <= col("__xhi"))
+      .select(col(xCol), col("n").cast("long").as("n"),
+        col("sy").cast("long").as("sy"), col("fitted"))
+  }
 }

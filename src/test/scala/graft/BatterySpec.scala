@@ -168,4 +168,37 @@ class BatterySpec extends SparkTestBase {
     assert(rows.exists { case (b, s) => s == b + 1 },
       "no remainder seat assigned: rank path untested")
   }
+
+  test("d215: collocation floor holds and PMI separates both signs") {
+    val rows = Queries.d215PmiCollocations(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 >= 20L), "count floor leaked")
+    assert(rows.exists(_._4 > 0) && rows.exists(_._4 < 0),
+      "PMI should separate attracting from repelling pairs")
+  }
+
+  test("d216: fusion keeps both-list docs above every single-list doc") {
+    val rows = Queries.d216RrfFusion(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 20)
+    val both = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    val single = rows.filter(r => r.isNullAt(1) ^ r.isNullAt(2))
+    assert(both.nonEmpty, "no doc in both lists: overlap untested")
+    assert(single.nonEmpty, "no single-list doc: the NULL-rank path untested")
+    // two contributions strictly dominate one: min rrf of both-list docs
+    // must beat max rrf of single-list docs (1/110+1/110 > 1/61)
+    assert(both.map(_.getDouble(3)).min > single.map(_.getDouble(3)).max)
+  }
+
+  test("d217: one row per weekday, indices positive and centered") {
+    val rows = Queries.d217SeasonalDecomp(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).sorted.toSeq == (0L to 6L).toSeq)
+    assert(rows.forall(r => r._2 > 0 && r._3 > 0 && r._4 > 0))
+    val idx = rows.map(_._3)
+    assert(idx.min < 1.1 && idx.max > 0.9,
+      s"indices implausibly skewed: ${idx.toSeq}")
+  }
 }

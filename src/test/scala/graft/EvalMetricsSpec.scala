@@ -302,4 +302,84 @@ class EvalMetricsSpec extends SparkTestBase {
       assert(math.abs(got(g) - want) < 1e-9, s"$g: ${got(g)} vs $want")
     }
   }
+
+  /** In-memory weighted PAV with exact cross-product comparisons — the
+    * single-pass reference the two-level distributed fit must equal.
+    */
+  private def refPav(census: Seq[(Double, Long, Long)]): Map[Double, Double] = {
+    val stack = collection.mutable.ArrayBuffer.empty[(Double, Double, Long, Long)]
+    census.sortBy(_._1).foreach { case (x, n, sy) =>
+      stack += ((x, x, n, sy))
+      while (stack.length >= 2 && {
+        val p = stack(stack.length - 2); val c = stack.last
+        p._4 * c._3 >= c._4 * p._3
+      }) {
+        val c = stack.remove(stack.length - 1)
+        val p = stack.remove(stack.length - 1)
+        stack += ((p._1, c._2, p._3 + c._3, p._4 + c._4))
+      }
+    }
+    census.map { case (x, _, _) =>
+      val b = stack.find(bl => bl._1 <= x && x <= bl._2).get
+      x -> b._4.toDouble / b._3
+    }.toMap
+  }
+
+  test("isotonicFit pools a hand fixture to the known blocks") {
+    // means 0.2, 0.6, 0.4, 0.8: the middle pair violates and pools to 0.5
+    val df = Seq.tabulate(4) { i => (i.toDouble, 10L, Seq(2L, 6L, 4L, 8L)(i)) }
+      .flatMap { case (x, n, sy) =>
+        (0L until n).map(j => (x, if (j < sy) 1L else 0L))
+      }.toDF("x", "y")
+    val got = EvalMetrics.isotonicFit(df, "x", "y")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    assert(got == Map(0.0 -> 0.2, 1.0 -> 0.5, 2.0 -> 0.5, 3.0 -> 0.8))
+  }
+
+  test("isotonicFit equals single-pass reference PAV on the battery census") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, d).select(
+      expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 6)" +
+        ", 16, 10) AS BIGINT) % 32").as("b"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val got = EvalMetrics.isotonicFit(e, "b", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 32, "expected all 32 bins")
+    val census = got.map(r => (r._1.toDouble, r._2, r._3)).toSeq
+    val want = refPav(census)
+    got.foreach { case (b, _, _, f) => assert(f == want(b.toDouble),
+      s"bin $b: $f vs ${want(b.toDouble)}") }
+    // non-vacuity: the hash bins must actually pool somewhere
+    assert(got.map(_._4).distinct.length < 32, "no pooling happened")
+  }
+
+  test("isotonicFit output is monotone and conserves label mass per pool") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, d).select(
+      expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 6)" +
+        ", 16, 10) AS BIGINT) % 32").as("b"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val got = EvalMetrics.isotonicFit(e, "b", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    got.sliding(2).foreach { w =>
+      assert(w(0)._4 <= w(1)._4, s"fit not monotone at ${w(1)._1}")
+    }
+    // Σ n·fitted == Σ sy exactly per pool (fitted is the pool mean)
+    got.groupBy(_._4).values.foreach { pool =>
+      val n = pool.map(_._2).sum; val sy = pool.map(_._3).sum
+      assert(sy.toDouble / n == pool.head._4, "pool mean drifted")
+    }
+  }
+
+  test("isotonicFit excludes NULL labels and survives an already-monotone input") {
+    val df = Seq((0.0, Some(0L)), (0.0, None), (1.0, Some(1L)),
+      (1.0, Some(1L)), (2.0, Some(1L))).toDF("x", "y")
+    val got = EvalMetrics.isotonicFit(df, "x", "y")
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    // the NULL row vanished from n; already-monotone means stay unpooled
+    assert(got(0.0) == ((1L, 0.0)) && got(1.0) == ((2L, 1.0)) &&
+      got(2.0) == ((1L, 1.0)))
+  }
 }

@@ -608,4 +608,42 @@ class PlanAuditSpec extends SparkTestBase {
       finalPlan.contains("BroadcastExchange"),
       "the 1-row total/leftover scalars should broadcast")
   }
+
+  test("d215: marginals re-aggregate from the pinned census — no corpus re-scan, no window") {
+    val plan = planOf(Queries.d215PmiCollocations(spark, d))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      "census checkpoint bypassed — the corpus parquet is re-scanned in " +
+        "the final plan:\n" + plan.take(3000))
+    assert(!plan.contains("Window "), "PMI needs no window:\n" + plan.take(2000))
+  }
+
+  test("d216: candidate lists are top-k-bounded — TakeOrdered, never a range exchange") {
+    val plan = planOf(Queries.d216RrfFusion(spark, d))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Exchange rangepartitioning"),
+      "global sort crept into the fusion:\n" + finalPlan.take(3000))
+  }
+
+  test("d218: merkle comparison is digest-only equi-joins; the narrowing filter broadcasts") {
+    val plan = planOf(Queries.d218MerkleDiff(spark, d))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      "cartesian in the digest compare:\n" + plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "non-equi join in the digest compare:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastExchange"),
+      "dirty-coarse semi filter must broadcast:\n" + plan.take(3000))
+  }
+
+  test("d219: the fitted lookup is the documented pool-bounded broadcast range join") {
+    val plan = planOf(Queries.d219Isotonic(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "pool blocks should broadcast into the range lookup:\n" + plan.take(2000))
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      "census checkpoint bypassed — events re-scanned in the final plan:\n" +
+        plan.take(3000))
+  }
 }
