@@ -2202,11 +2202,18 @@ object Queries {
     * a drifted row, a lost row, or a phantom row each flip exactly the
     * buckets this row reports.
     */
-  def d218MerkleDiff(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.orders(s, d)
+  /** ONE definition of the digestable orders projection — batch d218 and
+    * streaming d222 must hash identical rows (the shared-derivation
+    * rule). Output: (o_orderkey, o_custkey, o_orderstatus, cents).
+    */
+  private[graft] def ordersMerkleBase(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
           .as("cents"))
+
+  def d218MerkleDiff(s: SparkSession, d: String): DataFrame = {
+    val base = ordersMerkleBase(s, d)
       .localCheckpoint() // feeds its own summary AND the drift derivation
     val m = col("o_orderkey") % 997
     val after = base.filter(m =!= 17)
@@ -2244,6 +2251,152 @@ object Queries {
       "b", "y")
       .select(expr("CAST(b AS BIGINT)").as("b"), col("n"), col("sy"),
         round(col("fitted"), 6).as("fitted"))
+
+  /** V-optimal segmentation (changepoint detection by dynamic
+    * programming): the weekly order-count series splits into B = 6
+    * contiguous segments minimizing total within-segment SSE — the
+    * optimal-histogram / changepoint primitive behind drift localization
+    * ("WHEN did the distribution shift", where d210 asks IF). Scale
+    * shape: the corpus collapses to the weekly census in one aggregate;
+    * the O(B·V²) DP runs on the DRIVER over the collected census —
+    * CALENDAR-bounded (V ≈ weeks, ~350 here, ≤ a few thousand for any
+    * realistic retention window), the same bounded-domain contract as
+    * d45's union-find gate. Exactness: prefix sums Σx and Σx² are exact
+    * Longs (weekly counts ≤ ~3·10^9 before Σx² needs DECIMAL), each
+    * sse(u,v) is the identical 4-op double expression in both engines,
+    * DP costs accumulate in the same per-stage structural order, and
+    * cost ties break to the SMALLEST split point — the oracle's
+    * ROW_NUMBER (cost, u) mirror of the engine's ascending-u strict-<
+    * scan. The oracle is the 6-stage UNROLLED DP with list backtracking
+    * (the d177/d180 unrolled-iteration convention).
+    */
+  def d220VOptimalSegments(s: SparkSession, d: String): DataFrame = {
+    val B = 6
+    val census = Tables.orders(s, d)
+      .select(expr(
+        "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 7")
+        .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("x"))
+      .orderBy(col("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val V = census.length
+    require(V >= B, s"need at least $B weeks, got $V")
+    val pm = new Array[Long](V + 1); val sq = new Array[Long](V + 1)
+    census.zipWithIndex.foreach { case ((_, x), i) =>
+      pm(i + 1) = pm(i) + x; sq(i + 1) = sq(i) + x * x
+    }
+    def sse(u: Int, v: Int): Double = {
+      val n = v - u; val sm = pm(v) - pm(u); val q = sq(v) - sq(u)
+      q.toDouble - sm.toDouble * sm.toDouble / n.toDouble
+    }
+    // dp(k)(v): best cost of covering items 1..v with k segments; split
+    // records the chosen u. Ascending-u scan with strict < keeps the
+    // SMALLEST optimal split on ties.
+    val dp = Array.fill(B + 1)(new Array[Double](V + 1))
+    val split = Array.fill(B + 1)(new Array[Int](V + 1))
+    for (v <- 1 to V) { dp(1)(v) = sse(0, v); split(1)(v) = 0 }
+    for (k <- 2 to B; v <- k to V) {
+      var best = Double.MaxValue; var bu = -1
+      for (u <- k - 1 to v - 1) {
+        val c = dp(k - 1)(u) + sse(u, v)
+        if (c < best) { best = c; bu = u }
+      }
+      dp(k)(v) = best; split(k)(v) = bu
+    }
+    val bounds = new Array[Int](B + 1); bounds(B) = V
+    for (k <- B until 0 by -1) bounds(k - 1) = split(k)(bounds(k))
+    val rows = (1 to B).map { k =>
+      val lo = bounds(k - 1); val hi = bounds(k)
+      (k.toLong, census(lo)._1, census(hi - 1)._1, (hi - lo).toLong,
+        pm(hi) - pm(lo), sse(lo, hi))
+    }
+    // round through the engine's round(), not driver BigDecimal — ONE
+    // rounding convention across the whole battery
+    s.createDataFrame(rows)
+      .toDF("seg", "week_lo", "week_hi", "n_weeks", "sum_cnt", "sse")
+      .withColumn("sse", round(col("sse"), 6))
+  }
+
+  /** Rendezvous (highest-random-weight) shard assignment audit: every
+    * order key is assigned to its max-md5-weight node under a 5-node and
+    * a 6-node ring, and the (node5, node6) movement matrix makes HRW's
+    * defining guarantee VISIBLE — growing the ring only moves keys TO
+    * the new node (≈1/6 of them), never between survivors. This is the
+    * data-placement primitive for rebalancing a 100 TB sharded store
+    * without mass movement. Scale shape: pure map-side arithmetic (six
+    * engine-portable md5 weights per key, the d81/d162 convention) plus
+    * one ≤30-group aggregate — no shuffle of consequence at any size.
+    * Ties (two nodes at the same 60-bit weight) break to the LOWEST
+    * node via a first-match CASE chain, identical in both engines.
+    */
+  def d221RendezvousRebalance(s: SparkSession, d: String): DataFrame = {
+    def w(n: Int) = expr(
+      s"CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '#', " +
+        s"'$n')), 1, 15), 16, 10) AS BIGINT)")
+    val withW = (0 to 5).foldLeft(
+      Tables.orders(s, d).select(col("o_orderkey")))(
+      (acc, n) => acc.withColumn(s"w$n", w(n)))
+    def argmax(upTo: Int, g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 to upTo).reverse.foldLeft(lit(-1L): org.apache.spark.sql.Column)((els, n) =>
+        when(col(s"w$n") === g, lit(n.toLong)).otherwise(els))
+    val g5 = greatest((0 to 4).map(n => col(s"w$n")): _*)
+    val g6 = greatest((0 to 5).map(n => col(s"w$n")): _*)
+    withW
+      .withColumn("node5", argmax(4, g5))
+      .withColumn("node6", argmax(5, g6))
+      .groupBy(col("node5"), col("node6"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_keys"))
+  }
+
+  /** Association rules over order baskets (brand level): support,
+    * confidence, and lift for brand pairs that co-occur in ≥ 20 orders —
+    * the market-basket primitive, distinct from d95's co-occurrence
+    * COUNTS by carrying the full rule metrics and a support floor. Scale
+    * shape: the basket build joins lineitem to the part dimension
+    * (broadcast-class) and collapses to DISTINCT (order, brand) in one
+    * aggregate; pairs expand IN-GROUP from the sorted per-order brand
+    * set (≤ vocabulary², never a fact self-join — the d95 rule); item
+    * supports and the basket total re-aggregate from pinned censuses.
+    * Lift is computed in doubles with a fixed operand order (supports
+    * can reach 10^12 at corpus scale, so the integer product is
+    * deliberately avoided); confidence is one exact-count division.
+    */
+  def d223AssociationRules(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("items"))
+      .localCheckpoint() // 3 consumers: total, item supports, pairs
+    val nb = baskets.agg(count(lit(1)).as("n_baskets"))
+    val itemSupp = baskets.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("supp"))
+    val pairs = baskets.select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= 20)
+    pairs
+      .join(itemSupp.select(col("item").as("a"), col("supp").as("supp_a")),
+        "a")
+      .join(itemSupp.select(col("item").as("b"), col("supp").as("supp_b")),
+        "b")
+      .crossJoin(broadcast(nb))
+      .select(col("a"), col("b"),
+        expr("CAST(supp_ab AS BIGINT)").as("supp_ab"),
+        expr("CAST(supp_a AS BIGINT)").as("supp_a"),
+        expr("CAST(supp_b AS BIGINT)").as("supp_b"),
+        expr("CAST(n_baskets AS BIGINT)").as("n_baskets"),
+        round(col("supp_ab").cast("double") / col("supp_a").cast("double"),
+          6).as("confidence"),
+        round(col("supp_ab").cast("double") * col("n_baskets").cast("double")
+          / (col("supp_a").cast("double") * col("supp_b").cast("double")),
+          6).as("lift"))
+  }
 
   /** Top session paths — ORDERED-sequence extraction, the shape no other
     * row exercises (d185's transitions are pairwise; this is the ordered
@@ -4242,6 +4395,11 @@ object Queries {
     "d217_seasonal_decomp" -> (d217SeasonalDecomp _),
     "d218_merkle_diff" -> (d218MerkleDiff _),
     "d219_isotonic" -> (d219Isotonic _),
+    "d220_voptimal_segments" -> (d220VOptimalSegments _),
+    "d221_rendezvous_rebalance" -> (d221RendezvousRebalance _),
+    "d222_stream_merkle" ->
+      (graft.streaming.StreamingBattery.d222StreamMerkle _),
+    "d223_association_rules" -> (d223AssociationRules _),
   )
 
   /** ONE definition for the clamped-balance oracle — d202 (batch
@@ -4485,6 +4643,24 @@ object Queries {
        |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
        | FROM tf JOIN dfreq USING (term), stats
        | GROUP BY 1)""".stripMargin
+
+  /** ONE definition of the orders Merkle summary CTEs — the base half of
+    * d218's diff and the whole of d222's streaming-fold oracle (an edit
+    * to either would otherwise silently void the incremental-equals-
+    * one-shot proof). Ends in `sb`: (coarse, fine, n, dg).
+    */
+  private lazy val merkleBaseSummarySql =
+    """base AS (SELECT o_orderkey AS k, o_custkey AS c,
+      |  o_orderstatus AS st,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS cents FROM orders),
+      |hb AS (SELECT k // 64 AS fine, ('0x' || substr(md5(concat_ws(
+      |  chr(1), CAST(k AS VARCHAR), CAST(c AS VARCHAR),
+      |  CAST(st AS VARCHAR), CAST(cents AS VARCHAR))), 1, 15))::BIGINT
+      |  AS h FROM base),
+      |sb AS (SELECT fine // 16 AS coarse, fine,
+      |  CAST(COUNT(*) AS BIGINT) AS n, bit_xor(h) AS dg
+      | FROM hb GROUP BY 1, 2)""".stripMargin
   private val punctReSql = "'[!-/:-@\\[-`{-~]'"
 
   /** DuckDB expansion of [[graft.functions.TextFunctions.wordShingles]] for
@@ -6844,27 +7020,17 @@ object Queries {
     // row digests XOR-fold per fine key-range bucket, coarse groups
     // compare first, fine buckets only inside disagreed groups
     "d218_merkle_diff" ->
-      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
-        |  o_orderstatus AS st,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |    AS cents FROM orders),
+      s"""WITH $merkleBaseSummarySql,
         |aft AS (
         | SELECT k, c, st,
         |  CASE WHEN k % 997 = 5 THEN cents + 1 ELSE cents END AS cents
         | FROM base WHERE k % 997 <> 17
         | UNION ALL
         | SELECT k + 2000000000, c, st, cents FROM base WHERE k % 997 = 29),
-        |hb AS (SELECT k // 64 AS fine, ('0x' || substr(md5(concat_ws(
-        |  chr(1), CAST(k AS VARCHAR), CAST(c AS VARCHAR),
-        |  CAST(st AS VARCHAR), CAST(cents AS VARCHAR))), 1, 15))::BIGINT
-        |  AS h FROM base),
         |ha AS (SELECT k // 64 AS fine, ('0x' || substr(md5(concat_ws(
         |  chr(1), CAST(k AS VARCHAR), CAST(c AS VARCHAR),
         |  CAST(st AS VARCHAR), CAST(cents AS VARCHAR))), 1, 15))::BIGINT
         |  AS h FROM aft),
-        |sb AS (SELECT fine // 16 AS coarse, fine,
-        |  CAST(COUNT(*) AS BIGINT) AS n, bit_xor(h) AS dg
-        | FROM hb GROUP BY 1, 2),
         |sa AS (SELECT fine // 16 AS coarse, fine,
         |  CAST(COUNT(*) AS BIGINT) AS n, bit_xor(h) AS dg
         | FROM ha GROUP BY 1, 2),
@@ -6914,5 +7080,114 @@ object Queries {
         |f AS (SELECT b, MAX(mn) AS fitted FROM mm GROUP BY 1)
         |SELECT c.b AS b, c.n AS n, c.sy AS sy, ROUND(f.fitted, 6) AS fitted
         |FROM c JOIN f USING (b)""".stripMargin,
+
+    // the 6-stage UNROLLED DP (the d177/d180 convention) with list
+    // backtracking; argmin ties break (cost, u) — the oracle mirror of
+    // the engine's ascending-u strict-< scan
+    "d220_voptimal_segments" -> {
+      val dpStages = (2 to 6).map { k =>
+        val prev = s"dp${k - 1}"
+        s"""dp$k AS (SELECT v, cost, cuts FROM (
+           |  SELECT s.v AS v, d.cost + s.sse AS cost,
+           |   list_append(d.cuts, s.u) AS cuts,
+           |   ROW_NUMBER() OVER (PARTITION BY s.v
+           |     ORDER BY d.cost + s.sse, s.u) AS rn
+           |  FROM $prev d JOIN seg s ON s.u = d.v) WHERE rn = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH wk AS (SELECT date_diff('day', DATE '1970-01-01',
+         |  CAST(o_orderdate AS DATE)) // 7 AS w,
+         |  CAST(COUNT(*) AS BIGINT) AS x FROM orders GROUP BY 1),
+         |idx AS (SELECT w, x,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY w) AS BIGINT) AS i FROM wk),
+         |pre0 AS (SELECT i, w, x,
+         |  CAST(SUM(x) OVER (ORDER BY i) AS BIGINT) AS sm,
+         |  CAST(SUM(x * x) OVER (ORDER BY i) AS BIGINT) AS sq FROM idx),
+         |pre AS (SELECT i, sm, sq FROM pre0
+         | UNION ALL SELECT 0, 0, 0),
+         |seg AS (SELECT u.i AS u, v.i AS v,
+         |  CAST(v.sq - u.sq AS DOUBLE) - CAST(v.sm - u.sm AS DOUBLE) *
+         |    CAST(v.sm - u.sm AS DOUBLE) / CAST(v.i - u.i AS DOUBLE)
+         |    AS sse
+         | FROM pre u JOIN pre0 v ON u.i < v.i),
+         |dp1 AS (SELECT v, sse AS cost, [CAST(0 AS BIGINT)] AS cuts
+         | FROM seg WHERE u = 0),
+         |$dpStages,
+         |vm AS (SELECT MAX(i) AS vmax FROM pre0),
+         |bounds AS (SELECT list_append(cuts, vmax) AS bs
+         | FROM dp6 JOIN vm ON dp6.v = vm.vmax),
+         |segs AS (SELECT CAST(g AS BIGINT) AS seg,
+         |  bs[CAST(g AS INT)] AS lo_i, bs[CAST(g AS INT) + 1] AS hi_i
+         | FROM bounds, UNNEST(range(1, 7)) AS r(g))
+         |SELECT seg,
+         | (SELECT w FROM pre0 WHERE i = lo_i + 1) AS week_lo,
+         | (SELECT w FROM pre0 WHERE i = hi_i) AS week_hi,
+         | CAST(hi_i - lo_i AS BIGINT) AS n_weeks,
+         | (SELECT CAST(h.sm - COALESCE(l.sm, 0) AS BIGINT)
+         |   FROM pre0 h, pre l WHERE h.i = hi_i AND l.i = lo_i)
+         |   AS sum_cnt,
+         | ROUND((SELECT CAST(h.sq - l.sq AS DOUBLE) -
+         |     CAST(h.sm - l.sm AS DOUBLE) * CAST(h.sm - l.sm AS DOUBLE) /
+         |     CAST(h.i - l.i AS DOUBLE)
+         |   FROM pre0 h, pre l WHERE h.i = hi_i AND l.i = lo_i), 6)
+         |   AS sse
+         |FROM segs""".stripMargin
+    },
+
+    // six engine-portable md5 weights per key; argmax via first-match
+    // CASE (lowest node wins ties); the movement matrix between the
+    // 5-node and 6-node rings
+    "d221_rendezvous_rebalance" -> {
+      val ws = (0 to 5).map { n =>
+        s"('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || '$n'), 1, 15))" +
+          s"::BIGINT AS w$n"
+      }.mkString(",\n  ")
+      def am(upTo: Int, g: String) =
+        (0 to upTo).map(n => s"WHEN w$n = $g THEN $n").mkString(" ")
+      s"""WITH kk AS (SELECT o_orderkey AS k FROM orders),
+         |w AS (SELECT k,
+         |  $ws
+         | FROM kk),
+         |g AS (SELECT *, GREATEST(w0, w1, w2, w3, w4) AS g5,
+         |  GREATEST(w0, w1, w2, w3, w4, w5) AS g6 FROM w),
+         |a AS (SELECT
+         |  CAST(CASE ${am(4, "g5")} END AS BIGINT) AS node5,
+         |  CAST(CASE ${am(5, "g6")} END AS BIGINT) AS node6 FROM g)
+         |SELECT node5, node6, CAST(COUNT(*) AS BIGINT) AS n_keys
+         |FROM a GROUP BY 1, 2""".stripMargin
+    },
+
+    // the one-shot summary of the full table — the incremental streaming
+    // fold must land on it bit for bit
+    "d222_stream_merkle" ->
+      s"""WITH $merkleBaseSummarySql
+         |SELECT CAST(coarse AS BIGINT) AS coarse,
+         | CAST(fine AS BIGINT) AS fine, n, dg AS digest
+         |FROM sb""".stripMargin,
+
+    // distinct (order, brand) baskets; pair supports with a floor; rule
+    // metrics — confidence one exact division, lift in doubles with the
+    // engine's fixed operand order
+    "d223_association_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, p_brand AS br
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets
+        | FROM b),
+        |si AS (SELECT br, CAST(COUNT(*) AS BIGINT) AS supp
+        | FROM b GROUP BY 1),
+        |pr AS (SELECT x.br AS a, y.br AS b2,
+        |  CAST(COUNT(*) AS BIGINT) AS supp_ab
+        | FROM b x JOIN b y ON x.o = y.o AND x.br < y.br
+        | GROUP BY 1, 2)
+        |SELECT a, b2 AS b, supp_ab,
+        | sa.supp AS supp_a, sb2.supp AS supp_b, n_baskets,
+        | ROUND(CAST(supp_ab AS DOUBLE) / CAST(sa.supp AS DOUBLE), 6)
+        |   AS confidence,
+        | ROUND(CAST(supp_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE) /
+        |   (CAST(sa.supp AS DOUBLE) * CAST(sb2.supp AS DOUBLE)), 6)
+        |   AS lift
+        |FROM pr JOIN si sa ON pr.a = sa.br
+        | JOIN si sb2 ON pr.b2 = sb2.br, nb
+        |WHERE supp_ab >= 20""".stripMargin,
   )
 }

@@ -942,6 +942,53 @@ object StreamingBattery {
     } finally deleteRecursively(root)
   }
 
+  /** Incremental integrity maintenance: the per-bucket Merkle summary is
+    * a MERGEABLE sufficient statistic (counts add, digests XOR — third
+    * instance of the d170/d183 pattern), so a standing ingest maintains
+    * its table digest as micro-batches arrive instead of re-scanning the
+    * corpus per verification cycle. The fold
+    * ([[graft.operators.Integrity.mergeSummaries]]) must land
+    * bit-identical to the one-shot [[graft.operators.Integrity
+    * .merkleSummary]] of the full table — the shared oracle
+    * (merkleBaseSummarySql, also the base half of d218's diff) proves
+    * it. Input rides the shared [[Queries.ordersMerkleBase]] derivation.
+    */
+  def d222StreamMerkle(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-stream-merkle")
+    try {
+      val in = root.resolve("in")
+      Queries.ordersMerkleBase(s, d).repartition(4).write.parquet(in.toString)
+      var agg = s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(Seq(
+          StructField("coarse", LongType), StructField("fine", LongType),
+          StructField("n", LongType), StructField("digest", LongType))))
+      var nBatches = 0
+      val src = s.readStream.schema(s.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          nBatches += 1
+          agg = graft.operators.Integrity.mergeSummaries(agg,
+              graft.operators.Integrity.merkleSummary(batch, "o_orderkey",
+                Seq("o_custkey", "o_orderstatus", "cents"), 64L, 16))
+            .localCheckpoint(true)
+          ()
+        }
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // the equivalence is only evidence if the fold really ran
+      // incrementally (the d145 vacuity guard)
+      require(nBatches >= 2,
+        s"expected a multi-batch incremental fold, got $nBatches batch(es)")
+      agg.select(expr("CAST(coarse AS BIGINT)").as("coarse"),
+        expr("CAST(fine AS BIGINT)").as("fine"), col("n"), col("digest"))
+    } finally deleteRecursively(root)
+  }
+
   def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame =
       withShufflePartitions(s, 8) {
     def side(tpe: String, pre: String): DataFrame = {

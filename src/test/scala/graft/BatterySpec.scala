@@ -201,4 +201,65 @@ class BatterySpec extends SparkTestBase {
     assert(idx.min < 1.1 && idx.max > 0.9,
       s"indices implausibly skewed: ${idx.toSeq}")
   }
+
+  test("d220: segments tile the week range; cost beats the equal-width strawman") {
+    val d = "/root/testdata/sf0.001"
+    val segs = Queries.d220VOptimalSegments(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    assert(segs.length == 6)
+    // contiguity in index space: n_weeks sums to the observed-week count
+    val census = Tables.orders(spark, d)
+      .selectExpr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 7 AS w")
+      .groupBy("w").count().orderBy("w").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(segs.map(_._4).sum == census.length)
+    segs.sliding(2).foreach { w =>
+      assert(w(0)._3 < w(1)._2, "segment week ranges must be ordered/disjoint")
+    }
+    assert(segs.map(_._5).sum == census.map(_._2).sum, "counts must tile")
+    assert(segs.forall(_._6 >= 0.0))
+    // optimality teeth: the DP total must not exceed ANY specific
+    // segmentation — here the 6 equal-width index split
+    def sseOf(xs: Seq[Long]): Double = {
+      val n = xs.length; val sm = xs.sum; val q = xs.map(x => x * x).sum
+      q.toDouble - sm.toDouble * sm.toDouble / n.toDouble
+    }
+    val xs = census.map(_._2).toSeq
+    val cuts = (0 to 6).map(k => k * xs.length / 6)
+    val strawman = (0 until 6)
+      .map(k => sseOf(xs.slice(cuts(k), cuts(k + 1)))).sum
+    assert(segs.map(_._6).sum <= strawman + 1e-6,
+      s"DP ${segs.map(_._6).sum} worse than equal-width $strawman")
+  }
+
+  test("d221: growing the ring only moves keys TO the new node") {
+    val rows = Queries.d221RendezvousRebalance(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (n5, n6, _) => n5 == n6 || n6 == 5L },
+      s"HRW monotonicity violated: ${rows.toSeq}")
+    assert(rows.map(_._1).distinct.sorted.toSeq == (0L to 4L).toSeq,
+      "every old node should hold keys")
+    val total = rows.map(_._3).sum.toDouble
+    val moved = rows.filter(r => r._1 != r._2).map(_._3).sum.toDouble
+    assert(moved / total > 1.0 / 12 && moved / total < 1.0 / 3,
+      s"moved fraction ${moved / total} far from the expected 1/6")
+  }
+
+  test("d223: rule metrics are internally consistent") {
+    val rows = Queries.d223AssociationRules(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (sab, sa, sb, nb) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+      assert(a < b, "pairs must be ordered")
+      assert(sab >= 20L && sab <= math.min(sa, sb))
+      assert(math.abs(r.getDouble(6) - sab.toDouble / sa) < 1e-6)
+      assert(r.getDouble(6) <= 1.0 + 1e-9)
+      assert(math.abs(r.getDouble(7) -
+        sab.toDouble * nb / (sa.toDouble * sb)) < 1e-4)
+    }
+  }
 }

@@ -87,4 +87,20 @@ class IntegritySpec extends SparkTestBase {
         "coarse/fine relation broken")
     }
   }
+
+  test("mergeSummaries of split halves equals the one-shot summary") {
+    val rows = (1L to 200L).map(k => (k, s"v$k"))
+    val full = Integrity.merkleSummary(mk(rows), "k", Seq("v"), 16L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val even = mk(rows.filter(_._1 % 2 == 0))
+    val odd = mk(rows.filter(_._1 % 2 == 1))
+    val merged = Integrity.mergeSummaries(
+        Integrity.merkleSummary(even, "k", Seq("v"), 16L, 4),
+        Integrity.merkleSummary(odd, "k", Seq("v"), 16L, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(merged == full,
+      "the incremental fold must land bit-identical to the one-shot summary")
+  }
 }

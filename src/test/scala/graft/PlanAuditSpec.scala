@@ -646,4 +646,26 @@ class PlanAuditSpec extends SparkTestBase {
       "census checkpoint bypassed — events re-scanned in the final plan:\n" +
         plan.take(3000))
   }
+
+  test("d223: baskets build in ONE shuffle off a broadcast dimension; pairs expand in-group") {
+    val plan = planOf(Queries.d223AssociationRules(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the part dimension must broadcast into the basket build:\n" +
+        plan.take(3000))
+    assert(!plan.contains("CartesianProduct"),
+      "pair expansion must stay in-group:\n" + plan.take(3000))
+  }
+
+  test("d221: rendezvous assignment is map-side — no join, no window, one aggregate") {
+    val plan = planOf(Queries.d221RendezvousRebalance(spark, d))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join") && !plan.contains("Window "),
+      "assignment must be pure per-row arithmetic:\n" + plan.take(3000))
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1,
+      s"expected at most the final census shuffle, got $exchanges")
+  }
 }
