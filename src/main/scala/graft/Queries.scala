@@ -2398,6 +2398,117 @@ object Queries {
           6).as("lift"))
   }
 
+  /** Winnowing fingerprint pairs (the MOSS selection rule): every 5-gram
+    * hashes, each 4-window keeps its MINIMUM hash, and the distinct
+    * selected hashes are the document's fingerprints — the
+    * position-robust plagiarism-detection primitive (an insertion shifts
+    * positions but local minima survive), distinct from d32's whole-doc
+    * rolling hash and d73's every-gram index: winnowing SUBSAMPLES the
+    * gram stream ~w-fold with a guarantee (every ≥w-gram match still
+    * shares a fingerprint). Scale shape: gram hashing and window minima
+    * are map-side per doc (partitioned window), the posting census caps
+    * hub fingerprints (2..50, the d73 regime) BEFORE the pair join, and
+    * the floor (≥3 shared) prunes the pair aggregate. Fingerprint SET
+    * semantics make the equal-hash-in-window tie IRRELEVANT (either
+    * position selects the same hash value), so no tie-break is needed
+    * anywhere. md5-based gram hashes keep the whole pipeline
+    * engine-portable.
+    */
+  def d224WinnowingPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowingPairs(Tables.documents(s, d), "doc_id", "text")
+      .select(expr("CAST(da AS BIGINT)").as("da"),
+        expr("CAST(db AS BIGINT)").as("db"),
+        expr("CAST(n_shared AS BIGINT)").as("n_shared"))
+
+  /** Poisson-bootstrap thresholds: floor(CDF_k(Poisson(1)) · 16^6) — the
+    * shared integer constants BOTH the Spark expression and the DuckDB
+    * oracle compare the 6-hex md5 uniform against (exact integer
+    * comparisons, the d81 convention; a drift here voids d225).
+    */
+  private[graft] val PoissonThresholds: Seq[Long] = Seq(
+    6171992L, 12343985L, 15429982L, 16458647L, 16715813L, 16767247L,
+    16775819L, 16777044L)
+
+  /** Deterministic Poisson bootstrap (the scale-out bootstrap: each row
+    * enters replicate b with multiplicity ~Poisson(1), independent per
+    * (row, replicate) — resampling-with-replacement needs global
+    * coordination, Poisson weights need ONE map-side expression): 32
+    * replicates of the mean order value, every weight derived from an
+    * md5 uniform against the shared [[PoissonThresholds]], so any
+    * md5-capable engine reproduces the exact resample. Output is the
+    * per-replicate sufficient statistics (n_eff, sum_cents exact
+    * BIGINTs; mean = one division) — the uncertainty-quantification
+    * primitive a 100 TB metric pipeline attaches error bars with, at the
+    * cost of ONE pass × 32 map-side copies and a 32-group aggregate.
+    */
+  def d225PoissonBootstrap(s: SparkSession, d: String): DataFrame = {
+    val wExpr = PoissonThresholds.map(t =>
+      s"CAST(CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), " +
+        s"'~', CAST(b AS STRING))), 1, 6), 16, 10) AS BIGINT) >= $t AS INT)")
+      .mkString(" + ")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .select(col("o_orderkey"), col("cents"),
+        explode(expr("sequence(0, 31)")).as("b"))
+      .withColumn("w", expr(s"CAST($wExpr AS BIGINT)"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("cents")).as("sum_cents"))
+      .select(expr("CAST(b AS BIGINT)").as("b"),
+        expr("CAST(n_eff AS BIGINT)").as("n_eff"),
+        expr("CAST(sum_cents AS BIGINT)").as("sum_cents"),
+        round(expr("CAST(sum_cents AS DOUBLE)") /
+          (lit(100.0) * col("n_eff").cast("double")), 4).as("mean_value"))
+  }
+
+  /** Leave-one-source-out influence — data VALUATION for corpus curation:
+    * for each source, what happens to the global mean document length and
+    * to the language-mix entropy if the source is dropped? Both deltas
+    * re-aggregate from ONE (source × lang) census (sufficient
+    * statistics — no per-source re-scan, the property that makes LOGO
+    * affordable at 100 TB: cost is census-sized algebra, not |sources|
+    * scans). Mean deltas are exact-integer until one division; entropy
+    * sums ≤ |langs| ln-terms per source (the small-group double-sum
+    * convention, d106).
+    */
+  def d226SourceInfluence(s: SparkSession, d: String): DataFrame = {
+    val census = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+      .localCheckpoint() // every aggregate below re-derives from it
+    val bySource = census.groupBy(col("source"))
+      .agg(sum(col("n")).as("s_n"), sum(col("sc")).as("s_sum"))
+    val byLang = census.groupBy(col("lang")).agg(sum(col("n")).as("l_n"))
+    val tot = census.agg(sum(col("n")).as("nn"), sum(col("sc")).as("ss"))
+    // entropy term: -p ln p, 0 at p = 0; summed per source over the
+    // (source × lang) grid so absent (source, lang) cells read n = 0
+    val grid = byLang.crossJoin(bySource.select(col("source")))
+      .join(census.select(col("source"), col("lang"), col("n")),
+        Seq("source", "lang"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    def ent(cnt: org.apache.spark.sql.Column,
+            totc: org.apache.spark.sql.Column) =
+      when(cnt > 0, -(cnt.cast("double") / totc.cast("double")) *
+        log(cnt.cast("double") / totc.cast("double"))).otherwise(lit(0.0))
+    val hWithout = grid.crossJoin(broadcast(tot))
+      .join(bySource, "source")
+      .groupBy(col("source"))
+      .agg(sum(ent(col("l_n") - col("n"), col("nn") - col("s_n")))
+        .as("h_without"))
+    val hAll = byLang.crossJoin(broadcast(tot))
+      .agg(sum(ent(col("l_n"), col("nn"))).as("h_all"))
+    bySource.crossJoin(broadcast(tot)).crossJoin(broadcast(hAll))
+      .join(hWithout, "source")
+      .select(col("source"),
+        expr("CAST(s_n AS BIGINT)").as("n_docs"),
+        round(expr("CAST(ss AS DOUBLE)") / col("nn").cast("double") -
+          expr("CAST(ss - s_sum AS DOUBLE)") /
+            expr("CAST(nn - s_n AS DOUBLE)"), 6).as("d_mean_chars"),
+        round(col("h_all") - col("h_without"), 6).as("d_lang_entropy"))
+  }
+
   /** Top session paths — ORDERED-sequence extraction, the shape no other
     * row exercises (d185's transitions are pairwise; this is the ordered
     * k-prefix): d75's gap sessionization, then each ≥3-event session's
@@ -4400,6 +4511,9 @@ object Queries {
     "d222_stream_merkle" ->
       (graft.streaming.StreamingBattery.d222StreamMerkle _),
     "d223_association_rules" -> (d223AssociationRules _),
+    "d224_winnowing_pairs" -> (d224WinnowingPairs _),
+    "d225_poisson_bootstrap" -> (d225PoissonBootstrap _),
+    "d226_source_influence" -> (d226SourceInfluence _),
   )
 
   /** ONE definition for the clamped-balance oracle — d202 (batch
@@ -7189,5 +7303,83 @@ object Queries {
         |FROM pr JOIN si sa ON pr.a = sa.br
         | JOIN si sb2 ON pr.b2 = sb2.br, nb
         |WHERE supp_ab >= 20""".stripMargin,
+
+    // winnowing: per-doc window minima over md5 gram hashes; fingerprint
+    // SET semantics make the equal-hash tie irrelevant; posting cap 2..50
+    // before the pair join, floor >= 3 after
+    "d224_winnowing_pairs" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksLowerSql AS t FROM documents
+         |  WHERE text IS NOT NULL),
+         |t2 AS (SELECT doc_id, t FROM t0 WHERE len(t) >= 5),
+         |g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+         |  ('0x' || substr(md5(array_to_string(
+         |    t[CAST(i AS INT):CAST(i AS INT) + 4], ' ')), 1, 15))::BIGINT
+         |    AS h
+         | FROM t2, UNNEST(range(1, len(t) - 3)) AS r(i)),
+         |wmin AS (SELECT doc_id, MIN(h) OVER (PARTITION BY doc_id
+         |  ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         | FROM g),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wmin),
+         |post AS (SELECT fp FROM (SELECT fp, COUNT(*) AS nd FROM fps
+         |  GROUP BY 1) WHERE nd BETWEEN 2 AND 50),
+         |keep AS (SELECT f.doc_id, f.fp FROM fps f JOIN post USING (fp))
+         |SELECT CAST(a.doc_id AS BIGINT) AS da,
+         | CAST(b.doc_id AS BIGINT) AS db,
+         | CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
+    // deterministic Poisson bootstrap: md5 uniform vs the shared integer
+    // thresholds (PoissonThresholds — one drifted literal voids the row)
+    "d225_poisson_bootstrap" -> {
+      val wSql = PoissonThresholds
+        .map(t => s"CAST(uu >= $t AS INT)").mkString(" + ")
+      s"""WITH o AS (SELECT o_orderkey AS k,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    AS cents FROM orders),
+         |e AS (SELECT k, cents, CAST(b AS BIGINT) AS b
+         | FROM o, UNNEST(range(0, 32)) AS r(b)),
+         |u AS (SELECT b, cents, ('0x' || substr(md5(CAST(k AS VARCHAR)
+         |  || '~' || CAST(b AS VARCHAR)), 1, 6))::BIGINT AS uu FROM e),
+         |w AS (SELECT b, cents, CAST($wSql AS BIGINT) AS w FROM u)
+         |SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+         | CAST(SUM(w * cents) AS BIGINT) AS sum_cents,
+         | ROUND(CAST(SUM(w * cents) AS DOUBLE) /
+         |   (CAST(100 AS DOUBLE) * CAST(SUM(w) AS DOUBLE)), 4)
+         |   AS mean_value
+         |FROM w GROUP BY 1""".stripMargin
+    },
+
+    // LOGO influence from the (source × lang) census — mean delta exact
+    // until one division; entropy terms over the zero-filled lang grid
+    "d226_source_influence" ->
+      """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sc FROM documents GROUP BY 1, 2),
+        |bs AS (SELECT source, CAST(SUM(n) AS BIGINT) AS s_n,
+        |  CAST(SUM(sc) AS BIGINT) AS s_sum FROM c GROUP BY 1),
+        |bl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS l_n FROM c
+        | GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |  CAST(SUM(sc) AS BIGINT) AS ss FROM c),
+        |grid AS (SELECT s.source AS source, l.lang AS lang, l.l_n AS l_n,
+        |  COALESCE(c.n, 0) AS n
+        | FROM (SELECT source FROM bs) s CROSS JOIN bl l
+        | LEFT JOIN c ON c.source = s.source AND c.lang = l.lang),
+        |hw AS (SELECT g.source AS source, SUM(CASE WHEN g.l_n - g.n > 0
+        |   THEN -(CAST(g.l_n - g.n AS DOUBLE) /
+        |       CAST(t.nn - b.s_n AS DOUBLE)) *
+        |     ln(CAST(g.l_n - g.n AS DOUBLE) / CAST(t.nn - b.s_n AS DOUBLE))
+        |   ELSE CAST(0 AS DOUBLE) END) AS h_without
+        | FROM grid g JOIN bs b ON g.source = b.source, tot t GROUP BY 1),
+        |ha AS (SELECT SUM(CASE WHEN l_n > 0 THEN
+        |   -(CAST(l_n AS DOUBLE) / CAST(nn AS DOUBLE)) *
+        |     ln(CAST(l_n AS DOUBLE) / CAST(nn AS DOUBLE))
+        |   ELSE CAST(0 AS DOUBLE) END) AS h_all FROM bl, tot)
+        |SELECT b.source AS source, b.s_n AS n_docs,
+        | ROUND(CAST(t.ss AS DOUBLE) / CAST(t.nn AS DOUBLE) -
+        |   CAST(t.ss - b.s_sum AS DOUBLE) / CAST(t.nn - b.s_n AS DOUBLE),
+        |   6) AS d_mean_chars,
+        | ROUND(ha.h_all - hw.h_without, 6) AS d_lang_entropy
+        |FROM bs b JOIN hw ON b.source = hw.source, tot t, ha""".stripMargin,
   )
 }

@@ -635,4 +635,57 @@ object Dedup {
         (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_masked"),
         concat_ws(" ", col("__kept")).as("text_deduped"))
   }
+
+  /** Winnowing fingerprints (the MOSS selection rule, Schleimer et al.):
+    * every k-token gram hashes (engine-portable md5), and each w-window
+    * of consecutive gram hashes keeps its MINIMUM — the distinct kept
+    * hashes are the document's fingerprints. Guarantee: two documents
+    * sharing any run of ≥ w + k − 1 identical tokens share ≥ 1
+    * fingerprint, at ~1/w the index size of the every-gram posting list
+    * (d73). Fingerprint SET semantics make equal-hash-in-window ties
+    * irrelevant — either position keeps the same hash VALUE.
+    *
+    * Output: (idCol, fp). Map-side per doc (one partitioned window);
+    * no shuffle beyond the id partition.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        TextFunctions.tokens(lower(col(textCol))).as("__t"))
+      .filter(size(col("__t")) >= k)
+    val grams = toks
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, size(__t) - ${k - 1}), i -> " +
+          s"array_join(slice(__t, i, $k), ' '))")).as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos"),
+        expr("CAST(conv(substring(md5(__g), 1, 15), 16, 10) AS BIGINT)")
+          .as("__h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams.withColumn("fp", min(col("__h")).over(win))
+      .select(col(idCol), col("fp")).distinct()
+  }
+
+  /** Winnowing near-dup pairs: fingerprint, cap hub fingerprints to
+    * `maxPosting` docs (the d73 inverted-index regime — a boilerplate
+    * fingerprint shared by thousands of docs would explode the join
+    * quadratically), self-join on fingerprint, keep pairs sharing
+    * ≥ `minShared`. Output: (da, db, n_shared), da < db.
+    */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 3,
+      maxPosting: Int = 50): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .localCheckpoint() // feeds the posting census AND both join sides
+    val postings = fps.groupBy(col("fp")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2 && col("__nd") <= maxPosting)
+    val keep = fps.join(postings.select(col("fp")), "fp")
+    keep.select(col("fp"), col(idCol).as("da"))
+      .join(keep.select(col("fp"), col(idCol).as("db")), "fp")
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -262,4 +262,50 @@ class BatterySpec extends SparkTestBase {
         sab.toDouble * nb / (sa.toDouble * sb)) < 1e-4)
     }
   }
+
+  test("d225: replicate weights behave like Poisson(1) and the spread like the CLT") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Queries.d225PoissonBootstrap(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 32)
+    val n = Tables.orders(spark, d).count()
+    // E[n_eff] = n, sd = sqrt(n): every replicate within 5 sigma
+    rows.foreach { case (b, ne, _, _) =>
+      assert(math.abs(ne - n) <= 5 * math.sqrt(n.toDouble),
+        s"replicate $b n_eff $ne vs n $n")
+    }
+    // CLT: sd of replicate means ~ sd(x)/sqrt(n), loose factor 3
+    val means = rows.map(_._4)
+    val mbar = means.sum / means.length
+    val sdRep = math.sqrt(means.map(m => (m - mbar) * (m - mbar)).sum /
+      (means.length - 1))
+    val vals = Tables.orders(spark, d)
+      .selectExpr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v")
+      .collect().map(_.getDouble(0))
+    val vbar = vals.sum / vals.length
+    val sdX = math.sqrt(vals.map(v => (v - vbar) * (v - vbar)).sum /
+      (vals.length - 1))
+    val expect = sdX / math.sqrt(n.toDouble)
+    assert(sdRep > expect / 3 && sdRep < expect * 3,
+      s"bootstrap SE $sdRep vs CLT $expect")
+  }
+
+  test("d226: influence deltas reconcile with directly-computed LOGO stats") {
+    val d = "/root/testdata/sf0.001"
+    val got = Queries.d226SourceInfluence(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val docs = Tables.documents(spark, d)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val tot = docs.map(_._2).sum.toDouble; val n = docs.length
+    for ((src, (nDocs, dMean)) <- got) {
+      val mine = docs.filter(_._1 == src)
+      assert(mine.length == nDocs)
+      val want = tot / n -
+        (tot - mine.map(_._2).sum) / (n - mine.length).toDouble
+      assert(math.abs(dMean - want) < 1e-5, s"$src: $dMean vs $want")
+    }
+    assert(got.size == docs.map(_._1).distinct.length,
+      "every source must get an influence row")
+  }
 }

@@ -519,4 +519,44 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out(1L) == ((2L, "")) && out(2L) == ((2L, "")), out.toString)
     assert(out(3L) == ((0L, "another short one")), out(3L).toString)
   }
+
+  test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
+    val s = spark
+    import s.implicits._
+    // k=5, w=4: any shared run of 8 tokens must surface; the planted run
+    // is 10 tokens inside otherwise-disjoint text
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, s"one two three four $run purple monkey dishwasher end"),
+      (2L, s"completely different prefix here $run and another tail"),
+      (3L, "no overlap with anything else at all in this document text")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    val f3 = fps.filter(_._1 == 3L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty, "planted 10-token run must share a fingerprint")
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty,
+      "disjoint docs must not collide")
+    val pairs = Dedup.winnowingPairs(df, "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("winnowing subsamples the gram stream roughly w-fold") {
+    val d = "/root/testdata/sf0.001"
+    val docsT = Tables.documents(spark, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= 5)
+    val nGrams = docsT.selectExpr("size(t) - 4 AS g")
+      .agg(sum(col("g"))).head.getLong(0)
+    val nFps = Dedup.winnowFingerprints(
+      Tables.documents(spark, d), "doc_id", "text").count()
+    // distinct minima of w=4 windows: expected ~2/w of gram count; allow
+    // a wide band (repeated grams collapse further)
+    assert(nFps < nGrams / 2, s"$nFps fingerprints from $nGrams grams")
+    assert(nFps > nGrams / 20, "implausibly few fingerprints")
+  }
 }
