@@ -2137,12 +2137,16 @@ object Queries {
         .cast("long"))
       .select(col("doc_id"), col("lex_rnk"))
     dense.join(lex, Seq("doc_id"), "full_outer")
-      .withColumn("rrf",
+      // the top-20 cut orders by the ROUNDED score (doc_id tie-break) —
+      // the same rounded-before-ranking rule as the bm25 ranks: the raw
+      // double space has distinct values that collide at 6 decimals, and
+      // the oracle's ORDER BY sees only the rounded alias
+      .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(60.0) + col("dense_rnk")), lit(0.0)) +
-        coalesce(lit(1.0) / (lit(60.0) + col("lex_rnk")), lit(0.0)))
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rnk")), lit(0.0)), 6))
       .orderBy(col("rrf").desc, col("doc_id").asc).limit(20)
       .select(expr("CAST(doc_id AS BIGINT)").as("doc_id"),
-        col("dense_rnk"), col("lex_rnk"), round(col("rrf"), 6).as("rrf"))
+        col("dense_rnk"), col("lex_rnk"), col("rrf"))
   }
 
   /** Day-of-week seasonal decomposition (ratio-to-moving-average) of the

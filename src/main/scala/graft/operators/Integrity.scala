@@ -35,6 +35,11 @@ object Integrity {
 
   /** Per-fine-bucket digest summary: `(coarse, fine, n, digest)`.
     *
+    * Keys must be NON-NEGATIVE: bucket assignment uses Spark's `div`
+    * (truncation toward zero) while a DuckDB auditor's `//` floors, and
+    * the two agree only for k ≥ 0 — a signed key would land in
+    * different buckets on the two sides and report phantom drift.
+    *
     * Buckets are RANGES of the integer key (`fine = key div fineDiv`,
     * `coarse = fine div groupSize`) rather than hash buckets: range
     * buckets keep localized corruption (a bad scan range, a lost
