@@ -287,6 +287,32 @@ object EvalMetrics {
             (col("n") * col("total")).cast("double"), 9)).as("gini"))
   }
 
+  /** The weighted PAV stack over (xlo, xhi, n, Σy) blocks — the pure
+    * kernel both levels of [[isotonicFit]] run (per-partition, then over
+    * collected blocks on the driver). Pooling compares means by exact
+    * Long cross products; equal means merge (>=). Exposed for the
+    * property suite: EvalMetricsProps pins stack == minimax closed form
+    * and the two-level decomposition lemma on random censuses.
+    */
+  private[graft] def pavBlocks(blocks: Iterator[(Double, Double, Long, Long)])
+      : collection.mutable.ArrayBuffer[(Double, Double, Long, Long)] = {
+    val stack = collection.mutable.ArrayBuffer
+      .empty[(Double, Double, Long, Long)]
+    blocks.foreach { b =>
+      stack += b
+      // pool while mean(prev) >= mean(cur), compared exactly
+      while (stack.length >= 2 && {
+        val p = stack(stack.length - 2); val c = stack.last
+        p._4 * c._3 >= c._4 * p._3
+      }) {
+        val c = stack.remove(stack.length - 1)
+        val p = stack.remove(stack.length - 1)
+        stack += ((p._1, c._2, p._3 + c._3, p._4 + c._4))
+      }
+    }
+    stack
+  }
+
   /** Isotonic (monotone non-decreasing) regression by pool-adjacent-
     * violators — the exact calibration map behind probability calibration
     * (the step beyond [[calibrationReport]]'s fixed binning: PAV LEARNS
@@ -331,31 +357,15 @@ object EvalMetrics {
         col("sy").cast("long"))
       .repartitionByRange(col("__x"))
       .sortWithinPartitions(col("__x"))
-    def pav(blocks: Iterator[(Double, Double, Long, Long)])
-        : collection.mutable.ArrayBuffer[(Double, Double, Long, Long)] = {
-      val stack = collection.mutable.ArrayBuffer
-        .empty[(Double, Double, Long, Long)]
-      blocks.foreach { b =>
-        stack += b
-        // pool while mean(prev) >= mean(cur), compared exactly
-        while (stack.length >= 2 && {
-          val p = stack(stack.length - 2); val c = stack.last
-          p._4 * c._3 >= c._4 * p._3
-        }) {
-          val c = stack.remove(stack.length - 1)
-          val p = stack.remove(stack.length - 1)
-          stack += ((p._1, c._2, p._3 + c._3, p._4 + c._4))
-        }
-      }
-      stack
-    }
     val partBlocks = sorted.rdd.mapPartitions { it =>
-      pav(it.map(r => (r.getDouble(0), r.getDouble(0), r.getLong(1),
+      pavBlocks(it.map(r => (r.getDouble(0), r.getDouble(0), r.getLong(1),
         r.getLong(2)))).iterator
     }.collect()
     // partitions are range-ordered but collect order is not guaranteed;
     // re-sort, then one more PAV pass heals the partition boundaries
-    val fin = pav(partBlocks.sortBy(_._1).iterator)
+    // (PAV-of-PAV-blocks == PAV of the raw sequence — the lemma
+    // EvalMetricsProps pins against the minimax closed form)
+    val fin = pavBlocks(partBlocks.sortBy(_._1).iterator)
     val blocksDf = spark.createDataFrame(fin.map { case (lo, hi, n, sy) =>
       (lo, hi, sy.toDouble / n)
     }.toSeq).toDF("__xlo", "__xhi", "fitted")
