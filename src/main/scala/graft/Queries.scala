@@ -1709,13 +1709,22 @@ object Queries {
     * where a parent-at-a-time walk would take 21 — and at 100 TB a
     * depth-1000 chain would cost 10 rounds, not 1000.
     */
-  def d204TreeDepth(s: SparkSession, d: String): DataFrame = {
-    val parents = Tables.customer(s, d)
+  /** ONE definition of the synthetic referral forest — batch d204
+    * (depths) and d227 (BOM products) must walk the identical edges (the
+    * shared-derivation rule). parent(c) = md5-prefix-int(c) mod c for
+    * c > 0 (always < c, so acyclic by construction); the minimum key is
+    * the root.
+    */
+  private[graft] def referralForest(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
       .select(col("c_custkey").as("node"),
         when(col("c_custkey") > 0,
           expr("CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 6)" +
             ", 16, 10) AS BIGINT) % c_custkey"))
           .as("parent"))
+
+  def d204TreeDepth(s: SparkSession, d: String): DataFrame = {
+    val parents = referralForest(s, d)
     graft.operators.GraphOps.treeDepths(parents)
       .join(parents, Seq("node"))
       .select(expr("CAST(node AS BIGINT)").as("c_custkey"),
@@ -2477,6 +2486,27 @@ object Queries {
     * sums ≤ |langs| ln-terms per source (the small-group double-sum
     * convention, d106).
     */
+  /** BOM explosion ([[graft.operators.GraphOps.treePathProducts]]):
+    * effective quantity per node of the shared [[referralForest]] with
+    * per-edge quantity q(c) = c mod 5 + 2 — the weighted-path-AGGREGATE
+    * complement of d204's depths (the recursive-CTE class where the walk
+    * multiplies instead of counts; same O(log depth) doubling, so a
+    * depth-1000 chain is 10 shuffles). Products are exact Longs — q ≤ 6
+    * and the probed forest depth keep q^depth far under 2^63 (ANSI mode
+    * fails loudly, never wraps, if a deeper input ever violates that).
+    */
+  def d227BomExplosion(s: SparkSession, d: String): DataFrame = {
+    val parents = referralForest(s, d)
+      .withColumn("qty", expr("node % 5 + 2"))
+    graft.operators.GraphOps.treePathProducts(parents)
+      .join(parents, Seq("node"))
+      .select(expr("CAST(node AS BIGINT)").as("c_custkey"),
+        expr("CAST(parent AS BIGINT)").as("parent"),
+        expr("CAST(CASE WHEN parent IS NULL THEN NULL ELSE qty END " +
+          "AS BIGINT)").as("qty"),
+        expr("CAST(eff_qty AS BIGINT)").as("eff_qty"))
+  }
+
   def d226SourceInfluence(s: SparkSession, d: String): DataFrame = {
     val census = Tables.documents(s, d)
       .groupBy(col("source"), col("lang"))
@@ -4518,6 +4548,7 @@ object Queries {
     "d224_winnowing_pairs" -> (d224WinnowingPairs _),
     "d225_poisson_bootstrap" -> (d225PoissonBootstrap _),
     "d226_source_influence" -> (d226SourceInfluence _),
+    "d227_bom_explosion" -> (d227BomExplosion _),
   )
 
   /** ONE definition for the clamped-balance oracle — d202 (batch
@@ -7385,5 +7416,25 @@ object Queries {
         |   6) AS d_mean_chars,
         | ROUND(ha.h_all - hw.h_without, 6) AS d_lang_entropy
         |FROM bs b JOIN hw ON b.source = hw.source, tot t, ha""".stripMargin,
+
+    // the recursive multiplication twin of d204's depth walk — child's
+    // effective quantity = parent's × the child edge quantity
+    "d227_bom_explosion" ->
+      """WITH RECURSIVE ch AS (
+        | SELECT c_custkey AS c,
+        |  CASE WHEN c_custkey > 0 THEN
+        |   ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT
+        |    % c_custkey END AS p
+        | FROM customer),
+        |q AS (SELECT c, p, c % 5 + 2 AS qty FROM ch),
+        |t AS (
+        | SELECT c, p, CAST(NULL AS BIGINT) AS qty,
+        |  CAST(1 AS BIGINT) AS eff FROM q WHERE p IS NULL
+        | UNION ALL
+        | SELECT q.c, q.p, CAST(q.qty AS BIGINT), t.eff * q.qty
+        | FROM q JOIN t ON q.p = t.c)
+        |SELECT CAST(c AS BIGINT) AS c_custkey, CAST(p AS BIGINT) AS parent,
+        | qty, CAST(eff AS BIGINT) AS eff_qty
+        |FROM t""".stripMargin,
   )
 }

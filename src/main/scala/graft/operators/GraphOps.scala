@@ -484,4 +484,55 @@ object GraphOps {
         "with no (node, parent) row — depths would be silently wrong")
     roots.unionByName(f.select(col("node"), col("dist").as("depth")))
   }
+
+  /** Weighted path PRODUCTS over a forest — the BOM-explosion primitive
+    * (effective quantity of a component = Π of per-edge quantities up to
+    * the root), by the same pointer-jumping doubling as [[treeDepths]]
+    * with + replaced by ×: each round, `prod(v) ·= prod(anc(v))` and
+    * `anc(v) ← anc(anc(v))`, so a depth-1000 chain multiplies out in 10
+    * shuffles. Input: (node, parent, qty) with qty the edge weight
+    * node→parent (roots: parent NULL, qty ignored). Output: (node,
+    * eff_qty) — roots at 1.
+    *
+    * Exactness: products stay in Long under ANSI mode, which FAILS LOUDLY
+    * on overflow rather than wrapping — callers with qty ≤ q and depth D
+    * need q^D < 2^63 (q=6 → D ≤ 24; deeper BOMs lift to DECIMAL(38,0)).
+    * Cycle and dangling-parent detection as [[treeDepths]].
+    */
+  def treePathProducts(parents: DataFrame, maxRounds: Int = 40): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
+    val p = parents.select(col("node"), col("parent"), col("qty"))
+      .localCheckpoint()
+    val roots = p.filter(col("parent").isNull)
+      .select(col("node"), lit(1L).as("eff_qty"))
+    var f = p.filter(col("parent").isNotNull)
+      .select(col("node"), col("parent").as("anc"),
+        col("qty").cast("long").as("prod"))
+      .localCheckpoint()
+    var active = f.limit(1).count()
+    var round = 0
+    while (active > 0 && round < maxRounds) {
+      val hop = f.select(col("node").as("anc"), col("anc").as("anc2"),
+        col("prod").as("p2"))
+      val next = f.join(hop, Seq("anc"), "left")
+        .select(col("node"),
+          coalesce(col("anc2"), col("anc")).as("anc"),
+          (col("prod") * coalesce(col("p2"), lit(1L))).as("prod"),
+          col("anc2").isNotNull.as("__moved"))
+        .localCheckpoint()
+      active = next.filter(col("__moved")).limit(1).count()
+      f = next.drop("__moved")
+      round += 1
+    }
+    require(active == 0,
+      s"treePathProducts did not converge within $maxRounds rounds — the " +
+        "input has a cycle or depth > 2^" + (maxRounds - 1))
+    val dangling = f.join(
+      roots.select(col("node").as("anc")), Seq("anc"), "left_anti")
+      .limit(1).count()
+    require(dangling == 0,
+      "treePathProducts input has a dangling parent: some chain ends at " +
+        "a key with no (node, parent) row — products would be silently wrong")
+    roots.unionByName(f.select(col("node"), col("prod").as("eff_qty")))
+  }
 }

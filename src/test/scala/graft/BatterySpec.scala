@@ -308,4 +308,18 @@ class BatterySpec extends SparkTestBase {
     assert(got.size == docs.map(_._1).distinct.length,
       "every source must get an influence row")
   }
+
+  test("d227's doubled products equal the sequential parent walk on real data") {
+    val rows = Queries.d227BomExplosion(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(3)))
+    assert(rows.length == 150)
+    val parent = rows.map(r => r._1 -> r._2).toMap
+    def walk(c: Long): Long =
+      if (parent(c) == -1L) 1L else (c % 5 + 2) * walk(parent(c))
+    rows.foreach { case (c, _, eff) => assert(eff == walk(c), s"node $c") }
+    assert(rows.map(_._3).max >= 64L,
+      "forest too shallow: multi-hop products untested")
+  }
 }

@@ -335,4 +335,39 @@ class GraphOpsSpec extends SparkTestBase {
       GraphOps.treeDepths(dangling).count()
     }
   }
+
+  test("treePathProducts: chain and forest closed forms") {
+    // chain 1 <- 2 <- 3 <- 4 with qty(v) = v: eff(4) = 4*3*2 = 24
+    val chain = Seq((1L, None, 0L), (2L, Some(1L), 2L), (3L, Some(2L), 3L),
+      (4L, Some(3L), 4L)).toDF("node", "parent", "qty")
+    val got = GraphOps.treePathProducts(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 6L, 4L -> 24L))
+    // forest: two roots, one child each
+    val forest = Seq((1L, None, 0L), (2L, None, 0L), (3L, Some(1L), 5L),
+      (4L, Some(2L), 7L)).toDF("node", "parent", "qty")
+    val got2 = GraphOps.treePathProducts(forest)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 3L -> 5L, 4L -> 7L))
+  }
+
+  test("treePathProducts: deep chain converges in O(log depth) rounds") {
+    // depth 64 with qty 1 everywhere (products stay 1, depth stresses
+    // the doubling): maxRounds 8 suffices where naive needs 64
+    val rows = (1L to 64L).map(v =>
+      (v, if (v == 1L) None else Some(v - 1L), 1L))
+    val got = GraphOps.treePathProducts(
+      rows.toDF("node", "parent", "qty"), maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64 && got.values.forall(_ == 1L))
+  }
+
+  test("treePathProducts: cycle and dangling parent fail loudly") {
+    val cyc = Seq((1L, Some(2L), 2L), (2L, Some(1L), 2L))
+      .toDF("node", "parent", "qty")
+    intercept[Exception] { GraphOps.treePathProducts(cyc, maxRounds = 5).collect() }
+    val dangling = Seq((1L, None, 0L), (2L, Some(99L), 3L))
+      .toDF("node", "parent", "qty")
+    intercept[Exception] { GraphOps.treePathProducts(dangling).collect() }
+  }
 }
