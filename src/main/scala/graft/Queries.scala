@@ -2507,6 +2507,69 @@ object Queries {
         expr("CAST(eff_qty AS BIGINT)").as("eff_qty"))
   }
 
+  /** End-to-end curation pipeline — the composition capstone: exact
+    * dedup (normalized-content-key representative) → Gopher quality gate
+    * → eval-set decontamination → token-budget shard packing, reported
+    * as a per-source funnel census. Every stage is individually
+    * oracle-proven elsewhere (d58's key, d60's gate, d57's overlap,
+    * d59's packing); this row proves they COMPOSE — each stage consumes
+    * the previous stage's survivors, so a leak in any boundary (a
+    * dropped column, a filter applied to the wrong side, a stage run on
+    * the full corpus instead of the survivors) shifts the funnel counts.
+    * All seven output columns are exact BIGINTs — no doubles anywhere.
+    * Scale shape: each stage is the same plan its standalone row runs
+    * (one shuffle each), chained through localCheckpoints because every
+    * intermediate feeds BOTH the next stage and its census row; sources
+    * that lose every doc keep their funnel row via left joins.
+    */
+  def d228CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    val isEval = col("source").isin("src0", "src1")
+    val input = all.filter(!isEval)
+      .withColumn("__key", Dedup.normalizedContentKey(col("text")))
+      .localCheckpoint()
+    val deduped = Dedup.exact(input, Seq("__key"), "doc_id")
+      .localCheckpoint()
+    val g = TextFunctions.GopherThresholds
+    val t = col("text")
+    val qual = deduped
+      .withColumn("__nt", TextFunctions.tokenCount(t))
+      .withColumn("__mwl", TextFunctions.meanTokenLength(t))
+      .withColumn("__sr", TextFunctions.stopwordRatio(t))
+      .withColumn("__dr", TextFunctions.distinctTokenRatio(t))
+      .filter(col("__nt") >= g.MinTokens &&
+        col("__mwl").between(g.MinMeanWordLen, g.MaxMeanWordLen) &&
+        col("__sr") >= g.MinStopRatio && col("__dr") >= g.MinDistinctRatio)
+      .drop("__nt", "__mwl", "__sr", "__dr")
+      .localCheckpoint()
+    val flagged = graft.operators.Decontaminate.overlap(
+      qual, all.filter(isEval), "doc_id", "text", n = 8, minShared = 3)
+    val clean = qual.join(flagged.select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .localCheckpoint()
+    val packed = graft.operators.ScaleOps.packSequences(
+        clean, "source", "doc_id",
+        TextFunctions.tokenCount(col("text")).cast("long"), budget = 512)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("bin_id")).as("n_shards"),
+        sum(col("n_tokens")).as("n_packed_tokens"))
+    def census(df: DataFrame, name: String) =
+      df.groupBy(col("source")).agg(count(lit(1)).as(name))
+    census(input, "n_input")
+      .join(census(deduped, "n_dedup"), Seq("source"), "left")
+      .join(census(qual, "n_quality"), Seq("source"), "left")
+      .join(census(clean, "n_clean"), Seq("source"), "left")
+      .join(packed, Seq("source"), "left")
+      .select(col("source"),
+        expr("CAST(n_input AS BIGINT)").as("n_input"),
+        expr("CAST(COALESCE(n_dedup, 0) AS BIGINT)").as("n_dedup"),
+        expr("CAST(COALESCE(n_quality, 0) AS BIGINT)").as("n_quality"),
+        expr("CAST(COALESCE(n_clean, 0) AS BIGINT)").as("n_clean"),
+        expr("CAST(COALESCE(n_shards, 0) AS BIGINT)").as("n_shards"),
+        expr("CAST(COALESCE(n_packed_tokens, 0) AS BIGINT)")
+          .as("n_packed_tokens"))
+  }
+
   def d226SourceInfluence(s: SparkSession, d: String): DataFrame = {
     val census = Tables.documents(s, d)
       .groupBy(col("source"), col("lang"))
@@ -4549,6 +4612,7 @@ object Queries {
     "d225_poisson_bootstrap" -> (d225PoissonBootstrap _),
     "d226_source_influence" -> (d226SourceInfluence _),
     "d227_bom_explosion" -> (d227BomExplosion _),
+    "d228_curation_pipeline" -> (d228CurationPipeline _),
   )
 
   /** ONE definition for the clamped-balance oracle — d202 (batch
@@ -7436,5 +7500,66 @@ object Queries {
         |SELECT CAST(c AS BIGINT) AS c_custkey, CAST(p AS BIGINT) AS parent,
         | qty, CAST(eff AS BIGINT) AS eff_qty
         |FROM t""".stripMargin,
+
+    // the composed funnel: each CTE is the proven fragment of its
+    // standalone row (d58 key, d60 gate, d57 overlap, d59 packing),
+    // chained over SURVIVORS — boundary leaks shift these counts
+    "d228_curation_pipeline" ->
+      s"""WITH base AS (SELECT doc_id, source, text FROM documents
+         |  WHERE source NOT IN ('src0', 'src1')),
+         |keyed AS (SELECT doc_id, source, text,
+         |  array_to_string(list_sort(list_distinct($toksLowerSql)), ' ')
+         |    AS k FROM base),
+         |ded AS (SELECT doc_id, source, text FROM (
+         |  SELECT doc_id, source, text,
+         |   ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+         |  FROM keyed) WHERE rn = 1),
+         |qual AS (SELECT doc_id, source, text FROM (
+         |  SELECT doc_id, source, text, len($toksSql) AS nt,
+         |   CAST(list_sum(list_transform($toksSql, x -> length(x)))
+         |     AS DOUBLE) / len($toksSql) AS mwl,
+         |   CAST(len(list_filter($toksSql, t ->
+         |     list_contains($stopwordsSql, lower(t)))) AS DOUBLE)
+         |     / len($toksSql) AS sr,
+         |   CAST(len(list_distinct($toksLowerSql)) AS DOUBLE)
+         |     / len($toksLowerSql) AS dr
+         |  FROM ded WHERE len($toksSql) > 0)
+         | WHERE nt >= 20 AND mwl BETWEEN 3.0 AND 10.0 AND sr >= 0.05
+         |   AND dr >= 0.5),
+         |ev AS (SELECT DISTINCT gram FROM (
+         |  SELECT unnest($gram8Sql) AS gram FROM (
+         |   SELECT $toksLowerSql AS ws FROM documents
+         |   WHERE source IN ('src0', 'src1')))),
+         |qg AS (SELECT doc_id, unnest($gram8Sql) AS gram FROM (
+         |  SELECT doc_id, $toksLowerSql AS ws FROM qual)),
+         |contaminated AS (SELECT doc_id FROM (
+         |  SELECT qg.doc_id, COUNT(*) AS ns FROM qg JOIN ev USING (gram)
+         |  GROUP BY 1) WHERE ns >= 3),
+         |clean AS (SELECT * FROM qual
+         | WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |pt AS (SELECT source, doc_id, len($toksSql) AS ntok FROM clean),
+         |pk AS (SELECT source, doc_id, ntok, SUM(ntok) OVER (
+         |  PARTITION BY source ORDER BY doc_id) AS cum FROM pt),
+         |shards AS (SELECT source,
+         |  CAST(COUNT(DISTINCT (cum - ntok) // 512) AS BIGINT) AS n_shards,
+         |  CAST(SUM(ntok) AS BIGINT) AS n_packed_tokens FROM pk
+         | GROUP BY 1),
+         |fi AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_input
+         | FROM base GROUP BY 1),
+         |fd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dedup
+         | FROM ded GROUP BY 1),
+         |fq AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality
+         | FROM qual GROUP BY 1),
+         |fc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clean
+         | FROM clean GROUP BY 1)
+         |SELECT fi.source AS source, n_input,
+         | CAST(COALESCE(n_dedup, 0) AS BIGINT) AS n_dedup,
+         | CAST(COALESCE(n_quality, 0) AS BIGINT) AS n_quality,
+         | CAST(COALESCE(n_clean, 0) AS BIGINT) AS n_clean,
+         | CAST(COALESCE(n_shards, 0) AS BIGINT) AS n_shards,
+         | CAST(COALESCE(n_packed_tokens, 0) AS BIGINT) AS n_packed_tokens
+         |FROM fi LEFT JOIN fd USING (source) LEFT JOIN fq USING (source)
+         | LEFT JOIN fc USING (source) LEFT JOIN shards USING (source)"""
+        .stripMargin,
   )
 }

@@ -322,4 +322,23 @@ class BatterySpec extends SparkTestBase {
     assert(rows.map(_._3).max >= 64L,
       "forest too shallow: multi-hop products untested")
   }
+
+  test("d228: the funnel is monotone per source and every early stage bites") {
+    val rows = Queries.d228CurationPipeline(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, in, de, qu, cl, sh, tk) =>
+      assert(in >= de && de >= qu && qu >= cl, s"$src: funnel not monotone")
+      assert((cl > 0) == (sh > 0), s"$src: shards exist iff docs survive")
+      assert((cl > 0) == (tk > 0), s"$src: tokens exist iff docs survive")
+    }
+    // global teeth: dedup and the quality gate must each actually drop
+    def tot(f: ((String, Long, Long, Long, Long, Long, Long)) => Long) =
+      rows.map(f).sum
+    assert(tot(_._2) > tot(_._3), "dedup dropped nothing: vacuous")
+    assert(tot(_._3) > tot(_._4), "quality gate dropped nothing: vacuous")
+    assert(tot(_._5) > 0, "nothing survived to packing")
+  }
 }
