@@ -2522,6 +2522,48 @@ object Queries {
     * intermediate feeds BOTH the next stage and its census row; sources
     * that lose every doc keep their funnel row via left joins.
     */
+  /** Brand modularity of the co-purchase graph — partition-quality
+    * audit: is co-purchasing brand-assortative? Q = Σ_b (4m·e_b − D_b²)
+    * / 4m² over the BRAND partition (not the component partition, whose
+    * Q is degenerate — every edge is intra-component by definition).
+    * The numerator stays in exact BIGINTs (4m·e and D² bounded by 4m² ≈
+    * 4·10^9 here; DECIMAL(38,0) past m ~ 1.5·10^9 edges) and each
+    * brand's contribution is ONE correctly-rounded division. Scale
+    * shape: the shared coPurchaseEdges derivation (one basket shuffle),
+    * the part dimension broadcasts onto both endpoints, and everything
+    * downstream is brand-cardinality-sized.
+    */
+  def d229BrandModularity(s: SparkSession, d: String): DataFrame = {
+    val edges = coPurchaseEdges(s, d).localCheckpoint() // m + intra + deg
+    val brands = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"))
+    val mDf = edges.agg(count(lit(1)).as("m"))
+    val labeled = edges
+      .join(broadcast(brands.select(col("p_partkey").as("a"),
+        col("p_brand").as("ba"))), "a")
+      .join(broadcast(brands.select(col("p_partkey").as("b"),
+        col("p_brand").as("bb"))), "b")
+    val intra = labeled.filter(col("ba") === col("bb"))
+      .groupBy(col("ba").as("p_brand"))
+      .agg(count(lit(1)).as("e_intra"))
+    val deg = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .join(broadcast(brands.select(col("p_partkey").as("node"),
+        col("p_brand"))), "node")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_sum"))
+    deg.join(intra, Seq("p_brand"), "left")
+      .withColumn("e_intra", coalesce(col("e_intra"), lit(0L)))
+      .crossJoin(broadcast(mDf))
+      .select(col("p_brand"),
+        expr("CAST(n_nodes AS BIGINT)").as("n_nodes"),
+        expr("CAST(d_sum AS BIGINT)").as("d_sum"),
+        expr("CAST(e_intra AS BIGINT)").as("e_intra"),
+        round(expr("CAST(4 * m * e_intra - d_sum * d_sum AS DOUBLE)") /
+          expr("CAST(4 * m * m AS DOUBLE)"), 9).as("contribution"))
+  }
+
   def d228CurationPipeline(s: SparkSession, d: String): DataFrame = {
     val all = Tables.documents(s, d)
     val isEval = col("source").isin("src0", "src1")
@@ -4613,6 +4655,7 @@ object Queries {
     "d226_source_influence" -> (d226SourceInfluence _),
     "d227_bom_explosion" -> (d227BomExplosion _),
     "d228_curation_pipeline" -> (d228CurationPipeline _),
+    "d229_brand_modularity" -> (d229BrandModularity _),
   )
 
   /** ONE definition for the clamped-balance oracle — d202 (batch
@@ -7561,5 +7604,34 @@ object Queries {
          |FROM fi LEFT JOIN fd USING (source) LEFT JOIN fq USING (source)
          | LEFT JOIN fc USING (source) LEFT JOIN shards USING (source)"""
         .stripMargin,
+
+    // brand-partition modularity: exact integer numerator per brand,
+    // one division; the (li, pr, e) edge CTEs follow the d177 convention
+    "d229_brand_modularity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem),
+        |pr AS (SELECT a.i AS pa, b.i AS pb FROM li a JOIN li b
+        |  ON a.g = b.g AND a.i < b.i),
+        |e AS MATERIALIZED (SELECT pa AS a, pb AS b FROM
+        |  (SELECT pa, pb, COUNT(*) AS c FROM pr GROUP BY 1, 2)
+        |  WHERE c >= 2),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+        |lab AS (SELECT pa.p_brand AS ba, pb.p_brand AS bb FROM e
+        | JOIN part pa ON e.a = pa.p_partkey
+        | JOIN part pb ON e.b = pb.p_partkey),
+        |intra AS (SELECT ba AS p_brand, CAST(COUNT(*) AS BIGINT)
+        |  AS e_intra FROM lab WHERE ba = bb GROUP BY 1),
+        |adj AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj
+        | GROUP BY 1),
+        |bd AS (SELECT p.p_brand AS p_brand,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(SUM(deg) AS BIGINT) AS d_sum
+        | FROM deg JOIN part p ON deg.node = p.p_partkey GROUP BY 1)
+        |SELECT bd.p_brand AS p_brand, n_nodes, d_sum,
+        | CAST(COALESCE(e_intra, 0) AS BIGINT) AS e_intra,
+        | ROUND(CAST(4 * m * COALESCE(e_intra, 0) - d_sum * d_sum
+        |    AS DOUBLE) / CAST(4 * m * m AS DOUBLE), 9) AS contribution
+        |FROM bd LEFT JOIN intra USING (p_brand), m""".stripMargin,
   )
 }

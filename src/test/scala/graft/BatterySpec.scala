@@ -341,4 +341,25 @@ class BatterySpec extends SparkTestBase {
     assert(tot(_._3) > tot(_._4), "quality gate dropped nothing: vacuous")
     assert(tot(_._5) > 0, "nothing survived to packing")
   }
+
+  test("d229: modularity identities — degrees sum to 2m, Q bounded, contributions reconcile") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Queries.d229BrandModularity(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val m = graft.operators.GraphOps.coOccurrenceEdges(
+      Tables.lineitem(spark, d).selectExpr("l_orderkey AS g", "l_partkey AS i"),
+      "g", "i", minCount = 2L).count()
+    assert(rows.map(_._3).sum == 2 * m, "degree sums must total 2m")
+    assert(rows.map(_._4).sum <= m, "intra edges cannot exceed m")
+    val q = rows.map { case (_, _, ds, ei, _) =>
+      (4.0 * m * ei - ds.toDouble * ds) / (4.0 * m * m)
+    }.sum
+    assert(q > -1.0 && q < 1.0, s"modularity $q out of range")
+    rows.foreach { case (b, _, ds, ei, contrib) =>
+      val want = (4.0 * m * ei - ds.toDouble * ds) / (4.0 * m * m)
+      assert(math.abs(contrib - want) < 1e-8, s"$b contribution drifted")
+    }
+  }
 }
