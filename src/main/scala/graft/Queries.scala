@@ -2533,6 +2533,54 @@ object Queries {
     * the part dimension broadcasts onto both endpoints, and everything
     * downstream is brand-cardinality-sized.
     */
+  /** Greedy max-coverage data selection (the submodular coreset
+    * primitive: pick K documents maximizing newly-covered 5-gram mass —
+    * lazy-greedy's exact baseline, with the classic 1−1/e guarantee).
+    * Teeth: the corpus carries exact duplicates, and after greedy picks
+    * a doc, its duplicate's marginal gain collapses to zero — a
+    * coverage-accounting bug immediately shows as a duplicate pick.
+    * Scale shape: the (doc, gram) incidence builds once (pinned), each
+    * of the K rounds is one anti-join + one aggregate + a SINGLE-ROW
+    * TakeOrdered to the driver, and the covered set stays DISTRIBUTED
+    * (anti-join, never collected) — K·|incidence| work total, driver
+    * holds only K scalars. Picked docs need no explicit exclusion:
+    * picking covers every gram a doc has, so its future marginal gain
+    * has no rows at all (duplicates included). Ties break (gain DESC,
+    * doc_id ASC) in both engines.
+    */
+  def d230GreedyCoverage(s: SparkSession, d: String): DataFrame = {
+    val K = 8
+    val dg = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(expr("CAST(doc_id AS BIGINT)").as("doc_id"),
+        graft.functions.TextFunctions.tokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 4), i -> " +
+          "array_join(slice(t, i, 5), ' '))")).as("gram"))
+      .distinct()
+      .localCheckpoint() // K aggregation passes over the incidence
+    var covered: DataFrame = null
+    val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var cum = 0L
+    for (k <- 1 to K) {
+      val uncovered =
+        if (covered == null) dg
+        else dg.join(covered, Seq("gram"), "left_anti")
+      val cand = uncovered.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id").asc).limit(1).collect()
+      require(cand.nonEmpty, s"coverage universe exhausted before pick $k")
+      val doc = cand.head.getLong(0); val gain = cand.head.getLong(1)
+      cum += gain
+      out += ((k.toLong, doc, gain, cum))
+      val newCov = dg.filter(col("doc_id") === doc).select(col("gram"))
+      covered = (if (covered == null) newCov
+                 else covered.unionByName(newCov)).localCheckpoint()
+    }
+    s.createDataFrame(out.toSeq)
+      .toDF("k", "doc_id", "gain", "covered_cum")
+  }
+
   def d229BrandModularity(s: SparkSession, d: String): DataFrame = {
     val edges = coPurchaseEdges(s, d).localCheckpoint() // m + intra + deg
     val brands = Tables.part(s, d)
@@ -4656,6 +4704,7 @@ object Queries {
     "d227_bom_explosion" -> (d227BomExplosion _),
     "d228_curation_pipeline" -> (d228CurationPipeline _),
     "d229_brand_modularity" -> (d229BrandModularity _),
+    "d230_greedy_coverage" -> (d230GreedyCoverage _),
   )
 
   /** ONE definition for the clamped-balance oracle — d202 (batch
@@ -7633,5 +7682,43 @@ object Queries {
         | ROUND(CAST(4 * m * COALESCE(e_intra, 0) - d_sum * d_sum
         |    AS DOUBLE) / CAST(4 * m * m AS DOUBLE), 9) AS contribution
         |FROM bd LEFT JOIN intra USING (p_brand), m""".stripMargin,
+
+    // greedy coverage unrolled K=8 (the d177/d180 convention): each
+    // stage anti-joins the covered grams, argmaxes (cnt DESC, doc_id),
+    // and folds the pick's grams into the covered set
+    "d230_greedy_coverage" -> {
+      val stages = (2 to 8).map { k =>
+        s"""u$k AS (SELECT g.doc_id, g.gram FROM g
+           |  ANTI JOIN c${k - 1} USING (gram)),
+           |s$k AS MATERIALIZED (SELECT doc_id, cnt, ROW_NUMBER() OVER (
+           |  ORDER BY cnt DESC, doc_id) AS rn FROM (
+           |  SELECT doc_id, COUNT(*) AS cnt FROM u$k GROUP BY 1)),
+           |p$k AS (SELECT doc_id AS pick, cnt AS gain FROM s$k
+           | WHERE rn = 1),
+           |c$k AS MATERIALIZED (SELECT gram FROM c${k - 1}
+           | UNION SELECT g.gram FROM g JOIN p$k ON g.doc_id = p$k.pick)"""
+          .stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 8).map(k =>
+        s"SELECT $k AS k, pick, gain FROM p$k").mkString("\n UNION ALL ")
+      s"""WITH t0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  $toksLowerSql AS t FROM documents WHERE text IS NOT NULL),
+         |t2 AS (SELECT doc_id, t FROM t0 WHERE len(t) >= 5),
+         |g AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |  array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 4], ' ')
+         |    AS gram
+         | FROM t2, UNNEST(range(1, len(t) - 3)) AS r(i)),
+         |s1 AS MATERIALIZED (SELECT doc_id, cnt, ROW_NUMBER() OVER (
+         |  ORDER BY cnt DESC, doc_id) AS rn FROM (
+         |  SELECT doc_id, COUNT(*) AS cnt FROM g GROUP BY 1)),
+         |p1 AS (SELECT doc_id AS pick, cnt AS gain FROM s1 WHERE rn = 1),
+         |c1 AS MATERIALIZED (SELECT DISTINCT gram FROM g
+         | JOIN p1 ON g.doc_id = p1.pick),
+         |$stages
+         |SELECT CAST(k AS BIGINT) AS k, CAST(pick AS BIGINT) AS doc_id,
+         | CAST(gain AS BIGINT) AS gain,
+         | CAST(SUM(gain) OVER (ORDER BY k) AS BIGINT) AS covered_cum
+         |FROM ($unions)""".stripMargin
+    },
   )
 }

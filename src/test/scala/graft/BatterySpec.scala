@@ -362,4 +362,35 @@ class BatterySpec extends SparkTestBase {
       assert(math.abs(contrib - want) < 1e-8, s"$b contribution drifted")
     }
   }
+
+  test("d230: greedy picks match an independent in-memory greedy; gains non-increasing") {
+    val d = "/root/testdata/sf0.001"
+    val got = Queries.d230GreedyCoverage(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.length == 8)
+    // submodularity: greedy marginal gains never increase
+    got.sliding(2).foreach { w => assert(w(0)._3 >= w(1)._3, "gain rose") }
+    assert(got.map(_._2).distinct.length == 8, "a doc was picked twice")
+    assert(got.map(_._3).sum == got.last._4, "cum must be the gain prefix sum")
+    // independent reference: in-memory greedy over the same incidence
+    val inc = Tables.documents(spark, d)
+      .where("text IS NOT NULL")
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+        "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '') AS t")
+      .where("size(t) >= 5")
+      .selectExpr("doc_id",
+        "explode(transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))) AS gram")
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = inc.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val covered = collection.mutable.Set.empty[String]
+    got.foreach { case (_, doc, gain, _) =>
+      val best = byDoc.view.mapValues(g => (g -- covered).size)
+        .filter(_._2 > 0).toSeq
+        .sortBy { case (id, g) => (-g, id) }.head
+      assert(best._1 == doc && best._2 == gain,
+        s"greedy divergence: engine ($doc, $gain) vs reference $best")
+      covered ++= byDoc(doc)
+    }
+  }
 }
