@@ -1915,6 +1915,22 @@ object Queries {
             -expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
           .as("delta"))
 
+  /** ONE definition of the sequential-trial derivation — batch d231 and
+    * streaming d232 share it (the balanceDeltas rule). Each purchase or
+    * error event is one Bernoulli-ish trial of the user's random walk:
+    * +3 for a purchase, −2 for an error — an integer-ratio SPRT score
+    * (the log-likelihood ratios of a sequential test are commensurate
+    * exactly when the per-trial increments reduce to small integers, so
+    * the walk is EXACT where a float LLR would drift). Output:
+    * (user_id, ts_ms, event_id, step).
+    */
+  private[graft] def sprtSteps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        when(col("event_type") === "purchase", lit(3L))
+          .otherwise(lit(-2L)).as("step"))
+
   /** ONE definition of the order-status event derivation — batch d191
     * and streaming d207 share it. Output: (o_custkey, ms, o_orderkey,
     * o_orderstatus).
@@ -2579,6 +2595,138 @@ object Queries {
     }
     s.createDataFrame(out.toSeq)
       .toDF("k", "doc_id", "gain", "covered_cum")
+  }
+
+  /** Sequential decision by integer random walk (SPRT shape): per user,
+    * trials arrive in (ts, event_id) order ([[sprtSteps]]: purchase +3,
+    * error −2) and the test stops at the FIRST prefix sum to reach +12
+    * (accept) or −12 (reject); users whose walk never crosses stay
+    * `open` with their full trial count. Batch form: ONE user-hash
+    * window shuffle carries the prefix sum and the row_number; the
+    * crossing extraction (min crossing seq per user) and the join-back
+    * both reuse that partitioning, so the whole decision is one
+    * exchange. Absorption (trials after the decision are ignored) falls
+    * out declaratively — the first crossing is unaffected by later
+    * rows. All arithmetic exact BIGINT; the streaming twin (d232) folds
+    * the same walk through absorbing per-key state against the shared
+    * oracle. Bounds ±12 are load-bearing on this data: all three
+    * outcomes are non-vacuous at every gate SF (8/4/3 at sf0.001).
+    */
+  def d231SprtDecision(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = sprtSteps(s, d)
+      .withColumn("__cum", sum(col("step")).over(wc))
+      .withColumn("__seq", row_number().over(w))
+    val x = c.groupBy(col("user_id"))
+      .agg(min(when(col("__cum") >= 12L || col("__cum") <= -12L,
+          col("__seq"))).as("__xseq"),
+        max(col("__seq")).as("__tot"))
+    c.join(x, "user_id")
+      .filter(col("__seq") === coalesce(col("__xseq"), col("__tot")))
+      .select(expr("CAST(user_id AS BIGINT)").as("user_id"),
+        when(col("__xseq").isNull, lit("open"))
+          .when(col("__cum") >= 12L, lit("accept"))
+          .otherwise(lit("reject")).as("decision"),
+        expr("CAST(coalesce(__xseq, __tot) AS BIGINT)").as("n_trials"),
+        expr("CAST(__cum AS BIGINT)").as("cum_final"))
+  }
+
+  /** Greedy k-center (Gonzalez) coreset selection over exact-integer
+    * customer features — the diversity-sampling counterpart to d230's
+    * coverage greedy and d90's density dedup: each round picks the point
+    * FARTHEST from every chosen center (max–min squared L2, ties by
+    * custkey), so the emitted radius sequence is the classic k-center
+    * coverage-radius curve (non-increasing, 2-approximation guarantee).
+    * Features are exact BIGINTs off orders (n_orders, total/max spend in
+    * 1000-dollar units, distinct priorities); distances stay < 2^62 for
+    * corpora up to ~10^9-unit feature ranges (the d211 bound style).
+    * Each of the K rounds is ONE distributed max over the point set with
+    * centers carried as broadcast literals — the collect is K rows by
+    * construction, never data-sized. Oracle: K unrolled argmax CTE
+    * stages (the d230 pattern).
+    */
+  def d233KcenterCoreset(s: SparkSession, d: String): DataFrame = {
+    val K = 6
+    val f = kcenterFeatures(s, d).localCheckpoint() // K max passes
+    val feats = Seq("f1", "f2", "f3", "f4")
+    def d2To(c: Array[Long]) =
+      feats.zipWithIndex.map { case (fc, i) =>
+        (col(fc) - lit(c(i))) * (col(fc) - lit(c(i)))
+      }.reduce(_ + _)
+    val seed = f.orderBy(col("k").asc).limit(1).collect().head
+    var centers = List(Array.tabulate(4)(i => seed.getLong(i + 1)))
+    val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    out += ((1L, seed.getLong(0), 0L))
+    var dmin = f.withColumn("__d2", d2To(centers.head))
+    for (k <- 2 to K) {
+      val pick = dmin.orderBy(col("__d2").desc, col("k").asc)
+        .limit(1).collect().head
+      out += ((k.toLong, pick.getLong(0), pick.getLong(5)))
+      val c = Array.tabulate(4)(i => pick.getLong(i + 1))
+      centers ::= c
+      dmin = dmin.withColumn("__d2", least(col("__d2"), d2To(c)))
+        .localCheckpoint()
+    }
+    s.createDataFrame(out.toSeq).toDF("k", "c_custkey", "radius2")
+  }
+
+  /** ONE definition of the k-center feature vector — the Spark plan and
+    * the unrolled oracle must derive the identical exact-integer
+    * geometry. Output: (k = custkey, f1..f4).
+    */
+  private[graft] def kcenterFeatures(s: SparkSession, d: String)
+      : DataFrame =
+    Tables.orders(s, d)
+      .withColumn("__cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("f1"),
+        expr("CAST(SUM(__cents) DIV 100000 AS BIGINT)").as("f2"),
+        expr("CAST(MAX(__cents) DIV 100000 AS BIGINT)").as("f3"),
+        countDistinct(col("o_orderpriority")).as("f4"))
+      .select(expr("CAST(k AS BIGINT)").as("k"),
+        expr("CAST(f1 AS BIGINT)").as("f1"), col("f2"), col("f3"),
+        expr("CAST(f4 AS BIGINT)").as("f4"))
+
+  /** Mutual-nearest-neighbor alignment (bitext-mining shape): each src2
+    * document's best src3 counterpart by exact-integer distance — and
+    * vice versa — keeping only RECIPROCAL pairs, the agreement filter
+    * that makes embedding-alignment mining precise. Distance is squared
+    * L2 on (8×token-count, n_chars), compared BLOCK-LOCALLY: candidates
+    * share a coarse length block (n_chars div 64), the documented
+    * contract that keeps the candidate join linear-ish at corpus scale
+    * (a global argmin would be a cross join). Ties break on the
+    * counterpart's doc_id; both argmins ride window row_numbers over the
+    * SAME blocked candidate set, so the plan is one block-hash join plus
+    * two window passes. Output: every mutual pair with its distance.
+    */
+  def d234MutualNn(s: SparkSession, d: String): DataFrame = {
+    def side(src: String, pre: String) =
+      Tables.documents(s, d)
+        .filter(col("source") === src && col("text").isNotNull)
+        .select(expr("CAST(doc_id AS BIGINT)").as(s"${pre}_id"),
+          (TextFunctions.tokenCount(col("text")).cast("long") * 8L)
+            .as(s"${pre}_t"),
+          col("n_chars").cast("long").as(s"${pre}_c"),
+          expr("CAST(n_chars AS BIGINT) div 64").as("blk"))
+    val cand = side("src2", "a").join(side("src3", "b"), "blk")
+      .withColumn("dist2",
+        (col("a_t") - col("b_t")) * (col("a_t") - col("b_t")) +
+          (col("a_c") - col("b_c")) * (col("a_c") - col("b_c")))
+      .select(col("a_id"), col("b_id"), col("dist2"))
+    val bestA = cand.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("a_id"))
+          .orderBy(col("dist2"), col("b_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val bestB = cand.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("b_id"))
+          .orderBy(col("dist2"), col("a_id"))))
+      .filter(col("__rn") === 1).select(col("a_id"), col("b_id"))
+    bestA.join(bestB, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(dist2 AS BIGINT)").as("dist2"))
   }
 
   def d229BrandModularity(s: SparkSession, d: String): DataFrame = {
@@ -4705,6 +4853,11 @@ object Queries {
     "d228_curation_pipeline" -> (d228CurationPipeline _),
     "d229_brand_modularity" -> (d229BrandModularity _),
     "d230_greedy_coverage" -> (d230GreedyCoverage _),
+    "d231_sprt_decision" -> (d231SprtDecision _),
+    "d232_stream_sprt" ->
+      (graft.streaming.StreamingBattery.d232StreamSprt _),
+    "d233_kcenter_coreset" -> (d233KcenterCoreset _),
+    "d234_mutual_nn" -> (d234MutualNn _),
   )
 
   /** ONE definition for the clamped-balance oracle — d202 (batch
@@ -4729,6 +4882,31 @@ object Queries {
       | CAST(id AS BIGINT) AS event_id, CAST(delta AS BIGINT) AS delta,
       | CAST(cum - LEAST(0, mn) AS BIGINT) AS balance
       |FROM s""".stripMargin
+
+  /** ONE definition for the sequential-decision oracle — d231 (batch
+    * first-crossing windows) and d232 (streaming absorbing-walk state)
+    * must stay on the identical SQL, same contract as
+    * [[balanceOracleSql]].
+    */
+  private val sprtOracleSql: String =
+    """WITH e AS (SELECT user_id AS u, epoch_ms(ts) AS ms,
+      |  event_id AS id,
+      |  CASE WHEN event_type = 'purchase' THEN 3 ELSE -2 END AS step
+      | FROM events WHERE event_type IN ('purchase', 'error')),
+      |c AS (SELECT u, SUM(step) OVER (PARTITION BY u ORDER BY ms, id
+      |   ROWS UNBOUNDED PRECEDING) AS cum,
+      |  ROW_NUMBER() OVER (PARTITION BY u ORDER BY ms, id) AS seq
+      | FROM e),
+      |x AS (SELECT u,
+      |  MIN(CASE WHEN cum >= 12 OR cum <= -12 THEN seq END) AS xseq,
+      |  MAX(seq) AS tot FROM c GROUP BY u)
+      |SELECT CAST(x.u AS BIGINT) AS user_id,
+      | CASE WHEN x.xseq IS NULL THEN 'open'
+      |  WHEN c.cum >= 12 THEN 'accept' ELSE 'reject' END AS decision,
+      | CAST(COALESCE(x.xseq, x.tot) AS BIGINT) AS n_trials,
+      | CAST(c.cum AS BIGINT) AS cum_final
+      |FROM x JOIN c ON c.u = x.u
+      | AND c.seq = COALESCE(x.xseq, x.tot)""".stripMargin
 
   /** ONE definition for the interval-merge oracle — d209 (batch
     * running-max island plan) and d213 (streaming open-span state) must
@@ -7719,6 +7897,61 @@ object Queries {
          | CAST(gain AS BIGINT) AS gain,
          | CAST(SUM(gain) OVER (ORDER BY k) AS BIGINT) AS covered_cum
          |FROM ($unions)""".stripMargin
+    },
+    "d231_sprt_decision" -> sprtOracleSql,
+    "d232_stream_sprt" -> sprtOracleSql,
+    "d233_kcenter_coreset" -> {
+      def dist2(p: String, c: String) = (1 to 4).map(i =>
+        s"($p.f$i - $c.f$i) * ($p.f$i - $c.f$i)").mkString(" + ")
+      val stages = (2 to 6).map { k =>
+        val prev = if (k == 2) "e1" else s"e${k - 1}"
+        s"""c$k AS (SELECT * FROM $prev ORDER BY d2 DESC, k ASC LIMIT 1),
+           |e$k AS MATERIALIZED (SELECT p.k, p.f1, p.f2, p.f3, p.f4,
+           |  LEAST(p.d2, ${dist2("p", "c")}) AS d2
+           | FROM $prev p, c$k c)""".stripMargin
+      }.mkString(",\n")
+      val unions = (2 to 6).map(k =>
+        s"SELECT $k AS kk, c$k.k AS ck, c$k.d2 AS r2 FROM c$k")
+        .mkString("\n UNION ALL ")
+      s"""WITH f AS (SELECT CAST(o_custkey AS BIGINT) AS k,
+         |  CAST(COUNT(*) AS BIGINT) AS f1,
+         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT)) // 100000 AS BIGINT) AS f2,
+         |  CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT)) // 100000 AS BIGINT) AS f3,
+         |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS f4
+         | FROM orders GROUP BY 1),
+         |c1 AS (SELECT * FROM f ORDER BY k ASC LIMIT 1),
+         |e1 AS MATERIALIZED (SELECT p.k, p.f1, p.f2, p.f3, p.f4,
+         |  ${dist2("p", "c")} AS d2
+         | FROM f p, c1 c),
+         |$stages
+         |SELECT CAST(kk AS BIGINT) AS k, CAST(ck AS BIGINT) AS c_custkey,
+         | CAST(r2 AS BIGINT) AS radius2
+         |FROM (SELECT 1 AS kk, c1.k AS ck, 0 AS r2 FROM c1
+         | UNION ALL $unions)""".stripMargin
+    },
+    "d234_mutual_nn" -> {
+      def side(src: String, pre: String) =
+        s"""SELECT CAST(doc_id AS BIGINT) AS ${pre}_id,
+           |  CAST(len($toksSql) AS BIGINT) * 8 AS ${pre}_t,
+           |  CAST(n_chars AS BIGINT) AS ${pre}_c,
+           |  CAST(n_chars AS BIGINT) // 64 AS blk
+           | FROM documents
+           | WHERE source = '$src' AND text IS NOT NULL""".stripMargin
+      s"""WITH da AS (${side("src2", "a")}),
+         |db AS (${side("src3", "b")}),
+         |cand AS (SELECT a_id, b_id,
+         |  (a_t - b_t) * (a_t - b_t) + (a_c - b_c) * (a_c - b_c)
+         |    AS dist2
+         | FROM da JOIN db USING (blk)),
+         |ba AS (SELECT a_id, b_id, dist2, ROW_NUMBER() OVER (
+         |  PARTITION BY a_id ORDER BY dist2, b_id) AS rn FROM cand),
+         |bb AS (SELECT a_id, b_id, ROW_NUMBER() OVER (
+         |  PARTITION BY b_id ORDER BY dist2, a_id) AS rn FROM cand)
+         |SELECT ba.a_id, ba.b_id, CAST(ba.dist2 AS BIGINT) AS dist2
+         |FROM ba JOIN bb ON ba.a_id = bb.a_id AND ba.b_id = bb.b_id
+         |WHERE ba.rn = 1 AND bb.rn = 1""".stripMargin
     },
   )
 }

@@ -942,6 +942,46 @@ object StreamingBattery {
     } finally deleteRecursively(root)
   }
 
+  /** Streaming sequential decision, oracle-gated: the SIXTH
+    * order-sensitive state row, and the first ABSORBING one
+    * ([[StreamingOps.sprtStream]] — once a key's walk crosses a bound,
+    * later trials must not re-decide it). Same staged replay +
+    * flush-sentinel machinery as d207; the sink hash-checks against the
+    * SHARED sprtOracleSql — the incrementally folded first crossing must
+    * equal batch d231's windowed prefix-sum extraction, decision for
+    * decision.
+    */
+  def d232StreamSprt(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val sp = s; import sp.implicits._
+    val root = Files.createTempDirectory("graft-stream-sprt")
+    try {
+      val in = root.resolve("in"); Files.createDirectories(in)
+      val t = Queries.sprtSteps(s, d)
+        .select(col("user_id").as("k"), col("ts_ms"),
+          col("event_id").as("tie"), col("step"), lit(0).as("kind"))
+        .localCheckpoint() // feeds 3 slice writes + the flush key census
+      stageTimeSlices(t, "ts_ms", "k", root, in)
+      stageOneFile(
+        t.select(col("k")).distinct()
+          .select(col("k"), lit(Long.MaxValue).as("ts_ms"),
+            lit(Long.MaxValue).as("tie"), lit(0L).as("step"),
+            lit(1).as("kind")),
+        root, in, "zz-flush.parquet", System.currentTimeMillis())
+      val src = s.readStream
+        .schema(s.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+        .as[(Long, Long, Long, Long, Int)]
+      val out = StreamingOps.sprtStream(src)
+        .toDF("user_id", "decision", "n_trials", "cum_final")
+      runToTable(s, out)
+        .select(expr("CAST(user_id AS BIGINT)").as("user_id"),
+          col("decision"),
+          expr("CAST(n_trials AS BIGINT)").as("n_trials"),
+          expr("CAST(cum_final AS BIGINT)").as("cum_final"))
+    } finally deleteRecursively(root)
+  }
+
   /** Incremental integrity maintenance: the per-bucket Merkle summary is
     * a MERGEABLE sufficient statistic (counts add, digests XOR — third
     * instance of the d170/d183 pattern), so a standing ingest maintains

@@ -771,4 +771,61 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  /** Streaming sequential decision (SPRT shape) — the sixth member of
+    * the order-sensitive state spectrum, and the first with ABSORBING
+    * state: per key the integer walk folds trial by trial until the
+    * prefix sum first reaches `hi` (accept) or `lo` (reject); the
+    * decision row is emitted AT the crossing and every later trial for
+    * that key is ignored (the absorbed flag persists so a re-opened walk
+    * can't double-decide). A flush sentinel (kind = 1) emits still-open
+    * keys as ('open', n, cum) and REMOVES the key's state either way
+    * (the scd2Stream rule). The batch twin (battery d231) extracts the
+    * same first crossing declaratively from windowed prefix sums; the
+    * shared oracle proves them equal. Ordering contract as
+    * [[balanceStream]]: in-batch (ts, tie) sort, caller-ordered batches.
+    *
+    * Input: (key, ts, tie, step, kind). Output: (key, decision,
+    * n_trials, cum_final).
+    */
+  def sprtStream(input: Dataset[(Long, Long, Long, Long, Int)],
+      hi: Long = 12L, lo: Long = -12L)
+      : Dataset[(Long, String, Long, Long)] = {
+    require(lo < 0 && hi > 0, s"bounds must straddle 0: [$lo, $hi]")
+    val session = input.sparkSession
+    import session.implicits._
+    // (cum, nTrials, decided)
+    implicit val stEnc: Encoder[(Long, Long, Boolean)] =
+      Encoders.kryo(classOf[(Long, Long, Boolean)])
+    input.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Boolean),
+        (Long, String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long, Int)],
+         state: GroupState[(Long, Long, Boolean)]) =>
+          var (cum, n, decided) =
+            state.getOption.getOrElse((0L, 0L, false))
+          var removed = false
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).flatMap {
+            case (_, _, _, _, kind) if kind == 1 =>
+              // flush: open keys report their walk; decided keys already
+              // emitted at the crossing. Either way the key leaves the
+              // store (unbounded key spaces + periodic flushes).
+              val closing =
+                if (!decided && n > 0) Seq((key, "open", n, cum)) else Nil
+              cum = 0L; n = 0L; decided = false; removed = true
+              closing
+            case _ if decided => Nil // absorbed: trials after decision
+            case (_, _, _, step, _) =>
+              cum += step; n += 1; removed = false
+              if (cum >= hi) { decided = true; Seq((key, "accept", n, cum)) }
+              else if (cum <= lo) {
+                decided = true; Seq((key, "reject", n, cum))
+              } else Nil
+          }
+          if (removed && n == 0L && !decided) state.remove()
+          else state.update((cum, n, decided))
+          out.iterator
+      }
+  }
 }

@@ -393,4 +393,92 @@ class BatterySpec extends SparkTestBase {
       covered ++= byDoc(doc)
     }
   }
+
+  test("d231: windowed first-crossing equals a sequential walk; all outcomes present") {
+    val d = "/root/testdata/sf0.001"
+    val got = Queries.d231SprtDecision(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val trials = Queries.sprtSteps(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.size == trials.map(_._1).distinct.length)
+    // independent reference: the literal absorbing fold per user
+    trials.groupBy(_._1).foreach { case (u, rs) =>
+      var cum = 0L; var n = 0L
+      var dec: Option[(String, Long, Long)] = None
+      rs.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, step) =>
+        if (dec.isEmpty) {
+          cum += step; n += 1
+          if (cum >= 12L) dec = Some(("accept", n, cum))
+          else if (cum <= -12L) dec = Some(("reject", n, cum))
+        }
+      }
+      val want = dec.getOrElse(("open", n, cum))
+      assert(got(u) == want, s"user $u: engine ${got(u)} vs walk $want")
+    }
+    // teeth: a bound that only ever accepts (or never fires) tests nothing
+    val kinds = got.values.map(_._1).toSet
+    assert(kinds == Set("accept", "reject", "open"),
+      s"decision outcomes $kinds: a branch went unexercised")
+  }
+
+  test("d233: k-center picks match an independent Gonzalez run; radius non-increasing") {
+    val d = "/root/testdata/sf0.001"
+    val got = Queries.d233KcenterCoreset(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.length == 6)
+    assert(got.map(_._2).distinct.length == 6, "a center was picked twice")
+    got.drop(1).sliding(2).foreach { w =>
+      assert(w(0)._3 >= w(1)._3, "coverage radius rose: not a greedy max-min")
+    }
+    assert(got.last._3 > 0L, "radius collapsed to 0: degenerate geometry")
+    // independent reference: in-memory Gonzalez over the same features
+    val pts = Queries.kcenterFeatures(spark, d).collect()
+      .map(r => r.getLong(0) -> Array(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var centers = List(pts.head._2)
+    var picks = List((pts.head._1, 0L))
+    val dmin = collection.mutable.Map(
+      pts.map { case (k, f) => k -> d2(f, centers.head) }: _*)
+    for (_ <- 2 to 6) {
+      val (pk, pd) = pts.map { case (k, _) => (k, dmin(k)) }
+        .maxBy { case (k, dd) => (dd, -k) }
+      picks ::= (pk, pd)
+      val pf = pts.find(_._1 == pk).get._2
+      pts.foreach { case (k, f) =>
+        dmin(k) = math.min(dmin(k), d2(f, pf))
+      }
+    }
+    assert(got.map(r => (r._2, r._3)).toList == picks.reverse,
+      "engine picks diverge from the reference Gonzalez run")
+  }
+
+  test("d234: pairs are exactly the reciprocal best matches; filter non-trivial") {
+    val d = "/root/testdata/sf0.001"
+    val got = Queries.d234MutualNn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "no mutual pair at all")
+    // independent reference: brute-force block-local argmins in memory
+    def side(src: String) = Tables.documents(spark, d)
+      .where(s"source = '$src' AND text IS NOT NULL")
+      .selectExpr("CAST(doc_id AS BIGINT) AS id",
+        "CAST(size(filter(split(trim(text), '\\\\s+'), x -> x != '')) AS BIGINT) * 8 AS t",
+        "CAST(n_chars AS BIGINT) AS c", "CAST(n_chars AS BIGINT) div 64 AS blk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val as = side("src2"); val bs = side("src3")
+    val cand = for {
+      (ai, at, ac, ab) <- as; (bi, bt, bc, bb) <- bs if ab == bb
+    } yield (ai, bi, (at - bt) * (at - bt) + (ac - bc) * (ac - bc))
+    val bestA = cand.groupBy(_._1).view.mapValues(
+      _.minBy(p => (p._3, p._2))).values.toSet
+    val bestB = cand.groupBy(_._2).view.mapValues(
+      _.minBy(p => (p._3, p._1))).values.toSet
+    assert(got == (bestA intersect bestB),
+      "mutual set differs from reciprocal best-match reference")
+    // teeth: reciprocity must REJECT some one-directional best, or the
+    // mutual filter is vacuous on this data
+    assert(got.size < bestA.size, "every best match was mutual: filter untested")
+  }
 }

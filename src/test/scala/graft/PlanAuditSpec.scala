@@ -570,6 +570,39 @@ class PlanAuditSpec extends SparkTestBase {
         p9.take(3000))
   }
 
+  test("d231: one physical user shuffle; the decision join-back broadcasts") {
+    val p = planOf(Queries.d231SprtDecision(spark, d))
+      .split("== Initial Plan ==").head
+    // the prefix-sum window shuffles once on user_id; the crossing
+    // extraction re-reads that SAME exchange (ReusedExchange) and the
+    // per-user decision rows join back as a broadcast — a second
+    // data-sized shuffle here would double the walk's cost at corpus SF
+    val fresh = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(fresh == 1,
+      s"d231: expected ONE physical user-hash shuffle, got $fresh:\n" +
+        p.take(3000))
+    assert(p.contains("BroadcastExchange"),
+      "per-user decision rows (1 per key) should broadcast to the join-back")
+  }
+
+  test("d234: two argmin windows with rank-limit pushdown; block joins never cartesian") {
+    val p = planOf(Queries.d234MutualNn(spark, d))
+      .split("== Initial Plan ==").head
+    val fresh = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(fresh == 2,
+      s"d234: expected one shuffle per argmin side, got $fresh:\n" +
+        p.take(3000))
+    // row_number()=1 must run as WindowGroupLimit (partial top-1 BEFORE
+    // the shuffle) — losing the pushdown means full per-block sorts of
+    // the candidate pairs at corpus scale
+    assert(p.contains("WindowGroupLimit"),
+      s"argmin lost the rank-limit pushdown:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "block-local candidate join degenerated to a cross product")
+  }
+
   test("d210/d211: drift and normalization plan no un-partitioned window; rank probes broadcast") {
     for ((df, name) <- Seq(
         (Queries.d210KsDrift(spark, d), "d210"),

@@ -461,6 +461,54 @@ class StreamingBatterySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("d232 streaming absorbing walk == batch d231, decision for decision") {
+    val got = graft.streaming.StreamingBattery.d232StreamSprt(spark, sf)
+    val want = Queries.d231SprtDecision(spark, sf)
+    assertSameRows(got, want)
+    // teeth: all three outcome branches must fire, or a decision path
+    // (accept / reject / the open flush) went unexercised
+    val kinds = got.select("decision").collect().map(_.getString(0)).toSet
+    assert(kinds == Set("accept", "reject", "open"),
+      s"decision outcomes $kinds: a branch went unexercised")
+  }
+
+  test("sprtStream absorbs after the decision and flushes open keys (MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Int)]
+    val out = graft.streaming.StreamingOps.sprtStream(mem.toDS(),
+      hi = 5L, lo = -5L)
+    val sink = s"sprt_mem_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // batch 1: key 1 crosses (+3, +3 -> 6 >= 5) mid-batch; key 2 stays
+      // open at +3; the trailing key-1 trial in the SAME batch is absorbed
+      mem.addData((1L, 10L, 1L, 3L, 0), (1L, 20L, 2L, 3L, 0),
+        (1L, 30L, 3L, -2L, 0), (2L, 10L, 4L, 3L, 0))
+      q.processAllAvailable()
+      // batch 2: key 1 is DECIDED — these trials must not re-decide or
+      // re-emit; key 2 walks to -4, still open
+      mem.addData((1L, 40L, 5L, -2L, 0), (1L, 50L, 6L, -2L, 0),
+        (2L, 40L, 7L, -2L, 0), (2L, 50L, 8L, -2L, 0), (2L, 60L, 9L, -3L, 0))
+      q.processAllAvailable()
+      // batch 3: flush — key 2 reports open, key 1 emits NOTHING more
+      mem.addData((1L, Long.MaxValue, 10L, 0L, 1),
+        (2L, Long.MaxValue, 11L, 0L, 1))
+      q.processAllAvailable()
+      val got = s.table(sink)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == Set((1L, "accept", 2L, 6L), (2L, "open", 4L, -4L)),
+        s"got $got")
+      // flushed keys must LEAVE the store (decided ones included)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 0L,
+        s"flush left $stateRows state-store rows behind")
+    } finally q.stop()
+  }
+
   test("d213 streaming interval merge == batch d209, span for span") {
     val got = graft.streaming.StreamingBattery
       .d213StreamIntervalMerge(spark, sf)
