@@ -2523,32 +2523,6 @@ object Queries {
         expr("CAST(eff_qty AS BIGINT)").as("eff_qty"))
   }
 
-  /** End-to-end curation pipeline — the composition capstone: exact
-    * dedup (normalized-content-key representative) → Gopher quality gate
-    * → eval-set decontamination → token-budget shard packing, reported
-    * as a per-source funnel census. Every stage is individually
-    * oracle-proven elsewhere (d58's key, d60's gate, d57's overlap,
-    * d59's packing); this row proves they COMPOSE — each stage consumes
-    * the previous stage's survivors, so a leak in any boundary (a
-    * dropped column, a filter applied to the wrong side, a stage run on
-    * the full corpus instead of the survivors) shifts the funnel counts.
-    * All seven output columns are exact BIGINTs — no doubles anywhere.
-    * Scale shape: each stage is the same plan its standalone row runs
-    * (one shuffle each), chained through localCheckpoints because every
-    * intermediate feeds BOTH the next stage and its census row; sources
-    * that lose every doc keep their funnel row via left joins.
-    */
-  /** Brand modularity of the co-purchase graph — partition-quality
-    * audit: is co-purchasing brand-assortative? Q = Σ_b (4m·e_b − D_b²)
-    * / 4m² over the BRAND partition (not the component partition, whose
-    * Q is degenerate — every edge is intra-component by definition).
-    * The numerator stays in exact BIGINTs (4m·e and D² bounded by 4m² ≈
-    * 4·10^9 here; DECIMAL(38,0) past m ~ 1.5·10^9 edges) and each
-    * brand's contribution is ONE correctly-rounded division. Scale
-    * shape: the shared coPurchaseEdges derivation (one basket shuffle),
-    * the part dimension broadcasts onto both endpoints, and everything
-    * downstream is brand-cardinality-sized.
-    */
   /** Greedy max-coverage data selection (the submodular coreset
     * primitive: pick K documents maximizing newly-covered 5-gram mass —
     * lazy-greedy's exact baseline, with the classic 1−1/e guarantee).
@@ -2575,13 +2549,19 @@ object Queries {
           "array_join(slice(t, i, 5), ' '))")).as("gram"))
       .distinct()
       .localCheckpoint() // K aggregation passes over the incidence
-    var covered: DataFrame = null
+    // the covered gram set is DERIVED from the picked doc ids over the
+    // pinned incidence each round (picks is K scalars on the driver) —
+    // never a growing checkpointed union, which would rewrite every
+    // prior pick's grams K−1 times
+    val picks = collection.mutable.ArrayBuffer.empty[Long]
     val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var cum = 0L
     for (k <- 1 to K) {
       val uncovered =
-        if (covered == null) dg
-        else dg.join(covered, Seq("gram"), "left_anti")
+        if (picks.isEmpty) dg
+        else dg.join(
+          dg.filter(col("doc_id").isin(picks.toSeq: _*)).select(col("gram")),
+          Seq("gram"), "left_anti")
       val cand = uncovered.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("doc_id").asc).limit(1).collect()
@@ -2589,9 +2569,7 @@ object Queries {
       val doc = cand.head.getLong(0); val gain = cand.head.getLong(1)
       cum += gain
       out += ((k.toLong, doc, gain, cum))
-      val newCov = dg.filter(col("doc_id") === doc).select(col("gram"))
-      covered = (if (covered == null) newCov
-                 else covered.unionByName(newCov)).localCheckpoint()
+      picks += doc
     }
     s.createDataFrame(out.toSeq)
       .toDF("k", "doc_id", "gain", "covered_cum")
@@ -2729,6 +2707,17 @@ object Queries {
         expr("CAST(dist2 AS BIGINT)").as("dist2"))
   }
 
+  /** Brand modularity of the co-purchase graph — partition-quality
+    * audit: is co-purchasing brand-assortative? Q = Σ_b (4m·e_b − D_b²)
+    * / 4m² over the BRAND partition (not the component partition, whose
+    * Q is degenerate — every edge is intra-component by definition).
+    * The numerator stays in exact BIGINTs (4m·e and D² bounded by 4m² ≈
+    * 4·10^9 here; DECIMAL(38,0) past m ~ 1.5·10^9 edges) and each
+    * brand's contribution is ONE correctly-rounded division. Scale
+    * shape: the shared coPurchaseEdges derivation (one basket shuffle),
+    * the part dimension broadcasts onto both endpoints, and everything
+    * downstream is brand-cardinality-sized.
+    */
   def d229BrandModularity(s: SparkSession, d: String): DataFrame = {
     val edges = coPurchaseEdges(s, d).localCheckpoint() // m + intra + deg
     val brands = Tables.part(s, d)
@@ -2760,10 +2749,29 @@ object Queries {
           expr("CAST(4 * m * m AS DOUBLE)"), 9).as("contribution"))
   }
 
+  /** End-to-end curation pipeline — the composition capstone: exact
+    * dedup (normalized-content-key representative) → Gopher quality gate
+    * → eval-set decontamination → token-budget shard packing, reported
+    * as a per-source funnel census. Every stage is individually
+    * oracle-proven elsewhere (d58's key, d60's gate, d57's overlap,
+    * d59's packing); this row proves they COMPOSE — each stage consumes
+    * the previous stage's survivors, so a leak in any boundary (a
+    * dropped column, a filter applied to the wrong side, a stage run on
+    * the full corpus instead of the survivors) shifts the funnel counts.
+    * All seven output columns are exact BIGINTs — no doubles anywhere.
+    * Scale shape: each stage is the same plan its standalone row runs
+    * (one shuffle each), chained through localCheckpoints because every
+    * intermediate feeds BOTH the next stage and its census row; sources
+    * that lose every doc keep their funnel row via left joins.
+    */
   def d228CurationPipeline(s: SparkSession, d: String): DataFrame = {
     val all = Tables.documents(s, d)
     val isEval = col("source").isin("src0", "src1")
-    val input = all.filter(!isEval)
+    // NULL text is out of the funnel's scope on BOTH engines (the d212
+    // rule): Spark's concat_ws key maps NULL to '' while DuckDB's list
+    // key propagates NULL, so an unfiltered NULL-text doc would merge
+    // with empty-text docs here but not in the oracle
+    val input = all.filter(!isEval && col("text").isNotNull)
       .withColumn("__key", Dedup.normalizedContentKey(col("text")))
       .localCheckpoint()
     val deduped = Dedup.exact(input, Seq("__key"), "doc_id")
@@ -7776,7 +7784,7 @@ object Queries {
     // chained over SURVIVORS — boundary leaks shift these counts
     "d228_curation_pipeline" ->
       s"""WITH base AS (SELECT doc_id, source, text FROM documents
-         |  WHERE source NOT IN ('src0', 'src1')),
+         |  WHERE source NOT IN ('src0', 'src1') AND text IS NOT NULL),
          |keyed AS (SELECT doc_id, source, text,
          |  array_to_string(list_sort(list_distinct($toksLowerSql)), ' ')
          |    AS k FROM base),

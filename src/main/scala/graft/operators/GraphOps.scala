@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relational co-occurrence graphs — link structure is
@@ -443,26 +443,51 @@ object GraphOps {
     * one level at a time on the driver (translator.py); this is the
     * distributed, logarithmic-round restatement of that walk.
     */
-  def treeDepths(parents: DataFrame, maxRounds: Int = 40): DataFrame = {
+  def treeDepths(parents: DataFrame, maxRounds: Int = 40): DataFrame =
+    pointerJumpFold(parents.select(col("node"), col("parent")),
+      edgeAcc = lit(1L), rootAcc = 0L, hopIdentity = 0L,
+      combine = _ + _, outCol = "depth", what = "treeDepths",
+      maxRounds = maxRounds)
+
+  /** ONE pointer-jumping doubling loop for [[treeDepths]] (+) and
+    * [[treePathProducts]] (×): each round anc ← anc(anc) and
+    * acc ← combine(acc, acc(anc)), so a depth-D forest settles in
+    * ceil(log2(D)) rounds plus one fixpoint confirmation. Shared so the
+    * convergence require, the dangling-parent audit, and their failure
+    * modes cannot drift between the additive and multiplicative twins.
+    *
+    * Failure modes on bad input: a cycle whose accumulated values stay
+    * bounded (+, or × with all-1 weights) trips the maxRounds
+    * convergence require; a cycle with weights ≥ 2 under × SQUARES its
+    * product every round and trips the ANSI Long-overflow error around
+    * round 6 — before any realistic maxRounds, but still loud. Either
+    * way the job dies with a diagnostic instead of returning wrapped or
+    * truncated values.
+    */
+  private def pointerJumpFold(parents: DataFrame, edgeAcc: Column,
+      rootAcc: Long, hopIdentity: Long,
+      combine: (Column, Column) => Column, outCol: String, what: String,
+      maxRounds: Int): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
-    val p = parents.select(col("node"), col("parent")).localCheckpoint()
+    val p = parents.localCheckpoint()
     val roots = p.filter(col("parent").isNull)
-      .select(col("node"), lit(0L).as("depth"))
+      .select(col("node"), lit(rootAcc).as(outCol))
     var f = p.filter(col("parent").isNotNull)
-      .select(col("node"), col("parent").as("anc"), lit(1L).as("dist"))
+      .select(col("node"), col("parent").as("anc"), edgeAcc.as("acc"))
       .localCheckpoint()
     // `active` is an existence FLAG (0/1 via limit(1)): 1 while some row
     // still has a non-root ancestor (matched in the self-join); 0 means
-    // every anc column is a root and dist = depth
+    // every anc column is a root and acc is the settled path fold
     var active = f.limit(1).count()
     var round = 0
     while (active > 0 && round < maxRounds) {
       val hop = f.select(col("node").as("anc"), col("anc").as("anc2"),
-        col("dist").as("d2"))
+        col("acc").as("a2"))
       val next = f.join(hop, Seq("anc"), "left")
         .select(col("node"),
           coalesce(col("anc2"), col("anc")).as("anc"),
-          (col("dist") + coalesce(col("d2"), lit(0L))).as("dist"),
+          combine(col("acc"), coalesce(col("a2"), lit(hopIdentity)))
+            .as("acc"),
           col("anc2").isNotNull.as("__moved"))
         .localCheckpoint()
       active = next.filter(col("__moved")).limit(1).count()
@@ -472,7 +497,7 @@ object GraphOps {
     // R rounds settle depth ≤ 2^(R−1): the last round is the fixpoint
     // confirmation in which nothing moves (depth 9 needs 4 + 1 rounds)
     require(active == 0,
-      s"treeDepths did not converge within $maxRounds rounds — the input " +
+      s"$what did not converge within $maxRounds rounds — the input " +
         "has a cycle or depth > 2^" + (maxRounds - 1))
     // dangling-parent audit: every settled ancestor must be a real root
     // row, else the chain silently terminated at a key with no node
@@ -480,9 +505,9 @@ object GraphOps {
       roots.select(col("node").as("anc")), Seq("anc"), "left_anti")
       .limit(1).count()
     require(dangling == 0,
-      "treeDepths input has a dangling parent: some chain ends at a key " +
-        "with no (node, parent) row — depths would be silently wrong")
-    roots.unionByName(f.select(col("node"), col("dist").as("depth")))
+      s"$what input has a dangling parent: some chain ends at a key " +
+        "with no (node, parent) row — results would be silently wrong")
+    roots.unionByName(f.select(col("node"), col("acc").as(outCol)))
   }
 
   /** Weighted path PRODUCTS over a forest — the BOM-explosion primitive
@@ -497,42 +522,16 @@ object GraphOps {
     * Exactness: products stay in Long under ANSI mode, which FAILS LOUDLY
     * on overflow rather than wrapping — callers with qty ≤ q and depth D
     * need q^D < 2^63 (q=6 → D ≤ 24; deeper BOMs lift to DECIMAL(38,0)).
-    * Cycle and dangling-parent detection as [[treeDepths]].
+    * Dangling parents are rejected as in [[treeDepths]]; cycles die
+    * loudly too, but usually as the ANSI overflow rather than the
+    * maxRounds require — the doubling squares a cycle's product every
+    * round, blowing past 2^63 by round ~6 whenever any cycle edge has
+    * qty ≥ 2 (see [[pointerJumpFold]]).
     */
-  def treePathProducts(parents: DataFrame, maxRounds: Int = 40): DataFrame = {
-    require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
-    val p = parents.select(col("node"), col("parent"), col("qty"))
-      .localCheckpoint()
-    val roots = p.filter(col("parent").isNull)
-      .select(col("node"), lit(1L).as("eff_qty"))
-    var f = p.filter(col("parent").isNotNull)
-      .select(col("node"), col("parent").as("anc"),
-        col("qty").cast("long").as("prod"))
-      .localCheckpoint()
-    var active = f.limit(1).count()
-    var round = 0
-    while (active > 0 && round < maxRounds) {
-      val hop = f.select(col("node").as("anc"), col("anc").as("anc2"),
-        col("prod").as("p2"))
-      val next = f.join(hop, Seq("anc"), "left")
-        .select(col("node"),
-          coalesce(col("anc2"), col("anc")).as("anc"),
-          (col("prod") * coalesce(col("p2"), lit(1L))).as("prod"),
-          col("anc2").isNotNull.as("__moved"))
-        .localCheckpoint()
-      active = next.filter(col("__moved")).limit(1).count()
-      f = next.drop("__moved")
-      round += 1
-    }
-    require(active == 0,
-      s"treePathProducts did not converge within $maxRounds rounds — the " +
-        "input has a cycle or depth > 2^" + (maxRounds - 1))
-    val dangling = f.join(
-      roots.select(col("node").as("anc")), Seq("anc"), "left_anti")
-      .limit(1).count()
-    require(dangling == 0,
-      "treePathProducts input has a dangling parent: some chain ends at " +
-        "a key with no (node, parent) row — products would be silently wrong")
-    roots.unionByName(f.select(col("node"), col("prod").as("eff_qty")))
-  }
+  def treePathProducts(parents: DataFrame, maxRounds: Int = 40): DataFrame =
+    pointerJumpFold(
+      parents.select(col("node"), col("parent"), col("qty")),
+      edgeAcc = col("qty").cast("long"), rootAcc = 1L, hopIdentity = 1L,
+      combine = _ * _, outCol = "eff_qty", what = "treePathProducts",
+      maxRounds = maxRounds)
 }
