@@ -2707,6 +2707,47 @@ object Queries {
         expr("CAST(dist2 AS BIGINT)").as("dist2"))
   }
 
+  /** Sorted-neighborhood (SNM) candidate pairs — the classic
+    * record-linkage blocking that hash blocks can't express: sort the
+    * corpus ONCE by a cheap canonical key (first-3-token prefix,
+    * doc_id-suffixed for a total order) and compare only rows within a
+    * fixed rank window w=4. The global rank rides
+    * [[graft.operators.ScaleOps.globalPrefixSum]] — range partition +
+    * local window + broadcast offsets, never an un-partitioned window —
+    * and the w−1 gap offsets EXPLODE on the probe side so the whole
+    * neighborhood materializes through ONE rank equi-join (a BETWEEN
+    * range join would plan as a nested loop). Each pair carries is_dup
+    * = normalized-content-key equality (the d228 dedup key): planted
+    * duplicates share the sort prefix, land adjacent, and surface at
+    * gap 1-3 with zero quadratic blow-up — O(w·n) pairs at any corpus
+    * size.
+    */
+  def d235SortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    val w = 4
+    val t = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(expr("CAST(doc_id AS BIGINT)").as("id"),
+        concat(
+          concat_ws(" ",
+            slice(TextFunctions.tokens(lower(col("text"))), 1, 3)),
+          lit("|"), lpad(col("doc_id").cast("string"), 12, "0"))
+          .as("__ord"),
+        Dedup.normalizedContentKey(col("text")).as("ck"),
+        lit(1L).as("__one"))
+    val ranked = graft.operators.ScaleOps.globalPrefixSum(t, "__ord",
+        Seq("__one" -> "__before"))
+      .select(col("id"), col("ck"), (col("__before") + 1L).as("rnk"))
+      .localCheckpoint() // feeds both sides of the window join
+    val probes = ranked.select(col("id").as("b_id"), col("ck").as("b_ck"),
+        explode(expr(s"sequence(1, ${w - 1})")).as("__gap"),
+        col("rnk").as("b_rnk"))
+      .withColumn("rnk", col("b_rnk") - col("__gap"))
+      .drop("b_rnk")
+    ranked.join(probes, "rnk")
+      .select(col("id").as("a_id"), col("b_id"),
+        expr("CAST(__gap AS BIGINT)").as("gap"),
+        when(col("ck") === col("b_ck"), 1L).otherwise(0L).as("is_dup"))
+  }
+
   /** Brand modularity of the co-purchase graph — partition-quality
     * audit: is co-purchasing brand-assortative? Q = Σ_b (4m·e_b − D_b²)
     * / 4m² over the BRAND partition (not the component partition, whose
@@ -4866,6 +4907,9 @@ object Queries {
       (graft.streaming.StreamingBattery.d232StreamSprt _),
     "d233_kcenter_coreset" -> (d233KcenterCoreset _),
     "d234_mutual_nn" -> (d234MutualNn _),
+    "d235_sorted_neighborhood" -> (d235SortedNeighborhood _),
+    "d236_stream_curation" ->
+      (graft.streaming.StreamingBattery.d236StreamCuration _),
   )
 
   /** ONE definition for the clamped-balance oracle — d202 (batch
@@ -4890,6 +4934,55 @@ object Queries {
       | CAST(id AS BIGINT) AS event_id, CAST(delta AS BIGINT) AS delta,
       | CAST(cum - LEAST(0, mn) AS BIGINT) AS balance
       |FROM s""".stripMargin
+
+  /** ONE definition of the curation-funnel CTE chain — non-eval corpus →
+    * content-key dedup → Gopher gate → decontamination → clean, plus the
+    * per-stage per-source censuses (fi/fd/fq/fc). The batch capstone
+    * d228 appends its packing CTEs and 7-column select; the streaming
+    * twin d236 selects the 4 funnel columns directly. They must count
+    * the IDENTICAL funnel, so the chain lives once.
+    */
+  private lazy val curationFunnelPrefixSql: String =
+    s"""WITH base AS (SELECT doc_id, source, text FROM documents
+       |  WHERE source NOT IN ('src0', 'src1') AND text IS NOT NULL),
+       |keyed AS (SELECT doc_id, source, text,
+       |  array_to_string(list_sort(list_distinct($toksLowerSql)), ' ')
+       |    AS k FROM base),
+       |ded AS (SELECT doc_id, source, text FROM (
+       |  SELECT doc_id, source, text,
+       |   ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+       |  FROM keyed) WHERE rn = 1),
+       |qual AS (SELECT doc_id, source, text FROM (
+       |  SELECT doc_id, source, text, len($toksSql) AS nt,
+       |   CAST(list_sum(list_transform($toksSql, x -> length(x)))
+       |     AS DOUBLE) / len($toksSql) AS mwl,
+       |   CAST(len(list_filter($toksSql, t ->
+       |     list_contains($stopwordsSql, lower(t)))) AS DOUBLE)
+       |     / len($toksSql) AS sr,
+       |   CAST(len(list_distinct($toksLowerSql)) AS DOUBLE)
+       |     / len($toksLowerSql) AS dr
+       |  FROM ded WHERE len($toksSql) > 0)
+       | WHERE nt >= 20 AND mwl BETWEEN 3.0 AND 10.0 AND sr >= 0.05
+       |   AND dr >= 0.5),
+       |ev AS (SELECT DISTINCT gram FROM (
+       |  SELECT unnest($gram8Sql) AS gram FROM (
+       |   SELECT $toksLowerSql AS ws FROM documents
+       |   WHERE source IN ('src0', 'src1')))),
+       |qg AS (SELECT doc_id, unnest($gram8Sql) AS gram FROM (
+       |  SELECT doc_id, $toksLowerSql AS ws FROM qual)),
+       |contaminated AS (SELECT doc_id FROM (
+       |  SELECT qg.doc_id, COUNT(*) AS ns FROM qg JOIN ev USING (gram)
+       |  GROUP BY 1) WHERE ns >= 3),
+       |clean AS (SELECT * FROM qual
+       | WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |fi AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_input
+       | FROM base GROUP BY 1),
+       |fd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dedup
+       | FROM ded GROUP BY 1),
+       |fq AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality
+       | FROM qual GROUP BY 1),
+       |fc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clean
+       | FROM clean GROUP BY 1)""".stripMargin
 
   /** ONE definition for the sequential-decision oracle — d231 (batch
     * first-crossing windows) and d232 (streaming absorbing-walk state)
@@ -7783,53 +7876,14 @@ object Queries {
     // standalone row (d58 key, d60 gate, d57 overlap, d59 packing),
     // chained over SURVIVORS — boundary leaks shift these counts
     "d228_curation_pipeline" ->
-      s"""WITH base AS (SELECT doc_id, source, text FROM documents
-         |  WHERE source NOT IN ('src0', 'src1') AND text IS NOT NULL),
-         |keyed AS (SELECT doc_id, source, text,
-         |  array_to_string(list_sort(list_distinct($toksLowerSql)), ' ')
-         |    AS k FROM base),
-         |ded AS (SELECT doc_id, source, text FROM (
-         |  SELECT doc_id, source, text,
-         |   ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) AS rn
-         |  FROM keyed) WHERE rn = 1),
-         |qual AS (SELECT doc_id, source, text FROM (
-         |  SELECT doc_id, source, text, len($toksSql) AS nt,
-         |   CAST(list_sum(list_transform($toksSql, x -> length(x)))
-         |     AS DOUBLE) / len($toksSql) AS mwl,
-         |   CAST(len(list_filter($toksSql, t ->
-         |     list_contains($stopwordsSql, lower(t)))) AS DOUBLE)
-         |     / len($toksSql) AS sr,
-         |   CAST(len(list_distinct($toksLowerSql)) AS DOUBLE)
-         |     / len($toksLowerSql) AS dr
-         |  FROM ded WHERE len($toksSql) > 0)
-         | WHERE nt >= 20 AND mwl BETWEEN 3.0 AND 10.0 AND sr >= 0.05
-         |   AND dr >= 0.5),
-         |ev AS (SELECT DISTINCT gram FROM (
-         |  SELECT unnest($gram8Sql) AS gram FROM (
-         |   SELECT $toksLowerSql AS ws FROM documents
-         |   WHERE source IN ('src0', 'src1')))),
-         |qg AS (SELECT doc_id, unnest($gram8Sql) AS gram FROM (
-         |  SELECT doc_id, $toksLowerSql AS ws FROM qual)),
-         |contaminated AS (SELECT doc_id FROM (
-         |  SELECT qg.doc_id, COUNT(*) AS ns FROM qg JOIN ev USING (gram)
-         |  GROUP BY 1) WHERE ns >= 3),
-         |clean AS (SELECT * FROM qual
-         | WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      s"""$curationFunnelPrefixSql,
          |pt AS (SELECT source, doc_id, len($toksSql) AS ntok FROM clean),
          |pk AS (SELECT source, doc_id, ntok, SUM(ntok) OVER (
          |  PARTITION BY source ORDER BY doc_id) AS cum FROM pt),
          |shards AS (SELECT source,
          |  CAST(COUNT(DISTINCT (cum - ntok) // 512) AS BIGINT) AS n_shards,
          |  CAST(SUM(ntok) AS BIGINT) AS n_packed_tokens FROM pk
-         | GROUP BY 1),
-         |fi AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_input
-         | FROM base GROUP BY 1),
-         |fd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dedup
-         | FROM ded GROUP BY 1),
-         |fq AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality
-         | FROM qual GROUP BY 1),
-         |fc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clean
-         | FROM clean GROUP BY 1)
+         | GROUP BY 1)
          |SELECT fi.source AS source, n_input,
          | CAST(COALESCE(n_dedup, 0) AS BIGINT) AS n_dedup,
          | CAST(COALESCE(n_quality, 0) AS BIGINT) AS n_quality,
@@ -7839,6 +7893,14 @@ object Queries {
          |FROM fi LEFT JOIN fd USING (source) LEFT JOIN fq USING (source)
          | LEFT JOIN fc USING (source) LEFT JOIN shards USING (source)"""
         .stripMargin,
+    "d236_stream_curation" ->
+      s"""$curationFunnelPrefixSql
+         |SELECT fi.source AS source, n_input,
+         | CAST(COALESCE(n_dedup, 0) AS BIGINT) AS n_dedup,
+         | CAST(COALESCE(n_quality, 0) AS BIGINT) AS n_quality,
+         | CAST(COALESCE(n_clean, 0) AS BIGINT) AS n_clean
+         |FROM fi LEFT JOIN fd USING (source) LEFT JOIN fq USING (source)
+         | LEFT JOIN fc USING (source)""".stripMargin,
 
     // brand-partition modularity: exact integer numerator per brand,
     // one division; the (li, pr, e) edge CTEs follow the d177 convention
@@ -7961,5 +8023,19 @@ object Queries {
          |FROM ba JOIN bb ON ba.a_id = bb.a_id AND ba.b_id = bb.b_id
          |WHERE ba.rn = 1 AND bb.rn = 1""".stripMargin
     },
+    "d235_sorted_neighborhood" ->
+      s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id,
+         |  array_to_string(($toksLowerSql)[1:3], ' ') || '|' ||
+         |   lpad(CAST(doc_id AS VARCHAR), 12, '0') AS ord,
+         |  array_to_string(list_sort(list_distinct($toksLowerSql)), ' ')
+         |   AS ck
+         | FROM documents WHERE text IS NOT NULL),
+         |r AS (SELECT id, ck,
+         |  ROW_NUMBER() OVER (ORDER BY ord) AS rnk FROM t)
+         |SELECT a.id AS a_id, b.id AS b_id,
+         | CAST(b.rnk - a.rnk AS BIGINT) AS gap,
+         | CAST(CASE WHEN a.ck = b.ck THEN 1 ELSE 0 END AS BIGINT)
+         |  AS is_dup
+         |FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3""".stripMargin,
   )
 }

@@ -982,6 +982,69 @@ object StreamingBattery {
     } finally deleteRecursively(root)
   }
 
+  /** Streaming curation funnel, oracle-gated: the ingest-side twin of
+    * the batch composition capstone (d228's first four stages), counted
+    * in ONE stateful pass ([[StreamingOps.curationFunnelStream]] —
+    * seen-flag state keyed on the normalized content key; gate flags
+    * ride as stateless columns). Docs are staged in doc_id order so the
+    * stream's first-arrival dedup survivor IS the batch plan's
+    * min-doc_id representative — the whole funnel then hash-checks
+    * against the SHARED curation funnel oracle (4-column projection of
+    * d228's), source for source.
+    */
+  def d236StreamCuration(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val sp = s; import sp.implicits._
+    val root = Files.createTempDirectory("graft-stream-cur")
+    try {
+      val in = root.resolve("in"); Files.createDirectories(in)
+      val isEval = col("source").isin("src0", "src1")
+      val evalGrams = Tables.documents(s, d).filter(isEval)
+        .select(explode(TextFunctions.wordShingles(col("text"), 8))
+          .as("gram"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      val docs = Tables.documents(s, d)
+        .filter(!isEval && col("text").isNotNull)
+        .select(expr("CAST(doc_id AS BIGINT)").as("doc_id"), col("source"),
+          col("text"),
+          graft.operators.Dedup.normalizedContentKey(col("text"))
+            .as("__key"))
+        .localCheckpoint() // feeds 3 slice writes + the spanning census
+      stageTimeSlices(docs, "doc_id", "__key", root, in)
+      val raw = s.readStream
+        .schema(s.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      // gate flags as stateless stream columns — the SAME expressions the
+      // standalone streaming gates (d121/d122) run, minShared = 3 on
+      // DISTINCT doc grams to mirror Decontaminate.overlap exactly
+      val g = TextFunctions.GopherThresholds
+      val t = col("text")
+      val flagged = raw
+        .withColumn("__q",
+          TextFunctions.tokenCount(t) >= g.MinTokens &&
+            TextFunctions.meanTokenLength(t)
+              .between(g.MinMeanWordLen, g.MaxMeanWordLen) &&
+            TextFunctions.stopwordRatio(t) >= g.MinStopRatio &&
+            TextFunctions.distinctTokenRatio(t) >= g.MinDistinctRatio)
+        .withColumn("__c",
+          if (evalGrams.isEmpty) lit(true)
+          else size(filter(TextFunctions.wordShingles(t, 8),
+            gr => array_contains(typedlit(evalGrams), gr))) < 3)
+        .select(col("__key"), col("doc_id"), col("source"), col("__q"),
+          col("__c"))
+        .as[(String, Long, String, Boolean, Boolean)]
+      val tags = StreamingOps.curationFunnelStream(flagged)
+        .toDF("source", "stage")
+      def n(stage: String, out: String) =
+        expr(s"CAST(SUM(CASE WHEN stage = '$stage' THEN 1 ELSE 0 END) " +
+          s"AS BIGINT)").as(out)
+      runToTable(s, tags)
+        .groupBy(col("source"))
+        .agg(n("input", "n_input"), n("dedup", "n_dedup"),
+          n("quality", "n_quality"), n("clean", "n_clean"))
+    } finally deleteRecursively(root)
+  }
+
   /** Incremental integrity maintenance: the per-bucket Merkle summary is
     * a MERGEABLE sufficient statistic (counts add, digests XOR — third
     * instance of the d170/d183 pattern), so a standing ingest maintains

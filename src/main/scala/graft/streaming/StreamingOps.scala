@@ -772,6 +772,55 @@ object StreamingOps {
       }
   }
 
+  /** Streaming curation funnel — the ingest-side twin of the batch
+    * composition capstone (battery d228's first four stages): arriving
+    * docs are counted at every funnel boundary in ONE stateful pass.
+    * Keyed by the normalized content key; state is a seen flag. Every
+    * row tags `input`; the FIRST arrival of a key (rows fold in docId
+    * order within a batch — with docId-ordered staging across batches,
+    * first == the batch plan's min-docId representative) is the dedup
+    * survivor and additionally tags `dedup`, then `quality` if its
+    * pre-computed gate flag holds, then `clean` if the decontamination
+    * flag holds too — later duplicates contribute `input` only, exactly
+    * the batch funnel's accounting. The gate flags ride the stream as
+    * stateless COLUMNS (qualityGateStream / decontaminateStream
+    * expressions), so this op adds one key shuffle and one Boolean of
+    * state per distinct key; production ingests bound that state with a
+    * TTL (the dedupExactStream watermark discipline) — unbounded here
+    * because the battery replay is finite.
+    *
+    * Input: (key, docId, source, qOk, cleanOk). Output: (source, stage)
+    * tag rows for a downstream census.
+    */
+  def curationFunnelStream(
+      input: Dataset[(String, Long, String, Boolean, Boolean)])
+      : Dataset[(String, String)] = {
+    val session = input.sparkSession
+    import session.implicits._
+    input.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, Long, String, Boolean, Boolean)],
+         state: GroupState[Boolean]) =>
+          var seen = state.getOption.getOrElse(false)
+          val out = rows.toSeq.sortBy(_._2).flatMap {
+            case (_, _, src, qOk, cleanOk) =>
+              val tags = collection.mutable.ArrayBuffer(src -> "input")
+              if (!seen) {
+                seen = true
+                tags += (src -> "dedup")
+                if (qOk) {
+                  tags += (src -> "quality")
+                  if (cleanOk) tags += (src -> "clean")
+                }
+              }
+              tags
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Streaming sequential decision (SPRT shape) — the sixth member of
     * the order-sensitive state spectrum, and the first with ABSORBING
     * state: per key the integer walk folds trial by trial until the

@@ -481,4 +481,29 @@ class BatterySpec extends SparkTestBase {
     // mutual filter is vacuous on this data
     assert(got.size < bestA.size, "every best match was mutual: filter untested")
   }
+
+  test("d235: window pairs match a driver-side sort; SNM finds the planted dups") {
+    val d = "/root/testdata/sf0.001"
+    val got = Queries.d235SortedNeighborhood(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got.nonEmpty)
+    // independent reference: sort the corpus in memory, enumerate the
+    // w=4 window
+    val docs = Tables.documents(spark, d).where("text IS NOT NULL")
+      .selectExpr("CAST(doc_id AS BIGINT) AS id",
+        "concat(concat_ws(' ', slice(filter(split(trim(lower(text)), '\\\\s+'), x -> x != ''), 1, 3)), '|', lpad(CAST(doc_id AS STRING), 12, '0')) AS ord",
+        "concat_ws(' ', array_sort(array_distinct(filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')))) AS ck")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getString(2)))
+      .sortBy(_._1)
+    val want = (for {
+      i <- docs.indices; g <- 1 to 3 if i + g < docs.length
+    } yield (docs(i)._2, docs(i + g)._2, g.toLong,
+      if (docs(i)._3 == docs(i + g)._3) 1L else 0L)).toSet
+    assert(got == want, "window pairs diverge from the in-memory sort")
+    // teeth: the sort must place at least one planted duplicate pair
+    // inside the window, and most neighbors must NOT be dups
+    assert(got.exists(_._4 == 1L), "SNM never saw a duplicate: recall untested")
+    assert(got.exists(_._4 == 0L), "every neighbor a dup: degenerate corpus")
+  }
 }

@@ -603,6 +603,19 @@ class PlanAuditSpec extends SparkTestBase {
       "block-local candidate join degenerated to a cross product")
   }
 
+  test("d235: global rank never funnels one partition; the window join is an equi-join") {
+    val p = planOf(Queries.d235SortedNeighborhood(spark, d))
+      .split("== Initial Plan ==").head
+    // the whole point of globalPrefixSum is that the total order costs a
+    // RANGE partition, not Exchange SinglePartition; and the w-window
+    // must ride the exploded-offset EQUI-join, never a rank-BETWEEN
+    // nested loop
+    assert(!p.contains("Exchange SinglePartition"),
+      s"d235 funnels the corpus through one partition:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"d235 window join degenerated to a range join:\n${p.take(3000)}")
+  }
+
   test("d210/d211: drift and normalization plan no un-partitioned window; rank probes broadcast") {
     for ((df, name) <- Seq(
         (Queries.d210KsDrift(spark, d), "d210"),

@@ -509,6 +509,48 @@ class StreamingBatterySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("d236 streaming funnel == batch d228's first four stages, source for source") {
+    val got = graft.streaming.StreamingBattery.d236StreamCuration(spark, sf)
+    val want = Queries.d228CurationPipeline(spark, sf)
+      .select("source", "n_input", "n_dedup", "n_quality", "n_clean")
+    assertSameRows(got, want)
+    // teeth: the dedup boundary must bite (a later duplicate counted as
+    // input but not dedup), or first-wins state went unexercised
+    assert(got.filter(col("n_input") > col("n_dedup")).count() > 0,
+      "no source lost a duplicate: the dedup stage went unexercised")
+  }
+
+  test("curationFunnelStream: duplicate later batch tags input only; gates gate (MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(String, Long, String, Boolean, Boolean)]
+    val out = graft.streaming.StreamingOps.curationFunnelStream(mem.toDS())
+    val sink = s"cur_mem_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // batch 1: kA survivor passes both gates; kB survivor fails quality
+      mem.addData(("kA", 1L, "s1", true, true), ("kB", 2L, "s1", false, true))
+      q.processAllAvailable()
+      // batch 2: kA duplicate (input only, despite passing flags);
+      // kC survivor passes quality but is contaminated
+      mem.addData(("kA", 3L, "s2", true, true), ("kC", 4L, "s2", true, false))
+      q.processAllAvailable()
+      val got = s.table(sink).as[(String, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == Map(
+        // kA full funnel; kB is a dedup survivor that FAILS quality
+        ("s1", "input") -> 2, ("s1", "dedup") -> 2,
+        ("s1", "quality") -> 1, ("s1", "clean") -> 1,
+        // kA's duplicate tags input ONLY (flags notwithstanding);
+        // kC passes quality but is contaminated — no clean tag
+        ("s2", "input") -> 2, ("s2", "dedup") -> 1,
+        ("s2", "quality") -> 1), s"got $got")
+    } finally q.stop()
+  }
+
   test("d213 streaming interval merge == batch d209, span for span") {
     val got = graft.streaming.StreamingBattery
       .d213StreamIntervalMerge(spark, sf)
