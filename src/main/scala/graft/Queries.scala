@@ -2748,6 +2748,35 @@ object Queries {
         when(col("ck") === col("b_ck"), 1L).otherwise(0L).as("is_dup"))
   }
 
+  /** Fuzzy record linkage by Jaro–Winkler — the EDIT-pattern comparator
+    * the token-set keys (d212/d235) can't express: two titles that
+    * transpose or misspell characters inside tokens score high on JW
+    * while sharing no canonical key. Titles are the first-5-token
+    * prefix, blocked on the first token (block-local contract, the d234
+    * rule), scored by the native [[graft.plans.NativeExpressions
+    * .jaroWinkler]] — verified BIT-identical to DuckDB's
+    * jaro_winkler_similarity over every candidate pair at sf0.1, which
+    * is what lets the threshold filter (≥ 0.9, applied to the RAW
+    * double) hash-match even for the pair sitting exactly at 0.9. At
+    * sf0.1 the gate keeps 613 of 417k candidates — discrimination, not
+    * a pass-through.
+    */
+  def d237JaroLinkage(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(expr("CAST(doc_id AS BIGINT)").as("id"),
+        TextFunctions.tokens(lower(col("text"))).as("t"))
+      .select(col("id"),
+        concat_ws(" ", slice(col("t"), 1, 5)).as("nm"),
+        element_at(col("t"), 1).as("blk"))
+    val a = p.select(col("id").as("a_id"), col("nm").as("a_nm"), col("blk"))
+    val b = p.select(col("id").as("b_id"), col("nm").as("b_nm"), col("blk"))
+    a.join(b, "blk").filter(col("a_id") < col("b_id"))
+      .withColumn("__jw",
+        graft.plans.NativeExpressions.jaroWinkler(col("a_nm"), col("b_nm")))
+      .filter(col("__jw") >= 0.9)
+      .select(col("a_id"), col("b_id"), round(col("__jw"), 6).as("jw"))
+  }
+
   /** Brand modularity of the co-purchase graph — partition-quality
     * audit: is co-purchasing brand-assortative? Q = Σ_b (4m·e_b − D_b²)
     * / 4m² over the BRAND partition (not the component partition, whose
@@ -4910,6 +4939,7 @@ object Queries {
     "d235_sorted_neighborhood" -> (d235SortedNeighborhood _),
     "d236_stream_curation" ->
       (graft.streaming.StreamingBattery.d236StreamCuration _),
+    "d237_jaro_linkage" -> (d237JaroLinkage _),
   )
 
   /** ONE definition for the clamped-balance oracle — d202 (batch
@@ -8037,5 +8067,15 @@ object Queries {
          | CAST(CASE WHEN a.ck = b.ck THEN 1 ELSE 0 END AS BIGINT)
          |  AS is_dup
          |FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3""".stripMargin,
+    "d237_jaro_linkage" ->
+      s"""WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id,
+         |  array_to_string(($toksLowerSql)[1:5], ' ') AS nm,
+         |  ($toksLowerSql)[1] AS blk
+         | FROM documents WHERE text IS NOT NULL),
+         |cand AS (SELECT a.id AS a_id, b.id AS b_id,
+         |  jaro_winkler_similarity(a.nm, b.nm) AS jw
+         | FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id)
+         |SELECT a_id, b_id, ROUND(jw, 6) AS jw
+         |FROM cand WHERE jw >= 0.9""".stripMargin,
   )
 }

@@ -506,4 +506,30 @@ class BatterySpec extends SparkTestBase {
     assert(got.exists(_._4 == 1L), "SNM never saw a duplicate: recall untested")
     assert(got.exists(_._4 == 0L), "every neighbor a dup: degenerate corpus")
   }
+
+  test("d237: the JW gate discriminates, and catches a pair the token-set key misses") {
+    val d = "/root/testdata/sf0.001"
+    val got = Queries.d237JaroLinkage(spark, d)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    // discrimination: the gate must reject most same-block candidates
+    val titles = Tables.documents(spark, d).where("text IS NOT NULL")
+      .selectExpr("CAST(doc_id AS BIGINT) AS id",
+        "concat_ws(' ', slice(filter(split(trim(lower(text)), '\\\\s+'), x -> x != ''), 1, 5)) AS nm",
+        "element_at(filter(split(trim(lower(text)), '\\\\s+'), x -> x != ''), 1) AS blk",
+        "concat_ws(' ', array_sort(array_distinct(filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')))) AS ck")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val nCand = (for {
+      (ai, _, ab, _) <- titles; (bi, _, bb, _) <- titles
+      if ab == bb && ai < bi
+    } yield 1).size
+    assert(got.size * 10 < nCand,
+      s"gate kept ${got.size} of $nCand candidates: no discrimination")
+    // the capability claim: at least one linked pair shares NO canonical
+    // token-set key — the EDIT-pattern match d212/d235's keys can't see
+    val ckOf = titles.map(t => t._1 -> t._4).toMap
+    assert(got.exists { case (a, b) => ckOf(a) != ckOf(b) },
+      "every JW pair is already an exact token-set dup: fuzzy layer vacuous")
+  }
 }

@@ -14,6 +14,41 @@ class FunctionsSpec extends SparkTestBase {
     rows.toDF("text").select(colExpr.as("r")).collect().map(_.get(0)).toSeq
   }
 
+  test("jaroWinkler: textbook values, boost threshold, and edge cases") {
+    val s = spark
+    import s.implicits._
+    def jw(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(graft.plans.NativeExpressions
+          .jaroWinkler(org.apache.spark.sql.functions.col("a"),
+            org.apache.spark.sql.functions.col("b")).as("r"))
+        .collect().head.getDouble(0)
+    // the textbook pairs, at the DuckDB-verified exact doubles
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jw("jellyfish", "smellyfish") == 0.8962962962962964)
+    // boost threshold: jaro <= 0.7 gets NO prefix bonus (DuckDB semantics
+    // — an unconditional-bonus implementation returns 0.6 here)
+    assert(jw("abcdefgh", "abzzzzzz") == 0.5)
+    // prefix capped at 4 even with a 49-char common prefix
+    assert(jw("x" * 50, "x" * 49 + "y") == 0.992)
+    // edges: empty, identical, all-transposed, disjoint
+    assert(jw("", "abc") == 0.0 && jw("ab", "") == 0.0)
+    assert(jw("abc", "abc") == 1.0 && jw("a", "a") == 1.0)
+    assert(jw("abcd", "dcba") == 0.5)
+    assert(jw("ab", "ba") == 0.0) // match window 0 at len 2
+    assert(jw("abc", "xyz") == 0.0)
+    // laws on random-ish strings: symmetric, in [0, 1]
+    val words = Seq("alpha", "alpah", "beta", "betta", "gamma", "gama",
+      "delta", "dleta", "x", "", "longershared prefix", "longershared prefax")
+    for (a <- words; b <- words) {
+      val f = jw(a, b); val r = jw(b, a)
+      assert(f == r, s"asymmetric on ($a, $b)")
+      assert(f >= 0.0 && f <= 1.0)
+      if (a == b && a.nonEmpty) assert(f == 1.0)
+    }
+  }
+
   test("tokens + tokenCount handle whitespace runs and empties") {
     assert(one(TextFunctions.tokenCount(col("text")), Seq("a  b\tc", "", "  x ")) ==
       Seq(3, 0, 1))
