@@ -1002,7 +1002,12 @@ object StreamingBattery {
       val evalGrams = Tables.documents(s, d).filter(isEval)
         .select(explode(TextFunctions.wordShingles(col("text"), 8))
           .as("gram"))
-        .distinct().collect().map(_.getString(0)).toSeq
+        .distinct().collect().map(_.getString(0)).toSet
+      // hash-set membership via broadcast, NOT an array_contains literal:
+      // probing a |eval|-element plan literal per gram is
+      // O(grams x |eval|) per doc — 100 s at sf0.1 where this shape runs
+      // in 3 s. Gram extraction stays on the native expression.
+      val evalBc = s.sparkContext.broadcast(evalGrams)
       val docs = Tables.documents(s, d)
         .filter(!isEval && col("text").isNotNull)
         .select(expr("CAST(doc_id AS BIGINT)").as("doc_id"), col("source"),
@@ -1026,13 +1031,14 @@ object StreamingBattery {
               .between(g.MinMeanWordLen, g.MaxMeanWordLen) &&
             TextFunctions.stopwordRatio(t) >= g.MinStopRatio &&
             TextFunctions.distinctTokenRatio(t) >= g.MinDistinctRatio)
-        .withColumn("__c",
-          if (evalGrams.isEmpty) lit(true)
-          else size(filter(TextFunctions.wordShingles(t, 8),
-            gr => array_contains(typedlit(evalGrams), gr))) < 3)
         .select(col("__key"), col("doc_id"), col("source"), col("__q"),
-          col("__c"))
-        .as[(String, Long, String, Boolean, Boolean)]
+          TextFunctions.wordShingles(t, 8).as("__grams"))
+        .as[(String, Long, String, Boolean, Seq[String])]
+        .map { case (key, id, src, qOk, grams) =>
+          val ev = evalBc.value
+          // minShared = 3 on DISTINCT doc grams — Decontaminate.overlap
+          (key, id, src, qOk, grams.count(ev.contains) < 3)
+        }
       val tags = StreamingOps.curationFunnelStream(flagged)
         .toDF("source", "stage")
       def n(stage: String, out: String) =
