@@ -2759,15 +2759,23 @@ object Queries {
     * is what lets the threshold filter (≥ 0.9, applied to the RAW
     * double) hash-match even for the pair sitting exactly at 0.9. At
     * sf0.1 the gate keeps 613 of 417k candidates — discrimination, not
-    * a pass-through.
+    * a pass-through. Quadratic-blowup cap (the d103 rule — every pair
+    * generator carries one): blocks over 1000 docs are DROPPED by a
+    * census filter on both engines (gate maxima are 26/197 docs, so the
+    * cap never bites at the gate SFs; on a pathological corpus it bounds
+    * the join at 10^6 pairs per block instead of letting one stop-word
+    * block go quadratic in the corpus).
     */
   def d237JaroLinkage(s: SparkSession, d: String): DataFrame = {
-    val p = Tables.documents(s, d).filter(col("text").isNotNull)
+    val p0 = Tables.documents(s, d).filter(col("text").isNotNull)
       .select(expr("CAST(doc_id AS BIGINT)").as("id"),
         TextFunctions.tokens(lower(col("text"))).as("t"))
       .select(col("id"),
         concat_ws(" ", slice(col("t"), 1, 5)).as("nm"),
         element_at(col("t"), 1).as("blk"))
+    val census = p0.groupBy(col("blk")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= 1000L).select(col("blk"))
+    val p = p0.join(broadcast(census), "blk")
     val a = p.select(col("id").as("a_id"), col("nm").as("a_nm"), col("blk"))
     val b = p.select(col("id").as("b_id"), col("nm").as("b_nm"), col("blk"))
     a.join(b, "blk").filter(col("a_id") < col("b_id"))
@@ -8068,10 +8076,14 @@ object Queries {
          |  AS is_dup
          |FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3""".stripMargin,
     "d237_jaro_linkage" ->
-      s"""WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id,
+      s"""WITH p0 AS (SELECT CAST(doc_id AS BIGINT) AS id,
          |  array_to_string(($toksLowerSql)[1:5], ' ') AS nm,
          |  ($toksLowerSql)[1] AS blk
          | FROM documents WHERE text IS NOT NULL),
+         |cen AS (SELECT blk FROM (
+         |  SELECT blk, COUNT(*) AS c FROM p0 GROUP BY blk)
+         | WHERE c <= 1000),
+         |p AS (SELECT p0.* FROM p0 JOIN cen USING (blk)),
          |cand AS (SELECT a.id AS a_id, b.id AS b_id,
          |  jaro_winkler_similarity(a.nm, b.nm) AS jw
          | FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id)

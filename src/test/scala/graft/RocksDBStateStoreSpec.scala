@@ -179,4 +179,54 @@ class RocksDBStateStoreSpec extends SparkTestBase {
         (1L, "B", 40L, None, 1L)))
     } finally q.stop()
   }
+
+  test("sprtStream's absorbed decision survives the RocksDB store across batches") {
+    val s = rocks
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Int)]
+    val out = StreamingOps.sprtStream(mem.toDS(), hi = 5L, lo = -5L)
+    val sink = "rocks_sprt_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // walk to +4 (open) — the (cum, n, decided) tuple must round-trip
+      // the native store, then cross in batch 2
+      mem.addData((1L, 10L, 1L, 4L, 0))
+      q.processAllAvailable()
+      mem.addData((1L, 20L, 2L, 3L, 0))
+      q.processAllAvailable()
+      // batch 3: the ABSORBED flag itself must have survived the store —
+      // a lost flag would re-decide on this re-crossing row
+      mem.addData((1L, 30L, 3L, 5L, 0), (1L, Long.MaxValue, 4L, 0L, 1))
+      q.processAllAvailable()
+      val got = s.table(sink)
+        .as[(Long, String, Long, Long)].collect().toSeq
+      assert(got == Seq((1L, "accept", 2L, 7L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("curationFunnelStream's seen flag survives the RocksDB store across batches") {
+    val s = rocks
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Long, String, Boolean, Boolean)]
+    val out = StreamingOps.curationFunnelStream(mem.toDS())
+    val sink = "rocks_cur_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      mem.addData(("k", 1L, "s1", true, true))
+      q.processAllAvailable()
+      // the duplicate arrives a batch later: a seen flag lost in the
+      // store round-trip would double-count the dedup survivor
+      mem.addData(("k", 2L, "s2", true, true))
+      q.processAllAvailable()
+      val got = s.table(sink).as[(String, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == Map(("s1", "input") -> 1, ("s1", "dedup") -> 1,
+        ("s1", "quality") -> 1, ("s1", "clean") -> 1,
+        ("s2", "input") -> 1), s"got $got")
+    } finally q.stop()
+  }
 }
