@@ -2772,7 +2772,11 @@ object Queries {
         TextFunctions.tokens(lower(col("text"))).as("t"))
       .select(col("id"),
         concat_ws(" ", slice(col("t"), 1, 5)).as("nm"),
-        element_at(col("t"), 1).as("blk"))
+        // guarded: ANSI element_at THROWS on an empty token array (a
+        // whitespace-only doc); NULL blk drops from the equi-join, which
+        // is exactly the oracle's (toks)[1] NULL semantics
+        when(size(col("t")) > 0, element_at(col("t"), 1)).as("blk"))
+      .localCheckpoint() // feeds the census + both self-join sides
     val census = p0.groupBy(col("blk")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= 1000L).select(col("blk"))
     val p = p0.join(broadcast(census), "blk")

@@ -66,6 +66,22 @@ object TextFunctions {
     val MinDistinctRatio = 0.5
   }
 
+  /** The Gopher rule conjunction as ONE predicate column — the single
+    * definition the streaming gate (`StreamingOps.qualityGateStream`)
+    * filters on and the streaming funnel (d236) carries as a flag;
+    * changing a rule here changes every consumer or none.
+    */
+  def gopherPass(text: Column,
+      minTokens: Int = GopherThresholds.MinTokens,
+      minMeanWordLen: Double = GopherThresholds.MinMeanWordLen,
+      maxMeanWordLen: Double = GopherThresholds.MaxMeanWordLen,
+      minStopRatio: Double = GopherThresholds.MinStopRatio,
+      minDistinctRatio: Double = GopherThresholds.MinDistinctRatio): Column =
+    tokenCount(text) >= minTokens &&
+      meanTokenLength(text).between(minMeanWordLen, maxMeanWordLen) &&
+      stopwordRatio(text) >= minStopRatio &&
+      distinctTokenRatio(text) >= minDistinctRatio
+
   private val EnStopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "at", "by", "be", "this", "are")

@@ -242,14 +242,6 @@ case class SimHash64Expr(child: Expression, seed: Long)
     copy(child = newChild)
 }
 
-/** Cosine similarity of two numeric arrays, accumulated left-to-right in
-  * doubles — the same operation order as the `aggregate`-based formulation
-  * and the DuckDB oracle, so round(6) results are unchanged.
-  *
-  * Implements `doGenCode` (not CodegenFallback): the scoring scan of an ANN
-  * query stays inside one WholeStageCodegen span with the filter/projection
-  * around it.
-  */
 /** Jaro–Winkler similarity — the classic record-linkage string
   * comparator, matching DuckDB's `jaro_winkler_similarity` BIT FOR BIT
   * (verified empirically over 417,343 real candidate pairs at sf0.1):
@@ -320,6 +312,14 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Cosine similarity of two numeric arrays, accumulated left-to-right in
+  * doubles — the same operation order as the `aggregate`-based formulation
+  * and the DuckDB oracle, so round(6) results are unchanged.
+  *
+  * Implements `doGenCode` (not CodegenFallback): the scoring scan of an ANN
+  * query stays inside one WholeStageCodegen span with the filter/projection
+  * around it.
+  */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[NativeInputTypes.AbstractType] =

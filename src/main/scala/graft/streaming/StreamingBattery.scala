@@ -1019,18 +1019,12 @@ object StreamingBattery {
       val raw = s.readStream
         .schema(s.read.parquet(in.toString).schema)
         .option("maxFilesPerTrigger", "1").parquet(in.toString)
-      // gate flags as stateless stream columns — the SAME expressions the
-      // standalone streaming gates (d121/d122) run, minShared = 3 on
-      // DISTINCT doc grams to mirror Decontaminate.overlap exactly
-      val g = TextFunctions.GopherThresholds
+      // gate flags as stateless stream columns — the SHARED gopherPass
+      // predicate (one rule definition with qualityGateStream/d121);
+      // minShared = 3 on DISTINCT doc grams mirrors Decontaminate.overlap
       val t = col("text")
       val flagged = raw
-        .withColumn("__q",
-          TextFunctions.tokenCount(t) >= g.MinTokens &&
-            TextFunctions.meanTokenLength(t)
-              .between(g.MinMeanWordLen, g.MaxMeanWordLen) &&
-            TextFunctions.stopwordRatio(t) >= g.MinStopRatio &&
-            TextFunctions.distinctTokenRatio(t) >= g.MinDistinctRatio)
+        .withColumn("__q", TextFunctions.gopherPass(t))
         .select(col("__key"), col("doc_id"), col("source"), col("__q"),
           TextFunctions.wordShingles(t, 8).as("__grams"))
         .as[(String, Long, String, Boolean, Seq[String])]

@@ -223,15 +223,10 @@ object StreamingOps {
       maxMeanWordLen: Double = graft.functions.TextFunctions.GopherThresholds.MaxMeanWordLen,
       minStopRatio: Double = graft.functions.TextFunctions.GopherThresholds.MinStopRatio,
       minDistinctRatio: Double = graft.functions.TextFunctions.GopherThresholds.MinDistinctRatio)
-      : DataFrame = {
-    import graft.functions.TextFunctions._
-    val t = col(textCol)
-    docs.filter(
-      tokenCount(t) >= minTokens &&
-        meanTokenLength(t).between(minMeanWordLen, maxMeanWordLen) &&
-        stopwordRatio(t) >= minStopRatio &&
-        distinctTokenRatio(t) >= minDistinctRatio)
-  }
+      : DataFrame =
+    docs.filter(graft.functions.TextFunctions.gopherPass(col(textCol),
+      minTokens, minMeanWordLen, maxMeanWordLen, minStopRatio,
+      minDistinctRatio))
 
   /** Streaming z-score anomaly gate — the online twin of the batch
     * `d72_anomaly` query: arriving events are scored against per-key

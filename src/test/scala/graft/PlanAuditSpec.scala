@@ -603,15 +603,25 @@ class PlanAuditSpec extends SparkTestBase {
       "block-local candidate join degenerated to a cross product")
   }
 
-  test("d235: global rank never funnels one partition; the window join is an equi-join") {
+  test("d235/globalPrefixSum: rank never funnels one partition; window join stays equi") {
+    // d235's OWN final plan truncates at its localCheckpoint (a
+    // LogicalRDD scan), so the no-SinglePartition guarantee must be
+    // pinned on globalPrefixSum's OUTPUT plan — its internal checkpoint
+    // sits BEFORE the rank window, so a regression to an un-partitioned
+    // window would show here
+    val base = spark.range(0, 10000)
+      .selectExpr("lpad(CAST(id AS STRING), 8, '0') AS __ord", "1L AS __one")
+    val ranked = graft.operators.ScaleOps.globalPrefixSum(
+      base, "__ord", Seq("__one" -> "__before"))
+    val pr = planOf(ranked).split("== Initial Plan ==").head
+    assert(pr.contains("Window "),
+      s"expected the intra-partition rank window in the plan:\n${pr.take(3000)}")
+    assert(!pr.contains("Exchange SinglePartition"),
+      s"global rank funnels one partition:\n${pr.take(3000)}")
+    // and the w-window pair join must ride the exploded-offset EQUI-join,
+    // never a rank-BETWEEN nested loop
     val p = planOf(Queries.d235SortedNeighborhood(spark, d))
       .split("== Initial Plan ==").head
-    // the whole point of globalPrefixSum is that the total order costs a
-    // RANGE partition, not Exchange SinglePartition; and the w-window
-    // must ride the exploded-offset EQUI-join, never a rank-BETWEEN
-    // nested loop
-    assert(!p.contains("Exchange SinglePartition"),
-      s"d235 funnels the corpus through one partition:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"d235 window join degenerated to a range join:\n${p.take(3000)}")
   }
