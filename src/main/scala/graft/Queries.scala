@@ -4952,6 +4952,8 @@ object Queries {
     "d236_stream_curation" ->
       (graft.streaming.StreamingBattery.d236StreamCuration _),
     "d237_jaro_linkage" -> (d237JaroLinkage _),
+    "d238_stream_packing" ->
+      (graft.streaming.StreamingBattery.d238StreamPacking _),
   )
 
   /** ONE definition for the clamped-balance oracle — d202 (batch
@@ -5025,6 +5027,19 @@ object Queries {
        | FROM qual GROUP BY 1),
        |fc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clean
        | FROM clean GROUP BY 1)""".stripMargin
+
+  /** ONE definition for the shard-packing oracle — d59 (batch window
+    * plan) and d238 (streaming cumulative-token state) must stay on the
+    * identical SQL, same contract as [[balanceOracleSql]].
+    */
+  private lazy val packOracleSql: String =
+    s"""WITH t AS (SELECT source, doc_id, len($toksSql) AS ntok FROM documents),
+       |c AS (SELECT source, doc_id, ntok,
+       |  SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t)
+       |SELECT source, CAST((cum - ntok) // 512 AS BIGINT) AS bin_id,
+       | CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+       | CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(MAX(doc_id) AS BIGINT) AS last_doc
+       |FROM c GROUP BY 1, 2""".stripMargin
 
   /** ONE definition for the sequential-decision oracle — d231 (batch
     * first-crossing windows) and d232 (streaming absorbing-walk state)
@@ -5597,14 +5612,7 @@ object Queries {
          |SELECT a.doc_id, a.lang, a.source FROM t a
          |WHERE a.doc_id % 5 = 4 AND NOT EXISTS (
          | SELECT 1 FROM t b WHERE b.doc_id % 5 <> 4 AND b.k = a.k)""".stripMargin,
-    "d59_pack_sequences" ->
-      s"""WITH t AS (SELECT source, doc_id, len($toksSql) AS ntok FROM documents),
-         |c AS (SELECT source, doc_id, ntok,
-         |  SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t)
-         |SELECT source, CAST((cum - ntok) // 512 AS BIGINT) AS bin_id,
-         | CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
-         | CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(MAX(doc_id) AS BIGINT) AS last_doc
-         |FROM c GROUP BY 1, 2""".stripMargin,
+    "d59_pack_sequences" -> packOracleSql,
     "d60_gopher_filter" -> gopherOracleSql,
     "d61_tfidf" ->
       s"""WITH terms AS (SELECT doc_id, unnest($toksLowerSql) AS term FROM documents),
@@ -8093,5 +8101,6 @@ object Queries {
          | FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id)
          |SELECT a_id, b_id, ROUND(jw, 6) AS jw
          |FROM cand WHERE jw >= 0.9""".stripMargin,
+    "d238_stream_packing" -> packOracleSql,
   )
 }

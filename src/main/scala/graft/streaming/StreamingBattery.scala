@@ -982,6 +982,41 @@ object StreamingBattery {
     } finally deleteRecursively(root)
   }
 
+  /** Streaming sequence packing, oracle-gated: the SEVENTH
+    * order-sensitive state row ([[StreamingOps.packStream]] — one Long
+    * of cumulative-token state per source). Docs are staged in doc_id
+    * order, so the incremental bin assignment must land every doc in
+    * the SAME shard as batch d59's window plan — the shared packing
+    * oracle proves it bin for bin, which is the property that lets a
+    * standing ingest append to training shards a from-scratch re-pack
+    * would reproduce.
+    */
+  def d238StreamPacking(s: SparkSession, d: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val sp = s; import sp.implicits._
+    val root = Files.createTempDirectory("graft-stream-pack")
+    try {
+      val in = root.resolve("in"); Files.createDirectories(in)
+      val docs = Tables.documents(s, d)
+        .select(col("source"), expr("CAST(doc_id AS BIGINT)").as("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+        .localCheckpoint() // feeds 3 slice writes + the spanning census
+      stageTimeSlices(docs, "doc_id", "source", root, in)
+      val src = s.readStream
+        .schema(s.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+        .as[(String, Long, Long)]
+      val packed = StreamingOps.packStream(src, budget = 512L)
+        .toDF("source", "doc_id", "n_tokens", "bin_id")
+      runToTable(s, packed)
+        .groupBy(col("source"), expr("CAST(bin_id AS BIGINT)").as("bin_id"))
+        .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_docs"),
+          expr("CAST(SUM(n_tokens) AS BIGINT)").as("sum_tokens"),
+          expr("CAST(MIN(doc_id) AS BIGINT)").as("first_doc"),
+          expr("CAST(MAX(doc_id) AS BIGINT)").as("last_doc"))
+    } finally deleteRecursively(root)
+  }
+
   /** Streaming curation funnel, oracle-gated: the ingest-side twin of
     * the batch composition capstone (d228's first four stages), counted
     * in ONE stateful pass ([[StreamingOps.curationFunnelStream]] —

@@ -767,6 +767,42 @@ object StreamingOps {
       }
   }
 
+  /** Streaming sequence packing — the SEVENTH order-sensitive state row:
+    * an incremental shard packer that assigns arriving docs to
+    * token-budget bins exactly as the batch window plan
+    * ([[graft.operators.ScaleOps.packSequences]]: bin = exclusive
+    * running token sum div budget) would, with ONE Long of state per
+    * stream (the cumulative token count). Correctness rests on
+    * tie-ordered arrival (in-batch (tie) sort, caller-ordered batches —
+    * the [[balanceStream]] contract); then state equals the batch plan's
+    * exclusive prefix at every row and shard N is the SAME shard a
+    * from-scratch re-pack would build — the mid-training-restart
+    * property, maintained incrementally. No flush sentinel: every row's
+    * bin is decided on arrival.
+    *
+    * Input: (stream, tie, ntok). Output: (stream, tie, ntok, bin).
+    */
+  def packStream(input: Dataset[(String, Long, Long)], budget: Long)
+      : Dataset[(String, Long, Long, Long)] = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val session = input.sparkSession
+    import session.implicits._
+    input.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, tie, ntok) =>
+            val bin = cum / budget
+            cum += ntok
+            (key, tie, ntok, bin)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** Streaming curation funnel — the ingest-side twin of the batch
     * composition capstone (battery d228's first four stages): arriving
     * docs are counted at every funnel boundary in ONE stateful pass.

@@ -551,6 +551,41 @@ class StreamingBatterySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("d238 streaming packer == batch d59 window plan, bin for bin") {
+    val got = graft.streaming.StreamingBattery.d238StreamPacking(spark, sf)
+    val want = Queries.d59PackSequences(spark, sf)
+      .select(col("source"), expr("CAST(bin_id AS BIGINT)").as("bin_id"),
+        col("n_docs"), col("sum_tokens"), col("first_doc"), col("last_doc"))
+    assertSameRows(got, want)
+    // teeth: some source must fill >1 bin, or the budget never bound
+    assert(got.groupBy("source").count().filter(col("count") > 1)
+      .count() > 0, "every source fit one bin: budget untested")
+  }
+
+  test("packStream carries the running token count across micro-batches (MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val out = graft.streaming.StreamingOps.packStream(mem.toDS(), budget = 100L)
+    val sink = s"pack_mem_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // batch 1: 60 + 30 tokens -> both bin 0, cum 90
+      mem.addData(("s", 1L, 60L), ("s", 2L, 30L))
+      q.processAllAvailable()
+      // batch 2: starts at the REMEMBERED 90 -> bin 0; next at 130 -> bin 1
+      // (a lost cum would restart at 0 and re-pack both into bin 0)
+      mem.addData(("s", 3L, 40L), ("s", 4L, 50L))
+      q.processAllAvailable()
+      val got = s.table(sink).as[(String, Long, Long, Long)].collect()
+        .map(r => r._2 -> r._4).toMap
+      assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L), s"got $got")
+    } finally q.stop()
+  }
+
   test("d213 streaming interval merge == batch d209, span for span") {
     val got = graft.streaming.StreamingBattery
       .d213StreamIntervalMerge(spark, sf)
