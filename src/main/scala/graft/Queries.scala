@@ -2748,6 +2748,37 @@ object Queries {
         when(col("ck") === col("b_ck"), 1L).otherwise(0L).as("is_dup"))
   }
 
+  /** Deterministic shard-payload materialization — the step AFTER d59's
+    * bin assignment: the concatenated text of every shard, hashed. The
+    * trap this row pins shut is Spark's `collect_list`, whose element
+    * ORDER is partition-arrival nondeterministic — a naive
+    * concat-by-collect produces a different payload per run, which for
+    * training shards means non-reproducible data. The fix is the
+    * order-safe idiom: collect (doc_id, text) STRUCTS, `array_sort`
+    * (struct ordering leads with doc_id), then project and join — the
+    * payload md5 is then run-stable and hash-checks against DuckDB's
+    * `string_agg(... ORDER BY doc_id)`. Scale: one source shuffle for
+    * the bins (the d59 plan) and one (source, bin) shuffle for the
+    * aggregation; a shard's payload must fit one reducer row, which is
+    * what the 512-token budget guarantees by construction. Scope: docs
+    * with non-NULL text (string_agg skips NULLs, Spark struct sort
+    * cannot — one explicit filter on both engines instead of divergent
+    * NULL behavior).
+    */
+  def d239ShardText(s: SparkSession, d: String): DataFrame = {
+    val packed = graft.operators.ScaleOps.packSequences(
+      Tables.documents(s, d).filter(col("text").isNotNull),
+      "source", "doc_id",
+      TextFunctions.tokenCount(col("text")).cast("long"), budget = 512)
+    packed
+      .groupBy(col("source"), expr("CAST(bin_id AS BIGINT)").as("bin_id"))
+      .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_docs"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), "\n")).as("payload_md5"),
+        expr("CAST(SUM(length(text)) AS BIGINT)").as("n_chars"))
+  }
+
   /** Fuzzy record linkage by Jaro–Winkler — the EDIT-pattern comparator
     * the token-set keys (d212/d235) can't express: two titles that
     * transpose or misspell characters inside tokens score high on JW
@@ -4954,6 +4985,7 @@ object Queries {
     "d237_jaro_linkage" -> (d237JaroLinkage _),
     "d238_stream_packing" ->
       (graft.streaming.StreamingBattery.d238StreamPacking _),
+    "d239_shard_text" -> (d239ShardText _),
   )
 
   /** ONE definition for the clamped-balance oracle — d202 (batch
@@ -8102,5 +8134,17 @@ object Queries {
          |SELECT a_id, b_id, ROUND(jw, 6) AS jw
          |FROM cand WHERE jw >= 0.9""".stripMargin,
     "d238_stream_packing" -> packOracleSql,
+    "d239_shard_text" ->
+      s"""WITH t AS (SELECT source, doc_id, text, len($toksSql) AS ntok
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT source, doc_id, text, ntok,
+         |  SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         | FROM t),
+         |b AS (SELECT source, CAST((cum - ntok) // 512 AS BIGINT)
+         |   AS bin_id, doc_id, text FROM c)
+         |SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | md5(string_agg(text, chr(10) ORDER BY doc_id)) AS payload_md5,
+         | CAST(SUM(length(text)) AS BIGINT) AS n_chars
+         |FROM b GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -8,8 +8,8 @@ class BatterySpec extends SparkTestBase {
   test("every oracle entry names a registered query; counts are consistent") {
     val dangling = Queries.oracles.keySet -- Queries.all.keySet
     assert(dangling.isEmpty, s"oracle SQL for unregistered queries: $dangling")
-    assert(Queries.all.size >= 238, s"battery shrank to ${Queries.all.size}")
-    assert(Queries.oracles.size >= 223, s"oracle coverage shrank to ${Queries.oracles.size}")
+    assert(Queries.all.size >= 239, s"battery shrank to ${Queries.all.size}")
+    assert(Queries.oracles.size >= 224, s"oracle coverage shrank to ${Queries.oracles.size}")
   }
 
   test("query names follow the qNN_/dNN_ convention with unique numbers") {
@@ -531,5 +531,42 @@ class BatterySpec extends SparkTestBase {
     val ckOf = titles.map(t => t._1 -> t._4).toMap
     assert(got.exists { case (a, b) => ckOf(a) != ckOf(b) },
       "every JW pair is already an exact token-set dup: fuzzy layer vacuous")
+  }
+
+  test("d239: shard payload md5 equals a doc_id-ordered in-memory concat") {
+    val d = "/root/testdata/sf0.001"
+    val got = Queries.d239ShardText(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    // order matters only in multi-doc bins — they must exist
+    assert(got.values.exists(_._1 > 1), "every bin held one doc: order untested")
+    // independent reference: per (source, bin), docs sorted by doc_id,
+    // joined by \n, hashed with MessageDigest
+    val rows = Tables.documents(spark, d).where("text IS NOT NULL")
+      .selectExpr("source", "CAST(doc_id AS BIGINT) AS doc_id", "text",
+        "CAST(size(filter(split(trim(text), '\\\\s+'), x -> x != '')) AS BIGINT) AS ntok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val recon = collection.mutable.Map.empty[(String, Long),
+      collection.mutable.ListBuffer[(Long, String)]]
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy(_._2).foreach { case (_, id, text, ntok) =>
+        val bin = cum / 512; cum += ntok
+        recon.getOrElseUpdate((src, bin),
+          collection.mutable.ListBuffer.empty) += ((id, text))
+      }
+    }
+    recon.foreach { case (key, buf) =>
+      val payload = buf.sortBy(_._1).map(_._2).mkString("\n")
+      val hash = md.digest(payload.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val (nDocs, gotHash, nChars) = got(key)
+      assert(nDocs == buf.length && gotHash == hash &&
+        nChars == buf.map(_._2.length.toLong).sum,
+        s"shard $key diverged from the ordered reconstruction")
+    }
+    assert(recon.keySet == got.keySet, "bin sets differ")
   }
 }
