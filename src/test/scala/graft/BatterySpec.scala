@@ -563,8 +563,11 @@ class BatterySpec extends SparkTestBase {
       val hash = md.digest(payload.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       val (nDocs, gotHash, nChars) = got(key)
+      // code points, not UTF-16 units — both engines' length() counts
+      // code points, and a supplementary-plane char would split the two
       assert(nDocs == buf.length && gotHash == hash &&
-        nChars == buf.map(_._2.length.toLong).sum,
+        nChars == buf.map(t =>
+          t._2.codePointCount(0, t._2.length).toLong).sum,
         s"shard $key diverged from the ordered reconstruction")
     }
     assert(recon.keySet == got.keySet, "bin sets differ")
