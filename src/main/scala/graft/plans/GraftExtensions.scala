@@ -24,6 +24,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - graft_repetition_stats(tokens)                   → struct<n_tokens,n_distinct,top_bigram>
   *  - graft_mask_spans(tokens, starts, n)              → array<string>
   *  - graft_char_entropy(text)                         → double
+  *  - graft_jaro_winkler(text, text)                   → double
   *  - graft_money_sum(x, scale)  [aggregate]           → decimal(38,scale)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -74,6 +75,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => MaskSpansExpr(args.head, args(1), intLit(args(2), "n"))))
     ext.injectFunction((FunctionIdentifier("graft_char_entropy"), info("graft_char_entropy"),
       (args: Seq[Expression]) => CharEntropyExpr(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_jaro_winkler"), info("graft_jaro_winkler"),
+      (args: Seq[Expression]) => JaroWinklerExpr(args.head, args(1))))
     // aggregate: the analyzer wraps a bare AggregateFunction from a SQL
     // builder in its AggregateExpression
     ext.injectFunction((FunctionIdentifier("graft_money_sum"), info("graft_money_sum"),

@@ -130,6 +130,9 @@ class SdfExtensionsSpec extends SparkTestBase {
     assert(r9.getSeq[String](0) == Seq("a", "e"))
     val r10 = spark.sql("SELECT graft_char_entropy('aabb') AS e").first()
     assert(math.abs(r10.getDouble(0) - math.log(2.0)) < 1e-12)
+    val r11 = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta') AS j").first()
+    assert(r11.getDouble(0) == 0.9611111111111111) // the DuckDB-exact value
   }
 
   test("SQL functions reject wrong-typed arguments at analysis time") {
