@@ -464,6 +464,29 @@ object Queries {
   /** Multimodal plumbing: synthetic media + stubbed batch feature extraction
     * (no SQL oracle: payloads are xxhash-derived).
     */
+  /** Distributed image resize (box-filter halving) with the exact
+    * floor-sum audit carried as columns: sum_out·4 ≤ sum_in_cropped <
+    * (sum_out + 3·w_out·h_out)·4 per image, all BIGINT. No SQL oracle —
+    * payloads are splitmix64-derived binaries DuckDB cannot decode (the
+    * d33/d34 convention) — so the law rides the row as `law_ok` and the
+    * spec re-verifies it on decoded bytes plus byte-determinism.
+    */
+  def d240ImageResize(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(s, Tables.embeddings(s, d),
+      "vec_id")
+    Multimodal.resizeImages(s, media, factor = 2)
+      .select(col("media_id"),
+        expr("CAST(w_in AS BIGINT)").as("w_in"),
+        expr("CAST(h_in AS BIGINT)").as("h_in"),
+        expr("CAST(w_out AS BIGINT)").as("w_out"),
+        expr("CAST(h_out AS BIGINT)").as("h_out"),
+        col("sum_in_cropped"), col("sum_out"),
+        (col("sum_out") * 4L <= col("sum_in_cropped") &&
+          col("sum_in_cropped") <
+            (col("sum_out") + lit(3L) * col("w_out") * col("h_out")) * 4L)
+          .as("law_ok"))
+  }
+
   def d33MultimodalFeatures(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.syntheticMedia(s, Tables.embeddings(s, d), "vec_id")
     Multimodal.extractFeatures(s, media)
@@ -4986,6 +5009,7 @@ object Queries {
     "d238_stream_packing" ->
       (graft.streaming.StreamingBattery.d238StreamPacking _),
     "d239_shard_text" -> (d239ShardText _),
+    "d240_image_resize" -> (d240ImageResize _),
   )
 
   /** ONE definition for the clamped-balance oracle — d202 (batch

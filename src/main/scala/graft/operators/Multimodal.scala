@@ -312,6 +312,100 @@ object Multimodal {
   /** Frame sampling plan for video rows: every `stride`-th frame index from
     * the metadata — pure expression, no decode needed to *plan* the work.
     */
+  /** Integer box-filter downscale of a PPM payload by `factor`: each
+    * output channel is the FLOOR of the mean of its factor×factor input
+    * block (dimensions truncate to multiples of factor — the standard
+    * crop-to-grid contract; an image smaller than one block yields None).
+    * Exact-integer law pinned by the spec and the battery row:
+    * sumOut·k² ≤ sumIn(cropped) < (sumOut + nOutChannels)·k² with
+    * k² = factor² — the floor loses strictly less than one unit per
+    * output channel. All arithmetic integral, so resized payloads are
+    * byte-reproducible across runs, executors, and platforms — the
+    * property multimodal training plumbing needs from a preprocessing
+    * stage.
+    */
+  private[graft] def resizePpm(img: MediaCodec.PpmImage, factor: Int)
+      : Option[MediaCodec.PpmImage] = {
+    require(factor >= 1, s"factor must be positive: $factor")
+    val w2 = img.width / factor; val h2 = img.height / factor
+    if (w2 == 0 || h2 == 0) None
+    else {
+      val k2 = factor.toLong * factor
+      val out = new Array[Byte](w2 * h2 * 3)
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) {
+          var c = 0
+          while (c < 3) {
+            var s = 0L
+            var dy = 0
+            while (dy < factor) {
+              var dx = 0
+              while (dx < factor) {
+                s += (img.rgb(((y * factor + dy) * img.width +
+                  (x * factor + dx)) * 3 + c) & 0xff)
+                dx += 1
+              }
+              dy += 1
+            }
+            out((y * w2 + x) * 3 + c) = (s / k2).toByte
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some(MediaCodec.PpmImage(w2, h2, out))
+    }
+  }
+
+  /** Distributed image resize: every decodable image row re-encoded at
+    * 1/factor scale, with the exact-integer audit columns the
+    * [[resizePpm]] floor-sum law needs — (media_id, w_in, h_in, w_out,
+    * h_out, sum_in_cropped, sum_out, resized_bytes). Same mapPartitions
+    * batch shape as [[extractFeatures]]; non-images and undecodable
+    * payloads are dropped (census upstream if totals must reconcile).
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame, factor: Int)
+      : DataFrame = {
+    val projected = media.filter(col("media_type") === "image")
+      .select(col("media_id"), col("bytes"))
+    val rdd = projected.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        MediaCodec.decodePpm(r.getAs[Array[Byte]](1)).iterator.flatMap {
+          img =>
+            resizePpm(img, factor).map { small =>
+              val cw = small.width * factor; val ch = small.height * factor
+              var sumIn = 0L
+              var y = 0
+              while (y < ch) {
+                var i = (y * img.width) * 3
+                val end = i + cw * 3
+                while (i < end) { sumIn += (img.rgb(i) & 0xff); i += 1 }
+                y += 1
+              }
+              var sumOut = 0L
+              var j = 0
+              while (j < small.rgb.length) {
+                sumOut += (small.rgb(j) & 0xff); j += 1
+              }
+              Row(id, img.width, img.height, small.width, small.height,
+                sumIn, sumOut, MediaCodec.encodePpm(small))
+            }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("w_in", IntegerType), StructField("h_in", IntegerType),
+      StructField("w_out", IntegerType), StructField("h_out", IntegerType),
+      StructField("sum_in_cropped", LongType),
+      StructField("sum_out", LongType),
+      StructField("resized_bytes", BinaryType))))
+  }
+
   def sampleFrameIndices(media: DataFrame, stride: Int): DataFrame =
     media.filter(col("media_type") === "video")
       .withColumn("frame_idx",

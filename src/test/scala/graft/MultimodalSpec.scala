@@ -138,6 +138,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(once == twice)
   }
 
+  test("resize: floor-sum law, dims, uniform invariance, byte determinism") {
+    import graft.operators.{MediaCodec, Multimodal}
+    val media = Multimodal.syntheticMedia(spark,
+      Tables.embeddings(spark, "/root/testdata/sf0.001"), "vec_id")
+    val out = Multimodal.resizeImages(spark, media, factor = 2).collect()
+    assert(out.nonEmpty, "no image row resized")
+    out.foreach { r =>
+      val (wIn, hIn, wOut, hOut) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      val (sumIn, sumOut) = (r.getLong(5), r.getLong(6))
+      assert(wOut == wIn / 2 && hOut == hIn / 2)
+      // the exact floor-sum law: floor loses < 1 per output channel
+      assert(sumOut * 4 <= sumIn && sumIn < (sumOut + 3L * wOut * hOut) * 4,
+        s"floor-sum law broken for media ${r.getLong(0)}")
+      // the resized payload is a real decodable PPM with the stated dims
+      val img = MediaCodec.decodePpm(r.getAs[Array[Byte]](7)).get
+      assert(img.width == wOut && img.height == hOut)
+    }
+    // byte determinism: a second run must produce identical payloads
+    val again = Multimodal.resizeImages(spark, media, factor = 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](7).toSeq).toMap
+    out.foreach { r =>
+      assert(again(r.getLong(0)) == r.getAs[Array[Byte]](7).toSeq,
+        "resize bytes differ across runs: not reproducible")
+    }
+    // uniform image stays uniform at the same color (exact mean of equal
+    // values), and a sub-block image yields None
+    val uni = MediaCodec.PpmImage(4, 4, Array.fill(4 * 4 * 3)(77.toByte))
+    val small = Multimodal.resizePpm(uni, 2).get
+    assert(small.rgb.forall(_ == 77.toByte), "uniform image changed color")
+    assert(Multimodal.resizePpm(MediaCodec.PpmImage(1, 1,
+      Array.fill(3)(0.toByte)), 2).isEmpty, "sub-block image must drop")
+    // odd dims crop to the block grid: 5x3 at k=2 -> 2x1
+    val odd = MediaCodec.PpmImage(5, 3,
+      Array.tabulate(5 * 3 * 3)(i => (i % 251).toByte))
+    val cropped = Multimodal.resizePpm(odd, 2).get
+    assert(cropped.width == 2 && cropped.height == 1)
+  }
+
   test("dHash: deterministic, perturbation-stable within the battery budget, discriminating") {
     val imgs = media().filter(col("media_type") === "image")
     val hashes = Multimodal.imageDHashes(spark, imgs)
