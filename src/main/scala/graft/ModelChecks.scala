@@ -470,6 +470,60 @@ object ModelChecks {
   }
 
   // ---------------------------------------------------------------------
+  // d241: resize floor-sum law + reproducibility (checks d240)
+  // ---------------------------------------------------------------------
+
+  /** Resize verification with a DRIVER-VISIBLE oracle (the d135
+    * convention): every image row must resize (generator dims are
+    * ≥ 16 px, so one k=2 block always fits), land at the halved dims,
+    * satisfy the exact floor-sum law, and produce BYTE-IDENTICAL output
+    * on a second in-task resize — the reproducibility contract d240's
+    * docstring claims. The oracle pins n_images to the id-mod-3 census
+    * DuckDB computes from embeddings and every violation counter to
+    * zero.
+    */
+  def d241CheckResize(s: SparkSession, d: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val media = Multimodal.syntheticMedia(s, Tables.embeddings(s, d),
+      "vec_id")
+    val counters = media.filter(col("media_type") === "image")
+      .select(col("media_id"), col("bytes"))
+      .rdd.mapPartitions { it =>
+        var n = 0L; var lawViol = 0L; var dimViol = 0L; var repViol = 0L
+        it.foreach { r =>
+          n += 1
+          MediaCodec.decodePpm(r.getAs[Array[Byte]](1)) match {
+            case None => dimViol += 1
+            case Some(img) =>
+              (Multimodal.resizePpm(img, 2), Multimodal.resizePpm(img, 2)) match {
+                case (Some(x), Some(y)) =>
+                  if (x.width != img.width / 2 || x.height != img.height / 2)
+                    dimViol += 1
+                  val cw = x.width * 2; val ch = x.height * 2
+                  var sumIn = 0L
+                  var yy = 0
+                  while (yy < ch) {
+                    var i = yy * img.width * 3; val end = i + cw * 3
+                    while (i < end) { sumIn += (img.rgb(i) & 0xff); i += 1 }
+                    yy += 1
+                  }
+                  var sumOut = 0L
+                  var j = 0
+                  while (j < x.rgb.length) { sumOut += (x.rgb(j) & 0xff); j += 1 }
+                  if (!(sumOut * 4 <= sumIn &&
+                      sumIn < (sumOut + x.rgb.length) * 4)) lawViol += 1
+                  if (!java.util.Arrays.equals(x.rgb, y.rgb)) repViol += 1
+                case _ => dimViol += 1
+              }
+          }
+        }
+        Iterator((n, lawViol, dimViol, repViol))
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+    Seq(counters).toDF("n_images", "law_violations", "dim_violations",
+      "repro_violations")
+  }
+
+  // ---------------------------------------------------------------------
   // d134: deterministic stratified sampling bounds (checks d55)
   // ---------------------------------------------------------------------
 

@@ -5010,6 +5010,7 @@ object Queries {
       (graft.streaming.StreamingBattery.d238StreamPacking _),
     "d239_shard_text" -> (d239ShardText _),
     "d240_image_resize" -> (d240ImageResize _),
+    "d241_check_resize" -> (ModelChecks.d241CheckResize _),
   )
 
   /** ONE definition for the clamped-balance oracle — d202 (batch
@@ -8158,6 +8159,13 @@ object Queries {
          |SELECT a_id, b_id, ROUND(jw, 6) AS jw
          |FROM cand WHERE jw >= 0.9""".stripMargin,
     "d238_stream_packing" -> packOracleSql,
+    "d241_check_resize" ->
+      """SELECT CAST(SUM(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_images,
+        | CAST(0 AS BIGINT) AS law_violations,
+        | CAST(0 AS BIGINT) AS dim_violations,
+        | CAST(0 AS BIGINT) AS repro_violations
+        |FROM embeddings""".stripMargin,
     "d239_shard_text" ->
       s"""WITH t AS (SELECT source, doc_id, text, len($toksSql) AS ntok
          |  FROM documents WHERE text IS NOT NULL),

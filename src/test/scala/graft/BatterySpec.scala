@@ -8,8 +8,8 @@ class BatterySpec extends SparkTestBase {
   test("every oracle entry names a registered query; counts are consistent") {
     val dangling = Queries.oracles.keySet -- Queries.all.keySet
     assert(dangling.isEmpty, s"oracle SQL for unregistered queries: $dangling")
-    assert(Queries.all.size >= 240, s"battery shrank to ${Queries.all.size}")
-    assert(Queries.oracles.size >= 224, s"oracle coverage shrank to ${Queries.oracles.size}")
+    assert(Queries.all.size >= 241, s"battery shrank to ${Queries.all.size}")
+    assert(Queries.oracles.size >= 225, s"oracle coverage shrank to ${Queries.oracles.size}")
   }
 
   test("query names follow the qNN_/dNN_ convention with unique numbers") {
