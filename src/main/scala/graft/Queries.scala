@@ -2802,6 +2802,32 @@ object Queries {
         expr("CAST(SUM(length(text)) AS BIGINT)").as("n_chars"))
   }
 
+  /** Deterministic per-epoch shard shuffle — the training-loop step
+    * after packing (d59/d238) and payload materialization (d239): each
+    * epoch reads the shards in a DIFFERENT but REPRODUCIBLE order, so a
+    * mid-epoch restart resumes at a known position and two runs of the
+    * same config consume identical sequences. Position = rank of
+    * md5(epoch:source:bin) within the epoch — the md5 gate convention
+    * the sampling rows established, so both engines rank the identical
+    * keys. The window partitions by EPOCH (never un-partitioned; shards
+    * per epoch are census-sized, and at 100 TB the rank would ride
+    * globalPrefixSum per epoch exactly like d206).
+    */
+  def d242EpochShuffle(s: SparkSession, d: String): DataFrame = {
+    val shards = d59PackSequences(s, d).select(col("source"), col("bin_id"))
+    val epochs = s.range(1, 4).select(col("id").as("epoch"))
+    val keyed = shards.crossJoin(epochs)
+      .withColumn("__k", md5(concat_ws(":", col("epoch"), col("source"),
+        col("bin_id"))))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"))
+          .orderBy(col("__k"), col("source"), col("bin_id"))))
+      .select(expr("CAST(epoch AS BIGINT)").as("epoch"),
+        expr("CAST(pos AS BIGINT)").as("pos"),
+        col("source"), expr("CAST(bin_id AS BIGINT)").as("bin_id"))
+  }
+
   /** Fuzzy record linkage by Jaro–Winkler — the EDIT-pattern comparator
     * the token-set keys (d212/d235) can't express: two titles that
     * transpose or misspell characters inside tokens score high on JW
@@ -5011,6 +5037,7 @@ object Queries {
     "d239_shard_text" -> (d239ShardText _),
     "d240_image_resize" -> (d240ImageResize _),
     "d241_check_resize" -> (ModelChecks.d241CheckResize _),
+    "d242_epoch_shuffle" -> (d242EpochShuffle _),
   )
 
   /** ONE definition for the clamped-balance oracle — d202 (batch
@@ -8159,6 +8186,23 @@ object Queries {
          |SELECT a_id, b_id, ROUND(jw, 6) AS jw
          |FROM cand WHERE jw >= 0.9""".stripMargin,
     "d238_stream_packing" -> packOracleSql,
+    "d242_epoch_shuffle" ->
+      s"""WITH t AS (SELECT source, doc_id, len($toksSql) AS ntok
+         |  FROM documents),
+         |c AS (SELECT source, doc_id, ntok, SUM(ntok) OVER (
+         |  PARTITION BY source ORDER BY doc_id) AS cum FROM t),
+         |sh AS (SELECT DISTINCT source,
+         |  CAST((cum - ntok) // 512 AS BIGINT) AS bin_id FROM c),
+         |e AS (SELECT UNNEST(range(1, 4)) AS epoch),
+         |k AS (SELECT epoch, source, bin_id,
+         |  md5(CAST(epoch AS VARCHAR) || ':' || source || ':' ||
+         |    CAST(bin_id AS VARCHAR)) AS kk
+         | FROM sh, e)
+         |SELECT CAST(epoch AS BIGINT) AS epoch,
+         | CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+         |   ORDER BY kk, source, bin_id) AS BIGINT) AS pos,
+         | source, bin_id
+         |FROM k""".stripMargin,
     "d241_check_resize" ->
       """SELECT CAST(SUM(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END)
         |  AS BIGINT) AS n_images,

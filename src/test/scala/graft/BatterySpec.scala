@@ -8,8 +8,8 @@ class BatterySpec extends SparkTestBase {
   test("every oracle entry names a registered query; counts are consistent") {
     val dangling = Queries.oracles.keySet -- Queries.all.keySet
     assert(dangling.isEmpty, s"oracle SQL for unregistered queries: $dangling")
-    assert(Queries.all.size >= 241, s"battery shrank to ${Queries.all.size}")
-    assert(Queries.oracles.size >= 225, s"oracle coverage shrank to ${Queries.oracles.size}")
+    assert(Queries.all.size >= 242, s"battery shrank to ${Queries.all.size}")
+    assert(Queries.oracles.size >= 226, s"oracle coverage shrank to ${Queries.oracles.size}")
   }
 
   test("query names follow the qNN_/dNN_ convention with unique numbers") {
@@ -531,6 +531,30 @@ class BatterySpec extends SparkTestBase {
     val ckOf = titles.map(t => t._1 -> t._4).toMap
     assert(got.exists { case (a, b) => ckOf(a) != ckOf(b) },
       "every JW pair is already an exact token-set dup: fuzzy layer vacuous")
+  }
+
+  test("d242: each epoch is a full permutation; epochs genuinely differ; reruns agree") {
+    val d = "/root/testdata/sf0.001"
+    val got = Queries.d242EpochShuffle(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byEpoch = got.groupBy(_._1)
+    assert(byEpoch.keySet == Set(1L, 2L, 3L))
+    val shardSet = byEpoch(1L).map(t => (t._3, t._4)).toSet
+    byEpoch.foreach { case (e, rows) =>
+      // complete permutation: positions are exactly 1..n over the same set
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq,
+        s"epoch $e positions are not a contiguous rank")
+      assert(rows.map(t => (t._3, t._4)).toSet == shardSet,
+        s"epoch $e shard set drifted")
+    }
+    // the shuffles must actually differ epoch to epoch (md5 re-keys)
+    def order(e: Long) = byEpoch(e).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+    assert(order(1L) != order(2L) && order(2L) != order(3L),
+      "epochs produced identical orders: the per-epoch key is dead")
+    // and reruns reproduce the identical sequences (restart contract)
+    val again = Queries.d242EpochShuffle(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(again.sorted.toSeq == got.sorted.toSeq, "rerun diverged")
   }
 
   test("d239: shard payload md5 equals a doc_id-ordered in-memory concat") {
