@@ -38,7 +38,7 @@ object Bench {
         hit
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val repTimes = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -54,12 +54,23 @@ object Bench {
             None // a failed rep must NOT contribute a bogus-fast wall time
         }
       }
-      // all reps failed -> -1.0 sentinel: unmistakably broken in the
-      // baseline, never a silently-improved total
+      name -> times
+    }
+    // all reps failed -> -1.0 sentinel: unmistakably broken in the
+    // baseline, never a silently-improved total
+    val results = repTimes.map { case (name, times) =>
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // every rep's raw wall per row, so the artifact itself distinguishes
+    // box drift (one slow rep, one quiet rep) from a real regression (all
+    // reps slow) — a single-number row can't tell the two apart
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val repsJson = repTimes.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // split three regimes so each trend stays legible across rounds:
     // _check_ rows re-run the operator under test PLUS an independent
@@ -74,7 +85,7 @@ object Bench {
     val streamTotal = streamRows.map(_._2).sum
     val checksTotal = checkRows.map(_._2).sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","operators_sec":$opsTotal,"streaming_sec":$streamTotal,"verification_sec":$checksTotal,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps_per_query":$reps,"operators_sec":$opsTotal,"streaming_sec":$streamTotal,"verification_sec":$checksTotal,"rep_times":$repsJson,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // The driver's tail capture clipped the single ~6 KB line from the FRONT
     // in r2 and r3 ("parsed": null in BENCH_r*.json), losing the totals. So:

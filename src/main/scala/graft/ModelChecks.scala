@@ -476,27 +476,42 @@ object ModelChecks {
   /** Resize verification with a DRIVER-VISIBLE oracle (the d135
     * convention): every image row must resize (generator dims are
     * ≥ 16 px, so one k=2 block always fits), land at the halved dims,
-    * satisfy the exact floor-sum law, and produce BYTE-IDENTICAL output
-    * on a second in-task resize — the reproducibility contract d240's
-    * docstring claims. The oracle pins n_images to the id-mod-3 census
-    * DuckDB computes from embeddings and every violation counter to
-    * zero.
+    * satisfy the exact floor-sum law, and reproduce BYTE-IDENTICALLY
+    * across TWO INDEPENDENT SPARK JOBS — the second pass repartitions the
+    * corpus (different task boundaries, different executor threads,
+    * different in-task row order) and its order-independent digest of
+    * every resized byte array must equal the first pass's. That is the
+    * reproducibility contract d240's docstring claims, exercised for
+    * real: a same-task double call would compare a pure function against
+    * itself and could never fail. (Cross-PLATFORM determinism — the
+    * integer-only box filter — is argued by construction in
+    * Multimodal.resizePpm's scaladoc; one container can't execute two
+    * platforms.) The oracle pins n_images to the id-mod-3 census DuckDB
+    * computes from embeddings and every violation counter to zero.
     */
   def d241CheckResize(s: SparkSession, d: String): DataFrame = {
     val sp = s; import sp.implicits._
     val media = Multimodal.syntheticMedia(s, Tables.embeddings(s, d),
-      "vec_id")
-    val counters = media.filter(col("media_type") === "image")
+        "vec_id")
+      .filter(col("media_type") === "image")
       .select(col("media_id"), col("bytes"))
-      .rdd.mapPartitions { it =>
-        var n = 0L; var lawViol = 0L; var dimViol = 0L; var repViol = 0L
+    // one pass = (n, law violations, dim violations, digest): the digest
+    // folds an FNV-1a hash of each image's RESIZED bytes (keyed by
+    // media_id so a swap of two outputs can't cancel) with +, which is
+    // commutative — the digest depends only on the id→bytes mapping,
+    // never on partitioning or row order, so two partitionings of a
+    // deterministic resize MUST agree
+    def pass(df: org.apache.spark.sql.DataFrame): (Long, Long, Long, Long) =
+      df.rdd.mapPartitions { it =>
+        var n = 0L; var lawViol = 0L; var dimViol = 0L; var digest = 0L
         it.foreach { r =>
           n += 1
+          val id = r.getLong(0)
           MediaCodec.decodePpm(r.getAs[Array[Byte]](1)) match {
             case None => dimViol += 1
             case Some(img) =>
-              (Multimodal.resizePpm(img, 2), Multimodal.resizePpm(img, 2)) match {
-                case (Some(x), Some(y)) =>
+              Multimodal.resizePpm(img, 2) match {
+                case Some(x) =>
                   if (x.width != img.width / 2 || x.height != img.height / 2)
                     dimViol += 1
                   val cw = x.width * 2; val ch = x.height * 2
@@ -512,15 +527,26 @@ object ModelChecks {
                   while (j < x.rgb.length) { sumOut += (x.rgb(j) & 0xff); j += 1 }
                   if (!(sumOut * 4 <= sumIn &&
                       sumIn < (sumOut + x.rgb.length) * 4)) lawViol += 1
-                  if (!java.util.Arrays.equals(x.rgb, y.rgb)) repViol += 1
-                case _ => dimViol += 1
+                  var h = 0xcbf29ce484222325L ^ id
+                  var b = 0
+                  while (b < x.rgb.length) {
+                    h ^= (x.rgb(b) & 0xffL); h *= 0x100000001b3L; b += 1
+                  }
+                  digest += h
+                case None => dimViol += 1
               }
           }
         }
-        Iterator((n, lawViol, dimViol, repViol))
+        Iterator((n, lawViol, dimViol, digest))
       }.reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
-    Seq(counters).toDF("n_images", "law_violations", "dim_violations",
-      "repro_violations")
+    val (n, lawViol, dimViol, digest1) = pass(media)
+    // second independent job: prime-count hash repartition scrambles which
+    // task resizes which image and in what order
+    val (n2, _, _, digest2) = pass(media.repartition(7, col("media_id")))
+    val repViol = (if (digest1 != digest2) 1L else 0L) +
+      (if (n != n2) 1L else 0L)
+    Seq((n, lawViol, dimViol, repViol)).toDF("n_images", "law_violations",
+      "dim_violations", "repro_violations")
   }
 
   // ---------------------------------------------------------------------

@@ -1764,12 +1764,22 @@ object Queries {
     * [cum − qty, cum) of its queue, and demand row d consumes from
     * supply row s exactly where their intervals overlap:
     * alloc = min(hi) − max(lo). No per-unit explosion, no recursion:
-    * two windowed prefix sums and ONE equi-join on l_partkey with a
-    * residual overlap filter — and per key the matching is LINEAR
-    * (segments interleave, pairs ≤ n_supply + n_demand − 1), so the
-    * output is corpus-sized, not quadratic. Quantities ride as exact
-    * DECIMAL(18,2)×100 BIGINTs. Unmatched tails (supply past total
-    * demand and vice versa) drop via the strict inequalities.
+    * two windowed prefix sums and one equi-join — and the OUTPUT is
+    * linear per key (segments interleave, pairs ≤ n_supply + n_demand
+    * − 1), so it is corpus-sized, not quadratic. The join itself is
+    * BANDED so the candidate set is interval-local too: each interval
+    * explodes into the coarse cumulative-quantity bands it spans
+    * (width 65536 centi-units ≈ 26 average rows, explode factor
+    * ~1.04×), the equi-join runs on (l_partkey, band), and each
+    * overlapping pair is counted exactly once in the band containing
+    * its overlap start max(lo) — which both intervals span whenever
+    * they overlap, so banding loses nothing. A hot part with n rows
+    * per queue thus enumerates per-band candidates (≈ band occupancy²,
+    * a constant) instead of the n² a bare l_partkey join would scan
+    * before the overlap filter. Quantities ride as exact
+    * DECIMAL(18,2)×100 BIGINTs (lo ≥ 0, so DIV is floor division on
+    * both engines). Unmatched tails (supply past total demand and vice
+    * versa) drop via the strict inequalities.
     */
   def d205FifoMatch(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
@@ -1785,16 +1795,24 @@ object Queries {
         .withColumn("hi", sum(col("qty_c")).over(w))
         .withColumn("lo", col("hi") - col("qty_c"))
     }
+    // band width 65536 centi-units; intervals are half-open [lo, hi) with
+    // qty_c >= 100, so hi-1 >= lo and the sequence is never empty
+    val bandOf = "DIV 65536"
     val demand = queue(0).select(col("l_partkey"),
       col("l_orderkey").as("d_orderkey"),
       col("l_linenumber").as("d_linenumber"),
-      col("lo").as("d_lo"), col("hi").as("d_hi"))
+      col("lo").as("d_lo"), col("hi").as("d_hi"),
+      explode(expr(s"sequence(lo $bandOf, (hi - 1) $bandOf)")).as("band"))
     val supply = queue(1).select(col("l_partkey"),
       col("l_orderkey").as("s_orderkey"),
       col("l_linenumber").as("s_linenumber"),
-      col("lo").as("s_lo"), col("hi").as("s_hi"))
-    demand.join(supply, Seq("l_partkey"))
+      col("lo").as("s_lo"), col("hi").as("s_hi"),
+      explode(expr(s"sequence(lo $bandOf, (hi - 1) $bandOf)")).as("band"))
+    demand.join(supply, Seq("l_partkey", "band"))
       .filter(col("s_lo") < col("d_hi") && col("d_lo") < col("s_hi"))
+      // exactly-once: count the pair only in the band of its overlap start
+      // (both intervals span max(lo) whenever they overlap)
+      .filter(col("band") === expr(s"greatest(d_lo, s_lo) $bandOf"))
       .select(expr("CAST(l_partkey AS BIGINT)").as("l_partkey"),
         expr("CAST(d_orderkey AS BIGINT)").as("d_orderkey"),
         expr("CAST(d_linenumber AS BIGINT)").as("d_linenumber"),
@@ -2494,9 +2512,11 @@ object Queries {
     * cost of ONE pass × 32 map-side copies and a 32-group aggregate.
     */
   def d225PoissonBootstrap(s: SparkSession, d: String): DataFrame = {
-    val wExpr = PoissonThresholds.map(t =>
-      s"CAST(CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), " +
-        s"'~', CAST(b AS STRING))), 1, 6), 16, 10) AS BIGINT) >= $t AS INT)")
+    // the md5 uniform is hoisted into ONE named column (`u`) and the eight
+    // threshold comparisons read it — the weight is exactly one md5 per
+    // (row, replicate) regardless of Spark's common-subexpression behavior
+    // (the 8x-inlined form relied on CSE to collapse the copies)
+    val wExpr = PoissonThresholds.map(t => s"CAST(u >= $t AS INT)")
       .mkString(" + ")
     Tables.orders(s, d)
       .select(col("o_orderkey"),
@@ -2504,6 +2524,9 @@ object Queries {
           .as("cents"))
       .select(col("o_orderkey"), col("cents"),
         explode(expr("sequence(0, 31)")).as("b"))
+      .withColumn("u",
+        expr("CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), " +
+          "'~', CAST(b AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
       .withColumn("w", expr(s"CAST($wExpr AS BIGINT)"))
       .groupBy(col("b"))
       .agg(sum(col("w")).as("n_eff"),

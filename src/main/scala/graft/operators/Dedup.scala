@@ -645,6 +645,15 @@ object Dedup {
     * (d73). Fingerprint SET semantics make equal-hash-in-window ties
     * irrelevant — either position keeps the same hash VALUE.
     *
+    * Deliberate deviation from strict MOSS: the rowsBetween(current,
+    * w-1) window includes the PARTIAL tail windows (the last w − 1 gram
+    * positions), so the final gram's hash is always selected — a
+    * SUPERSET of the full-windows-only selection rule, inflating
+    * postings slightly versus the ~1/w subsampling bound but never
+    * weakening the ≥ w + k − 1 run guarantee (supersets only add
+    * matches). The d224 oracle mirrors the same tail-inclusive window,
+    * so engine and oracle cannot drift on it.
+    *
     * Output: (idCol, fp). Map-side per doc (one partitioned window);
     * no shuffle beyond the id partition.
     */

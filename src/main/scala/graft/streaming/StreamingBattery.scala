@@ -1090,6 +1090,11 @@ object StreamingBattery {
     * .merkleSummary]] of the full table — the shared oracle
     * (merkleBaseSummarySql, also the base half of d218's diff) proves
     * it. Input rides the shared [[Queries.ordersMerkleBase]] derivation.
+    * foreachBatch is AT-LEAST-ONCE, so the fold is guarded on batchId:
+    * a retried micro-batch (post-sink-failure replay) is skipped instead
+    * of silently double-merged — the idempotent-sink discipline the
+    * other foreachBatch rows (d170/d183) document, applied to a
+    * driver-held fold.
     */
   def d222StreamMerkle(s: SparkSession, d: String): DataFrame =
       withShufflePartitions(s, 8) {
@@ -1104,15 +1109,21 @@ object StreamingBattery {
           StructField("coarse", LongType), StructField("fine", LongType),
           StructField("n", LongType), StructField("digest", LongType))))
       var nBatches = 0
+      var lastMerged = -1L
       val src = s.readStream.schema(s.read.parquet(in.toString).schema)
         .option("maxFilesPerTrigger", "1").parquet(in.toString)
       val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          nBatches += 1
-          agg = graft.operators.Integrity.mergeSummaries(agg,
-              graft.operators.Integrity.merkleSummary(batch, "o_orderkey",
-                Seq("o_custkey", "o_orderstatus", "cents"), 64L, 16))
-            .localCheckpoint(true)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // at-least-once guard: a replayed batchId must not double-merge
+          // into the driver-held fold (XOR digests would silently cancel)
+          if (batchId > lastMerged) {
+            nBatches += 1
+            agg = graft.operators.Integrity.mergeSummaries(agg,
+                graft.operators.Integrity.merkleSummary(batch, "o_orderkey",
+                  Seq("o_custkey", "o_orderstatus", "cents"), 64L, 16))
+              .localCheckpoint(true)
+            lastMerged = batchId
+          }
           ()
         }
         .option("checkpointLocation", root.resolve("ck").toString)

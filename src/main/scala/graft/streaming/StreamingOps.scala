@@ -857,10 +857,17 @@ object StreamingOps {
     * state: per key the integer walk folds trial by trial until the
     * prefix sum first reaches `hi` (accept) or `lo` (reject); the
     * decision row is emitted AT the crossing and every later trial for
-    * that key is ignored (the absorbed flag persists so a re-opened walk
-    * can't double-decide). A flush sentinel (kind = 1) emits still-open
-    * keys as ('open', n, cum) and REMOVES the key's state either way
-    * (the scd2Stream rule). The batch twin (battery d231) extracts the
+    * that key is ignored (the absorbed flag persists UNTIL THE NEXT
+    * FLUSH, so a walk can't double-decide within a flush epoch). A flush
+    * sentinel (kind = 1) emits still-open keys as ('open', n, cum) and
+    * REMOVES the key's state either way (the scd2Stream rule — flushes
+    * bound the store on unbounded key spaces, decided keys included;
+    * StreamingBatterySpec pins zero state rows after the flush).
+    * Consequence: trials arriving AFTER a key's flush start a fresh walk
+    * that may decide again — a flush is an epoch boundary, not a
+    * tombstone. A deployment that needs absorption across flush epochs
+    * keeps decided keys out of the stream upstream (the d236 seen-flag
+    * pattern) or replaces the remove with a state TTL. The batch twin (battery d231) extracts the
     * same first crossing declaratively from windowed prefix sums; the
     * shared oracle proves them equal. Ordering contract as
     * [[balanceStream]]: in-batch (ts, tie) sort, caller-ordered batches.
