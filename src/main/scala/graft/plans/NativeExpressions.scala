@@ -32,9 +32,16 @@ private[plans] object NativeInputTypes {
   * preference order from the design brief: native Expression > UDF > HOF
   * chain for hot paths).
   *
-  * They are deliberately `CodegenFallback`: the loop itself dominates, and
-  * eval-mode keeps them short. Deterministic: same xxhash64 core Spark's
-  * `xxhash64` uses.
+  * Execution modes: the two hottest (MinHashShingleSigExpr,
+  * JaroWinklerExpr) implement real `doGenCode` — a single static call
+  * into [[ExprKernels]], the SAME body `nullSafeEval` runs, so the modes
+  * cannot drift — which keeps their projections inside one whole-stage
+  * region. Measured at 30× (NOTES, round 6): the boundary conversion is
+  * flat (kernel loop dominates at this scale); kept because it is
+  * drift-free by construction and removes the eval boundary for larger
+  * scales. The remaining expressions stay `CodegenFallback`: none is a
+  * bench bottleneck, and eval-mode keeps them short. Deterministic: same
+  * xxhash64 core Spark's `xxhash64` uses.
   */
 object NativeExpressions {
   def minHashSignature(set: Column, numHashes: Int, seed: Long = 42L): Column =
@@ -254,59 +261,23 @@ case class SimHash64Expr(child: Expression, seed: Long)
   * units, equal to DuckDB's byte-wise walk on ASCII corpora.
   */
 case class JaroWinklerExpr(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[NativeInputTypes.AbstractType] =
     Seq(StringType, StringType)
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val s1 = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-    val s2 = b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-    val j = jaro(s1, s2)
-    if (j <= 0.7) j
-    else {
-      var l = 0
-      val cap = math.min(4, math.min(s1.length, s2.length))
-      while (l < cap && s1.charAt(l) == s2.charAt(l)) l += 1
-      j + l * 0.1 * (1 - j)
-    }
-  }
-  private def jaro(s1: String, s2: String): Double = {
-    if (s1.isEmpty || s2.isEmpty) return 0.0
-    if (s1 == s2) return 1.0
-    val md = math.max(s1.length, s2.length) / 2 - 1
-    val m1 = new Array[Boolean](s1.length)
-    val m2 = new Array[Boolean](s2.length)
-    var m = 0
-    var i = 0
-    while (i < s1.length) {
-      val lo = math.max(0, i - md)
-      val hi = math.min(s2.length, i + md + 1)
-      var j = lo
-      var done = false
-      while (j < hi && !done) {
-        if (!m2(j) && s2.charAt(j) == s1.charAt(i)) {
-          m1(i) = true; m2(j) = true; m += 1; done = true
-        }
-        j += 1
-      }
-      i += 1
-    }
-    if (m == 0) return 0.0
-    var t = 0
-    var k = 0
-    i = 0
-    while (i < s1.length) {
-      if (m1(i)) {
-        while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
-        k += 1
-      }
-      i += 1
-    }
-    t /= 2
-    (m.toDouble / s1.length + m.toDouble / s2.length +
-      (m - t).toDouble / m) / 3
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.jaroWinkler(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  // real codegen (one static call into the SAME kernel eval uses): keeps
+  // the blocked-pair projection fused in one whole-stage region instead
+  // of crossing a CodegenFallback eval boundary per candidate pair
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.ExprKernels.jaroWinkler($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerExpr =
     copy(left = newLeft, right = newRight)
@@ -433,44 +404,20 @@ case class DotProductExpr(left: Expression, right: Expression)
   * TextFunctions.wordShingles' fallback.
   */
 case class MinHashShingleSigExpr(child: Expression, shingleSize: Int, numHashes: Int, seed: Long)
-  extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[NativeInputTypes.AbstractType] = Seq(NativeInputTypes.stringArray)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) {
-      // wordShingles' fallback gives an EMPTY doc one empty shingle; mirror
-      // that (a real signature, not a sentinel) so empty docs still collapse
-      // together and pair as exact duplicates
-      val sh = XXH64.hashUTF8String(
-        org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8, seed)
-      val out = new Array[Long](numHashes)
-      var j = 0
-      while (j < numHashes) { out(j) = XXH64.hashLong(sh, j); j += 1 }
-      return new GenericArrayData(out)
-    }
-    val th = new Array[Long](n)
-    var i = 0
-    while (i < n) { th(i) = XXH64.hashUTF8String(arr.getUTF8String(i), seed); i += 1 }
-    val out = new Array[Long](numHashes)
-    java.util.Arrays.fill(out, Long.MaxValue)
-    val windows = math.max(n - shingleSize + 1, 1)
-    var w = 0
-    while (w < windows) {
-      var sh = th(w)
-      var k = 1
-      while (k < shingleSize && w + k < n) { sh = XXH64.hashLong(th(w + k), sh); k += 1 }
-      var j = 0
-      while (j < numHashes) {
-        val m = XXH64.hashLong(sh, j)
-        if (m < out(j)) out(j) = m
-        j += 1
-      }
-      w += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.minHashShingleSig(
+      input.asInstanceOf[ArrayData], shingleSize, numHashes, seed)
+  // real codegen (one static call into the SAME kernel eval uses): the
+  // signature projection stays inside the scan's whole-stage region
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.ExprKernels.minHashShingleSig($c, $shingleSize, $numHashes, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): MinHashShingleSigExpr =
     copy(child = newChild)
 }
