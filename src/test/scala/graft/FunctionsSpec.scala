@@ -165,4 +165,44 @@ class FunctionsSpec extends SparkTestBase {
     // antipodal vector flips every plane sign → complement bucket
     assert(bs(0) != bs(2))
   }
+
+  test("codegen == kernel: MinHashShingleSig and JaroWinkler agree across execution modes") {
+    // the two hottest expressions implement real doGenCode (one static
+    // call into ExprKernels); this pins the codegen path (the DataFrame
+    // projection, whole-stage compiled) against a direct driver-side
+    // kernel call on identical inputs — bit equality, both expressions
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(s, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull).limit(50)
+      .select(col("doc_id"),
+        TextFunctions.tokens(lower(col("text"))).as("toks"))
+    val viaCodegen = docs
+      .select(col("doc_id"), col("toks"),
+        graft.plans.NativeExpressions
+          .minHashShingleSignature(col("toks"), 3, 32).as("sig"))
+      .collect()
+    assert(viaCodegen.length == 50)
+    viaCodegen.foreach { r =>
+      val toks = r.getSeq[String](1)
+      val direct = graft.plans.ExprKernels.minHashShingleSig(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray),
+        3, 32, 42L).toLongArray().toSeq
+      assert(r.getSeq[Long](2) == direct, s"doc ${r.getLong(0)} signature drift")
+    }
+    val pairs = Seq(("martha", "marhta"), ("DWAYNE", "DUANE"),
+      ("graft", "graft"), ("", "x"), ("abcdefgh", "zyxwvuts"))
+    val viaDf = pairs.toDF("a", "b")
+      .select(graft.plans.NativeExpressions.jaroWinkler(col("a"), col("b")))
+      .collect().map(_.getDouble(0)).toSeq
+    val direct = pairs.map { case (a, b) =>
+      graft.plans.ExprKernels.jaroWinkler(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    }
+    assert(viaDf == direct, s"$viaDf vs $direct")
+    // textbook anchor: martha/marhta = 0.961 (bit value the d237 oracle pins)
+    assert(math.abs(viaDf.head - 0.9611111111111111) < 1e-15)
+  }
 }

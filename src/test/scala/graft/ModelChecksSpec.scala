@@ -124,6 +124,20 @@ class ModelChecksSpec extends SparkTestBase {
       "truncated payload still decodes — the check could never fire")
   }
 
+  test("shared-derivation memo changes nothing: d130 with memo == without") {
+    // the memo is a materialization cache, never a semantic shortcut —
+    // the same check run standalone (memo disabled) must produce the
+    // identical violation counters
+    val withMemo = ModelChecks.d130CheckClusterConsistency(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    ModelChecks.sharedDerivationsEnabled = false
+    try {
+      val without = ModelChecks.d130CheckClusterConsistency(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(withMemo == without, s"$withMemo vs $without")
+    } finally ModelChecks.sharedDerivationsEnabled = true
+  }
+
   test("discrimination: an omitted pair or fabricated pair flips the counters") {
     // the exceptAll machinery must actually catch one-sided differences —
     // guard against a refactor that silently compares a set to itself

@@ -714,6 +714,22 @@ class PlanAuditSpec extends SparkTestBase {
       "pair expansion must stay in-group:\n" + plan.take(3000))
   }
 
+  test("d205: FIFO match joins on (l_partkey, band) — candidates interval-local, not per-part quadratic") {
+    val plan = planOf(Queries.d205FifoMatch(spark, d))
+      .split("== Initial Plan ==").head
+    // the equi-join keys must include the cumulative-quantity band: a bare
+    // l_partkey join enumerates the full demand x supply cross product per
+    // part before the overlap filter (quadratic on hot parts)
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("l_partkey"))
+      .getOrElse(fail("no equi-join on l_partkey found:\n" + plan.take(3000)))
+    assert(joinLine.contains("band"),
+      "join keys must include the band column:\n" + joinLine)
+    // exactly-once banding: the overlap-start dedup filter must survive
+    assert(plan.contains("greatest"),
+      "overlap-start band dedup filter missing:\n" + plan.take(3000))
+  }
+
   test("d221: rendezvous assignment is map-side — no join, no window, one aggregate") {
     val plan = planOf(Queries.d221RendezvousRebalance(spark, d))
       .split("== Initial Plan ==").head

@@ -624,4 +624,18 @@ class StreamingBatterySpec extends SparkTestBase {
         s"flushed key left $stateRows state-store rows behind")
     } finally q.stop()
   }
+
+  test("staged-input memo: a re-run replays the FULL stream fresh (no offset resume)") {
+    // battery rows memoize their staged input per (application, sf dir,
+    // row); the hazard a shared input could introduce is a shared
+    // CHECKPOINT — a resumed query would process zero files and return an
+    // empty (or stale) sink. Running the same order-sensitive row twice in
+    // one session must hit the memo (same staged files) AND still produce
+    // the complete, identical result, proving every run gets a fresh
+    // checkpoint and replays all slices through the stateful operator.
+    val first = graft.streaming.StreamingBattery.d196StreamEwma(spark, sf)
+    val second = graft.streaming.StreamingBattery.d196StreamEwma(spark, sf)
+    assert(first.count() > 0, "first run empty — vacuous")
+    assertSameRows(first, second)
+  }
 }
