@@ -1767,19 +1767,23 @@ object Queries {
     * two windowed prefix sums and one equi-join — and the OUTPUT is
     * linear per key (segments interleave, pairs ≤ n_supply + n_demand
     * − 1), so it is corpus-sized, not quadratic. The join itself is
-    * BANDED so the candidate set is interval-local too: each interval
-    * explodes into the coarse cumulative-quantity bands it spans
-    * (width 65536 centi-units ≈ 26 average rows, explode factor
-    * ~1.04×), the equi-join runs on (l_partkey, band), and each
-    * overlapping pair is counted exactly once in the band containing
-    * its overlap start max(lo) — which both intervals span whenever
-    * they overlap, so banding loses nothing. A hot part with n rows
-    * per queue thus enumerates per-band candidates (≈ band occupancy²,
-    * a constant) instead of the n² a bare l_partkey join would scan
-    * before the overlap filter. Quantities ride as exact
-    * DECIMAL(18,2)×100 BIGINTs (lo ≥ 0, so DIV is floor division on
-    * both engines). Unmatched tails (supply past total demand and vice
-    * versa) drop via the strict inequalities.
+    * BANDED so per-task candidate work is bounded under skew: each
+    * interval explodes into the coarse cumulative-quantity bands it
+    * spans (width 2^20 centi-units ≈ 410 average rows per queue,
+    * explode factor ~1.002×), the equi-join runs on (l_partkey, band),
+    * and each overlapping pair is counted exactly once in the band
+    * containing its overlap start max(lo) — which both intervals span
+    * whenever they overlap, so banding loses nothing. A hot part with
+    * n rows per queue thus enumerates ≈ (n/410)·410² candidates spread
+    * over n/410 band groups (bounded per task) instead of one task
+    * scanning n² — the 30× probe (NOTES round 6) measured the trade:
+    * the explode+dedup costs ~19% on a UNIFORM corpus (11.3 s vs 9.5 s
+    * unbanded for 14.55 M output rows) and buys a per-band work cap a
+    * Zipf-hot part can't blow through; at 100 TB one 1 M-row part is
+    * 10^12 comparisons in a single unbanded task. Quantities ride as
+    * exact DECIMAL(18,2)×100 BIGINTs (lo ≥ 0, so DIV is floor division
+    * on both engines). Unmatched tails (supply past total demand and
+    * vice versa) drop via the strict inequalities.
     */
   def d205FifoMatch(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
@@ -1795,9 +1799,9 @@ object Queries {
         .withColumn("hi", sum(col("qty_c")).over(w))
         .withColumn("lo", col("hi") - col("qty_c"))
     }
-    // band width 65536 centi-units; intervals are half-open [lo, hi) with
+    // band width 2^20 centi-units; intervals are half-open [lo, hi) with
     // qty_c >= 100, so hi-1 >= lo and the sequence is never empty
-    val bandOf = "DIV 65536"
+    val bandOf = "DIV 1048576"
     val demand = queue(0).select(col("l_partkey"),
       col("l_orderkey").as("d_orderkey"),
       col("l_linenumber").as("d_linenumber"),
