@@ -139,8 +139,11 @@ object StreamingBattery {
     * decision matters at 100 TB from the other end: the partition count is
     * frozen into the checkpoint at first start, so a production stream
     * sizes it to PEAK volume up front (and pays the per-batch commit cost
-    * for whatever it picks). Set-and-restore so the battery's batch rows
-    * keep the session default.
+    * for whatever it picks). The battery uses 4 (measured round 6: the
+    * warm per-row wall at 8 was ~15% higher — store load/commit per
+    * partition per batch is the marginal cost at replay volume, and 4
+    * still exercises multi-partition state routing). Set-and-restore so
+    * the battery's batch rows keep the session default.
     */
   private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -213,7 +216,7 @@ object StreamingBattery {
     * mid-replay and the result equals the batch DISTINCT.
     */
   def d120StreamDedup(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     val raw = streamParquet(s, s"$d/events.parquet")
     val src = raw
       .select(col("user_id"), col("event_type"), Tables.tsMs(raw).as("ts_ms"))
@@ -295,7 +298,7 @@ object StreamingBattery {
     * real window so all flush timers fire before AvailableNow terminates.
     */
   def d124StreamStateful(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     val sp = s; import sp.implicits._
     val hour = 3600L * 1000
     val in = stagedInput(s, d, "stateful") { (_, in) =>
@@ -375,7 +378,7 @@ object StreamingBattery {
     * per-batch aggregate-table write a production run would do.
     */
   def d145StreamIncrementalAgg(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val in = stagedInput(s, d, "incagg") { (_, in) =>
@@ -434,7 +437,7 @@ object StreamingBattery {
     * read-back also proves the sink side of exactly-once across restart.
     */
   def d146StreamResume(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     val root = scratch("graft-stream-resume")
     try {
       val in = root.resolve("in"); val sink = root.resolve("out")
@@ -493,7 +496,7 @@ object StreamingBattery {
     * below the watermark node (the d124 hazard, spec-pinned there).
     */
   def d148StreamSessions(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     val sp = s; import sp.implicits._
     val in = stagedInput(s, d, "sessions") { (_, in) =>
       val ev = Tables.events(s, d)
@@ -528,7 +531,7 @@ object StreamingBattery {
     * still buffered, which is exactly the bug class this row pins.
     */
   def d150StreamLeftJoin(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     val sp = s; import sp.implicits._
     val in = stagedInput(s, d, "leftjoin") { (_, in) =>
       val ev = Tables.events(s, d)
@@ -572,7 +575,7 @@ object StreamingBattery {
     * idempotence contract ScaleOpsSpec pins for prefix replay.)
     */
   def d151StreamCdc(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     val base = Tables.orders(s, d).select(col("o_orderkey"),
       col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
     val in = stagedInput(s, d, "cdc") { (_, in) =>
@@ -627,7 +630,7 @@ object StreamingBattery {
     * gated by the d120/d146 census rows.
     */
   def d158StreamConstraints(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     import graft.operators.Constraints
     import graft.operators.Constraints._
     val in = stagedInput(s, d, "constraints") { (_, in) =>
@@ -687,7 +690,7 @@ object StreamingBattery {
     * twin bit-for-bit (same oracle SQL).
     */
   def d170StreamAuc(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val in = stagedInput(s, d, "auc") { (_, in) =>
       Tables.events(s, d)
@@ -737,7 +740,7 @@ object StreamingBattery {
     * d170/d164 convention).
     */
   def d183StreamOhlc(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
       StructField, StructType}
     val in = stagedInput(s, d, "ohlc") { (_, in) =>
@@ -817,7 +820,7 @@ object StreamingBattery {
     * test — a single-batch replay would pass trivially).
     */
   def d196StreamEwma(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     val sp = s; import sp.implicits._
     val in = stagedInput(s, d, "ewma") { (root, in) =>
       val ev = Tables.events(s, d)
@@ -850,7 +853,7 @@ object StreamingBattery {
     * carried-touch state equals the batch window plan.
     */
   def d203StreamAttribution(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     val sp = s; import sp.implicits._
     val in = stagedInput(s, d, "attr") { (root, in) =>
       val ev = Tables.events(s, d)
@@ -892,7 +895,7 @@ object StreamingBattery {
     * plan, run boundary for run boundary.
     */
   def d207StreamScd2(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     val sp = s; import sp.implicits._
     val in = stagedInput(s, d, "scd2") { (root, in) =>
       val o = Queries.orderStatusEvents(s, d)
@@ -932,7 +935,7 @@ object StreamingBattery {
     * batch d209's running-max island plan span for span.
     */
   def d213StreamIntervalMerge(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     val sp = s; import sp.implicits._
     val in = stagedInput(s, d, "imerge") { (root, in) =>
       val spans = Queries.orderServiceSpans(s, d)
@@ -967,7 +970,7 @@ object StreamingBattery {
     * on every row. Per-event output, so no flush sentinel is needed.
     */
   def d214StreamBalance(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     val sp = s; import sp.implicits._
     val in = stagedInput(s, d, "bal") { (root, in) =>
       val ev = Queries.balanceDeltas(s, d).localCheckpoint()
@@ -997,7 +1000,7 @@ object StreamingBattery {
     * decision.
     */
   def d232StreamSprt(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     val sp = s; import sp.implicits._
     val in = stagedInput(s, d, "sprt") { (root, in) =>
       val t = Queries.sprtSteps(s, d)
@@ -1035,7 +1038,7 @@ object StreamingBattery {
     * would reproduce.
     */
   def d238StreamPacking(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     val sp = s; import sp.implicits._
     val in = stagedInput(s, d, "pack") { (root, in) =>
       val docs = Tables.documents(s, d)
@@ -1069,7 +1072,7 @@ object StreamingBattery {
     * d228's), source for source.
     */
   def d236StreamCuration(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     val sp = s; import sp.implicits._
     val isEval = col("source").isin("src0", "src1")
     val in = stagedInput(s, d, "cur") { (root, in) =>
@@ -1136,7 +1139,7 @@ object StreamingBattery {
     * driver-held fold.
     */
   def d222StreamMerkle(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val in = stagedInput(s, d, "merkle") { (_, in) =>
@@ -1180,7 +1183,7 @@ object StreamingBattery {
   }
 
   def d139StreamIntervalJoin(s: SparkSession, d: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
     def side(tpe: String, pre: String): DataFrame = {
       val raw = streamParquet(s, s"$d/events.parquet")
       raw.filter(col("event_type") === tpe)
