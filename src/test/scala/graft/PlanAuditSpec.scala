@@ -728,6 +728,14 @@ class PlanAuditSpec extends SparkTestBase {
     // exactly-once banding: the overlap-start dedup filter must survive
     assert(plan.contains("greatest"),
       "overlap-start band dedup filter missing:\n" + plan.take(3000))
+    // the banded join must still reuse the window shuffles: partitioning
+    // by l_partkey alone satisfies ClusteredDistribution(l_partkey, band),
+    // so adding the band key must NOT introduce new exchanges
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"banding added exchanges beyond the two window shuffles: $exchanges\n" +
+        plan.take(3000))
   }
 
   test("d221: rendezvous assignment is map-side — no join, no window, one aggregate") {
