@@ -57,7 +57,12 @@ object ModelChecks {
 
   private def shared(s: SparkSession, d: String, name: String)
       (build: => DataFrame): DataFrame =
-    if (!sharedDerivationsEnabled) build
+    // disabled path still materializes PER CALL (no cross-row sharing):
+    // the callers consume the derivation several times each (exceptAll
+    // legs, violation joins), and the pre-memo code pinned exactly one
+    // materialization via persist+count — returning the raw plan here
+    // would recompute the full LSH/cosine derivation per consumer
+    if (!sharedDerivationsEnabled) build.localCheckpoint(true)
     else derivMemo.computeIfAbsent(
       s.sparkContext.applicationId + "|" +
         new java.io.File(d).getAbsolutePath + "|" + name,
@@ -541,10 +546,15 @@ object ModelChecks {
     */
   def d241CheckResize(s: SparkSession, d: String): DataFrame = {
     val sp = s; import sp.implicits._
+    // materialize the image frame ONCE: the property under test is that
+    // two task layouts of the RESIZE agree — re-running input synthesis
+    // (incl. the audio/video rows filtered out here) per pass would
+    // double corpus-generation cost without strengthening the check
     val media = Multimodal.syntheticMedia(s, Tables.embeddings(s, d),
         "vec_id")
       .filter(col("media_type") === "image")
       .select(col("media_id"), col("bytes"))
+      .localCheckpoint(true)
     // one pass = (n, law violations, dim violations, digest): the digest
     // folds an FNV-1a hash of each image's RESIZED bytes (keyed by
     // media_id so a swap of two outputs can't cancel) with +, which is

@@ -33,20 +33,25 @@ import java.util.Comparator
 object StreamingBattery {
 
   /** Scratch root for a battery row's checkpoint + sink + staged slices:
-    * RAM-backed (/dev/shm) when the platform offers it, java.io.tmpdir
-    * otherwise. Every AvailableNow row pays a fixed cost of dozens of
-    * tiny synchronous writes — offset log, commit log, per-partition
-    * state deltas, sink metadata — that are pure harness scaffolding on
-    * a disk-backed /tmp (production checkpoints go to object storage
-    * with their own latency profile, which a local disk models no better
-    * than RAM does). The commit protocol itself still executes in full;
-    * only the medium changes. Each row deletes its root in a finally, so
-    * tmpfs never accumulates.
+    * RAM-backed (/dev/shm) when the platform offers it WITH real
+    * headroom (≥ 4 GiB usable — Docker's default /dev/shm is 64 MB and
+    * would fill mid-battery), java.io.tmpdir otherwise. Every
+    * AvailableNow row pays a fixed cost of dozens of tiny synchronous
+    * writes — offset log, commit log, per-partition state deltas, sink
+    * metadata — that are pure harness scaffolding on a disk-backed /tmp
+    * (production checkpoints go to object storage with their own
+    * latency profile, which a local disk models no better than RAM
+    * does). The commit protocol itself still executes in full; only the
+    * medium changes. Per-run roots are deleted in each row's finally;
+    * memoized staged-input roots live until the JVM shutdown hook
+    * drains them (bounded: one small staged copy per battery row).
     */
   private def scratch(prefix: String): Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm))
-      Files.createTempDirectory(shm, prefix)
+    val shmUsable = Files.isDirectory(shm) && Files.isWritable(shm) &&
+      (try shm.toFile.getUsableSpace >= (4L << 30)
+       catch { case _: Throwable => false })
+    if (shmUsable) Files.createTempDirectory(shm, prefix)
     else Files.createTempDirectory(prefix)
   }
 
@@ -85,6 +90,25 @@ object StreamingBattery {
         build(root, in)
         in
       })
+
+  /** At-least-once guard for the driver-held `foreachBatch` folds (d145
+    * incremental agg, d151 CDC snapshot, d158 constraint totals, d170
+    * AUC counts, d183 OHLC partials, d222 Merkle): `foreachBatch` is
+    * at-least-once, so a fold that isn't idempotent per batchId would
+    * silently double-merge on a replay (XOR digests cancel, counts
+    * inflate). Within THIS battery's bounded AvailableNow runs with a
+    * fresh checkpoint per invocation the guard can never fire — a failed
+    * body fails the query, nothing replays — so it is a modeled
+    * discipline, not reachable scaffolding here: it is exactly the guard
+    * a production restart from a shared checkpoint requires, where
+    * Structured Streaming DOES re-invoke foreachBatch with an
+    * already-folded batchId after a post-fold pre-commit crash.
+    */
+  private final class BatchIdGuard {
+    private var last = -1L
+    def once(batchId: Long)(body: => Unit): Unit =
+      if (batchId > last) { body; last = batchId }
+  }
 
   /** File-stream a parquet table in place — the standing file IS the
     * source (no staging copy), which is exactly how a production backfill
@@ -396,13 +420,16 @@ object StreamingBattery {
       var nBatches = 0
       val src = s.readStream.schema(s.read.parquet(in.toString).schema)
         .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      val guard = new BatchIdGuard
       val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          nBatches += 1
-          agg = graft.operators.ScaleOps.incrementalAgg(agg,
-              batch.select(col("o_custkey"), col("amt"), lit(1).as("w")),
-              Seq("o_custkey"), "w", Seq("amt"))
-            .localCheckpoint(true)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          guard.once(batchId) {
+            nBatches += 1
+            agg = graft.operators.ScaleOps.incrementalAgg(agg,
+                batch.select(col("o_custkey"), col("amt"), lit(1).as("w")),
+                Seq("o_custkey"), "w", Seq("amt"))
+              .localCheckpoint(true)
+          }
           ()
         }
         .option("checkpointLocation", root.resolve("ck").toString)
@@ -597,12 +624,15 @@ object StreamingBattery {
       var nBatches = 0
       val src = s.readStream.schema(s.read.parquet(in.toString).schema)
         .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      val guard = new BatchIdGuard
       val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          nBatches += 1
-          snap = graft.operators.ScaleOps
-            .applyChanges(snap, batch, Seq("o_orderkey"), "op")
-            .localCheckpoint(true)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          guard.once(batchId) {
+            nBatches += 1
+            snap = graft.operators.ScaleOps
+              .applyChanges(snap, batch, Seq("o_orderkey"), "op")
+              .localCheckpoint(true)
+          }
           ()
         }
         .option("checkpointLocation", root.resolve("ck").toString)
@@ -657,13 +687,16 @@ object StreamingBattery {
       var nBatches = 0
       val src = s.readStream.schema(s.read.parquet(in.toString).schema)
         .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      val guard = new BatchIdGuard
       val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          nBatches += 1
-          Constraints.check(batch, checks).collect().foreach { r =>
-            val k = (r.getString(0), r.getString(1))
-            val (n, v) = totals.getOrElse(k, (0L, 0L))
-            totals(k) = (n + r.getLong(2), v + r.getLong(3))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          guard.once(batchId) {
+            nBatches += 1
+            Constraints.check(batch, checks).collect().foreach { r =>
+              val k = (r.getString(0), r.getString(1))
+              val (n, v) = totals.getOrElse(k, (0L, 0L))
+              totals(k) = (n + r.getLong(2), v + r.getLong(3))
+            }
           }
           ()
         }
@@ -708,17 +741,20 @@ object StreamingBattery {
       var nBatches = 0
       val src = s.readStream.schema(s.read.parquet(in.toString).schema)
         .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      val guard = new BatchIdGuard
       val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          nBatches += 1
-          val g = batch.groupBy(col("score"))
-            .agg(sum(col("lbl")).as("pos"),
-              (count(lit(1)) - sum(col("lbl"))).as("neg"))
-          // merged table is distinct-score-sized; checkpoint so the fold's
-          // lineage never chains across batches
-          acc = acc.union(g).groupBy(col("score"))
-            .agg(sum(col("pos")).as("pos"), sum(col("neg")).as("neg"))
-            .localCheckpoint(true)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          guard.once(batchId) {
+            nBatches += 1
+            val g = batch.groupBy(col("score"))
+              .agg(sum(col("lbl")).as("pos"),
+                (count(lit(1)) - sum(col("lbl"))).as("neg"))
+            // merged table is distinct-score-sized; checkpoint so the
+            // fold's lineage never chains across batches
+            acc = acc.union(g).groupBy(col("score"))
+              .agg(sum(col("pos")).as("pos"), sum(col("neg")).as("neg"))
+              .localCheckpoint(true)
+          }
           ()
         }
         .option("checkpointLocation", root.resolve("ck").toString)
@@ -773,8 +809,10 @@ object StreamingBattery {
       var nBatches = 0
       val src = s.readStream.schema(s.read.parquet(in.toString).schema)
         .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      val guard = new BatchIdGuard
       val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          guard.once(batchId) {
           nBatches += 1
           // merged table is (type × day)-sized; checkpoint so the fold's
           // lineage never chains across batches
@@ -786,6 +824,7 @@ object StreamingBattery {
               expr("CAST(graft_money_sum(sum_value, 2) AS DOUBLE)")
                 .as("sum_value"))
             .localCheckpoint(true)
+          }
           ()
         }
         .option("checkpointLocation", root.resolve("ck").toString)
@@ -1153,20 +1192,19 @@ object StreamingBattery {
           StructField("coarse", LongType), StructField("fine", LongType),
           StructField("n", LongType), StructField("digest", LongType))))
       var nBatches = 0
-      var lastMerged = -1L
       val src = s.readStream.schema(s.read.parquet(in.toString).schema)
         .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      val guard = new BatchIdGuard
       val q = src.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // at-least-once guard: a replayed batchId must not double-merge
           // into the driver-held fold (XOR digests would silently cancel)
-          if (batchId > lastMerged) {
+          guard.once(batchId) {
             nBatches += 1
             agg = graft.operators.Integrity.mergeSummaries(agg,
                 graft.operators.Integrity.merkleSummary(batch, "o_orderkey",
                   Seq("o_custkey", "o_orderstatus", "cents"), 64L, 16))
               .localCheckpoint(true)
-            lastMerged = batchId
           }
           ()
         }

@@ -170,8 +170,15 @@ class FunctionsSpec extends SparkTestBase {
     // the two hottest expressions implement real doGenCode (one static
     // call into ExprKernels); this pins the codegen path (the DataFrame
     // projection, whole-stage compiled) against a direct driver-side
-    // kernel call on identical inputs — bit equality, both expressions
+    // kernel call on identical inputs — bit equality, both expressions.
+    // codegen.fallback=false is load-bearing: with the default fallback,
+    // a doGenCode that fails to COMPILE silently degrades to the same
+    // nullSafeEval kernel and the test would pass while the whole-stage
+    // path is broken — disabled, a Janino failure throws here instead
     val s = spark
+    val prevFallback = s.conf.get("spark.sql.codegen.fallback")
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    try {
     import s.implicits._
     val docs = Tables.documents(s, "/root/testdata/sf0.001")
       .filter(col("text").isNotNull).limit(50)
@@ -204,5 +211,6 @@ class FunctionsSpec extends SparkTestBase {
     assert(viaDf == direct, s"$viaDf vs $direct")
     // textbook anchor: martha/marhta = 0.961 (bit value the d237 oracle pins)
     assert(math.abs(viaDf.head - 0.9611111111111111) < 1e-15)
+    } finally s.conf.set("spark.sql.codegen.fallback", prevFallback)
   }
 }
