@@ -6,20 +6,37 @@ import org.apache.spark.sql.functions._
   * fact keys disjoint per copy; documents/embeddings keep identical payloads
   * (a deliberately duplicate-heavy corpus — the dedup stress case).
   *
-  * Usage: MakeScaled [outDir] [copies] [table,table,...]
+  * Usage: MakeScaled [outDir] [copies] [table,table,...] [densekeys]
   * (default /tmp/sfscaled, 10 copies, all tables — the per-round 10x probe;
   * a table subset makes the 30x pair-growth probe cheap).
+  *
+  * `densekeys`: shift customer/orders custkeys by i·(max_custkey+1)
+  * instead of i·10^6, keeping the scaled custkey space CONTIGUOUS
+  * (0..n·15000−1 at sf0.1). The synthetic referral forest behind
+  * d204/d227 derives parent(c) = md5(c) mod c, which lands anywhere
+  * below c — valid only when every lower key exists. The default
+  * sparse shift leaves inter-copy holes, so those rows' dangling-parent
+  * guard fires (by design); dense mode makes the forest well-formed at
+  * any copy count, closing the one scale-probe hole in the tree family
+  * while leaving the guard armed for genuinely sparse input.
   */
 object MakeScaled {
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/sfscaled"
     val nCopies = if (args.length > 1) args(1).toInt else 10
     val only: Set[String] =
-      if (args.length > 2) args(2).split(",").toSet else Set.empty
+      if (args.length > 2 && args(2) != "densekeys") args(2).split(",").toSet
+      else Set.empty
+    val denseKeys = args.contains("densekeys")
     def wanted(name: String) = only.isEmpty || only.contains(name)
     val in = "/root/testdata/sf0.1"
     val spark = GraftSession.builder(32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dense custkey stride: one past the base max, so copy i occupies
+    // [i*stride, (i+1)*stride) with no holes
+    lazy val custStride: Long = Tables.customer(spark, in)
+      .agg(max(col("c_custkey")).cast("long")).head().getLong(0) + 1L
+    val custShift: Long = if (denseKeys) custStride else 1000000L
     def copies(name: String, shift: DataFrame => Int => DataFrame): Unit =
       if (wanted(name)) {
         val base = Tables.table(spark, in, name)
@@ -33,8 +50,8 @@ object MakeScaled {
       .withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L)))
     copies("orders", df => i => df
       .withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L))
-      .withColumn("o_custkey", col("o_custkey") + lit(i * 1000000L)))
-    copies("customer", id("c_custkey", 1000000L))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * custShift)))
+    copies("customer", id("c_custkey", custShift))
     copies("supplier", id("s_suppkey", 1000000L))
     copies("part", id("p_partkey", 1000000L))
     copies("events", df => i => df
