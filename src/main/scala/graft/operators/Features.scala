@@ -145,11 +145,50 @@ object Features {
     * sound because the symbol alphabet is [a-z]+ (closed under merging),
     * so the parenthesis markers can never collide with symbol content.
     *
+    * == Batched rounds ==
+    *
+    * A one-merge-per-round trainer costs one Spark job cycle per merge —
+    * 30k driver round-trips for a production vocabulary. Each round here
+    * instead collects the top-`topM` slice of the pair table once and
+    * applies the longest PREFIX of the (count DESC, left ASC, right ASC)
+    * order that is provably the sequence the one-merge trainer would
+    * produce; the whole prefix splices in ONE nested-replace pass. The
+    * prefix is safe because, for each accepted pair p_j after accepted
+    * p_1..p_{j-1}:
+    *
+    *  - no old pair's count ever INCREASES under a merge (merging only
+    *    removes old-symbol adjacencies), so pairs ordered after p_j stay
+    *    after it;
+    *  - p_j's own count is unchanged: a merge of p_i = (a_i, b_i) only
+    *    touches pairs containing a_i or b_i, and accepted pairs are
+    *    pairwise symbol-disjoint;
+    *  - no pair CREATED by p_1..p_{j-1} can preempt p_j: a new pair is
+    *    (x, a_ib_i) or (a_ib_i, y), whose count is bounded by the
+    *    ORIGINAL count of (x, a_i) resp. (b_i, y) — every new occurrence
+    *    consumes one original occurrence of that pair (this also covers
+    *    (a_ib_i, a_ib_i) via (b_i, a_i), and a_i = b_i via the families'
+    *    own (a, a) membership). The selection requires c_j strictly above
+    *    every accepted pair's family ceiling m_i = max(original family
+    *    counts, topM floor), where the floor (the last collected count)
+    *    bounds every uncollected pair.
+    *
+    * Selection STOPS at the first unsafe pair rather than skipping it — a
+    * skipped-but-unaffected pair would be the sequential trainer's next
+    * pick, so a subsequence (rather than a prefix) would reorder merges.
+    * Early merges on natural text interact heavily (the #2 pair usually
+    * shares a letter with #1) so first rounds stay small; tail rounds
+    * batch wide, which is where the 30k-merge round count lives. The
+    * batching law (batched ≡ one-per-round, any corpus) is
+    * ScalaCheck-pinned in FeaturesProps.
+    *
     * Output: (step INT, pair_left, pair_right, merged STRING,
     * pair_count BIGINT) — the ordered merge table a tokenizer ships.
     */
-  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+               maxBatch: Int = 64, topM: Int = 4096): DataFrame = {
     require(nMerges >= 1, s"nMerges must be positive: $nMerges")
+    require(maxBatch >= 1, s"maxBatch must be positive: $maxBatch")
+    require(topM >= 2, s"topM must be >= 2: $topM")
     val spark = df.sparkSession
     var words = df
       .select(explode(
@@ -161,7 +200,8 @@ object Features {
     val merges = scala.collection.mutable.ListBuffer
       .empty[(Int, String, String, String, Long)]
     var exhausted = false
-    for (step <- 1 to nMerges if !exhausted) {
+    var rounds = 0
+    while (merges.size < nMerges && !exhausted) {
       // adjacent pairs via zip_with over shifted slices — no array
       // indexing, so the expression is ANSI-mode-proof
       val top = words
@@ -172,26 +212,84 @@ object Features {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1).collect()
+        .limit(topM).collect()
+      rounds += 1
       if (top.isEmpty) exhausted = true // every word is a single symbol
       else {
-        val (a, b, c) = (top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2))
-        merges += ((step, a, b, a + b, c))
+        val pairs = top.toSeq.map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2)))
+        // anything beyond the collected slice has count <= the last
+        // collected count — the conservative bound the ceilings inherit
+        val floor = if (pairs.size >= topM) pairs.last._3 else 0L
+        val accepted = selectSafeBatch(pairs, floor,
+          math.min(maxBatch, nMerges - merges.size))
+        accepted.foreach { case (a, b, c) =>
+          merges += ((merges.size + 1, a, b, a + b, c))
+        }
         // a and b are [a-z]+ by construction — safe to splice as SQL
-        // literals (and unspliceable content cannot reach here)
+        // literals (and unspliceable content cannot reach here). The whole
+        // batch folds into one nested-replace expression: batch pairs are
+        // symbol-disjoint, so nested application equals sequential.
+        val wrapped = "concat('(', array_join(syms, ')('), ')')"
+        val foldedR = accepted.foldLeft(wrapped) { case (acc, (a, b, _)) =>
+          s"replace($acc, '($a)($b)', '($a$b)')"
+        }
         words = words
-          .withColumn("__r", expr(
-            s"""replace(concat('(', array_join(syms, ')('), ')'),
-               |        '($a)($b)', '($a$b)')""".stripMargin))
+          .withColumn("__r", expr(foldedR))
           .select(col("word"), col("cnt"),
             expr("split(substring(__r, 2, length(__r) - 2), '\\\\)\\\\(')")
               .as("syms"))
           .localCheckpoint()
       }
     }
+    lastTrainRounds = rounds
     spark.createDataFrame(merges.toSeq)
       .toDF("step", "pair_left", "pair_right", "merged", "pair_count")
+  }
+
+  /** Driver rounds (pair-table jobs) the last [[bpeTrain]] call took —
+    * probe instrumentation only (NOT thread-safe state; the battery and
+    * probes call bpeTrain single-threaded).
+    */
+  @volatile private[graft] var lastTrainRounds: Int = 0
+
+  /** The pure batch-selection rule under [[bpeTrain]] (see its scaladoc
+    * for the safety proof): the longest prefix of `pairs` — already in
+    * (count DESC, left ASC, right ASC) order — that the one-merge-per-round
+    * trainer provably produces, capped at `cap`. `floor` bounds the count
+    * of any pair NOT in `pairs` (the topM truncation bound; pass 0 for a
+    * complete table). Factored out so the batching law can be
+    * property-tested directly against the sequential reference
+    * (FeaturesProps) with no drift from the production path.
+    */
+  private[graft] def selectSafeBatch(pairs: Seq[(String, String, Long)],
+      floor: Long, cap: Int): Seq[(String, String, Long)] = {
+    val accepted = scala.collection.mutable.ListBuffer
+      .empty[(String, String, Long)]
+    val usedSyms = scala.collection.mutable.Set.empty[String]
+    var ceiling = -1L // max family ceiling m_i over accepted pairs
+    var stop = false
+    var k = 0
+    while (!stop && k < pairs.size && accepted.size < cap) {
+      val (a, b, c) = pairs(k)
+      // the first pair is the round's true argmax — always safe
+      if (accepted.nonEmpty &&
+          (usedSyms.contains(a) || usedSyms.contains(b) || c <= ceiling))
+        stop = true
+      else {
+        accepted += ((a, b, c))
+        usedSyms += a; usedSyms += b
+        // family ceiling: original counts of (x, a) and (b, y) bound
+        // every pair this merge can create; (a, a) self-family and the
+        // a == b case fall out of the same predicate
+        val m = pairs.iterator.collect {
+          case (x, y, cc) if y == a || x == b => cc
+        }.foldLeft(floor)(math.max)
+        ceiling = math.max(ceiling, m)
+        k += 1
+      }
+    }
+    accepted.toSeq
   }
 
   /** BPE segmentation: apply a learned merge table (in learned order) to
