@@ -1785,38 +1785,37 @@ object Queries {
     * on both engines). Unmatched tails (supply past total demand and
     * vice versa) drop via the strict inequalities.
     */
-  def d205FifoMatch(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+  def d205FifoMatch(s: SparkSession, d: String): DataFrame =
+    fifoMatch(Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
         col("l_linenumber"), col("l_shipdate"),
         expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
-          .as("qty_c"))
+          .as("qty_c")),
+      bandWidth = 1048576L)
+
+  /** Band-parameterized core of [[d205FifoMatch]]. `bandWidth <= 0` runs
+    * the UNBANDED reference join (per-part equi-join + overlap filter) —
+    * the straight-line plan the banding must be output-identical to; the
+    * FifoBandingProps law pins that identity across widths, so band-width
+    * retunes (2^16 → 2^20 in r6) can never change results.
+    */
+  private[graft] def fifoMatch(li: DataFrame, bandWidth: Long): DataFrame = {
     def queue(parity: Int) = {
       val w = Window.partitionBy(col("l_partkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       li.filter(col("l_suppkey") % 2 === parity)
+        // guard the half-open-interval invariant EXPLICITLY (r6 ADVICE): a
+        // non-positive quantity is an empty interval [lo, lo) — it can
+        // match nothing and adds 0 to every later prefix sum, so dropping
+        // it is semantics-preserving; kept, it would make the band
+        // sequence() run start > stop, which Spark answers with a
+        // DESCENDING range (spurious band memberships) instead of an error
+        .filter(col("qty_c") > 0)
         .withColumn("hi", sum(col("qty_c")).over(w))
         .withColumn("lo", col("hi") - col("qty_c"))
     }
-    // band width 2^20 centi-units; intervals are half-open [lo, hi) with
-    // qty_c >= 100, so hi-1 >= lo and the sequence is never empty
-    val bandOf = "DIV 1048576"
-    val demand = queue(0).select(col("l_partkey"),
-      col("l_orderkey").as("d_orderkey"),
-      col("l_linenumber").as("d_linenumber"),
-      col("lo").as("d_lo"), col("hi").as("d_hi"),
-      explode(expr(s"sequence(lo $bandOf, (hi - 1) $bandOf)")).as("band"))
-    val supply = queue(1).select(col("l_partkey"),
-      col("l_orderkey").as("s_orderkey"),
-      col("l_linenumber").as("s_linenumber"),
-      col("lo").as("s_lo"), col("hi").as("s_hi"),
-      explode(expr(s"sequence(lo $bandOf, (hi - 1) $bandOf)")).as("band"))
-    demand.join(supply, Seq("l_partkey", "band"))
-      .filter(col("s_lo") < col("d_hi") && col("d_lo") < col("s_hi"))
-      // exactly-once: count the pair only in the band of its overlap start
-      // (both intervals span max(lo) whenever they overlap)
-      .filter(col("band") === expr(s"greatest(d_lo, s_lo) $bandOf"))
+    val out = (demandSupply: DataFrame) => demandSupply
       .select(expr("CAST(l_partkey AS BIGINT)").as("l_partkey"),
         expr("CAST(d_orderkey AS BIGINT)").as("d_orderkey"),
         expr("CAST(d_linenumber AS BIGINT)").as("d_linenumber"),
@@ -1824,6 +1823,40 @@ object Queries {
         expr("CAST(s_linenumber AS BIGINT)").as("s_linenumber"),
         (least(col("d_hi"), col("s_hi")) -
           greatest(col("d_lo"), col("s_lo"))).as("alloc_c"))
+    if (bandWidth <= 0) {
+      // unbanded reference: correct, but one Zipf-hot part is one
+      // quadratic task — never the production path at scale
+      val demand = queue(0).select(col("l_partkey"),
+        col("l_orderkey").as("d_orderkey"),
+        col("l_linenumber").as("d_linenumber"),
+        col("lo").as("d_lo"), col("hi").as("d_hi"))
+      val supply = queue(1).select(col("l_partkey"),
+        col("l_orderkey").as("s_orderkey"),
+        col("l_linenumber").as("s_linenumber"),
+        col("lo").as("s_lo"), col("hi").as("s_hi"))
+      out(demand.join(supply, Seq("l_partkey"))
+        .filter(col("s_lo") < col("d_hi") && col("d_lo") < col("s_hi")))
+    } else {
+      // band width in centi-units (2^20 in production); intervals are
+      // half-open [lo, hi) with qty_c > 0 enforced above, so hi-1 >= lo
+      // and the band sequence is never empty or descending
+      val bandOf = s"DIV ${bandWidth}L"
+      val demand = queue(0).select(col("l_partkey"),
+        col("l_orderkey").as("d_orderkey"),
+        col("l_linenumber").as("d_linenumber"),
+        col("lo").as("d_lo"), col("hi").as("d_hi"),
+        explode(expr(s"sequence(lo $bandOf, (hi - 1) $bandOf)")).as("band"))
+      val supply = queue(1).select(col("l_partkey"),
+        col("l_orderkey").as("s_orderkey"),
+        col("l_linenumber").as("s_linenumber"),
+        col("lo").as("s_lo"), col("hi").as("s_hi"),
+        explode(expr(s"sequence(lo $bandOf, (hi - 1) $bandOf)")).as("band"))
+      out(demand.join(supply, Seq("l_partkey", "band"))
+        .filter(col("s_lo") < col("d_hi") && col("d_lo") < col("s_hi"))
+        // exactly-once: count the pair only in the band of its overlap
+        // start (both intervals span max(lo) whenever they overlap)
+        .filter(col("band") === expr(s"greatest(d_lo, s_lo) $bandOf")))
+    }
   }
 
   /** Largest-remainder apportionment: split exactly 10,000 slots across
