@@ -54,19 +54,55 @@ object ModelChecks {
   @volatile var sharedDerivationsEnabled: Boolean = true
   private val derivMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  // RDD ids pinned by each shared() materialization (memoized AND
+  // disabled-path transients), so the drain hook can release the blocks —
+  // a localCheckpoint's Dataset.unpersist is a no-op (the blocks live on
+  // the checkpoint RDD, not in the CacheManager)
+  private val pinnedRddIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, Int)]
 
   private def shared(s: SparkSession, d: String, name: String)
-      (build: => DataFrame): DataFrame =
+      (build: => DataFrame): DataFrame = {
+    def checkpointTracked(): DataFrame = {
+      val before = s.sparkContext.getPersistentRDDs.keySet
+      val ck = build.localCheckpoint(true) // eager: blocks exist on return
+      (s.sparkContext.getPersistentRDDs.keySet -- before)
+        .foreach(id => pinnedRddIds.add((s, id)))
+      ck
+    }
     // disabled path still materializes PER CALL (no cross-row sharing):
     // the callers consume the derivation several times each (exceptAll
     // legs, violation joins), and the pre-memo code pinned exactly one
     // materialization via persist+count — returning the raw plan here
     // would recompute the full LSH/cosine derivation per consumer
-    if (!sharedDerivationsEnabled) build.localCheckpoint(true)
+    if (!sharedDerivationsEnabled) checkpointTracked()
     else derivMemo.computeIfAbsent(
       s.sparkContext.applicationId + "|" +
         new java.io.File(d).getAbsolutePath + "|" + name,
-      _ => build.localCheckpoint(true))
+      _ => checkpointTracked())
+  }
+
+  /** Drain hook for every block [[shared]] ever pinned (memo entries and
+    * disabled-path transients): unpersists the checkpoint RDDs and clears
+    * the memo. Without it a long session touching many sf dirs
+    * accumulates pinned RDD blocks for the JVM's lifetime (r6 ADVICE).
+    *
+    * CONTRACT: call only when no outstanding plan still reads a shared
+    * derivation (between sf dirs, at battery end, spec afterAll) — these
+    * are LOCAL checkpoints, so released blocks are unrecoverable and a
+    * late consumer would fail, loudly, rather than recompute.
+    */
+  def clearSharedDerivations(): Unit = {
+    val it = pinnedRddIds.iterator()
+    while (it.hasNext) {
+      val (session, id) = it.next()
+      try session.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () } // stopped session: blocks are gone
+    }
+    pinnedRddIds.clear()
+    derivMemo.clear()
+  }
 
   /** The d23 emitted pair set (id1, id2, jaccard_est) — d129 verifies its
     * estimates, d130 clusters it; one LSH run serves both.

@@ -46,13 +46,33 @@ object StreamingBattery {
     * memoized staged-input roots live until the JVM shutdown hook
     * drains them (bounded: one small staged copy per battery row).
     */
-  private def scratch(prefix: String): Path = {
+  private def scratch(prefix: String, forceDisk: Boolean = false): Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    val shmUsable = Files.isDirectory(shm) && Files.isWritable(shm) &&
+    val shmUsable = !forceDisk && Files.isDirectory(shm) &&
+      Files.isWritable(shm) &&
       (try shm.toFile.getUsableSpace >= (4L << 30)
        catch { case _: Throwable => false })
     if (shmUsable) Files.createTempDirectory(shm, prefix)
     else Files.createTempDirectory(prefix)
+  }
+
+  /** The headroom check above runs once, at directory creation — staged
+    * copies accumulate across rows and a concurrent row's checkpoint/sink
+    * can exhaust tmpfs MID-row (r6 ADVICE), which surfaces as ENOSPC
+    * somewhere deep in a parquet commit or state-store delta. Detect that
+    * shape anywhere in the cause chain so the caller can restage the row
+    * on disk instead of dying with the opaque raw error.
+    */
+  private def isNoSpace(e: Throwable): Boolean = {
+    var t = e
+    var hops = 0
+    while (t != null && hops < 16) {
+      val m = Option(t.getMessage).getOrElse("")
+      if (m.contains("No space left") || m.contains("ENOSPC")) return true
+      t = if (t.getCause eq t) null else t.getCause
+      hops += 1
+    }
+    false
   }
 
   /** Memoized staged INPUT for a battery row, keyed by (application, sf
@@ -83,12 +103,33 @@ object StreamingBattery {
       s.sparkContext.applicationId + "|" +
         new java.io.File(d).getAbsolutePath + "|" + rowKey,
       _ => {
-        val root = scratch(s"graft-staged-$rowKey-")
-        stagedRoots.add(root)
-        val in = root.resolve("in")
-        Files.createDirectories(in)
-        build(root, in)
-        in
+        def stage(forceDisk: Boolean): Path = {
+          val root = scratch(s"graft-staged-$rowKey-", forceDisk)
+          try {
+            stagedRoots.add(root)
+            val in = root.resolve("in")
+            Files.createDirectories(in)
+            build(root, in)
+            in
+          } catch {
+            case e: Throwable =>
+              // drop THIS attempt's partial copy only — other memo entries
+              // for the same rowKey (different sf dirs) stay valid
+              stagedRoots.remove(root)
+              try deleteRecursively(root) catch { case _: Throwable => () }
+              throw e
+          }
+        }
+        try stage(forceDisk = false)
+        catch {
+          case e: Throwable if isNoSpace(e) =>
+            // tmpfs filled mid-staging (see isNoSpace): restage the row on
+            // disk — slower, never wrong
+            System.err.println(
+              s"[battery] $rowKey staging hit ENOSPC on tmpfs; " +
+                "restaging on disk")
+            stage(forceDisk = true)
+        }
       })
 
   /** At-least-once guard for the driver-held `foreachBatch` folds (d145
@@ -103,11 +144,23 @@ object StreamingBattery {
     * a production restart from a shared checkpoint requires, where
     * Structured Streaming DOES re-invoke foreachBatch with an
     * already-folded batchId after a post-fold pre-commit crash.
+    *
+    * A fired guard must be OBSERVABLE (r6 ADVICE): skips count into
+    * [[BatchIdGuard.skippedReplays]] and log one line each, so a future
+    * shared-checkpoint use can distinguish "replay correctly absorbed"
+    * from "clean run" instead of the two being identical.
     */
   private final class BatchIdGuard {
     private var last = -1L
+    var skippedReplays = 0L
     def once(batchId: Long)(body: => Unit): Unit =
       if (batchId > last) { body; last = batchId }
+      else {
+        skippedReplays += 1
+        System.err.println(
+          s"[battery] BatchIdGuard absorbed replayed batch $batchId " +
+            s"(last folded $last, skips so far $skippedReplays)")
+      }
   }
 
   /** File-stream a parquet table in place — the standing file IS the
@@ -138,20 +191,34 @@ object StreamingBattery {
     */
   private def runToTable(s: SparkSession, out: DataFrame,
       alsoDelete: Seq[Path] = Nil): DataFrame = {
-    val root = scratch("graft-stream-battery")
+    def attempt(forceDisk: Boolean): DataFrame = {
+      val root = scratch("graft-stream-battery", forceDisk)
+      try {
+        val sink = root.resolve("out"); val ck = root.resolve("ck")
+        val q = out.writeStream.format("parquet")
+          .option("path", sink.toString)
+          .option("checkpointLocation", ck.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val hasData = Files.exists(sink) && Files.list(sink)
+          .anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+        if (hasData) s.read.parquet(sink.toString).localCheckpoint(true)
+        else s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], out.schema)
+      } finally deleteRecursively(root)
+    }
     try {
-      val sink = root.resolve("out"); val ck = root.resolve("ck")
-      val q = out.writeStream.format("parquet")
-        .option("path", sink.toString)
-        .option("checkpointLocation", ck.toString)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val hasData = Files.exists(sink) && Files.list(sink)
-        .anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
-      if (hasData) s.read.parquet(sink.toString).localCheckpoint(true)
-      else s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], out.schema)
-    } finally (root +: alsoDelete).foreach(deleteRecursively)
+      try attempt(forceDisk = false)
+      catch {
+        case e: Throwable if isNoSpace(e) =>
+          // tmpfs filled mid-row (checkpoint/sink commits, r6 ADVICE):
+          // the attempt's root is already cleaned by its finally; re-run
+          // the whole query on disk with a fresh checkpoint
+          System.err.println(
+            "[battery] streaming row hit ENOSPC on tmpfs; re-running on disk")
+          attempt(forceDisk = true)
+      }
+    } finally alsoDelete.foreach(deleteRecursively)
   }
 
   /** Stateful streaming queries size the shuffle to the STREAM volume, not

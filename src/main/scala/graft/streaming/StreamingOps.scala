@@ -863,11 +863,21 @@ object StreamingOps {
     * REMOVES the key's state either way (the scd2Stream rule — flushes
     * bound the store on unbounded key spaces, decided keys included;
     * StreamingBatterySpec pins zero state rows after the flush).
-    * Consequence: trials arriving AFTER a key's flush start a fresh walk
-    * that may decide again — a flush is an epoch boundary, not a
-    * tombstone. A deployment that needs absorption across flush epochs
-    * keeps decided keys out of the stream upstream (the d236 seen-flag
-    * pattern) or replaces the remove with a state TTL. The batch twin (battery d231) extracts the
+    * Consequence (default mode): trials arriving AFTER a key's flush
+    * start a fresh walk that may decide again — a flush is an epoch
+    * boundary, not a tombstone.
+    *
+    * `retainDecided = true` opts into CROSS-EPOCH absorption: a flush
+    * still emits open keys and removes their state, but a decided key
+    * keeps a zeroed tombstone (decided = true, n = cum = 0), so
+    * post-flush trials stay absorbed and the key can NEVER double-decide
+    * (spec-pinned in StreamingBatterySpec). The trade is explicit: the
+    * store now grows with the decided-key cardinality instead of being
+    * emptied by flushes — deployments with unbounded key spaces bound it
+    * upstream (the d236 seen-flag pattern) or wrap the call with a state
+    * TTL. The battery row keeps the default (epoch-scoped) mode.
+    *
+    * The batch twin (battery d231) extracts the
     * same first crossing declaratively from windowed prefix sums; the
     * shared oracle proves them equal. Ordering contract as
     * [[balanceStream]]: in-batch (ts, tie) sort, caller-ordered batches.
@@ -876,7 +886,7 @@ object StreamingOps {
     * n_trials, cum_final).
     */
   def sprtStream(input: Dataset[(Long, Long, Long, Long, Int)],
-      hi: Long = 12L, lo: Long = -12L)
+      hi: Long = 12L, lo: Long = -12L, retainDecided: Boolean = false)
       : Dataset[(Long, String, Long, Long)] = {
     require(lo < 0 && hi > 0, s"bounds must straddle 0: [$lo, $hi]")
     val session = input.sparkSession
@@ -896,11 +906,15 @@ object StreamingOps {
           val out = rows.toSeq.sortBy(r => (r._2, r._3)).flatMap {
             case (_, _, _, _, kind) if kind == 1 =>
               // flush: open keys report their walk; decided keys already
-              // emitted at the crossing. Either way the key leaves the
-              // store (unbounded key spaces + periodic flushes).
+              // emitted at the crossing. Open keys always leave the store
+              // (unbounded key spaces + periodic flushes); decided keys
+              // leave too unless retainDecided keeps their tombstone.
               val closing =
                 if (!decided && n > 0) Seq((key, "open", n, cum)) else Nil
-              cum = 0L; n = 0L; decided = false; removed = true
+              val keepTombstone = retainDecided && decided
+              cum = 0L; n = 0L
+              if (keepTombstone) removed = false
+              else { decided = false; removed = true }
               closing
             case _ if decided => Nil // absorbed: trials after decision
             case (_, _, _, step, _) =>

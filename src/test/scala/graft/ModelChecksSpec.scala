@@ -138,6 +138,18 @@ class ModelChecksSpec extends SparkTestBase {
     } finally ModelChecks.sharedDerivationsEnabled = true
   }
 
+  test("clearSharedDerivations drains and a fresh run rebuilds identically") {
+    val before = ModelChecks.d130CheckClusterConsistency(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // drain releases the memo's localCheckpoint blocks; a later check must
+    // REBUILD (never read a freed block) and land on the same counters
+    ModelChecks.clearSharedDerivations()
+    ModelChecks.clearSharedDerivations() // idempotent
+    val after = ModelChecks.d130CheckClusterConsistency(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(before == after, s"$before vs $after")
+  }
+
   test("discrimination: an omitted pair or fabricated pair flips the counters") {
     // the exceptAll machinery must actually catch one-sided differences —
     // guard against a refactor that silently compares a set to itself

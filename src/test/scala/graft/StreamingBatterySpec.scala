@@ -509,6 +509,48 @@ class StreamingBatterySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sprtStream retainDecided: no double-decision across flush epochs (MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Int)]
+    val out = graft.streaming.StreamingOps.sprtStream(mem.toDS(),
+      hi = 5L, lo = -5L, retainDecided = true)
+    val sink = s"sprt_ret_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // epoch 1: key 1 accepts at +6; key 2 stays open; then a flush
+      mem.addData((1L, 10L, 1L, 3L, 0), (1L, 20L, 2L, 3L, 0),
+        (2L, 10L, 3L, 2L, 0))
+      q.processAllAvailable()
+      mem.addData((1L, 100L, 4L, 0L, 1), (2L, 100L, 5L, 0L, 1))
+      q.processAllAvailable()
+      // epoch 2: post-flush trials. Default mode would RE-DECIDE key 1
+      // (fresh walk to +6); the tombstone must keep it absorbed. Key 2's
+      // flush removed its state, so its fresh walk may decide — open
+      // keys keep epoch semantics either way.
+      mem.addData((1L, 110L, 6L, 3L, 0), (1L, 120L, 7L, 3L, 0),
+        (2L, 110L, 8L, -3L, 0), (2L, 120L, 9L, -3L, 0))
+      q.processAllAvailable()
+      // epoch 2 flush: key 1 must emit NOTHING (absorbed, not "open")
+      mem.addData((1L, 200L, 10L, 0L, 1), (2L, 200L, 11L, 0L, 1))
+      q.processAllAvailable()
+      val got = s.table(sink)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == Set((1L, "accept", 2L, 6L), (2L, "open", 1L, 2L),
+        (2L, "reject", 2L, -6L)),
+        s"got $got — key 1 must decide exactly once across epochs")
+      // the knob's documented trade: decided-key tombstones REMAIN in the
+      // store after flushes — key 1 (epoch-1 decision) AND key 2 (rejected
+      // in epoch 2), so the store tracks decided-key cardinality
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 2L,
+        s"expected both decided keys' tombstones in the store, got $stateRows")
+    } finally q.stop()
+  }
+
   test("d236 streaming funnel == batch d228's first four stages, source for source") {
     val got = graft.streaming.StreamingBattery.d236StreamCuration(spark, sf)
     val want = Queries.d228CurationPipeline(spark, sf)
