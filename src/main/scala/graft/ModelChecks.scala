@@ -54,20 +54,31 @@ object ModelChecks {
   @volatile var sharedDerivationsEnabled: Boolean = true
   private val derivMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
-  // RDD ids pinned by each shared() materialization (memoized AND
+  // RDDs pinned by each shared() materialization (memoized AND
   // disabled-path transients), so the drain hook can release the blocks —
   // a localCheckpoint's Dataset.unpersist is a no-op (the blocks live on
   // the checkpoint RDD, not in the CacheManager)
-  private val pinnedRddIds =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, Int)]
+  private val pinnedRdds =
+    java.util.concurrent.ConcurrentHashMap
+      .newKeySet[org.apache.spark.rdd.RDD[_]]
+
+  /** The persisted ancestors of a plan's RDD lineage — for a localCheckpoint
+    * Dataset, exactly the checkpoint RDD holding the blocks. Walked from
+    * the Dataset itself (never a global getPersistentRDDs diff, which
+    * could capture an UNRELATED concurrent persist and later drain blocks
+    * another plan still needs).
+    */
+  private def pinnedAncestors(rdd: org.apache.spark.rdd.RDD[_])
+      : Seq[org.apache.spark.rdd.RDD[_]] =
+    if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      Seq(rdd)
+    else rdd.dependencies.map(_.rdd).flatMap(pinnedAncestors)
 
   private def shared(s: SparkSession, d: String, name: String)
       (build: => DataFrame): DataFrame = {
     def checkpointTracked(): DataFrame = {
-      val before = s.sparkContext.getPersistentRDDs.keySet
       val ck = build.localCheckpoint(true) // eager: blocks exist on return
-      (s.sparkContext.getPersistentRDDs.keySet -- before)
-        .foreach(id => pinnedRddIds.add((s, id)))
+      pinnedAncestors(ck.queryExecution.toRdd).foreach(pinnedRdds.add)
       ck
     }
     // disabled path still materializes PER CALL (no cross-row sharing):
@@ -93,14 +104,12 @@ object ModelChecks {
     * late consumer would fail, loudly, rather than recompute.
     */
   def clearSharedDerivations(): Unit = {
-    val it = pinnedRddIds.iterator()
+    val it = pinnedRdds.iterator()
     while (it.hasNext) {
-      val (session, id) = it.next()
-      try session.sparkContext.getPersistentRDDs.get(id)
-        .foreach(_.unpersist(blocking = false))
+      try it.next().unpersist(blocking = false)
       catch { case _: Throwable => () } // stopped session: blocks are gone
     }
-    pinnedRddIds.clear()
+    pinnedRdds.clear()
     derivMemo.clear()
   }
 

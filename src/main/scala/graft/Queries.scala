@@ -1585,7 +1585,7 @@ object Queries {
       .union(edges.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
       .orderBy(col("dg").desc, col("n").asc).limit(1)
-      .head.getLong(0)
+      .head().getLong(0)
     graft.operators.GraphOps.bfsDistances(edges, Seq(seed), maxHops = 4)
       .select(expr("CAST(node AS BIGINT)").as("node"),
         expr("CAST(hop AS INT)").as("hop"))
@@ -1646,7 +1646,7 @@ object Queries {
       expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))").as("ms"),
       col("o_orderkey"), col("o_orderstatus"))
       .localCheckpoint() // feeds the run build AND the max-period scalar
-    val maxP = o.agg(max(col("ms"))).head.getLong(0) / P
+    val maxP = o.agg(max(col("ms"))).head().getLong(0) / P
     graft.operators.ScaleOps.changeHistory(o, Seq("o_custkey"),
         Seq("ms", "o_orderkey"), "o_orderstatus")
       .withColumn("__p0", expr(s"(valid_from + ${P - 1}) div $P"))

@@ -79,7 +79,7 @@ object DataPipelineDemo {
       .drop("text_deduped", "n_masked")
       .persist()
     val maskedTokens =
-      masked.agg(coalesce(sum(col("n_masked")), lit(0L))).first.getLong(0)
+      masked.agg(coalesce(sum(col("n_masked")), lit(0L))).first().getLong(0)
     println(s"[pipeline] span-masked tokens: $maskedTokens; survivors: ${survivors.count()}")
 
     // 4. per-language yield report
@@ -152,7 +152,7 @@ object DataPipelineDemo {
       survivors, "text", merges)
     val bpeTokens = segmented
       .agg(coalesce(sum(col("cnt") * col("n_tokens")), lit(0L)))
-      .first.getLong(0)
+      .first().getLong(0)
     println(s"[pipeline] corpus BPE tokens: $bpeTokens")
 
     // 11. near-dup cluster audit: the distributed fixpoint components over

@@ -224,7 +224,7 @@ object EvalMetrics {
     // cohort size from the (checkpointed) census — the input is scanned
     // exactly once, by the census aggregation itself
     val n = Option(pre
-      .agg(sum(col("n_events") + col("n_censored"))).head.get(0))
+      .agg(sum(col("n_events") + col("n_censored"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val atRisk = pre
       .withColumn("n_risk", lit(n) - col("__pd") - col("__pc"))

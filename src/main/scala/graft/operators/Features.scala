@@ -79,7 +79,7 @@ object Features {
       .agg(count(lit(1)).as("__vn"))
     val pre = ScaleOps.globalPrefixSum(perVal, "__v", Seq("__vn" -> "__pfx"),
       ascending = !descending)
-    val n = Option(pre.agg(sum(col("__vn"))).head.get(0))
+    val n = Option(pre.agg(sum(col("__vn"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     require(n > 0,
       "equiDepthBins needs a non-empty input (after NULL exclusion)")
@@ -109,7 +109,7 @@ object Features {
       sum(col("n_bad")).as("__b"))
     // an entirely one-class cohort has no finite WoE (ln of a zero-total
     // ratio) — fail loudly rather than emit an Infinity/NaN report
-    val t0 = totals.head
+    val t0 = totals.head()
     require(t0.getLong(0) > 0 && t0.getLong(1) > 0,
       s"woeIv needs both classes present: good=${t0.getLong(0)} " +
         s"bad=${t0.getLong(1)}")

@@ -190,7 +190,7 @@ object GraphOps {
       .localCheckpoint()
     def labelSum(f: DataFrame): java.math.BigDecimal =
       Option(f.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
-        .head.getDecimal(0)) // SUM over zero rows is NULL (empty edge set)
+        .head().getDecimal(0)) // SUM over zero rows is NULL (empty edge set)
         .getOrElse(java.math.BigDecimal.ZERO)
     var lastSum = labelSum(lbl)
     var converged = false

@@ -804,7 +804,7 @@ object ScaleOps {
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "__salt collides with an input column")
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(saltFactor)).cast("int"))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
@@ -831,7 +831,7 @@ object ScaleOps {
                            filesPerPartition: Int = 1,
                            sortWithin: Seq[String] = Nil): Unit = {
     require(filesPerPartition >= 1, s"filesPerPartition: $filesPerPartition")
-    val slot = pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition))
+    val slot = pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(filesPerPartition))
     val parted = df.repartition(col(partCol), slot)
     // sortWithin restores within-file order after the slot shuffle (the
     // partition column leads so a coalesced task holding several partition

@@ -275,7 +275,7 @@ object Similarity {
       queries: Seq[(Long, Array[Float])],
       k: Int, rerankFactor: Int = 4): DataFrame = {
     val screenK = k * rerankFactor
-    val qQuant = queries.map { case (id, v) => (id, quantizeVec(v)._1) }
+    val qQuant = queries.map { case (id, v) => (id, quantizeVec(scala.collection.immutable.ArraySeq.unsafeWrapArray(v))._1) }
     val qs = spark.sparkContext.broadcast(qQuant)
     val quantized = quantizeInt8(corpus, corpusId, corpusVec)
     val screened = quantized.rdd.mapPartitions { it =>

@@ -41,7 +41,7 @@ object TemporalJoins {
     // string round-trip); each side nulls the other's struct
     val leftTagged = left.select(
       col(keyCol), col(leftTsCol).cast("long").as("__ts"), lit(0).as("__side"),
-      struct(left.columns.map(col): _*).cast(leftStruct).as("__l"),
+      struct(left.columns.toIndexedSeq.map(col): _*).cast(leftStruct).as("__l"),
       lit(null).cast(rightStruct).as("__r"))
     val rightTagged = right.select(
       col(keyCol), col(rightTsCol).cast("long").as("__ts"), lit(-1).as("__side"),
@@ -59,7 +59,7 @@ object TemporalJoins {
       .withColumn("__asof", last(col("__r"), ignoreNulls = true)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("__side") === 0)
-    matched.select(left.columns.map(c => col(s"__l.$c")) ++
+    matched.select(left.columns.toIndexedSeq.map(c => col(s"__l.$c")) ++
       rightCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
@@ -134,7 +134,7 @@ object TemporalJoins {
     else col("__touch").isNotNull
     val attributed = scanned.withColumn("__t", when(fresh, col("__touch")))
     attributed.select(
-      (df.columns.map(col) ++
+      (df.columns.toIndexedSeq.map(col) ++
         touchCols.map(c => col(s"__t.$c").as(s"touch_$c")) :+
         col("__t.__tts").as("touch_ts")): _*)
   }

@@ -395,7 +395,7 @@ object StreamingBattery {
     val in = stagedInput(s, d, "stateful") { (_, in) =>
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("value"), col("ts_ms"))
-      val maxTs = ev.agg(max(col("ts_ms"))).head.getLong(0)
+      val maxTs = ev.agg(max(col("ts_ms"))).head().getLong(0)
       val sentinel = Seq((-1L, 0.0, maxTs + 2 * hour))
         .toDF("user_id", "value", "ts_ms")
       ev.union(sentinel).write.mode("overwrite").parquet(in.toString)
@@ -595,7 +595,7 @@ object StreamingBattery {
     val in = stagedInput(s, d, "sessions") { (_, in) =>
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("value"), col("ts_ms"))
-      val maxTs = ev.agg(max(col("ts_ms"))).head.getLong(0)
+      val maxTs = ev.agg(max(col("ts_ms"))).head().getLong(0)
       val sentinel = Seq((-1L, 0.0, maxTs + 365L * 24 * 3600 * 1000))
         .toDF("user_id", "value", "ts_ms")
       ev.union(sentinel).write.mode("overwrite").parquet(in.toString)
@@ -631,7 +631,7 @@ object StreamingBattery {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts_ms"))
-      val maxTs = ev.agg(max(col("ts_ms"))).head.getLong(0)
+      val maxTs = ev.agg(max(col("ts_ms"))).head().getLong(0)
       val far = maxTs + 365L * 24 * 3600 * 1000
       val sentinels = Seq(
         (-1L, -1L, "click", 0.0, far), (-2L, -2L, "purchase", 0.0, far))
