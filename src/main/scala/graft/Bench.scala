@@ -67,6 +67,26 @@ object Bench {
     */
   val maxCpuFactor = 16.0
 
+  /** Canary contention factor for a battery row: the sample series
+    * (position, wall) interpolated piecewise-linearly at rowIdx + 0.5
+    * (the row ran between samples), divided by the floor, clamped >= 1
+    * (a row can't have run faster than quiet). Positions outside the
+    * series clamp to the nearest sample.
+    */
+  private[graft] def canaryFactorAt(samples: Seq[(Int, Double)],
+      floor: Double, rowIdx: Int): Double = {
+    val p = rowIdx + 0.5
+    val wall = samples match {
+      case Seq(only0) => only0._2
+      case ss =>
+        ss.sliding(2).collectFirst {
+          case Seq((p0, w0), (p1, w1)) if p >= p0 && p <= p1 =>
+            if (p1 == p0) w0 else w0 + (w1 - w0) * (p - p0) / (p1 - p0)
+        }.getOrElse(if (p < ss.head._1) ss.head._2 else ss.last._2)
+    }
+    math.max(1.0, wall / floor)
+  }
+
   /** 1-minute load average from /proc/loadavg; -1.0 where unreadable
     * (non-Linux), so the field is present but unmistakably absent.
     */
@@ -95,7 +115,7 @@ object Bench {
     * cpu-bound parallel work slows ~C/(C−E). Returns 1.0 on a quiet box
     * and wherever /proc is unreadable or the interval is degenerate.
     */
-  private def cpuFactor(before: (Long, Long), after: (Long, Long),
+  private[graft] def cpuFactor(before: (Long, Long), after: (Long, Long),
                         wallSec: Double, cores: Int): Double = {
     if (before._1 < 0 || after._1 < 0 || wallSec <= 0) return 1.0
     val extTicks = (after._1 - before._1) - (after._2 - before._2)
@@ -190,18 +210,9 @@ object Bench {
     // Canary floor + per-position contention factor (piecewise-linear
     // between samples, clamped >= 1: a sample can't be faster than quiet).
     val canaryFloor = canarySamples.map(_._2).min
-    def factorAt(rowIdx: Int): Double = {
-      val p = rowIdx + 0.5 // the row ran between sample positions idx and idx+1
-      val wall = canarySamples.toSeq match {
-        case Seq(only0) => only0._2
-        case ss =>
-          ss.sliding(2).collectFirst {
-            case Seq((p0, w0, _), (p1, w1, _)) if p >= p0 && p <= p1 =>
-              if (p1 == p0) w0 else w0 + (w1 - w0) * (p - p0) / (p1 - p0)
-          }.getOrElse(if (p < ss.head._1) ss.head._2 else ss.last._2)
-      }
-      math.max(1.0, wall / canaryFloor)
-    }
+    val canarySeries = canarySamples.toSeq.map { case (p, w, _) => (p, w) }
+    def factorAt(rowIdx: Int): Double =
+      canaryFactorAt(canarySeries, canaryFloor, rowIdx)
 
     // all reps failed -> -1.0 sentinel: unmistakably broken in the
     // baseline, never a silently-improved total
