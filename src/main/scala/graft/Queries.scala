@@ -4475,7 +4475,10 @@ object Queries {
   /** CDC merge ([[graft.operators.ScaleOps.applyChanges]]): a deterministic
     * change set derived from the base itself — every key mod 7: 0 deletes,
     * 1-2 update (price +10.00, status 'U'; the add is the same IEEE double
-    * op in both engines), 3 inserts under a shifted key — applied to the
+    * op in both engines), 3 inserts under a NEGATED key (-1 - k: base keys
+    * are non-negative in any corpus, so the synthetic insert can never
+    * collide with a real row — the former +10^9 shift collided with
+    * MakeScaled's copy stride at 10x) — applied to the
     * orders snapshot. The full merged snapshot is dumped, so a row
     * misrouted by any branch (a delete surviving, an update duplicated, an
     * insert colliding) changes the driver's hash. One change per key by
@@ -4493,7 +4496,7 @@ object Queries {
         .withColumn("o_totalprice", col("o_totalprice") + 10.0)
         .withColumn("op", lit("U")))
       .unionByName(base.filter(m === 3)
-        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+        .withColumn("o_orderkey", lit(-1L) - col("o_orderkey"))
         .withColumn("op", lit("I")))
     graft.operators.ScaleOps.applyChanges(base, changes, Seq("o_orderkey"), "op")
   }
@@ -4501,7 +4504,7 @@ object Queries {
   /** Snapshot diff ([[graft.operators.ScaleOps.snapshotDiff]]): two
     * independently constructed snapshots — the orders base and its mod-7
     * mutation (the d138 change pattern: 0 deleted, 1-2 repriced +10.00 and
-    * restatused, 3 cloned under a shifted key, 4-6 untouched) — and the
+    * restatused, 3 cloned under a negated key (see d138), 4-6 untouched) — and the
     * emitted change log is dumped. The oracle is the GENERATOR: DuckDB
     * spells out the exact I/U/D rows the mutation implies, so a diff that
     * misses an update, invents a change for an untouched row, or carries
@@ -4519,7 +4522,7 @@ object Queries {
         when(m.isin(1, 2), col("o_totalprice") + 10.0).otherwise(col("o_totalprice")))
       .unionByName(base.filter(m === 3))
       .unionByName(base.filter(m === 3)
-        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+        .withColumn("o_orderkey", lit(-1L) - col("o_orderkey")))
     graft.operators.ScaleOps.snapshotDiff(base, after, Seq("o_orderkey"))
   }
 
@@ -4579,7 +4582,7 @@ object Queries {
           .cast("decimal(18,2)"))
         .withColumn("w", insert))
       .unionByName(base.filter(m === 3)
-        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+        .withColumn("o_orderkey", lit(-1L) - col("o_orderkey"))
         .withColumn("w", insert))
       .select(col("o_custkey"), col("amt"), col("w"))
     graft.operators.ScaleOps.incrementalAgg(prevAgg, log, Seq("o_custkey"), "w", Seq("amt"))
@@ -5489,12 +5492,18 @@ object Queries {
       |WHERE sd > 0 AND abs((value - m) / sd) > 3.0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // sum_charge routes DuckDB's decimal->double through VARCHAR: DuckDB's
+    // direct DECIMAL->DOUBLE cast is not correctly rounded once the
+    // unscaled value leaves double-exact range (probed at 10x: scale-6
+    // unscaled 5.2e16 -> ...512726 vs the true ...51273, which Spark's
+    // BigDecimal cast and DuckDB's strtod both produce). Identical at
+    // driver SFs; exact at any scale.
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
         | CAST(COUNT(*) AS BIGINT) AS count_order
@@ -6493,7 +6502,7 @@ object Queries {
         |  SELECT o_orderkey, o_custkey, 'U', o_totalprice + 10.0, 'U'
         |  FROM base WHERE o_orderkey % 7 IN (1, 2)
         |  UNION ALL
-        |  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice, 'I'
+        |  SELECT -1 - o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'I'
         |  FROM base WHERE o_orderkey % 7 = 3)
         |SELECT b.* FROM base b
         |WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = b.o_orderkey)
@@ -6740,7 +6749,7 @@ object Queries {
         |  SELECT o_orderkey, o_custkey, 'U', o_totalprice + 10.0, 'U'
         |  FROM base WHERE o_orderkey % 7 IN (1, 2)
         |  UNION ALL
-        |  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice, 'I'
+        |  SELECT -1 - o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'I'
         |  FROM base WHERE o_orderkey % 7 = 3)
         |SELECT b.* FROM base b
         |WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = b.o_orderkey)
@@ -6778,7 +6787,7 @@ object Queries {
         |SELECT o_orderkey, o_custkey, 'U', o_totalprice + 10.0, 'U'
         |FROM base WHERE o_orderkey % 7 IN (1, 2)
         |UNION ALL
-        |SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice, 'I'
+        |SELECT -1 - o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'I'
         |FROM base WHERE o_orderkey % 7 = 3""".stripMargin,
 
     "d141_compaction" ->
@@ -6824,7 +6833,7 @@ object Queries {
         |    THEN amt + CAST(10.00 AS DECIMAL(18,2)) ELSE amt END AS amt
         |  FROM base WHERE o_orderkey % 7 <> 0
         |  UNION ALL
-        |  SELECT o_orderkey + 1000000000, o_custkey, amt
+        |  SELECT -1 - o_orderkey, o_custkey, amt
         |  FROM base WHERE o_orderkey % 7 = 3)
         |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
         | CAST(SUM(amt) AS DOUBLE) AS sum_price

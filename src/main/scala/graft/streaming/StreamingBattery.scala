@@ -681,7 +681,7 @@ object StreamingBattery {
           .withColumn("o_totalprice", col("o_totalprice") + 10.0)
           .withColumn("op", lit("U")))
         .unionByName(base.filter(m === 3)
-          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+          .withColumn("o_orderkey", lit(-1L) - col("o_orderkey"))
           .withColumn("op", lit("I")))
       changes.repartition(4).write.mode("overwrite").parquet(in.toString)
     }

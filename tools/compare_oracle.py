@@ -9,6 +9,7 @@ by name and rows by all columns, and reports row/schema/value mismatches.
 Dev tool only (driver-side python); the engine itself never depends on it.
 """
 import json
+import os
 import math
 import sys
 
@@ -43,7 +44,12 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single parquet FILES; MakeScaled corpora are
+        # Spark DIRECTORIES of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
