@@ -3548,23 +3548,34 @@ object Queries {
     * built once, then UNIONED to the per-type total without touching the
     * event stream again — the pre-aggregation pattern that turns "distinct
     * users last quarter" from a 100 TB re-scan into a merge of kilobyte
-    * sketches. Oracle-checkable here because lgK=14 keeps every per-group
-    * cardinality in the DataSketches coupon (exact) regime — promotion to
-    * estimation mode happens near 2k distincts at this lgK, and the test
-    * SFs top out at 1500 users per type (probed: exact through 1500,
-    * estimate-only from ~3000) — so the estimate IS the exact count. At
-    * production cardinalities the same query returns small-relative-error
-    * estimates, which is the point.
+    * sketches. Oracle contract (scale-proof, the d125 convention): the
+    * dumped columns are the EXACT distinct count (hash-verified) plus a
+    * flag pinning the merged-sketch estimate within 3.5 standard errors
+    * of it (lgK=14 → rsd ≈ 0.81%, 3.5σ ≈ 2.85%, bound 3%) — a broken
+    * union or register merge flips the flag at any scale. Below ~2k
+    * distincts per group the DataSketches coupon regime makes the
+    * estimate exactly equal (HllRollupSpec pins that); the 10x probe
+    * corpus (15k users/type, estimate 15086 = +0.57%) exercises the
+    * genuine estimation regime the row exists for.
     */
-  def d84HllRollup(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+  def d84HllRollup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
       .withColumn("day", expr("ts_ms div 86400000"))
+    val sketched = ev
       .groupBy(col("event_type"), col("day"))
       .agg(expr("hll_sketch_agg(user_id, 14)").as("__sk"))
       .groupBy(col("event_type"))
       .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_days"),
         expr("CAST(hll_sketch_estimate(hll_union_agg(__sk, false)) AS BIGINT)")
-          .as("n_users"))
+          .as("__est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"))
+    sketched.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"),
+        expr("CAST(n_users_exact AS BIGINT)").as("n_users_exact"),
+        (abs(col("__est") - col("n_users_exact")) <=
+          ceil(col("n_users_exact") * 0.03)).as("hll_within_bounds"))
+  }
 
   /** Quality-weighted deterministic sampling (engine-portable): each doc's
     * keep probability is its length ratio `n_chars / max(n_chars)` — the
@@ -5957,10 +5968,15 @@ object Queries {
         | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY 1""".stripMargin,
 
+    // exact count hash-verified; the sketch estimate rides as a 3.5-sigma
+    // in-bounds flag (TRUE at any scale unless a union/merge breaks) —
+    // scale-proof where pinning estimate == exact only held inside the
+    // coupon regime of the small test SFs
     "d84_hll_rollup" ->
       """SELECT event_type,
         | CAST(COUNT(DISTINCT epoch_ms(ts) // 86400000) AS BIGINT) AS n_days,
-        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+        | TRUE AS hll_within_bounds
         |FROM events GROUP BY 1""".stripMargin,
 
     "d85_weighted_sample" ->
