@@ -50,6 +50,29 @@ package graft
   * the raw total inflates while the normalized one stays comparable across
   * rounds. Raw numbers are always kept alongside — normalization is an
   * extra lens, never a replacement.
+  *
+  * == Non-CPU attribution (r7 VERDICT #1) ==
+  *
+  * Three r7 quiet runs swung 190.5→236.3 s while BOTH estimators read
+  * quiet (canary floors 0.142–0.147 s, contention_index ≤ 1.008) — the
+  * residual swing is IO/memory/JVM-shaped, which a page-cached
+  * group-aggregate canary cannot see. The artifact therefore now carries
+  * attribution series the normalizers don't use (telemetry first,
+  * normalization only if a signal proves causal):
+  *
+  *  - at every canary position, a `probes` sample: a fixed 64 MB
+  *    write+force+read-back under the shuffle tmp dir (disk write-back +
+  *    page-cache bandwidth), a single-threaded fixed arithmetic loop
+  *    (effective per-core speed — cpu frequency / thermal / steal at
+  *    sub-scheduler granularity, invisible to the C/(C−E) core-count
+  *    model), the current cpufreq reading, and /proc/meminfo page-cache /
+  *    available figures;
+  *  - per rep, `rep_gc_ms` / `rep_jit_ms` (GC + JIT time deltas from the
+  *    management beans) and `rep_cpu_sec` (own process cpu seconds): a
+  *    slow rep with proportionally higher own-cpu is compute-shaped
+  *    (frequency, JIT re-profiling); a slow rep with flat own-cpu was
+  *    WAITING (IO, scheduling, stop-the-world) — the one split that
+  *    separates every remaining hypothesis in one artifact.
   */
 object Bench {
   /** Battery rows between canary samples. 8 -> ~30 samples over the
@@ -105,9 +128,16 @@ object Bench {
       val stat = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
         .linesIterator.next().split("\\s+") // "cpu user nice sys idle iowait irq softirq steal ..."
       val busy = Seq(1, 2, 3, 6, 7, 8).map(i => stat(i).toLong).sum
-      val self = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
-        .split("\\s+")
-      (busy, self(13).toLong + self(14).toLong) // utime+stime, all threads
+      // the comm field (field 2, parenthesized) may itself contain spaces
+      // for renamed processes, so index from AFTER the last ')' (the
+      // kernel-documented parse) rather than whitespace-splitting the
+      // whole line (r7 ADVICE). After trim+split, index 0 = state (stat
+      // field 3), so utime/stime (stat fields 14/15) sit at indices 11/12.
+      val selfStat = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/self/stat"))
+      val self = selfStat.substring(selfStat.lastIndexOf(')') + 1)
+        .trim.split("\\s+")
+      (busy, self(11).toLong + self(12).toLong) // utime+stime, all threads
     } catch { case _: Throwable => (-1L, -1L) }
 
   /** Modeled slowdown from external cpu pressure over a measured interval:
@@ -123,6 +153,106 @@ object Bench {
     val free = math.max(cores - extCores, cores / maxCpuFactor)
     math.max(1.0, cores / free)
   }
+
+  /** Single-threaded fixed arithmetic loop (20M LCG steps, ~30 ms quiet):
+    * effective per-core speed. Slows 1:1 with cpu frequency / thermal
+    * throttling / hypervisor steal — the per-core effects the C/(C−E)
+    * core-count model reads as 1.0. Returns wall seconds.
+    */
+  private def cpuSpeedProbe(): Double = {
+    var x = 1469598103934665603L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 20000000) {
+      x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.println("") // keep the loop un-eliminable
+    dt
+  }
+
+  /** Fixed 64 MB write+force then read-back under the JVM tmp dir (where
+    * Spark's shuffle files land in this image): (write sec, read sec).
+    * Write+force tracks disk write-back pressure; the immediate read-back
+    * is page-cache-resident by construction, so it tracks memory
+    * bandwidth, not disk. Deterministic content; (-1,-1) on any failure.
+    */
+  private def ioProbe(): (Double, Double) = {
+    try {
+      val dir = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      val f = java.nio.file.Files.createTempFile(dir, "graft_iocanary", ".bin")
+      try {
+        val buf = java.nio.ByteBuffer.allocate(1 << 20)
+        var i = 0
+        while (i < (1 << 20)) { buf.put(i, (i * 131).toByte); i += 1 }
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.WRITE)
+        val t0 = System.nanoTime()
+        var m = 0
+        while (m < 64) {
+          buf.rewind(); while (buf.hasRemaining) ch.write(buf); m += 1
+        }
+        ch.force(false)
+        ch.close()
+        val wSec = (System.nanoTime() - t0) / 1e9
+        val rch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.READ)
+        val rbuf = java.nio.ByteBuffer.allocate(1 << 20)
+        val t1 = System.nanoTime()
+        var n = rch.read(rbuf)
+        while (n >= 0) { rbuf.clear(); n = rch.read(rbuf) }
+        val rSec = (System.nanoTime() - t1) / 1e9
+        rch.close()
+        (wSec, rSec)
+      } finally java.nio.file.Files.deleteIfExists(f)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+  }
+
+  /** Current cpu0 frequency in MHz (cpufreq sysfs, /proc/cpuinfo
+    * fallback); -1.0 where neither is exposed (common in containers).
+    */
+  private def freqMHz(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "/sys/devices/system/cpu/cpu0/cpufreq/scaling_cur_freq"))
+      .trim.toDouble / 1000.0
+    catch {
+      case _: Throwable =>
+        try java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/cpuinfo")).linesIterator
+          .collectFirst { case l if l.startsWith("cpu MHz") =>
+            l.split(":")(1).trim.toDouble }.getOrElse(-1.0)
+        catch { case _: Throwable => -1.0 }
+    }
+
+  /** (page-cache MB, MemAvailable MB) from /proc/meminfo; (-1,-1) where
+    * unreadable. A shrinking cache across a run means the corpus was
+    * being evicted — the one state that would make parquet scans
+    * disk-bound on a re-read.
+    */
+  private def memInfoMb(): (Double, Double) =
+    try {
+      val m = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/meminfo")).linesIterator
+        .map(_.split("\\s+")).collect {
+          case Array(k, v, _*) if k == "Cached:" || k == "MemAvailable:" =>
+            k -> v.toDouble / 1024.0
+        }.toMap
+      (m.getOrElse("Cached:", -1.0), m.getOrElse("MemAvailable:", -1.0))
+    } catch { case _: Throwable => (-1.0, -1.0) }
+
+  /** Cumulative stop-the-world GC milliseconds across all collectors. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+  }
+
+  /** Cumulative JIT compilation milliseconds; -1 where unsupported. */
+  private def jitMillis(): Long =
+    try java.lang.management.ManagementFactory.getCompilationMXBean
+      .getTotalCompilationTime
+    catch { case _: Throwable => -1L }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -160,8 +290,19 @@ object Bench {
     // ignore it for the floor, but the interpolated factor would over-deflate
     // the first battery rows.
     (1 to 2).foreach(_ => canaryOnce())
-    def sampleCanary(pos: Int): Unit =
+    // attribution probes (see scaladoc): sampled at the same positions as
+    // the canary, NOT folded into normalization — telemetry for the
+    // quiet-box-swing root cause, so each probe is one shot (min-of-N
+    // would hide exactly the transients being attributed)
+    val probeSamples = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Double, Double, Double, Double, Double, Double)]
+    def sampleCanary(pos: Int): Unit = {
       canarySamples += ((pos, canarySample(), load1()))
+      val (ioW, ioR) = ioProbe()
+      val (cached, avail) = memInfoMb()
+      probeSamples += ((pos, ioW, ioR, cpuSpeedProbe(), freqMHz(),
+        cached, avail))
+    }
     sampleCanary(0)
 
     // SPARK_GRAFT_BENCH_ONLY=d139,d124 runs just the named prefixes — an
@@ -180,13 +321,15 @@ object Bench {
       case None => SparkEntry.queries
     }
     val battery = selected.toSeq.sortBy(_._1)
-    // per row: (name, reps as (wall, cpuModelFactor), loadavg per rep)
+    // per row: (name, reps as (wall, cpuModelFactor, ownCpuSec, gcMs,
+    // jitMs), loadavg per rep)
     val repTimes = battery.zipWithIndex.map { case ((name, fn), idx) =>
       val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
       val times = (1 to reps).flatMap { _ =>
         spark.catalog.clearCache()
         loads += load1()
         val ticks0 = cpuTicks()
+        val gc0 = gcMillis(); val jit0 = jitMillis()
         val t0 = System.nanoTime()
         // Consume the FULL plan distributed-side: `toRdd.foreach` materializes
         // every output row (count() would let Catalyst prune projections and
@@ -194,7 +337,13 @@ object Bench {
         try {
           fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
           val wall = (System.nanoTime() - t0) / 1e9
-          Some((wall, cpuFactor(ticks0, cpuTicks(), wall, cpus)))
+          val ticks1 = cpuTicks()
+          val ownCpuSec =
+            if (ticks0._2 >= 0 && ticks1._2 >= 0)
+              (ticks1._2 - ticks0._2) / 100.0
+            else -1.0
+          Some((wall, cpuFactor(ticks0, ticks1, wall, cpus), ownCpuSec,
+            gcMillis() - gc0, jitMillis() - jit0))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -223,7 +372,7 @@ object Bench {
     val appliedFactors = scala.collection.mutable.ArrayBuffer.empty[Double]
     val normalized = repTimes.zipWithIndex.map { case ((name, times, _), idx) =>
       name -> (if (times.nonEmpty) {
-        times.map { case (wall, cpuF) =>
+        times.map { case (wall, cpuF, _, _, _) =>
           val f = math.max(1.0, math.min(factorAt(idx), cpuF))
           appliedFactors += f
           wall / f
@@ -250,12 +399,30 @@ object Bench {
     val repCpuJson = repTimes.map { case (k, ts, _) =>
       "\"" + k + "\":[" + ts.map(t => fmt(t._2)).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // attribution arrays (scaladoc "Non-CPU attribution"): own-process cpu
+    // seconds, GC ms, JIT ms per rep — wall-vs-cpu classifies a slow rep
+    // as compute-shaped or wait-shaped without re-running anything
+    val repOwnCpuJson = repTimes.map { case (k, ts, _) =>
+      "\"" + k + "\":[" + ts.map(t => fmt(t._3)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val repGcJson = repTimes.map { case (k, ts, _) =>
+      "\"" + k + "\":[" + ts.map(_._4.toString).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val repJitJson = repTimes.map { case (k, ts, _) =>
+      "\"" + k + "\":[" + ts.map(_._5.toString).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val canaryJson = {
       val samples = canarySamples.map { case (p, w, l) =>
         s"""{"pos":$p,"sec":${fmt(w)},"load1":${fmt(l)}}"""
       }.mkString("[", ",", "]")
       s"""{"floor_sec":${fmt(canaryFloor)},"period":$canaryPeriod,"samples":$samples}"""
     }
+    val probesJson = probeSamples.map {
+      case (p, ioW, ioR, cpu1, mhz, cached, avail) =>
+        s"""{"pos":$p,"io_w_sec":${fmt(ioW)},"io_r_sec":${fmt(ioR)},""" +
+          s""""cpu1_sec":${fmt(cpu1)},"freq_mhz":${fmt(mhz)},""" +
+          s""""cached_mb":${fmt(cached)},"avail_mb":${fmt(avail)}}"""
+    }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val totalNorm = normalized.map(_._2).sum
     // split three regimes so each trend stays legible across rounds:
@@ -271,7 +438,7 @@ object Bench {
     val streamTotal = streamRows.map(_._2).sum
     val checksTotal = checkRows.map(_._2).sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${fmt(totalNorm)},"contention_index":${fmt(contentionIndex)},"reps_per_query":$reps,"operators_sec":$opsTotal,"streaming_sec":$streamTotal,"verification_sec":$checksTotal,"canary":$canaryJson,"rep_times":$repsJson,"rep_loads":$repLoadsJson,"rep_cpu_factors":$repCpuJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${fmt(totalNorm)},"contention_index":${fmt(contentionIndex)},"reps_per_query":$reps,"operators_sec":$opsTotal,"streaming_sec":$streamTotal,"verification_sec":$checksTotal,"canary":$canaryJson,"probes":$probesJson,"rep_times":$repsJson,"rep_loads":$repLoadsJson,"rep_cpu_factors":$repCpuJson,"rep_own_cpu_sec":$repOwnCpuJson,"rep_gc_ms":$repGcJson,"rep_jit_ms":$repJitJson,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // The driver's tail capture clipped the single ~6 KB line from the FRONT
     // in r2 and r3 ("parsed": null in BENCH_r*.json), losing the totals. So:

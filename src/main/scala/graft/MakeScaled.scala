@@ -24,10 +24,18 @@ object MakeScaled {
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/sfscaled"
     val nCopies = if (args.length > 1) args(1).toInt else 10
-    val only: Set[String] =
-      if (args.length > 2 && args(2) != "densekeys") args(2).split(",").toSet
-      else Set.empty
-    val denseKeys = args.contains("densekeys")
+    val knownTables = Set("lineitem", "orders", "customer", "supplier",
+      "part", "events", "documents", "embeddings", "nation", "region")
+    // "densekeys" is a flag wherever it appears — standalone arg OR inside
+    // the comma-list (r7 ADVICE: positional parsing silently half-applied
+    // 'densekeys,customer' as a bogus table filter with dense mode off) —
+    // and unknown table names fail loudly instead of filtering to nothing
+    val rest = args.drop(2).flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val denseKeys = rest.contains("densekeys")
+    val only: Set[String] = rest.filterNot(_ == "densekeys").toSet
+    val unknown = only -- knownTables
+    require(unknown.isEmpty, s"MakeScaled: unknown table(s) " +
+      s"${unknown.mkString(",")}; known: ${knownTables.toSeq.sorted.mkString(",")}")
     def wanted(name: String) = only.isEmpty || only.contains(name)
     val in = "/root/testdata/sf0.1"
     val spark = GraftSession.builder(32).getOrCreate()

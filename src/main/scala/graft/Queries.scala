@@ -1806,12 +1806,19 @@ object Queries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       li.filter(col("l_suppkey") % 2 === parity)
         // guard the half-open-interval invariant EXPLICITLY (r6 ADVICE): a
-        // non-positive quantity is an empty interval [lo, lo) — it can
-        // match nothing and adds 0 to every later prefix sum, so dropping
-        // it is semantics-preserving; kept, it would make the band
-        // sequence() run start > stop, which Spark answers with a
-        // DESCENDING range (spurious band memberships) instead of an error
-        .filter(col("qty_c") > 0)
+        // ZERO quantity is an empty interval [lo, lo) — it can match
+        // nothing and adds 0 to every later prefix sum, so dropping it is
+        // semantics-preserving; kept, it would make the band sequence()
+        // run start > stop, which Spark answers with a DESCENDING range
+        // (spurious band memberships) instead of an error. A NEGATIVE
+        // quantity (returns/credits) is NOT semantics-preserving to drop
+        // — it would shift every later row's lo/hi — so it fails loudly
+        // (r7 ADVICE) rather than silently diverging from a
+        // cumulative-sum oracle on a future corpus
+        .filter(expr(
+          """CASE WHEN qty_c < 0 THEN isnull(assert_true(qty_c >= 0,
+            |  'fifoMatch: negative qty_c is unsupported (dropping it would shift later prefix sums)'))
+            |ELSE qty_c > 0 END""".stripMargin))
         .withColumn("hi", sum(col("qty_c")).over(w))
         .withColumn("lo", col("hi") - col("qty_c"))
     }

@@ -261,6 +261,17 @@ object Features {
     * complete table). Factored out so the batching law can be
     * property-tested directly against the sequential reference
     * (FeaturesProps) with no drift from the production path.
+    *
+    * '''Seeding invariant (r7 ADVICE):''' the proof's first premise ("no
+    * old pair's count ever increases under a merge") additionally relies
+    * on a live pair (a, b) never coexisting with an already-existing
+    * symbol `a+b` — true under [[bpeTrain]]'s single-character seeding
+    * (once (a, b) merges, no later merge can recreate an (a, b)
+    * adjacency, so `a+b` existing implies count(a, b) = 0). If seeding
+    * ever changes to multi-char symbols that invariant could break, so
+    * the merged string `a+b` is ALSO added to `usedSyms` below — a
+    * no-op under the invariant (batched ≡ sequential stays
+    * ScalaCheck-pinned), a sound guard without it.
     */
   private[graft] def selectSafeBatch(pairs: Seq[(String, String, Long)],
       floor: Long, cap: Int): Seq[(String, String, Long)] = {
@@ -279,6 +290,7 @@ object Features {
       else {
         accepted += ((a, b, c))
         usedSyms += a; usedSyms += b
+        usedSyms += (a + b) // defensive: see seeding invariant above
         // family ceiling: original counts of (x, a) and (b, y) bound
         // every pair this merge can create; (a, a) self-family and the
         // a == b case fall out of the same predicate

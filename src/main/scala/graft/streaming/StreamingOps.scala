@@ -873,9 +873,20 @@ object StreamingOps {
     * post-flush trials stay absorbed and the key can NEVER double-decide
     * (spec-pinned in StreamingBatterySpec). The trade is explicit: the
     * store now grows with the decided-key cardinality instead of being
-    * emptied by flushes — deployments with unbounded key spaces bound it
-    * upstream (the d236 seen-flag pattern) or wrap the call with a state
-    * TTL. The battery row keeps the default (epoch-scoped) mode.
+    * emptied by flushes. `tombstoneTtlFlushes` (r7 VERDICT) is the
+    * in-library bound on that growth: with TTL = N a decided key's
+    * tombstone survives N−1 flushes and is dropped at the N-th, so
+    * absorption spans exactly N flush epochs (the decision's own epoch
+    * plus N−1 more) and the store stays bounded by the decided keys of
+    * the last N epochs. Inside the TTL window no-double-decision still
+    * holds; after expiry a fresh walk may decide again — by then the
+    * key's absorption contract has aged out by configuration, exactly
+    * like the dedupExactStream watermark discipline. TTL = 0 (default)
+    * retains forever (the r6 behavior); TTL = 1 degenerates to the
+    * epoch-scoped default mode. Both the expiry and the in-window
+    * absorption are spec-pinned. Deployments may instead bound upstream
+    * (the d236 seen-flag pattern). The battery row keeps the default
+    * (epoch-scoped) mode.
     *
     * The batch twin (battery d231) extracts the
     * same first crossing declaratively from windowed prefix sums; the
@@ -886,35 +897,43 @@ object StreamingOps {
     * n_trials, cum_final).
     */
   def sprtStream(input: Dataset[(Long, Long, Long, Long, Int)],
-      hi: Long = 12L, lo: Long = -12L, retainDecided: Boolean = false)
+      hi: Long = 12L, lo: Long = -12L, retainDecided: Boolean = false,
+      tombstoneTtlFlushes: Int = 0)
       : Dataset[(Long, String, Long, Long)] = {
     require(lo < 0 && hi > 0, s"bounds must straddle 0: [$lo, $hi]")
+    require(tombstoneTtlFlushes >= 0,
+      s"tombstoneTtlFlushes must be >= 0: $tombstoneTtlFlushes")
+    require(tombstoneTtlFlushes == 0 || retainDecided,
+      "tombstoneTtlFlushes only applies to retainDecided mode")
     val session = input.sparkSession
     import session.implicits._
-    // (cum, nTrials, decided)
-    implicit val stEnc: Encoder[(Long, Long, Boolean)] =
-      Encoders.kryo(classOf[(Long, Long, Boolean)])
+    // (cum, nTrials, decided, tombstoneFlushAge)
+    implicit val stEnc: Encoder[(Long, Long, Boolean, Long)] =
+      Encoders.kryo(classOf[(Long, Long, Boolean, Long)])
     input.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Boolean),
+      .flatMapGroupsWithState[(Long, Long, Boolean, Long),
         (Long, String, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[(Long, Long, Long, Long, Int)],
-         state: GroupState[(Long, Long, Boolean)]) =>
-          var (cum, n, decided) =
-            state.getOption.getOrElse((0L, 0L, false))
+         state: GroupState[(Long, Long, Boolean, Long)]) =>
+          var (cum, n, decided, age) =
+            state.getOption.getOrElse((0L, 0L, false, 0L))
           var removed = false
           val out = rows.toSeq.sortBy(r => (r._2, r._3)).flatMap {
             case (_, _, _, _, kind) if kind == 1 =>
               // flush: open keys report their walk; decided keys already
               // emitted at the crossing. Open keys always leave the store
               // (unbounded key spaces + periodic flushes); decided keys
-              // leave too unless retainDecided keeps their tombstone.
+              // leave too unless retainDecided keeps their tombstone —
+              // and a TTL'd tombstone ages one epoch per flush, dropped
+              // once it has absorbed its configured window.
               val closing =
                 if (!decided && n > 0) Seq((key, "open", n, cum)) else Nil
-              val keepTombstone = retainDecided && decided
+              val keepTombstone = retainDecided && decided &&
+                (tombstoneTtlFlushes == 0 || age + 1L < tombstoneTtlFlushes)
               cum = 0L; n = 0L
-              if (keepTombstone) removed = false
-              else { decided = false; removed = true }
+              if (keepTombstone) { removed = false; age += 1L }
+              else { decided = false; age = 0L; removed = true }
               closing
             case _ if decided => Nil // absorbed: trials after decision
             case (_, _, _, step, _) =>
@@ -925,7 +944,7 @@ object StreamingOps {
               } else Nil
           }
           if (removed && n == 0L && !decided) state.remove()
-          else state.update((cum, n, decided))
+          else state.update((cum, n, decided, age))
           out.iterator
       }
   }

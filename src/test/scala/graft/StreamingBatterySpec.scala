@@ -551,6 +551,48 @@ class StreamingBatterySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sprtStream tombstoneTtlFlushes: absorbed inside the window, expires after it (MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Int)]
+    // TTL = 2: the tombstone survives one flush (absorbing epoch 2) and
+    // is dropped at the second — the bounded-store mode of retainDecided
+    val out = graft.streaming.StreamingOps.sprtStream(mem.toDS(),
+      hi = 5L, lo = -5L, retainDecided = true, tombstoneTtlFlushes = 2)
+    val sink = s"sprt_ttl_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    def stateRows(): Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      // epoch 1: key 1 accepts at +6, then flush 1 — tombstone retained
+      mem.addData((1L, 10L, 1L, 3L, 0), (1L, 20L, 2L, 3L, 0))
+      q.processAllAvailable()
+      mem.addData((1L, 100L, 3L, 0L, 1))
+      q.processAllAvailable()
+      assert(stateRows() == 1L,
+        s"tombstone must survive flush 1 of TTL 2, store has ${stateRows()}")
+      // epoch 2: in-window trials stay absorbed (no double decision)
+      mem.addData((1L, 110L, 4L, 3L, 0), (1L, 120L, 5L, 3L, 0))
+      q.processAllAvailable()
+      // flush 2: the tombstone ages out — the store empties (the bound)
+      mem.addData((1L, 200L, 6L, 0L, 1))
+      q.processAllAvailable()
+      assert(stateRows() == 0L,
+        s"tombstone must expire at flush 2 of TTL 2, store has ${stateRows()}")
+      // epoch 3: post-expiry trials start a FRESH walk that may decide
+      mem.addData((1L, 210L, 7L, -3L, 0), (1L, 220L, 8L, -3L, 0))
+      q.processAllAvailable()
+      val got = s.table(sink)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == Set((1L, "accept", 2L, 6L), (1L, "reject", 2L, -6L)),
+        s"got $got — expected exactly the epoch-1 accept (epoch-2 trials " +
+          "absorbed in-window) and the post-expiry epoch-3 reject")
+    } finally q.stop()
+  }
+
   test("d236 streaming funnel == batch d228's first four stages, source for source") {
     val got = graft.streaming.StreamingBattery.d236StreamCuration(spark, sf)
     val want = Queries.d228CurationPipeline(spark, sf)
