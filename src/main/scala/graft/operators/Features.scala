@@ -199,6 +199,7 @@ object Features {
       .localCheckpoint()
     val merges = scala.collection.mutable.ListBuffer
       .empty[(Int, String, String, String, Long)]
+    val widths = scala.collection.mutable.ListBuffer.empty[Int]
     var exhausted = false
     var rounds = 0
     while (merges.size < nMerges && !exhausted) {
@@ -223,6 +224,7 @@ object Features {
         val floor = if (pairs.size >= topM) pairs.last._3 else 0L
         val accepted = selectSafeBatch(pairs, floor,
           math.min(maxBatch, nMerges - merges.size))
+        widths += accepted.size
         accepted.foreach { case (a, b, c) =>
           merges += ((merges.size + 1, a, b, a + b, c))
         }
@@ -234,15 +236,23 @@ object Features {
         val foldedR = accepted.foldLeft(wrapped) { case (acc, (a, b, _)) =>
           s"replace($acc, '($a)($b)', '($a$b)')"
         }
-        words = words
+        // localCheckpoint is EAGER, so once `next` returns the previous
+        // round's checkpoint blocks are dead weight — unpersist them, or
+        // a production 30k-merge run (~500 rounds) accretes every round's
+        // word table in storage memory
+        val next = words
           .withColumn("__r", expr(foldedR))
           .select(col("word"), col("cnt"),
             expr("split(substring(__r, 2, length(__r) - 2), '\\\\)\\\\(')")
               .as("syms"))
           .localCheckpoint()
+        words.unpersist()
+        words = next
       }
     }
+    words.unpersist()
     lastTrainRounds = rounds
+    lastTrainBatchWidths = widths.toSeq
     spark.createDataFrame(merges.toSeq)
       .toDF("step", "pair_left", "pair_right", "merged", "pair_count")
   }
@@ -252,6 +262,12 @@ object Features {
     * probes call bpeTrain single-threaded).
     */
   @volatile private[graft] var lastTrainRounds: Int = 0
+
+  /** Per-round accepted batch widths of the last [[bpeTrain]] call — the
+    * distribution behind the "tail rounds batch wide" claim (same probe
+    * -instrumentation caveats as [[lastTrainRounds]]).
+    */
+  @volatile private[graft] var lastTrainBatchWidths: Seq[Int] = Nil
 
   /** The pure batch-selection rule under [[bpeTrain]] (see its scaladoc
     * for the safety proof): the longest prefix of `pairs` — already in
