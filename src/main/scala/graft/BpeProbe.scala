@@ -31,15 +31,23 @@ object BpeProbe {
     (for (c <- cons; v <- vows) yield s"$c$v").take(40)
   }
 
-  /** word for index i: 2–5 syllables from i's base-40 digits. */
+  /** word for index i: 2–5 syllables, each drawn near-uniformly by a
+    * splitmix64-style hash of (i, position). Uniform syllable usage
+    * matters: a base-40-digit scheme concentrated one syllable across
+    * the whole vocabulary, which forced every early merge to share a
+    * symbol with the argmax and pinned safe-batch widths at ~2-3 — a
+    * generator artifact, not a property of Zipf text.
+    */
   private[graft] def zipfWord(i: Long): String = {
     val nSyl = 2 + (i % 4).toInt
     val sb = new StringBuilder
-    var x = i
     var k = 0
     while (k < nSyl) {
-      sb.append(syllables((x % 40).toInt))
-      x = x / 40 + 7 // offset so short cycles still vary later syllables
+      var x = i * 0x9E3779B97F4A7C15L + (k + 1) * 0xD6E8FEB86659FD93L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^= x >>> 31
+      sb.append(syllables(((x % 40 + 40) % 40).toInt))
       k += 1
     }
     sb.toString

@@ -7059,28 +7059,33 @@ object Queries {
     },
 
     // the recurrence unrolled: identical IEEE per-edge terms, ROUND 9 last
+    // MATERIALIZED hints (DuckDB-only SQL; Spark never parses oracles):
+    // without them DuckDB re-inlines the whole chain at every unrolled
+    // iteration, recomputing the per-order pair self-join 2-3x per level
+    // — at the 30x gate that blew duckdb_temp_storage past the box's
+    // free disk (ENOSPC) before producing a row. Linear with the hints.
     "d169_pagerank" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
         |  FROM lineitem),
-        |pr AS (SELECT a.i AS pa, b.i AS pb FROM li a JOIN li b
+        |pr AS MATERIALIZED (SELECT a.i AS pa, b.i AS pb FROM li a JOIN li b
         |  ON a.g = b.g AND a.i < b.i),
-        |e AS (SELECT pa AS a, pb AS b FROM
+        |e AS MATERIALIZED (SELECT pa AS a, pb AS b FROM
         |  (SELECT pa, pb, COUNT(*) AS c FROM pr GROUP BY 1, 2)
         |  WHERE c >= 2),
-        |adj AS (SELECT a AS src, b AS dst FROM e
+        |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
         |  UNION ALL SELECT b, a FROM e),
-        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM adj
+        |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM adj
         |  GROUP BY 1),
-        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
-        |p0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS pr
+        |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+        |p0 AS MATERIALIZED (SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS pr
         |  FROM deg, nn),
-        |p1 AS (SELECT adj.dst AS node,
+        |p1 AS MATERIALIZED (SELECT adj.dst AS node,
         |   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
         |     CAST(0.85 AS DOUBLE) * SUM(p.pr / dg.deg) AS pr
         |  FROM adj JOIN p0 p ON p.node = adj.src
         |   JOIN deg dg ON dg.src = adj.src, nn
         |  GROUP BY adj.dst, nn.n),
-        |p2 AS (SELECT adj.dst AS node,
+        |p2 AS MATERIALIZED (SELECT adj.dst AS node,
         |   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
         |     CAST(0.85 AS DOUBLE) * SUM(p.pr / dg.deg) AS pr
         |  FROM adj JOIN p1 p ON p.node = adj.src
