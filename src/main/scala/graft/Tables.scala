@@ -56,8 +56,8 @@ object Tables {
 
 /** Session factory with the engine's standard config. */
 object GraftSession {
-  def builder(cpus: Int): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(cpus: Int): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
@@ -67,4 +67,15 @@ object GraftSession {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.kryo.registrator", "graft.core.GraftKryoRegistrator")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v": measurement hook for A/B-ing a
+    // session conf across otherwise-identical runs (e.g. the state-store
+    // maintenance-interval experiment in the bench-variance root cause);
+    // production callers own their builder and don't need this.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(b) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        bb.config(k.trim, v.trim)
+      }
+  }
 }
