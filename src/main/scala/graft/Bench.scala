@@ -82,10 +82,15 @@ package graft
 object Bench {
   /** Battery EXECUTIONS between canary samples. 24 -> ~30 samples over
     * the 242-row x (2+1)-execution battery: fine enough to track
-    * minute-scale load swings, cheap enough (~30 x 3 x 0.15 s) to cost
-    * <7% of a quiet run. (Was 8 rows when reps ran back-to-back per row;
-    * hybrid repetition tripled the position count, so 24 keeps the same
-    * sample budget.)
+    * minute-scale load swings, cheap enough to cost <10% of a quiet run —
+    * each sample is 3 canary runs (~0.45 s) PLUS the attribution probes
+    * (one 64 MB write+force+read-back ioProbe under the shuffle tmp dir
+    * and a ~30 ms single-thread cpu loop, r8 ADVICE: previously
+    * unbudgeted in this comment). The forced 64 MB write may briefly
+    * contend with shuffle IO for rows adjacent to a sample position;
+    * probes are telemetry-only and never fold into normalization. (Was 8
+    * rows when reps ran back-to-back per row; hybrid repetition tripled
+    * the position count, so 24 keeps the same sample budget.)
     */
   val canaryPeriod = 24
 

@@ -273,18 +273,32 @@ object ModelChecks {
     val sp = s; import sp.implicits._
     val maxHamming = 3
     val docs = Tables.documents(s, d)
-    val sigs = docs.select(col("doc_id"),
+    // r9 optimization (guide §1/§2): fanOut the signature pass (otherwise
+    // fused into a 1-task scan of the single-row-group bench file) and
+    // checkpoint the collapsed signature table, which feeds BOTH sides of
+    // the brute O(F²) self-join — previously recomputed per consumer.
+    val sigs = ScaleOps.fanOut(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
         NativeExpressions.simHash64(
           TextFunctions.tokens(lower(col("text")))).as("fp"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("id"))
+      .localCheckpoint()
     val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
       .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= maxHamming)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
     val emitted = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = maxHamming)
       .select(col("id1"), col("id2"))
-    val missed = brute.exceptAll(emitted).count()
-    val fabricated = emitted.exceptAll(brute).count()
-    Seq((missed, fabricated)).toDF("missed_pairs", "fabricated_pairs")
+    // ONE full-outer pass instead of two exceptAll legs — the legs each
+    // re-ran the O(F²) brute reference. Both sides are duplicate-free by
+    // construction (unique min-id signature representatives; the engine
+    // dropDuplicates), so the multiset exceptAll counts equal these set
+    // difference counts exactly.
+    val row = brute.withColumn("__b", lit(1))
+      .join(emitted.withColumn("__e", lit(1)), Seq("id1", "id2"), "full_outer")
+      .agg(sum(when(col("__e").isNull, 1L).otherwise(0L)).as("m"),
+        sum(when(col("__b").isNull, 1L).otherwise(0L)).as("f")).head()
+    def z(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+    Seq((z(0), z(1))).toDF("missed_pairs", "fabricated_pairs")
   }
 
   // ---------------------------------------------------------------------
@@ -326,7 +340,11 @@ object ModelChecks {
     // fall back to object agg — the NOTES lesson; two independent xxhash64s
     // put a digest collision at ~2^-128, far below the check's own 8σ
     // tolerance); sig itself still rides along for the exact =!= compare
-    val base = docs.select(col("doc_id"),
+    // fanOut (guide §2.5): the 128-hash signature + gram materialization is
+    // the check's heaviest map pass and was fused into a 1-task scan of
+    // the single-row-group bench file; no-op on a many-split corpus
+    val base = ScaleOps.fanOut(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
         NativeExpressions.wordNgrams(toks, 3).as("grams"),
         NativeExpressions.minHashShingleSignature(toks, 3, 128).as("sig"))
       .withColumn("sigk1", xxhash64(col("sig")))

@@ -3,7 +3,7 @@ package graft
 import graft.api.Pipeline
 import graft.core._
 import graft.functions.{FrequencySketch, TextFunctions}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, ScaleOps, Similarity}
 import graft.plans.NativeExpressions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -156,7 +156,11 @@ object Queries {
   def q12Wordcount(s: SparkSession, d: String): DataFrame = {
     val sp = s; import sp.implicits._
     val p = Pipeline(s)
-    val texts = Tables.documents(s, d).select("text").as[String]
+    // fanOut: the typed flatMap+map ParDo chain is opaque to Catalyst and
+    // otherwise runs in the 1-task scan stage of the single-row-group
+    // bench file (guide §2.5); no-op at corpus scale
+    val texts = ScaleOps.fanOut(
+      Tables.documents(s, d).select("text")).as[String]
     p.fromDataset(texts)
       .flatMap(_.split("\\s+").filter(_.nonEmpty))
       .map(w => (w, ()))
@@ -385,8 +389,12 @@ object Queries {
   /** Exact token-set Jaccard over blocked candidate pairs. */
   def d25NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val t = docs.select(col("doc_id"), col("lang"), col("n_chars"),
-      array_distinct(TextFunctions.tokens(lower(col("text")))).as("toks"))
+    // fanOut: tokenization otherwise runs inside the 1-task scan stage of
+    // the single-row-group bench file (guide §2.5); no-op at corpus scale
+    val t = ScaleOps.fanOut(docs.select(col("doc_id"), col("lang"),
+        col("n_chars"), col("text")))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(TextFunctions.tokens(lower(col("text")))).as("toks"))
     t.as("a").join(t.as("b"),
         col("a.lang") === col("b.lang") && col("a.n_chars") === col("b.n_chars") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -439,7 +447,9 @@ object Queries {
 
   /** Quality-score aggregates per language. */
   def d31Quality(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    // fanOut: the three per-doc text metrics ran inside the 1-task scan
+    // stage (guide §2.5 unsplittable input); no-op at corpus scale
+    ScaleOps.fanOut(Tables.documents(s, d).select(col("lang"), col("text")))
       .select(col("lang"),
         TextFunctions.qualityScore(col("text")).as("q"),
         TextFunctions.punctRatio(col("text")).as("pr"),
@@ -806,7 +816,9 @@ object Queries {
     */
   def d60GopherFilter(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    Tables.documents(s, d)
+    // fanOut: four per-doc token metrics otherwise run in the 1-task scan
+    // stage (guide §2.5 unsplittable input); no-op at corpus scale
+    ScaleOps.fanOut(Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         TextFunctions.tokenCount(t).as("__nt"),
         TextFunctions.meanTokenLength(t).as("__mwl"),
@@ -832,8 +844,11 @@ object Queries {
     */
   def d61TfIdf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val terms = docs.select(col("doc_id"),
-      explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+    // fanOut: tokenize + explode + the tf partial aggregate otherwise run
+    // in the 1-task scan stage (guide §2.5); no-op at corpus scale
+    val terms = ScaleOps.fanOut(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
@@ -2562,10 +2577,16 @@ object Queries {
     // (the 8x-inlined form relied on CSE to collapse the copies)
     val wExpr = PoissonThresholds.map(t => s"CAST(u >= $t AS INT)")
       .mkString(" + ")
-    Tables.orders(s, d)
+    // fanOut (guide §2.5, unsplittable single-row-group input): the 32×
+    // replicate explode and its per-(row, replicate) md5 are the heaviest
+    // map compute in the battery and were fused into a 1-task scan stage
+    // (measured: wall ≈ summed task time ≈ 4.6 s on ≤ 3 tasks). Spreading
+    // the 16-byte (key, cents) rows first costs one tiny round-robin
+    // exchange and parallelizes the hash work; no-op on a many-split corpus.
+    ScaleOps.fanOut(Tables.orders(s, d)
       .select(col("o_orderkey"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
-          .as("cents"))
+          .as("cents")))
       .select(col("o_orderkey"), col("cents"),
         explode(expr("sequence(0, 31)")).as("b"))
       .withColumn("u",
@@ -2914,7 +2935,12 @@ object Queries {
     * block go quadratic in the corpus).
     */
   def d237JaroLinkage(s: SparkSession, d: String): DataFrame = {
-    val p0 = Tables.documents(s, d).filter(col("text").isNotNull)
+    // fanOut: tokenization (and the checkpoint blocks every downstream
+    // consumer reads) otherwise sit in/behind a 1-task scan stage (guide
+    // §2.5 unsplittable input); no-op at corpus scale
+    val p0 = ScaleOps.fanOut(Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")))
       .select(expr("CAST(doc_id AS BIGINT)").as("id"),
         TextFunctions.tokens(lower(col("text"))).as("t"))
       .select(col("id"),
@@ -3355,7 +3381,11 @@ object Queries {
     * counts for affected docs.
     */
   def d73DupNgrams(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.documents(s, d)
+    // fanOut: the 8-gram explode feeds BOTH the frequency census and the
+    // join-back, each otherwise replaying tokenize+ngrams in a 1-task scan
+    // stage (guide §2.5 unsplittable input); no-op at corpus scale
+    val grams = ScaleOps.fanOut(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(
         NativeExpressions.wordNgrams(TextFunctions.tokens(lower(col("text"))), 8)).as("gram"))
     val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("__ndw"))
@@ -3655,9 +3685,14 @@ object Queries {
     * count table; here it is exact so DuckDB can recompute it.
     */
   def d88LmTypicality(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.documents(s, d).select(col("doc_id"),
-      explode(graft.plans.NativeExpressions.wordNgramsAll(
-        TextFunctions.tokens(lower(col("text"))), 2)).as("gram"))
+    // fanOut: the bigram explode feeds BOTH the model census and the join,
+    // each replaying tokenize+ngrams inside a 1-task scan stage (guide
+    // §2.5 unsplittable input); no-op at corpus scale
+    val grams = ScaleOps.fanOut(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(graft.plans.NativeExpressions.wordNgramsAll(
+          TextFunctions.tokens(lower(col("text"))), 2)).as("gram"))
     val model = grams.groupBy(col("gram")).agg(count(lit(1)).as("gfreq"))
     grams.join(model, "gram")
       .groupBy(col("doc_id"))
@@ -3795,11 +3830,16 @@ object Queries {
   def d94ContaminationFrac(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val isEval = col("source").isin("src0", "src1")
-    val evalGrams = docs.filter(isEval)
+    // fanOut both shingle explodes: each otherwise runs in a 1-task scan
+    // stage (guide §2.5 unsplittable input); no-op at corpus scale. The
+    // join stays broadcast (PlanAuditSpec d92/d94 pin) — round-robin
+    // exchanges are not hash shuffles.
+    val evalGrams = ScaleOps.fanOut(
+        docs.filter(isEval).select(col("text")))
       .select(explode(TextFunctions.wordShingles(col("text"), 8)).as("gram"))
       .distinct()
       .select(col("gram"), lit(true).as("__hit"))
-    docs.filter(!isEval)
+    ScaleOps.fanOut(docs.filter(!isEval).select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(TextFunctions.wordShingles(col("text"), 8)).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"), "left")

@@ -29,10 +29,14 @@ object Decontaminate {
   def overlap(
       train: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minShared: Long = 1): DataFrame = {
-    val evalGrams = evalSet
+    // fanOut both shingle explodes (guide §2.5): on a single-row-group
+    // bench file each otherwise runs in a 1-task scan stage; no-op on a
+    // many-split corpus. The join stays broadcast — fanOut's round-robin
+    // exchange is not a hash shuffle of the corpus.
+    val evalGrams = ScaleOps.fanOut(evalSet.select(col(textCol)))
       .select(explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
       .distinct()
-    train
+    ScaleOps.fanOut(train.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
       .join(broadcast(evalGrams), "gram")
       .groupBy(col(idCol))

@@ -327,7 +327,13 @@ object Dedup {
       crossSides: Boolean): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0,1]: $tNum/$tDen")
-    val grams = grams0.localCheckpoint(false) // two consumers: prefixes + verify
+    // fanOut BEFORE the checkpoint: shingle extraction is scan-fused and a
+    // single-row-group bench file makes that stage 1 task — and the
+    // checkpoint would then hold 1 partition, serializing every downstream
+    // map pass too (guide §2.5). Probing here is safe (scan/union upstream,
+    // no exchange); no-op on a many-split corpus.
+    val grams = ScaleOps.fanOut(grams0)
+      .localCheckpoint(false) // two consumers: prefixes + verify
     val posts = grams.select(col("__id"), col("__side"),
       explode(col("__gs")).as("__g"))
     val freq = posts.groupBy(col("__g")).agg(count(lit(1)).as("__f"))
@@ -609,9 +615,15 @@ object Dedup {
   def maskDuplicatedSpans(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minGlobalCount: Long = 2): DataFrame = {
-    val withToks = df.select(col(idCol),
-      coalesce(TextFunctions.tokens(lower(col(textCol))),
-        typedlit(Seq.empty[String])).as("__toks"))
+    // fanOut: tokenize + the positional n-gram explode feed two consumers
+    // (gram census and the rebuild join), each otherwise replaying a
+    // 1-task scan stage on a single-row-group bench file (guide §2.5);
+    // no-op on a many-split corpus
+    val withToks = ScaleOps.fanOut(
+        df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        coalesce(TextFunctions.tokens(lower(col(textCol))),
+          typedlit(Seq.empty[String])).as("__toks"))
     val grams = withToks
       .select(col(idCol),
         posexplode(graft.plans.NativeExpressions.wordNgramsAll(col("__toks"), n)))
@@ -659,7 +671,12 @@ object Dedup {
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
-    val toks = docs.filter(col(textCol).isNotNull)
+    // fanOut: gram construction + md5 hashing are the heavy map work and
+    // otherwise run in the 1-task scan stage of a single-row-group bench
+    // file (guide §2.5); no-op on a many-split corpus
+    val toks = ScaleOps.fanOut(
+        docs.filter(col(textCol).isNotNull)
+          .select(col(idCol), col(textCol)))
       .select(col(idCol),
         TextFunctions.tokens(lower(col(textCol))).as("__t"))
       .filter(size(col("__t")) >= k)

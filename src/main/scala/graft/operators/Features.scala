@@ -248,16 +248,20 @@ object Features {
           s"replace($acc, '($a)($b)', '($a$b)')"
         }
         // localCheckpoint is EAGER, so once `next` returns the previous
-        // round's checkpoint blocks are dead weight — unpersist them, or
-        // a production 30k-merge run (~500 rounds) accretes every round's
-        // word table in storage memory
+        // round's checkpoint blocks are dead weight — release them, or a
+        // production 30k-merge run (~500 rounds) accretes every round's
+        // word table in storage memory. Dataset.unpersist is a NO-OP for
+        // localCheckpoint blocks (they live on the checkpoint RDD, never
+        // registered with the CacheManager — r8 ADVICE), so the release
+        // walks the plan's RDD lineage to the persisted checkpoint RDD
+        // and unpersists THAT.
         val next = words
           .withColumn("__r", expr(foldedR))
           .select(col("word"), col("cnt"),
             expr("split(substring(__r, 2, length(__r) - 2), '\\\\)\\\\(')")
               .as("syms"))
           .localCheckpoint()
-        words.unpersist()
+        releaseCheckpointBlocks(words)
         words = next
         // heartbeat for multi-hour production budgets (stderr, throttled):
         // a 30k-merge run is thousands of driver rounds with no other
@@ -267,11 +271,28 @@ object Features {
             s"[bpeTrain] round $rounds: ${merges.size}/$nMerges merges")
       }
     }
-    words.unpersist()
+    releaseCheckpointBlocks(words)
     lastTrainRounds = rounds
     lastTrainBatchWidths = widths.toSeq
     spark.createDataFrame(merges.toSeq)
       .toDF("step", "pair_left", "pair_right", "merged", "pair_count")
+  }
+
+  /** Release the localCheckpoint blocks backing `df`. `Dataset.unpersist`
+    * cannot do this (it only uncaches CacheManager entries; localCheckpoint
+    * blocks are persisted on the checkpoint RDD directly — r8 ADVICE), so
+    * walk the plan's RDD lineage to its persisted ancestors (for a
+    * checkpointed Dataset: exactly the checkpoint RDD) and unpersist those.
+    * Walked from the Dataset itself, never a global getPersistentRDDs diff,
+    * so an unrelated concurrent persist can never be dropped.
+    */
+  private def releaseCheckpointBlocks(df: DataFrame): Unit = {
+    def persisted(r: org.apache.spark.rdd.RDD[_])
+        : Seq[org.apache.spark.rdd.RDD[_]] =
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        Seq(r)
+      else r.dependencies.map(_.rdd).flatMap(persisted)
+    persisted(df.queryExecution.toRdd).foreach(_.unpersist(blocking = false))
   }
 
   /** Driver rounds (pair-table jobs) the last [[bpeTrain]] call took —

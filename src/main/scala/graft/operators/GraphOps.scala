@@ -196,13 +196,18 @@ object GraphOps {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val nbrMin = adj
+      // r9 optimization (guide §2.4): the neighbor-min and the node's own
+      // label fold in ONE aggregation — union the self-label rows into the
+      // neighbor-label stream and take min(candidate) per node. The former
+      // shape (groupBy neighbor-min, then join back onto lbl for least())
+      // paid an extra hash shuffle + join per round; min over the union is
+      // the same value (min(own, min(neighbors)) = least), and every node
+      // appears in its own self row, so no node drops.
+      val l1 = adj
         .join(lbl.select(col("node").as("v"), col("lbl").as("nl")), Seq("v"))
-        .groupBy(col("u").as("node")).agg(min(col("nl")).as("nmin"))
-      // every node has >= 1 neighbor (it came from an edge), so the join
-      // back is inner-safe; least() keeps the node's own label in play
-      val l1 = lbl.join(nbrMin, Seq("node"))
-        .select(col("node"), least(col("lbl"), col("nmin")).as("lbl"))
+        .select(col("u").as("node"), col("nl").as("cand"))
+        .unionByName(lbl.select(col("node"), col("lbl").as("cand")))
+        .groupBy(col("node")).agg(min(col("cand")).as("lbl"))
       val l2 = l1
         .join(l1.select(col("node").as("lbl"), col("lbl").as("jl")), Seq("lbl"))
         .select(col("node"), col("jl").as("lbl"))
@@ -281,8 +286,10 @@ object GraphOps {
     * within maxHops already has its minimal hop — hop levels are found in
     * order), so early exit changes nothing.
     *
-    * Iterative-plan hygiene as in [[pageRank]]: visited/frontier frames
-    * are localCheckpoint'ed per round so round r never replays 1..r−1.
+    * Iterative-plan hygiene as in [[pageRank]]: each round's frontier is
+    * localCheckpoint'ed so round r never replays 1..r−1; the visited set
+    * is the union of those checkpointed frontiers (bounded at maxHops
+    * block-scan branches), never re-materialized per round.
     *
     * Input: distinct undirected edges (a, b) a < b, and seed node ids.
     * Output: (node, hop) with hop in [0, maxHops] — seeds at hop 0.
@@ -302,22 +309,28 @@ object GraphOps {
       .repartition(col("u")) // the side every round's frontier join keys on
       .localCheckpoint()
     import session.implicits._
-    var visited = seeds.distinct.toDF("node")
-      .withColumn("hop", lit(0)).localCheckpoint()
-    var frontier = visited.select(col("node")).localCheckpoint()
+    // r9 optimization (guide §2): `visited` is a lazy UNION of the
+    // per-hop checkpointed frontiers instead of being re-checkpointed
+    // every round — the former shape re-materialized ALL visited rows
+    // each hop (O(V × hops) block writes); the union reads each hop's
+    // already-checkpointed blocks, keeps the per-round job count at one,
+    // and its plan depth is bounded by maxHops block-scan branches.
+    var frontier = seeds.distinct.toDF("node").localCheckpoint()
+    var levels = List(frontier.withColumn("hop", lit(0)))
+    def visitedNodes = levels.map(_.select(col("node"))).reduce(_ union _)
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
       val next = adj.join(frontier.withColumnRenamed("node", "u"),
           Seq("u"), "left_semi")
         .select(col("v").as("node")).distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .join(visitedNodes, Seq("node"), "left_anti")
         .localCheckpoint()
-      visited = visited.union(next.withColumn("hop", lit(hop)))
-        .localCheckpoint()
+      levels ::= next.withColumn("hop", lit(hop))
       frontier = next
     }
-    visited.select(col("node"), col("hop").cast("int").as("hop"))
+    levels.reduce(_ union _)
+      .select(col("node"), col("hop").cast("int").as("hop"))
   }
 
   /** Item-item cosine similarity with per-item top-k — the classic

@@ -539,12 +539,18 @@ object StreamingBattery {
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
         col("event_type"), expr("ts_ms div 3600000").as("hr"))
       // keys present in BOTH halves: without them run 2 never tests state
-      // recovery (every B key would be new) and the row passes vacuously
-      val straddle = ev.filter(col("event_id") % 2 === 0)
-        .select(col("user_id"), col("event_type"), col("hr")).distinct()
-        .intersect(ev.filter(col("event_id") % 2 === 1)
-          .select(col("user_id"), col("event_type"), col("hr")).distinct())
-        .count()
+      // recovery (every B key would be new) and the row passes vacuously.
+      // r9 optimization (guide §2.4): the former two-distinct + intersect
+      // formulation shuffled the key projection three times and counted
+      // every straddling key; the require only needs EXISTENCE, which one
+      // aggregation (key → parity spread) answers under a limit(1).
+      val straddle = ev
+        .select(col("user_id"), col("event_type"), col("hr"),
+          (col("event_id") % 2).as("__par"))
+        .groupBy(col("user_id"), col("event_type"), col("hr"))
+        .agg(min(col("__par")).as("__mn"), max(col("__par")).as("__mx"))
+        .filter(col("__mn") === 0 && col("__mx") === 1)
+        .limit(1).count()
       require(straddle > 0,
         "no dedup key straddles the two halves: resume would be untested")
       ev.filter(col("event_id") % 2 === 0).drop("event_id")
