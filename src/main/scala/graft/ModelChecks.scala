@@ -340,11 +340,12 @@ object ModelChecks {
     // fall back to object agg — the NOTES lesson; two independent xxhash64s
     // put a digest collision at ~2^-128, far below the check's own 8σ
     // tolerance); sig itself still rides along for the exact =!= compare
-    // fanOut (guide §2.5): the 128-hash signature + gram materialization is
-    // the check's heaviest map pass and was fused into a 1-task scan of
-    // the single-row-group bench file; no-op on a many-split corpus
-    val base = ScaleOps.fanOut(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
+    // NOTE (r9): a fanOut of this signature pass was tried and
+    // measured-REVERTED (2.66 s -> 3.01 s standalone): d129's wall is
+    // dominated by the downstream prefix/attribute joins over the persisted
+    // frame, and the extra round-robin exchange + 32-partition persist cost
+    // more than the parallelized scan saved at bench scale.
+    val base = docs.select(col("doc_id"),
         NativeExpressions.wordNgrams(toks, 3).as("grams"),
         NativeExpressions.minHashShingleSignature(toks, 3, 128).as("sig"))
       .withColumn("sigk1", xxhash64(col("sig")))

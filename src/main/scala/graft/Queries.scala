@@ -2651,6 +2651,10 @@ object Queries {
     */
   def d230GreedyCoverage(s: SparkSession, d: String): DataFrame = {
     val K = 8
+    // NOTE (r9): a fanOut of the incidence build was tried and
+    // measured-REVERTED (2.50 s -> 2.86 s standalone): the row's wall is
+    // the K aggregation rounds over the checkpointed incidence, and the
+    // extra exchange cost more than the parallelized tokenize saved.
     val dg = Tables.documents(s, d).filter(col("text").isNotNull)
       .select(expr("CAST(doc_id AS BIGINT)").as("doc_id"),
         graft.functions.TextFunctions.tokens(lower(col("text"))).as("t"))
