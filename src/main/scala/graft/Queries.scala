@@ -844,11 +844,12 @@ object Queries {
     */
   def d61TfIdf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // fanOut: tokenize + explode + the tf partial aggregate otherwise run
-    // in the 1-task scan stage (guide §2.5); no-op at corpus scale
-    val terms = ScaleOps.fanOut(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+    // NOTE (r9): a fanOut of the term explode was measured-REVERTED
+    // (1.24 s -> 1.72 s standalone): the tf partial aggregate already
+    // shrinks the stream before its shuffle, and the extra exchange cost
+    // more than the parallelized tokenize saved at bench scale.
+    val terms = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(lower(col("text")))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
@@ -3689,14 +3690,12 @@ object Queries {
     * count table; here it is exact so DuckDB can recompute it.
     */
   def d88LmTypicality(s: SparkSession, d: String): DataFrame = {
-    // fanOut: the bigram explode feeds BOTH the model census and the join,
-    // each replaying tokenize+ngrams inside a 1-task scan stage (guide
-    // §2.5 unsplittable input); no-op at corpus scale
-    val grams = ScaleOps.fanOut(
-        Tables.documents(s, d).select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        explode(graft.plans.NativeExpressions.wordNgramsAll(
-          TextFunctions.tokens(lower(col("text"))), 2)).as("gram"))
+    // NOTE (r9): a fanOut of the bigram explode was measured-REVERTED
+    // (0.85 s -> 1.03 s standalone) — same shape as d61: partial
+    // aggregation already bounds the shuffle, the exchange wasn't worth it.
+    val grams = Tables.documents(s, d).select(col("doc_id"),
+      explode(graft.plans.NativeExpressions.wordNgramsAll(
+        TextFunctions.tokens(lower(col("text"))), 2)).as("gram"))
     val model = grams.groupBy(col("gram")).agg(count(lit(1)).as("gfreq"))
     grams.join(model, "gram")
       .groupBy(col("doc_id"))
@@ -3834,16 +3833,14 @@ object Queries {
   def d94ContaminationFrac(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val isEval = col("source").isin("src0", "src1")
-    // fanOut both shingle explodes: each otherwise runs in a 1-task scan
-    // stage (guide §2.5 unsplittable input); no-op at corpus scale. The
-    // join stays broadcast (PlanAuditSpec d92/d94 pin) — round-robin
-    // exchanges are not hash shuffles.
-    val evalGrams = ScaleOps.fanOut(
-        docs.filter(isEval).select(col("text")))
+    // NOTE (r9): fanOuts of both shingle explodes were measured-REVERTED
+    // (0.85 s -> 1.27 s standalone): the broadcast-join + partial-agg
+    // pipeline is cheap enough that two extra exchanges dominate.
+    val evalGrams = docs.filter(isEval)
       .select(explode(TextFunctions.wordShingles(col("text"), 8)).as("gram"))
       .distinct()
       .select(col("gram"), lit(true).as("__hit"))
-    ScaleOps.fanOut(docs.filter(!isEval).select(col("doc_id"), col("text")))
+    docs.filter(!isEval)
       .select(col("doc_id"),
         explode(TextFunctions.wordShingles(col("text"), 8)).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"), "left")
