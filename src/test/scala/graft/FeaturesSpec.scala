@@ -179,6 +179,24 @@ class FeaturesSpec extends SparkTestBase {
     assert(got == modelBpe(texts, 6), s"merge tables diverge: $got")
   }
 
+  test("bpeTrain releases every training-round checkpoint block (r9 fix)") {
+    val s = spark; import s.implicits._
+    // Dataset.unpersist is a no-op for localCheckpoint blocks (they live on
+    // the checkpoint RDD, never in the CacheManager — r8 ADVICE), so the
+    // release must unpersist the checkpoint RDD itself. Pin: a multi-round
+    // training run leaves NO net new persisted RDDs behind — under the old
+    // words.unpersist() every round's word-table checkpoint stayed
+    // registered for the JVM's lifetime.
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    Features.bpeTrain(
+      Seq("aab aab banana", "banana bandana aaaa", "aaaa cc cc dd dd")
+        .toDF("text"), "text", nMerges = 6).collect()
+    val leaked = s.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty,
+      s"bpeTrain leaked persisted RDD blocks (ids $leaked): the per-round " +
+        "release is not freeing the localCheckpoint RDDs")
+  }
+
   test("woeIv matches the rank model: exact bins, smoothing, tie routing") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(5)
