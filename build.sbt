@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to sbt's own stdout/stderr instead of
+// through the logger: without this every line the bench prints gets an
+// "[info] " prefix, which is exactly what has kept the driver's JSON
+// parser from reading the bench summary line since round 1 (r9 VERDICT
+// "What's wrong" #1 — `parsed: null` in every BENCH_r*.json). Timing and
+// the battery itself are unaffected; only log decoration changes.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -297,6 +297,13 @@ object ModelChecks {
       .join(emitted.withColumn("__e", lit(1)), Seq("id1", "id2"), "full_outer")
       .agg(sum(when(col("__e").isNull, 1L).otherwise(0L)).as("m"),
         sum(when(col("__b").isNull, 1L).otherwise(0L)).as("f")).head()
+    // the sigs checkpoint is dead once the single result row above is
+    // materialized — release its blocks here (Dataset.unpersist is a
+    // no-op for localCheckpoint blocks; unpersist the checkpoint RDD
+    // itself), else every d128 execution leaks them for the session
+    // lifetime (r9 ADVICE — the same leak class bpeTrain fixed in r9)
+    pinnedAncestors(sigs.queryExecution.toRdd)
+      .foreach(_.unpersist(blocking = false))
     def z(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
     Seq((z(0), z(1))).toDF("missed_pairs", "fabricated_pairs")
   }

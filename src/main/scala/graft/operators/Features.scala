@@ -287,6 +287,16 @@ object Features {
     * so an unrelated concurrent persist can never be dropped.
     */
   private def releaseCheckpointBlocks(df: DataFrame): Unit = {
+    // Guard (r9 ADVICE): release ONLY frames whose plan IS a checkpoint
+    // (LogicalRDD). Called on a non-checkpointed frame, the lineage walk
+    // would find — and silently unpersist — whatever caller-owned persist
+    // feeds the plan. bpeTrain always passes a localCheckpoint'ed frame,
+    // so this never fires today; it pins the contract for future callers.
+    val plan = df.queryExecution.analyzed
+    require(plan.nodeName == "LogicalRDD",
+      s"releaseCheckpointBlocks expects a checkpointed frame " +
+        s"(LogicalRDD plan), got ${plan.nodeName} — releasing through an " +
+        "arbitrary plan could drop a caller-owned persist")
     def persisted(r: org.apache.spark.rdd.RDD[_])
         : Seq[org.apache.spark.rdd.RDD[_]] =
       if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)

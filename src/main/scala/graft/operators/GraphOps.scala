@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relational co-occurrence graphs — link structure is
@@ -20,6 +20,31 @@ import org.apache.spark.sql.functions._
   *    the adjacency frame partitioned once, reused by every iteration.
   */
 object GraphOps {
+
+  /** localCheckpoint with the convergence probe FUSED into the
+    * materialization job (r10, guide §1.2/§2.4 — attack the per-job
+    * scheduling floor): every iterative loop here used to pay TWO actions
+    * per round — the eager checkpoint, then a separate probe query
+    * (count / label-sum / existence) over the just-written blocks. A
+    * `Dataset.observe` aggregate rides the checkpoint's own
+    * materialization pass instead, so the probe costs zero extra jobs.
+    * Exactly-once: CollectMetricsExec metrics are collected per
+    * SUCCESSFUL task by the SQL execution machinery (unlike raw
+    * accumulator updates in transformations, which can double-count under
+    * recomputation), and the value is read once, immediately after the
+    * eager checkpoint returns — later block evictions never re-fire it.
+    * Returns the checkpointed frame (plan = LogicalRDD, probe node gone)
+    * plus the observed metric row values in declaration order.
+    */
+  private[graft] def checkpointWithProbe(df: DataFrame, metrics: Column*)
+      : (DataFrame, Map[String, Any]) = {
+    val obs = Observation()
+    val ck = df.observe(obs, metrics.head, metrics.tail: _*).localCheckpoint()
+    // obs.get blocks until the checkpoint action's metric row lands (the
+    // eager checkpoint has already returned, so this is only the listener
+    // bus hop); keys are the metric aliases the caller declared
+    (ck, obs.get)
+  }
 
   /** Distinct undirected co-occurrence edges (a < b) from a (group, item)
     * relation: items sharing a group are connected; edges seen in fewer
@@ -131,20 +156,25 @@ object GraphOps {
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
-    var e = edges.select(col("a"), col("b")).localCheckpoint()
-    var lastCount = e.count()
+    // r10 (guide §1.2 job floor): the per-round edge count rides the
+    // checkpoint materialization via observe ([[checkpointWithProbe]])
+    // instead of a second count() job over the just-written blocks —
+    // one action per peel round instead of two, same counts.
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+      val (ck, m) = checkpointWithProbe(df, count(lit(1)).as("n"))
+      (ck, m("n").asInstanceOf[Long])
+    }
+    var (e, lastCount) = checkpointCounted(edges.select(col("a"), col("b")))
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("n"))
-      val e2 = e
+      val (e2, nextCount) = checkpointCounted(e
         .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .localCheckpoint()
-      val nextCount = e2.count()
+        .select(col("a"), col("b")))
       converged = nextCount == lastCount
       lastCount = nextCount
       e = e2
@@ -185,14 +215,21 @@ object GraphOps {
       .union(e.select(col("b").as("u"), col("a").as("v")))
       .repartition(col("v")) // the side every round's label join keys on
       .localCheckpoint()
-    var lbl = adj.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
-    def labelSum(f: DataFrame): java.math.BigDecimal =
-      Option(f.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
-        .head().getDecimal(0)) // SUM over zero rows is NULL (empty edge set)
-        .getOrElse(java.math.BigDecimal.ZERO)
-    var lastSum = labelSum(lbl)
+    // r10 (guide §1.2 job floor): the convergence probe — sum(lbl) in
+    // DECIMAL(38,0), unchanged semantics — rides each round's checkpoint
+    // materialization via observe ([[checkpointWithProbe]]) instead of a
+    // separate aggregation job over the just-written label blocks: one
+    // action per round instead of two. SUM over zero rows is NULL (empty
+    // edge set), hence the Option.
+    def checkpointSummed(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val (ck, m) = checkpointWithProbe(df,
+        sum(col("lbl").cast("decimal(38,0)")).as("s"))
+      (ck, Option(m("s").asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var (lbl, lastSum) = checkpointSummed(
+      adj.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")))
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -208,11 +245,9 @@ object GraphOps {
         .select(col("u").as("node"), col("nl").as("cand"))
         .unionByName(lbl.select(col("node"), col("lbl").as("cand")))
         .groupBy(col("node")).agg(min(col("cand")).as("lbl"))
-      val l2 = l1
+      val (l2, s) = checkpointSummed(l1
         .join(l1.select(col("node").as("lbl"), col("lbl").as("jl")), Seq("lbl"))
-        .select(col("node"), col("jl").as("lbl"))
-        .localCheckpoint()
-      val s = labelSum(l2)
+        .select(col("node"), col("jl").as("lbl")))
       converged = s.compareTo(lastSum) == 0
       lastSum = s
       lbl = l2
@@ -288,8 +323,9 @@ object GraphOps {
     *
     * Iterative-plan hygiene as in [[pageRank]]: each round's frontier is
     * localCheckpoint'ed so round r never replays 1..r−1; the visited set
-    * is the union of those checkpointed frontiers (bounded at maxHops
-    * block-scan branches), never re-materialized per round.
+    * is the union of those checkpointed frontiers, compacted into one
+    * checkpoint every few hops so the anti-join's plan depth stays
+    * bounded regardless of maxHops.
     *
     * Input: distinct undirected edges (a, b) a < b, and seed node ids.
     * Output: (node, hop) with hop in [0, maxHops] — seeds at hop 0.
@@ -313,20 +349,43 @@ object GraphOps {
     // per-hop checkpointed frontiers instead of being re-checkpointed
     // every round — the former shape re-materialized ALL visited rows
     // each hop (O(V × hops) block writes); the union reads each hop's
-    // already-checkpointed blocks, keeps the per-round job count at one,
-    // and its plan depth is bounded by maxHops block-scan branches.
+    // already-checkpointed blocks.
+    //
+    // r10 refinements:
+    //  - the frontier-emptiness probe (was a per-round isEmpty job) rides
+    //    the checkpoint materialization via observe
+    //    ([[checkpointWithProbe]]) — one action per hop instead of two;
+    //  - the visited union is COMPACTED into one checkpoint every
+    //    `compactEvery` hops (r9 ADVICE): an unbounded union grows the
+    //    anti-join's plan (and its analysis cost) linearly per hop —
+    //    O(maxHops²) total driver-side planning for large maxHops.
+    //    Compaction bounds plan depth at `compactEvery` branches while
+    //    keeping re-materialization at O(V × hops / compactEvery); at
+    //    battery hop counts it never fires.
     var frontier = seeds.distinct.toDF("node").localCheckpoint()
+    var frontierCount = seeds.distinct.size.toLong
     var levels = List(frontier.withColumn("hop", lit(0)))
-    def visitedNodes = levels.map(_.select(col("node"))).reduce(_ union _)
+    val compactEvery = 8
+    var visitedCompact: Option[DataFrame] = None
+    var visitedRecent: List[DataFrame] = List(frontier)
+    def visitedNodes = (visitedCompact.toList ++ visitedRecent)
+      .reduce(_ union _)
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && frontierCount > 0) {
       hop += 1
-      val next = adj.join(frontier.withColumnRenamed("node", "u"),
-          Seq("u"), "left_semi")
-        .select(col("v").as("node")).distinct()
-        .join(visitedNodes, Seq("node"), "left_anti")
-        .localCheckpoint()
+      val (next, m) = checkpointWithProbe(
+        adj.join(frontier.withColumnRenamed("node", "u"),
+            Seq("u"), "left_semi")
+          .select(col("v").as("node")).distinct()
+          .join(visitedNodes, Seq("node"), "left_anti"),
+        count(lit(1)).as("n"))
+      frontierCount = m("n").asInstanceOf[Long]
       levels ::= next.withColumn("hop", lit(hop))
+      visitedRecent ::= next
+      if (visitedRecent.size >= compactEvery) {
+        visitedCompact = Some(visitedNodes.localCheckpoint())
+        visitedRecent = Nil
+      }
       frontier = next
     }
     levels.reduce(_ union _)
@@ -449,8 +508,8 @@ object GraphOps {
     * walk (at 100 TB a depth-1000 hierarchy is ~11 shuffles, not 1000).
     * localCheckpoint after each round keeps the plan one round deep
     * (same hygiene as [[connectedComponents]]); the per-round `active`
-    * existence probe costs one limit(1) action over the
-    * already-materialized checkpoint.
+    * probe rides the checkpoint materialization itself (observe), so a
+    * round costs exactly one action.
     *
     * Reference analogue: the reference's transform graph is flattened
     * one level at a time on the driver (translator.py); this is the
@@ -485,25 +544,33 @@ object GraphOps {
     val p = parents.localCheckpoint()
     val roots = p.filter(col("parent").isNull)
       .select(col("node"), lit(rootAcc).as(outCol))
-    var f = p.filter(col("parent").isNotNull)
-      .select(col("node"), col("parent").as("anc"), edgeAcc.as("acc"))
-      .localCheckpoint()
-    // `active` is an existence FLAG (0/1 via limit(1)): 1 while some row
-    // still has a non-root ancestor (matched in the self-join); 0 means
-    // every anc column is a root and acc is the settled path fold
-    var active = f.limit(1).count()
+    // r10 (guide §1.2 job floor): both `active` probes ride their frame's
+    // checkpoint materialization via observe ([[checkpointWithProbe]])
+    // instead of a separate limit(1) job per round — one action per
+    // doubling round instead of two. `active` keeps its existence
+    // semantics: >0 while some row still has a non-root ancestor (for the
+    // initial frame: while any non-root row exists at all); 0 means every
+    // anc column is a root and acc is the settled path fold.
+    val (f0, m0) = checkpointWithProbe(
+      p.filter(col("parent").isNotNull)
+        .select(col("node"), col("parent").as("anc"), edgeAcc.as("acc")),
+      count(lit(1)).as("active"))
+    var f = f0
+    var active = m0("active").asInstanceOf[Long]
     var round = 0
     while (active > 0 && round < maxRounds) {
       val hop = f.select(col("node").as("anc"), col("anc").as("anc2"),
         col("acc").as("a2"))
-      val next = f.join(hop, Seq("anc"), "left")
-        .select(col("node"),
-          coalesce(col("anc2"), col("anc")).as("anc"),
-          combine(col("acc"), coalesce(col("a2"), lit(hopIdentity)))
-            .as("acc"),
-          col("anc2").isNotNull.as("__moved"))
-        .localCheckpoint()
-      active = next.filter(col("__moved")).limit(1).count()
+      val (next, m) = checkpointWithProbe(
+        f.join(hop, Seq("anc"), "left")
+          .select(col("node"),
+            coalesce(col("anc2"), col("anc")).as("anc"),
+            combine(col("acc"), coalesce(col("a2"), lit(hopIdentity)))
+              .as("acc"),
+            col("anc2").isNotNull.as("__moved")),
+        sum(when(col("__moved"), 1L).otherwise(0L)).as("active"))
+      active = Option(m("active").asInstanceOf[java.lang.Long])
+        .fold(0L)(_.longValue) // SUM over zero rows is NULL
       f = next.drop("__moved")
       round += 1
     }

@@ -240,6 +240,12 @@ object StreamingBattery {
     */
   private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T =
     withConf(s, "spark.sql.shuffle.partitions" -> n.toString) {
+      // NOTE (r9 ADVICE, examined and DECLINED): this nesting is NOT
+      // redundant with runToTable's — the seven foreachBatch rows (d145,
+      // d151, d158, d170, d183, d222, d236) start their queries directly
+      // inside this wrapper and never pass through runToTable, so removing
+      // the nesting here would silently re-enable checkpoint checksums for
+      // exactly the rows that pay the most tiny-file commits.
       withBatteryCheckpointConf(s)(body)
     }
 

@@ -370,4 +370,58 @@ class GraphOpsSpec extends SparkTestBase {
       .toDF("node", "parent", "qty")
     intercept[Exception] { GraphOps.treePathProducts(dangling).collect() }
   }
+
+  test("checkpointWithProbe: fused probe matches direct aggregates and adds no jobs") {
+    // r10 job-floor optimization pin: every iterative loop's convergence
+    // probe rides the checkpoint materialization (Dataset.observe). Three
+    // properties must hold or the fusion is broken: (1) the observed
+    // metrics equal the direct aggregates; (2) the returned frame is a
+    // real checkpoint (LogicalRDD plan, contents intact); (3) probing
+    // costs ZERO additional Spark jobs versus a plain localCheckpoint of
+    // the same frame.
+    val df = (1L to 100L).map(i => (i % 7, i)).toDF("k", "lbl")
+      .groupBy(col("k")).agg(sum(col("lbl")).as("lbl")) // a shuffle, like the loops
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      val sc = spark.sparkContext
+      sc.addSparkListener(l)
+      try {
+        body
+        // listener bus is async: wait until the job count is stable
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(50)
+          val now = jobs.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+        jobs.get()
+      } finally { sc.removeSparkListener(l); () }
+    }
+    var plainJobs = 0
+    countJobs { } // drain any straggling events from earlier tests
+    plainJobs = countJobs { df.localCheckpoint(); () }
+    var probed: org.apache.spark.sql.DataFrame = null
+    var metrics: Map[String, Any] = null
+    val probedJobs = countJobs {
+      val (ck, m) = GraphOps.checkpointWithProbe(df,
+        count(lit(1)).as("n"),
+        sum(col("lbl").cast("decimal(38,0)")).as("s"))
+      probed = ck; metrics = m
+    }
+    assert(probedJobs == plainJobs,
+      s"fused probe must add no jobs: plain=$plainJobs probed=$probedJobs")
+    assert(metrics("n") == 7L)
+    assert(metrics("s").asInstanceOf[java.math.BigDecimal].longValueExact()
+      == (1L to 100L).sum)
+    assert(probed.queryExecution.analyzed.nodeName == "LogicalRDD",
+      "checkpointWithProbe must return a checkpointed frame")
+    assert(probed.agg(sum(col("lbl"))).head().getLong(0) == (1L to 100L).sum)
+  }
 }

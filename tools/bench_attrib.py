@@ -38,6 +38,46 @@ def probe_summary(run):
             f"cached {med('cached_mb'):.0f}MB avail {med('avail_mb'):.0f}MB")
 
 
+def drift_verdict(base, other, names):
+    """Median per-row wall ratio other/base across all common rows, plus a
+    verdict: when the MEDIAN row moves >15% in either direction the run
+    pair is dominated by box/environment drift, not by targeted changes
+    (a real optimization round moves the rows it touched, not the median
+    untouched row) — the r9 failure mode where a uniform +25-40% inflation
+    across untouched sub-second rows sailed past the contention normalizer
+    (r9 VERDICT "Next round" #7)."""
+    ratios = []
+    for n in names:
+        b = base["queries"].get(n, -1)
+        o = other["queries"].get(n, -1)
+        if b > 0 and o > 0:
+            ratios.append(o / b)
+    if not ratios:
+        return "no common rows"
+    med = statistics.median(ratios)
+    frac_inflated = sum(1 for r in ratios if r > 1.15) / len(ratios)
+    verdict = ("DRIFT SUSPECTED" if abs(med - 1.0) > 0.15
+               else "no broad drift")
+    return (f"median row ratio {med:.3f} ({len(ratios)} rows, "
+            f"{100*frac_inflated:.0f}% rows >15% slower) -> {verdict}")
+
+
+def env_fingerprint_diff(base, other):
+    """Probe-median deltas between two runs: the environment fingerprint a
+    drift verdict should ship with (io bandwidth, single-thread speed,
+    cpu frequency, page cache)."""
+    def med(run, k):
+        ps = run.get("probes", [])
+        vals = [p[k] for p in ps if p.get(k, -1) >= 0]
+        return statistics.median(vals) if vals else -1.0
+    parts = []
+    for k in ("io_w_sec", "io_r_sec", "cpu1_sec", "freq_mhz", "cached_mb"):
+        b, o = med(base, k), med(other, k)
+        if b > 0 and o > 0:
+            parts.append(f"{k} {b:.3g}->{o:.3g} ({o/b:.2f}x)")
+    return "; ".join(parts) if parts else "no probe series"
+
+
 def main(paths):
     runs = [(p, load(p)) for p in paths]
     names = sorted(runs[0][1]["queries"].keys())
@@ -46,6 +86,15 @@ def main(paths):
         print(f"{p}: total {r['value']:.1f}s norm {r['value_normalized']} "
               f"ci {r['contention_index']} canary_floor {floor}")
         print(f"  probes: {probe_summary(r)}")
+
+    # drift verdict vs the first run (r9 VERDICT #7: flag runs whose
+    # untouched-row median deviates >15% from 1.0, with the environment
+    # fingerprint diff alongside)
+    base_p, base = runs[0]
+    print(f"\ndrift check (vs {base_p}):")
+    for p, r in runs[1:]:
+        print(f"  {p}: {drift_verdict(base, r, names)}")
+        print(f"    env: {env_fingerprint_diff(base, r)}")
 
     # per-row swing vs the cross-run min
     mins = {n: min(r["queries"].get(n, float("inf")) for _, r in runs)
