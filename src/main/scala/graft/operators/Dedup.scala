@@ -332,6 +332,15 @@ object Dedup {
     // checkpoint would then hold 1 partition, serializing every downstream
     // map pass too (guide §2.5). Probing here is safe (scan/union upstream,
     // no exchange); no-op on a many-split corpus.
+    // r10 A/B (the r9 VERDICT's "weak" rows, re-measured same-box,
+    // min-of-3 standalone + JobProbe): WITH fanOut d157 2.248 s / d163
+    // 2.288 s (9 jobs, 115 tasks, taskSec 24.7); WITHOUT d157 2.366 s /
+    // d163 2.287 s (8 jobs, 21 tasks, taskSec 3.1 ≈ serial downstream).
+    // Wall-neutral-to-better with fanOut; the exchange costs ~5x total
+    // task-CPU that pays back only through parallelism — which is why a
+    // CONTENDED box (r9 driver run, +25-40% drift) can read this shape
+    // slower. Kept: parallel headroom at equal wall, and a planning-only
+    // no-op on any many-split real corpus.
     val grams = ScaleOps.fanOut(grams0)
       .localCheckpoint(false) // two consumers: prefixes + verify
     val posts = grams.select(col("__id"), col("__side"),
