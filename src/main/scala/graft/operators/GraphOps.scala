@@ -107,8 +107,12 @@ object GraphOps {
     // the edge frame feeds the degree census (twice, via the union) and the
     // orientation join — materialize whatever derivation produced it once
     val e = edges.select(col("a"), col("b")).localCheckpoint()
+    // r10 (guide §2.4): deg feeds BOTH orientation joins below (twice in
+    // one plan) plus the final n_nodes count — materialize the census once
+    // instead of running the degree aggregation three times
     val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     // deg is node-sized — shuffle-join it, never broadcast by assumption
     // ONE definition of the total order — all three projections must agree
     val fwd = col("da") < col("db") ||
@@ -287,11 +291,22 @@ object GraphOps {
     val e = edges.select(col("a"), col("b")).localCheckpoint()
     val adjRaw = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
-    val deg = adjRaw.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // r10 (guide §2.4 — don't recompute what one pass already built): the
+    // degree census used to be an unmaterialized plan consumed THREE times
+    // (inside adj's checkpoint, by the n = deg.count() probe, and again by
+    // the initial rank vector's checkpoint) — three full hash aggregations
+    // over the 2|E|-row adjacency. Checkpointing deg once (with the node
+    // count riding the materialization, [[checkpointWithProbe]]) makes it
+    // one aggregation; adj and pr0 read the materialized blocks. Same
+    // action count (deg_ck replaces deg.count), two aggregations saved at
+    // every scale.
+    val (deg, mDeg) = checkpointWithProbe(
+      adjRaw.groupBy(col("src")).agg(count(lit(1)).as("deg")),
+      count(lit(1)).as("n"))
     val adj = adjRaw.join(deg, "src")
       .repartition(col("src")) // the partitioning every iteration's join reuses
       .localCheckpoint()
-    val n = deg.count()
+    val n = mDeg("n").asInstanceOf[Long]
     val teleport = (1.0 - damping) / n
     var pr = deg.select(col("src").as("node"), lit(1.0 / n).as("pr"))
       .localCheckpoint()
