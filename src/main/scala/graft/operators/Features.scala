@@ -77,10 +77,17 @@ object Features {
     val dfv = df.filter(col(valueCol).isNotNull)
     val perVal = dfv.groupBy(col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__vn"))
-    val pre = ScaleOps.globalPrefixSum(perVal, "__v", Seq("__vn" -> "__pfx"),
-      ascending = !descending)
-    val n = Option(pre.agg(sum(col("__vn"))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // r10 (guide §2.4): the prefix-sum frame used to be an unmaterialized
+    // plan consumed TWICE — once by the cohort-size aggregation below,
+    // once by the rank join — re-running the whole two-level scan. It is
+    // now checkpointed once with the cohort size riding the
+    // materialization (observe): one scan, one fewer action, same values.
+    val (pre, mPre) = graft.operators.GraphOps.checkpointWithProbe(
+      ScaleOps.globalPrefixSum(perVal, "__v", Seq("__vn" -> "__pfx"),
+        ascending = !descending),
+      sum(col("__vn")).as("n"))
+    val n = Option(mPre("n").asInstanceOf[java.lang.Long])
+      .fold(0L)(_.longValue) // SUM over zero rows is NULL
     require(n > 0,
       "equiDepthBins needs a non-empty input (after NULL exclusion)")
     val wv = org.apache.spark.sql.expressions.Window
@@ -95,31 +102,33 @@ object Features {
 
   def woeIv(df: DataFrame, idCol: String, valueCol: String,
             labelCol: String, nBins: Int = 10): DataFrame = {
-    val binned = equiDepthBins(df, idCol, valueCol, nBins)
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("n_good"),
-        sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("n_bad"))
-      // the census feeds BOTH the totals aggregate and the report join —
-      // pin it so the rank/bin derivation runs once (the d166 lesson)
-      .localCheckpoint()
-    // grand totals ride a broadcast single-row frame — one scan of the
-    // nBins-row census, no re-scan of the input
-    val totals = binned.agg(sum(col("n_good")).as("__g"),
-      sum(col("n_bad")).as("__b"))
+    // the census feeds BOTH the grand totals and the report — pin it so
+    // the rank/bin derivation runs once (the d166 lesson). r10 (guide
+    // §2.4): the totals ride the checkpoint materialization (observe)
+    // instead of a separate head() action plus a broadcast crossJoin
+    // whose plan re-ran the tiny totals aggregate — the class totals are
+    // exact Longs, so splicing them as literals is value-identical.
+    val (binned, mT) = graft.operators.GraphOps.checkpointWithProbe(
+      equiDepthBins(df, idCol, valueCol, nBins)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("n_bad")),
+      sum(col("n_good")).as("__g"), sum(col("n_bad")).as("__b"))
+    def tot(k: String) = Option(mT(k).asInstanceOf[java.lang.Long])
+      .fold(0L)(_.longValue)
+    val g = tot("__g"); val b = tot("__b")
     // an entirely one-class cohort has no finite WoE (ln of a zero-total
     // ratio) — fail loudly rather than emit an Infinity/NaN report
-    val t0 = totals.head()
-    require(t0.getLong(0) > 0 && t0.getLong(1) > 0,
-      s"woeIv needs both classes present: good=${t0.getLong(0)} " +
-        s"bad=${t0.getLong(1)}")
-    binned.crossJoin(broadcast(totals))
-      .withColumn("__dg", (col("n_good") + lit(0.5)) / col("__g"))
-      .withColumn("__db", (col("n_bad") + lit(0.5)) / col("__b"))
+    require(g > 0 && b > 0,
+      s"woeIv needs both classes present: good=$g bad=$b")
+    binned
+      .withColumn("__dg", (col("n_good") + lit(0.5)) / lit(g))
+      .withColumn("__db", (col("n_bad") + lit(0.5)) / lit(b))
       .withColumn("woe", log(col("__dg") / col("__db")))
       .select(col("bin"), col("n"), col("n_good"), col("n_bad"), col("woe"),
-        ((col("n_good").cast("double") / col("__g") -
-          col("n_bad").cast("double") / col("__b")) * col("woe"))
+        ((col("n_good").cast("double") / lit(g) -
+          col("n_bad").cast("double") / lit(b)) * col("woe"))
           .as("iv_term"))
   }
 
