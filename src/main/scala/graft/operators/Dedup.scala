@@ -207,14 +207,20 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nl"))
-      // carry the previous label through the checkpoint so convergence is a
-      // cheap aggregate over already-materialized blocks — NOT a second
-      // join + full recompute per iteration
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          col("label").as("__old"))
-        .localCheckpoint()
-      changed = updated.filter(col("label") =!= col("__old")).count()
+      // carry the previous label through the checkpoint so convergence is
+      // observable DURING materialization: the changed-row count rides the
+      // checkpoint job itself (r10, same observed-checkpoint fusion as
+      // GraphOps) — one action per round instead of checkpoint + a
+      // second filter/count pass over the just-written blocks
+      val (updated, mCh) = GraphOps.checkpointWithProbe(
+        labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+            col("label").as("__old")),
+        sum(when(col("label") =!= col("__old"), 1L).otherwise(0L))
+          .as("changed"))
+      changed = Option(mCh("changed").asInstanceOf[java.lang.Long])
+        .fold(0L)(_.longValue) // SUM over zero rows is NULL
       releaseCheckpoint(labels) // round i-1's blocks are dead once round i lands
       labels = updated.drop("__old")
       iter += 1
