@@ -244,6 +244,12 @@ object GraphOps {
       // paid an extra hash shuffle + join per round; min over the union is
       // the same value (min(own, min(neighbors)) = least), and every node
       // appears in its own self row, so no node drops.
+      // NOTE (r10, measured-REVERTED): checkpointing l1 here — so both
+      // jump-join sides read materialized blocks instead of the shared
+      // aggregation — read WORSE (d177 jobs 38 → 59, taskSec 8.0 → 10.4,
+      // wall 3.28 vs 3.18 standalone): AQE's exchange reuse already
+      // computes the neighbor-min aggregation once for both consumers,
+      // so the extra checkpoint is pure added materialization.
       val l1 = adj
         .join(lbl.select(col("node").as("v"), col("lbl").as("nl")), Seq("v"))
         .select(col("u").as("node"), col("nl").as("cand"))
