@@ -373,7 +373,7 @@ object ModelChecks {
       .join(withRep.as("a"), col("id1") === col("a.doc_id"))
       .join(withRep.as("b"), col("id2") === col("b.doc_id"))
       .filter(abs(col("jaccard_est") - exactJaccard) > 0.35)
-      .count()
+      .agg(count(lit(1)).as("est_violations"))
 
     // side 2: high-sim pairs must be surfaced (prefix-filtered exact join).
     // The prefix join is SKINNY — (doc_id, setSize, prefixGram) only; the
@@ -402,9 +402,15 @@ object ModelChecks {
     val missedHighSim = highSim
       .filter(col("siga") =!= col("sigb")) // identical sigs collapsed = surfaced
       .join(pairSet, Seq("r1", "r2"), "left_anti")
-      .count()
+      .agg(count(lit(1)).as("missed_high_sim"))
+    // r10 (guide §1.2 job floor): both single-row counters under ONE action
+    // (was two sequential counts). The persisted withRep feeds subtrees of
+    // both sides; block-level locking materializes each cached partition
+    // once even when the sides' stages overlap.
+    val row = estViolations.crossJoin(missedHighSim).head()
     withRep.unpersist()
-    Seq((estViolations, missedHighSim)).toDF("est_violations", "missed_high_sim")
+    Seq((row.getLong(0), row.getLong(1)))
+      .toDF("est_violations", "missed_high_sim")
   }
 
   // ---------------------------------------------------------------------
@@ -426,22 +432,45 @@ object ModelChecks {
     val edgeViolations = pairs
       .join(labels.select(col("id").as("id1"), col("cluster_id").as("c1")), "id1")
       .join(labels.select(col("id").as("id2"), col("cluster_id").as("c2")), "id2")
-      .filter(col("c1") =!= col("c2")).count()
+      .filter(col("c1") =!= col("c2"))
+      .agg(count(lit(1)).as("edge_violations"))
     val repViolations = labels.groupBy(col("cluster_id"))
       .agg(min(col("id")).as("min_id"))
-      .filter(col("cluster_id") =!= col("min_id")).count()
+      .filter(col("cluster_id") =!= col("min_id"))
+      .agg(count(lit(1)).as("rep_violations"))
     // node partition is checked in BOTH directions: a label for a node not
     // in the graph, AND a graph node with no label — without the second
     // direction an empty or node-dropping labeling passes every counter
-    // vacuously (the joins above simply drop its edges)
+    // vacuously (the joins above simply drop its edges).
+    // r10 (guide §1.2/§5): ONE full-outer pass over per-id label counts vs
+    // the graph node set, instead of a dup-count aggregation plus two
+    // exceptAll legs that each re-shuffled the label ids. Per id with label
+    // multiplicity n ≥ 1 and graph membership g ∈ {0,1}:
+    //   duplicate-label count  #{n ≠ 1}          = [n ≠ 1]
+    //   labels.exceptAll(graph).count  Σ max(n−g, 0) = n − g   (n ≥ 1 ≥ g)
+    //   graph.exceptAll(labels).count  Σ max(g−n, 0) = [g ∧ n = 0]
+    // which is exactly the summand below. Ids are non-null join keys on
+    // both sides (exceptAll's null-safe equality never fires), so the sums
+    // agree in general, not just on healthy labelings.
     val graphNodes =
       pairs.select(col("id1")).union(pairs.select(col("id2"))).distinct()
     val nodeViolations = labels.groupBy(col("id"))
-      .agg(count(lit(1)).as("n")).filter(col("n") =!= 1).count() +
-      labels.select(col("id")).exceptAll(graphNodes).count() +
-      graphNodes.exceptAll(labels.select(col("id"))).count()
+      .agg(count(lit(1)).as("n"))
+      .join(graphNodes.select(col("id1").as("id"), lit(1).as("g")),
+        Seq("id"), "full_outer")
+      .agg(coalesce(sum(
+        when(col("n").isNull, 1L) // graph node with no label
+          .otherwise( // dup-label flag + surplus label copies
+            when(col("n") =!= 1, 1L).otherwise(0L) +
+              col("n") - coalesce(col("g").cast("long"), lit(0L)))),
+        lit(0L)).as("node_violations"))
+    // r10 (guide §1.2 job floor): the three independent single-row
+    // aggregates run under ONE action (was five sequential counts — five
+    // scheduler round trips and five passes over the cached labels)
+    val row = edgeViolations.crossJoin(repViolations)
+      .crossJoin(nodeViolations).head()
     labels.unpersist()
-    Seq((edgeViolations, repViolations, nodeViolations))
+    Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
       .toDF("edge_violations", "rep_violations", "node_violations")
   }
 
@@ -494,10 +523,10 @@ object ModelChecks {
     val pairs = Similarity.semanticDedupPairs(
         emb, "vec_id", "embedding", nClusters = 16, threshold = 0.3)
       .select(col("id1"), col("id2")).persist()
-    pairs.count()
     // shared with d133 (memo-backed): the one corpus-quadratic reference
     val brute = bruteCosinePairs(s, d).select(col("id1"), col("id2"))
-    val fabricated = pairs.exceptAll(brute).count()
+    val fabricated = pairs.exceptAll(brute)
+      .agg(count(lit(1)).as("fabricated_pairs"))
     val cells = Similarity.semanticClusterAssignments(
       emb, "vec_id", "embedding", nClusters = 16)
     val sameCell = brute
@@ -505,10 +534,16 @@ object ModelChecks {
       .join(cells.select(col("__id").as("id2"), col("__cell").as("c2")), "id2")
       .filter(col("c1") === col("c2"))
       .select(col("id1"), col("id2"))
-    val missedInCluster = sameCell.exceptAll(pairs).count()
-    val nVectors = emb.count()
+    val missedInCluster = sameCell.exceptAll(pairs)
+      .agg(count(lit(1)).as("missed_in_cluster"))
+    val nVectors = emb.agg(count(lit(1)).as("n_vectors"))
+    // r10 (guide §1.2 job floor): one action instead of four (the separate
+    // cache-priming count plus three sequential counters). The persisted
+    // pairs frame feeds both counter subtrees; block-level locking keeps
+    // the cache single-materialization under the fused action.
+    val row = fabricated.crossJoin(missedInCluster).crossJoin(nVectors).head()
     pairs.unpersist()
-    Seq((fabricated, missedInCluster, nVectors))
+    Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
       .toDF("fabricated_pairs", "missed_in_cluster", "n_vectors")
   }
 
@@ -527,16 +562,23 @@ object ModelChecks {
     val emb = Tables.embeddings(s, d)
     val emitted = Dedup.embeddingNearDupPairs(
       emb, "vec_id", "embedding", lshBits = 6, threshold = 0.3).persist()
-    emitted.count()
     // shared with d132 (memo-backed); the exactAll compare includes the
     // rounded cosine, so a drifted score still counts as fabricated
     val brute = bruteCosinePairs(s, d)
-    val fabricated = emitted.exceptAll(brute).count()
-    val orderViolations = emitted.filter(col("id1") >= col("id2")).count() +
-      emitted.groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n"))
-        .filter(col("n") =!= 1).count()
+    val fabricated = emitted.exceptAll(brute)
+      .agg(count(lit(1)).as("fabricated_pairs"))
+    val misordered = emitted.filter(col("id1") >= col("id2"))
+      .agg(count(lit(1)).as("misordered"))
+    val duplicated = emitted.groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n")).filter(col("n") =!= 1)
+      .agg(count(lit(1)).as("duplicated"))
+    // r10 (guide §1.2 job floor): one action instead of four (the separate
+    // cache-priming count plus three sequential counters); the two order
+    // counters sum in the driver as before
+    val row = fabricated.crossJoin(misordered).crossJoin(duplicated).head()
     emitted.unpersist()
-    Seq((fabricated, orderViolations)).toDF("fabricated_pairs", "order_violations")
+    Seq((row.getLong(0), row.getLong(1) + row.getLong(2)))
+      .toDF("fabricated_pairs", "order_violations")
   }
 
   // ---------------------------------------------------------------------

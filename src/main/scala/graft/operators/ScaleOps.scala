@@ -807,7 +807,18 @@ object ScaleOps {
       pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(saltFactor)).cast("int"))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+    // r10 (guide §3.1): pin the strategy to sort-merge. Salting only means
+    // anything under a SHUFFLE join — it exists to spread one hot key's
+    // rows over saltFactor reducers — but Catalyst sees the exploded right
+    // side as broadcastable at small scale and then builds a saltFactor×
+    // bigger hash relation single-threaded on the driver (measured on
+    // d149: the broadcast build was ~60% of the row's wall). A broadcast
+    // join has no skew problem, so a caller who can broadcast shouldn't
+    // salt at all; given the caller chose salting, the shuffle join is the
+    // contract. Sort-merge (not shuffled-hash) because the operator's
+    // habitat is skewed 100 TB inputs: SMJ spills gracefully where a hash
+    // build can OOM. Results are strategy-independent.
+    l.join(r.hint("merge"), keys :+ "__salt", joinType).drop("__salt")
   }
 
   /** Hive-style partitioned layout write with small-file control.
