@@ -219,13 +219,13 @@ object EvalMetrics {
     val perT = df.groupBy(col(durationCol).cast("long").as("t"))
       .agg(sum(when(col(observedCol) === 1, 1L).otherwise(0L)).as("n_events"),
         sum(when(col(observedCol) === 1, 0L).otherwise(1L)).as("n_censored"))
-    val pre = ScaleOps.globalPrefixSum(perT, "t",
+    // r10 (guide §1.2 job floor): the cohort size comes straight from the
+    // prefix scan's own per-partition totals — the old separate
+    // aggregation re-scanned the prefix-summed frame just to re-add the
+    // same per-t counts. Same exact Long sums, one fewer action and pass.
+    val (pre, grand) = ScaleOps.globalPrefixSumWithTotals(perT, "t",
       Seq("n_events" -> "__pd", "n_censored" -> "__pc"))
-    // cohort size from the (checkpointed) census — the input is scanned
-    // exactly once, by the census aggregation itself
-    val n = Option(pre
-      .agg(sum(col("n_events") + col("n_censored"))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val n = grand(0).asInstanceOf[Long] + grand(1).asInstanceOf[Long]
     val atRisk = pre
       .withColumn("n_risk", lit(n) - col("__pd") - col("__pc"))
       .withColumn("__term",

@@ -443,10 +443,13 @@ object Features {
       // carries — exclude it from the population entirely
       .filter(col("id").isNotNull && col("lbl").isNotNull)
       .distinct().localCheckpoint() // class census + presence join both read it
-    val classes = docLabel.groupBy(col("lbl"))
-      .agg(count(lit(1)).as("n_c")).localCheckpoint()
-    val totalRow = classes.agg(sum(col("n_c"))).collect().head
-    val nTotal = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    // r10 (guide §1.2 job floor): the population total rides the class
+    // census checkpoint via observe — one action instead of a checkpoint
+    // plus a second aggregation over it
+    val (classes, mC) = GraphOps.checkpointWithProbe(
+      docLabel.groupBy(col("lbl")).agg(count(lit(1)).as("n_c")),
+      sum(col("n_c")).as("__total"))
+    val nTotal = Option(mC("__total")).map(_.asInstanceOf[Long]).getOrElse(0L)
     val present = features
       .select(col(idCol).as("id"), col(featureCol).as("feature")).distinct()
       .join(docLabel, "id")

@@ -961,7 +961,23 @@ object ScaleOps {
     */
   def globalPrefixSum(df: DataFrame, orderCol: String,
                       sums: Seq[(String, String)], ascending: Boolean = true,
-                      numPartitions: Int = 0): DataFrame = {
+                      numPartitions: Int = 0): DataFrame =
+    globalPrefixSumWithTotals(df, orderCol, sums, ascending, numPartitions)._1
+
+  /** [[globalPrefixSum]] that ALSO returns the grand total of every value
+    * column (Long for integral columns, Double for floating, in `sums`
+    * order). The driver-side prefix over the per-partition totals already
+    * holds these — callers that need the cohort/population size (d174,
+    * d181) previously paid a whole extra aggregation action over the
+    * prefix-summed frame to recompute a number this scan had in hand
+    * (r10, guide §1.2 job floor). NB an `observe` on `df` cannot replace
+    * this: RangePartitioner's sampling pass scans the child once before
+    * the shuffle pass, double-counting any CollectMetrics below it
+    * (measured: exactly 2× on every kaplanMeier census).
+    */
+  def globalPrefixSumWithTotals(df: DataFrame, orderCol: String,
+                      sums: Seq[(String, String)], ascending: Boolean = true,
+                      numPartitions: Int = 0): (DataFrame, Seq[Any]) = {
     require(sums.nonEmpty, "need at least one (valueCol, outCol) pair")
     val session = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
@@ -1003,6 +1019,9 @@ object ScaleOps {
       case (x: Double, y: Double) => x + y
       case other => throw new IllegalStateException(s"mixed sum types: $other")
     }
+    val grandTotals: Seq[Any] = totals.foldLeft(zeros) {
+      case (acc, (_, tot)) => acc.lazyZip(tot).map(add).toSeq
+    }
     val offsets = totals.scanLeft((Int.MinValue, zeros)) {
       case ((_, acc), (pid, tot)) =>
         (pid, acc.lazyZip(tot).map(add).toSeq)
@@ -1025,13 +1044,14 @@ object ScaleOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(ord)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    sums.zip(floating).foldLeft(
+    val out = sums.zip(floating).foldLeft(
       ranged.join(broadcast(offsetDf), Seq("__pid"))) {
       case (acc, ((v, out), isF)) =>
         val zero = if (isF) lit(0.0) else lit(0L)
         acc.withColumn(out,
           coalesce(sum(col(v)).over(w), zero) + col(s"__o_$v"))
     }.drop("__pid" +: sums.map { case (v, _) => s"__o_$v" }: _*)
+    (out, grandTotals)
   }
 
   /** Exact global percent_rank of a column with NO partition key and NO
@@ -1049,10 +1069,13 @@ object ScaleOps {
     // output (engines disagree on null ordering; don't rank what isn't
     // a value)
     val clean = df.filter(col(valueCol).isNotNull)
-    val counts = clean.groupBy(col(valueCol))
-      .agg(count(lit(1)).as("__n")).localCheckpoint()
-    val totalRow = counts.agg(sum(col("__n"))).collect().head
-    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    // r10 (guide §1.2 job floor): the grand total rides the census
+    // checkpoint's own materialization via observe instead of a second
+    // aggregation pass over the just-written blocks — one action, one pass
+    val (counts, m) = GraphOps.checkpointWithProbe(
+      clean.groupBy(col(valueCol)).agg(count(lit(1)).as("__n")),
+      sum(col("__n")).as("__total"))
+    val total = Option(m("__total")).map(_.asInstanceOf[Long]).getOrElse(0L)
     val ranked = globalPrefixSum(counts, valueCol, Seq("__n" -> "__below"))
       .withColumn(outCol,
         if (total > 1) col("__below").cast("double") / lit((total - 1).toDouble)
