@@ -2979,10 +2979,17 @@ object Queries {
     * downstream is brand-cardinality-sized.
     */
   def d229BrandModularity(s: SparkSession, d: String): DataFrame = {
-    val edges = coPurchaseEdges(s, d).localCheckpoint() // m + intra + deg
+    // r10 (guide §1.2/§2.4): the edge total m rides the edge checkpoint's
+    // own materialization via observe and splices into the contribution
+    // arithmetic as a Long literal — the old shape re-scanned the
+    // checkpointed edges for a 1-row aggregate and carried it through a
+    // BroadcastNestedLoopJoin crossJoin. Identical Long arithmetic,
+    // identical doubles.
+    val (edges, mEdges) = graft.operators.GraphOps.checkpointWithProbe(
+      coPurchaseEdges(s, d), count(lit(1)).as("m")) // intra + deg below
+    val m = mEdges("m").asInstanceOf[Long]
     val brands = Tables.part(s, d)
       .select(col("p_partkey"), col("p_brand"))
-    val mDf = edges.agg(count(lit(1)).as("m"))
     val labeled = edges
       .join(broadcast(brands.select(col("p_partkey").as("a"),
         col("p_brand").as("ba"))), "a")
@@ -3000,13 +3007,12 @@ object Queries {
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_sum"))
     deg.join(intra, Seq("p_brand"), "left")
       .withColumn("e_intra", coalesce(col("e_intra"), lit(0L)))
-      .crossJoin(broadcast(mDf))
       .select(col("p_brand"),
         expr("CAST(n_nodes AS BIGINT)").as("n_nodes"),
         expr("CAST(d_sum AS BIGINT)").as("d_sum"),
         expr("CAST(e_intra AS BIGINT)").as("e_intra"),
-        round(expr("CAST(4 * m * e_intra - d_sum * d_sum AS DOUBLE)") /
-          expr("CAST(4 * m * m AS DOUBLE)"), 9).as("contribution"))
+        round(expr(s"CAST(4 * ${m}L * e_intra - d_sum * d_sum AS DOUBLE)") /
+          expr(s"CAST(4 * ${m}L * ${m}L AS DOUBLE)"), 9).as("contribution"))
   }
 
   /** End-to-end curation pipeline — the composition capstone: exact

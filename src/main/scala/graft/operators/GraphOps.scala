@@ -105,14 +105,22 @@ object GraphOps {
     */
   def triangleCount(edges: DataFrame): DataFrame = {
     // the edge frame feeds the degree census (twice, via the union) and the
-    // orientation join — materialize whatever derivation produced it once
-    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    // orientation join — materialize whatever derivation produced it once.
+    // r10: n_edges rides this checkpoint via observe (each oriented row is
+    // exactly one input edge — the orientation joins are inner on the
+    // census's unique keys, so counting here equals counting `oriented`)
+    val (e, mE) = checkpointWithProbe(
+      edges.select(col("a"), col("b")), count(lit(1)).as("n"))
+    val nEdges = mE("n").asInstanceOf[Long]
     // r10 (guide §2.4): deg feeds BOTH orientation joins below (twice in
     // one plan) plus the final n_nodes count — materialize the census once
-    // instead of running the degree aggregation three times
-    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    // instead of running the degree aggregation three times; n_nodes rides
+    // the materialization via observe
+    val (deg, mD) = checkpointWithProbe(
+      e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg")),
+      count(lit(1)).as("n"))
+    val nNodes = mD("n").asInstanceOf[Long]
     // deg is node-sized — shuffle-join it, never broadcast by assumption
     // ONE definition of the total order — all three projections must agree
     val fwd = col("da") < col("db") ||
@@ -135,10 +143,12 @@ object GraphOps {
     // the inner-join cardinality IS the triangle count
     val nTri = wedges.join(oriented.select(col("src"), col("dst")),
       Seq("src", "dst"), "inner")
-    oriented.agg(count(lit(1)).cast("long").as("n_edges"))
-      .crossJoin(deg.agg(count(lit(1)).cast("long").as("n_nodes")))
-      .crossJoin(nTri.agg(count(lit(1)).cast("long").as("n_triangles")))
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+    // node and edge totals were observed during their checkpoints above —
+    // the old shape re-scanned both frames and crossJoined three 1-row
+    // aggregates; only the triangle count still needs a pass
+    nTri.agg(count(lit(1)).cast("long").as("n_triangles"))
+      .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+        col("n_triangles"))
   }
 
   /** k-core decomposition by iterative peeling: repeatedly drop every node
