@@ -452,18 +452,25 @@ object GraphOps {
     val baskets = basketSets(df, groupCol, itemCol).localCheckpoint()
     val pairs = basketPairCounts(baskets, minCount)
       .localCheckpoint() // feeds both direction expansions
+    // r10 (guide §2.4): materialize the item census once — joined twice
+    // below, Catalyst planned the explode+aggregate subtree TWICE (no
+    // exchange reuse across the item/partner aliases, plan-verified) —
+    // and attach BOTH counts before the symmetric union, so the joins run
+    // over the pair set, not the doubled directed set. Same exact
+    // integers into the same sim arithmetic.
     val itemCnt = baskets
       .select(explode(col("__is")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("c"))
-    val directed = pairs
-      .select(col("a").as("item"), col("b").as("partner"), col("cnt"))
-      .union(pairs
-        .select(col("b").as("item"), col("a").as("partner"), col("cnt")))
-    val scored = directed
-      .join(itemCnt.select(col("i").as("item"), col("c").as("item_cnt")),
-        Seq("item"))
-      .join(itemCnt.select(col("i").as("partner"),
-        col("c").as("partner_cnt")), Seq("partner"))
+      .localCheckpoint()
+    val withCnts = pairs
+      .join(itemCnt.select(col("i").as("a"), col("c").as("ca")), Seq("a"))
+      .join(itemCnt.select(col("i").as("b"), col("c").as("cb")), Seq("b"))
+    val scored = withCnts
+      .select(col("a").as("item"), col("b").as("partner"), col("cnt"),
+        col("ca").as("item_cnt"), col("cb").as("partner_cnt"))
+      .union(withCnts
+        .select(col("b").as("item"), col("a").as("partner"), col("cnt"),
+          col("cb").as("item_cnt"), col("ca").as("partner_cnt")))
       .withColumn("sim", col("cnt").cast("double") /
         sqrt((col("item_cnt") * col("partner_cnt")).cast("double")))
     val w = org.apache.spark.sql.expressions.Window
