@@ -508,6 +508,13 @@ object GraphOps {
       .union(e.select(col("b").as("u"), col("a").as("v")))
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .localCheckpoint() // read by the cap filter AND two score joins
+    // NOTE (r10, measured-REVERTED): localCheckpoint'ing `capped` — the
+    // wedge self-join plans this subtree four times (two sides × the
+    // union's two legs) — read WORSE on d198 (taskSec 7.7 → 10.6, tasks
+    // 93 → 113, wall flat-to-up): the four replans are cheap broadcast
+    // semi-joins fused into the e-checkpoint scans, while the extra
+    // materialization writes the full 2|E| adjacency to block storage.
+    // Re-try on a corpus where the adjacency dwarfs the checkpoint write.
     val capped = adj
       .join(deg.filter(col("deg") <= maxMiddleDegree).select(col("u")),
         Seq("u"), "left_semi")
