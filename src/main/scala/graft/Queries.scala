@@ -2463,8 +2463,13 @@ object Queries {
     def w(n: Int) = expr(
       s"CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '#', " +
         s"'$n')), 1, 15), 16, 10) AS BIGINT)")
-    val withW = (0 to 5).foldLeft(
-      Tables.orders(s, d).select(col("o_orderkey")))(
+    // r10 (guide §2.5, unsplittable input): six md5 weights per key is
+    // exactly the scan-fused heavy map the r9 fanOut class covers — the
+    // single-row-group bench file runs the whole hash stage in ONE task
+    // (JobProbe: 3 tasks, taskSec ~1.0 all on one core). Self-sizing
+    // no-op on a many-split corpus.
+    val withW = (0 to 5).foldLeft(graft.operators.ScaleOps.fanOut(
+      Tables.orders(s, d).select(col("o_orderkey"))))(
       (acc, n) => acc.withColumn(s"w$n", w(n)))
     def argmax(upTo: Int, g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       (0 to upTo).reverse.foldLeft(lit(-1L): org.apache.spark.sql.Column)((els, n) =>
@@ -2492,14 +2497,19 @@ object Queries {
     * deliberately avoided); confidence is one exact-count division.
     */
   def d223AssociationRules(s: SparkSession, d: String): DataFrame = {
-    val baskets = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)
-        .select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("p_brand"))).as("items"))
-      .localCheckpoint() // 3 consumers: total, item supports, pairs
-    val nb = baskets.agg(count(lit(1)).as("n_baskets"))
+    // r10 (guide §1.2/§2.4): the basket total rides the checkpoint's own
+    // materialization via observe and splices in as a Long literal — the
+    // old shape re-scanned the checkpointed baskets for a 1-row aggregate
+    // and carried it through a crossJoin (same Long, same double casts)
+    val (baskets, mB) = graft.operators.GraphOps.checkpointWithProbe(
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("items")),
+      count(lit(1)).as("n")) // 2 consumers: item supports, pairs
+    val nBaskets = mB("n").asInstanceOf[Long]
     val itemSupp = baskets.select(explode(col("items")).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("supp"))
     val pairs = baskets.select(explode(expr(
@@ -2515,15 +2525,14 @@ object Queries {
         "a")
       .join(itemSupp.select(col("item").as("b"), col("supp").as("supp_b")),
         "b")
-      .crossJoin(broadcast(nb))
       .select(col("a"), col("b"),
         expr("CAST(supp_ab AS BIGINT)").as("supp_ab"),
         expr("CAST(supp_a AS BIGINT)").as("supp_a"),
         expr("CAST(supp_b AS BIGINT)").as("supp_b"),
-        expr("CAST(n_baskets AS BIGINT)").as("n_baskets"),
+        lit(nBaskets).as("n_baskets"),
         round(col("supp_ab").cast("double") / col("supp_a").cast("double"),
           6).as("confidence"),
-        round(col("supp_ab").cast("double") * col("n_baskets").cast("double")
+        round(col("supp_ab").cast("double") * lit(nBaskets).cast("double")
           / (col("supp_a").cast("double") * col("supp_b").cast("double")),
           6).as("lift"))
   }
