@@ -4447,6 +4447,13 @@ object Queries {
     * as the naive BETWEEN join. Only days with actual activity report.
     */
   def d118Stickiness(s: SparkSession, d: String): DataFrame = {
+    // NOTE (r10, measured-REVERTED): checkpointing `ud` for the two
+    // consumers below changed NOTHING at runtime (JobProbe: jobs 8→8,
+    // tasks 15→15, taskSec 2.66→2.52, wall flat-to-up) — the static plan
+    // shows the distinct subtree twice, but AQE's runtime stage reuse
+    // already dedups matching SHUFFLE exchange stages (unlike the
+    // broadcast-fed duplicates d197 fixed), so the checkpoint only added
+    // its own action. Static plan duplication alone is not evidence.
     val ud = Tables.orders(s, d)
       .select(col("o_custkey").as("u"),
         expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("day"))
