@@ -670,6 +670,44 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("globalPrefixSumWithTotals: grand totals equal direct sums, long exact, double within ulps") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 400).map(k => (k.toLong, rnd.nextInt(9).toLong,
+      rnd.nextDouble() - 0.4))
+    val df = rows.toDF("k", "x", "d")
+    for (p <- Seq(1, 4, 32)) {
+      val (out, totals) = ScaleOps.globalPrefixSumWithTotals(df, "k",
+        Seq("x" -> "px", "d" -> "pd"), numPartitions = p)
+      // the frame is the one globalPrefixSum returns
+      assert(out.count() == 400)
+      // integral totals are exact; double totals within summation-order ulps
+      assert(totals(0).asInstanceOf[Long] == rows.map(_._2).sum, s"p=$p")
+      assert(math.abs(totals(1).asInstanceOf[Double] - rows.map(_._3).sum) < 1e-9,
+        s"p=$p")
+    }
+    // empty input: zeros of the right type, not nulls/crashes
+    val (_, zt) = ScaleOps.globalPrefixSumWithTotals(
+      df.filter(col("k") < 0), "k", Seq("x" -> "px", "d" -> "pd"))
+    assert(zt == Seq(0L, 0.0))
+  }
+
+  test("saltedJoin plans a shuffle join even when the exploded side is broadcastable") {
+    val s = spark
+    import s.implicits._
+    // small right side: WITHOUT the strategy pin Catalyst broadcasts the
+    // exploded right relation and the salt never reaches an exchange —
+    // the join must stay sort-merge under the default broadcast threshold
+    val left = (1L to 200L).map(k => (k % 7, s"l$k")).toDF("k", "lv")
+    val right = (1L to 50L).map(k => (k % 7, k)).toDF("k", "rv")
+    val plan = ScaleOps.saltedJoin(left, right, Seq("k"), 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"expected a sort-merge join under the default broadcast threshold in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"broadcast join would make the salting a no-op:\n$plan")
+  }
+
   test("percentileRank == SQL PERCENT_RANK semantics (ties share, nulls excluded)") {
     val s = spark; import s.implicits._
     val vals: Seq[java.lang.Long] =
