@@ -4754,6 +4754,12 @@ object Queries {
     * formatting differs across engines; decimal rendering doesn't).
     */
   def d147Profile(s: SparkSession, d: String): DataFrame =
+    // NOTE (r10, measured-REVERTED): a fanOut of the profiled projection
+    // read WORSE (1.23 → 1.97 s standalone vs a +17% control): the
+    // round-robin exchange ships all five columns (plus its
+    // sortBeforeRepartition local sort) and both agg branches re-read it,
+    // while the Expand the fanOut was meant to parallelize is cheap
+    // column shredding. Same rejection class as d230's incidence build.
     graft.operators.ScaleOps.profileColumns(
       Tables.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
